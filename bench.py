@@ -1,0 +1,69 @@
+"""Benchmark harness — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"flagship_q3": <sec>, ...}, "sf": 0.1}
+
+Each query is forced with the noop sink (full execution, zero
+driver-collect cost) so the number measures the distributed plan, not
+pandas conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one representative per operator family, weighted toward
+# the shapes that dominate at 100 TB (scan-agg, multi-join, window, dedup).
+HEADLINE = [
+    "flagship_q3",
+    "groupby_agg",
+    "join_inner",
+    "join_left",
+    "sort_topk",
+    "dedup_subset",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from magictables_spark.plans.queries import REGISTRY
+    from magictables_spark.session import get_spark
+
+    spark = get_spark("magictables_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    slugs = [s for s in HEADLINE if s in REGISTRY]
+    timings: dict[str, float] = {}
+    for slug in slugs:
+        fn = REGISTRY[slug].fn
+        # one warm-up of the plan (file listing/schema caches), then timed run
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[slug] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
