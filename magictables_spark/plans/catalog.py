@@ -35,7 +35,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     receives PushedFilters + ReadSchema automatically."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as nanos-bigint via
+    # spark.sql.legacy.parquet.nanosAsLong; convert to a microsecond
+    # timestamp here so every downstream operator sees a real timestamp.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

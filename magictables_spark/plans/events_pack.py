@@ -1,0 +1,153 @@
+"""Event-time pack over the `events` fixture (SURVEY.md §2.C streaming).
+
+The reference is fully batch (SURVEY §2.C); these are the
+batch-equivalent time-window operators whose Structured Streaming twins
+are the same expressions behind ``readStream`` (see
+magictables_spark/streaming/). Windows use built-in ``F.window`` /
+``F.session_window`` — event-time semantics identical to streaming.
+
+Determinism: window starts emitted as formatted strings; value sums in
+scaled int64 (value column carries 2 decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from magictables_spark.plans.registry import _t, q
+
+VAL_I = "CAST(ROUND(value * 100) AS BIGINT)"
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@q(
+    "window_tumbling",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({VAL_I}) AS DOUBLE) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time windows per event type — the batch "
+    "twin of a streaming groupBy(window(ts)). One shuffle on "
+    "(window, type); partial aggregation map-side.",
+    tags=("events", "window"),
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(f"CAST(SUM({VAL_I}) AS DOUBLE) / 100.0").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "window_sliding",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, {VAL_I} AS v
+      FROM events
+      UNION ALL
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') , '%Y-%m-%d %H:%M:%S') AS win_start, {VAL_I} AS v
+      FROM events
+      WHERE time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') <> time_bucket(INTERVAL '1 hour', ts)
+    )
+    SELECT win_start, COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) / 100.0 AS sum_value
+    FROM buckets GROUP BY 1
+    """,
+    doc="Sliding windows (1h length, 30m slide): each event lands in 2 "
+    "overlapping windows. Spark F.window(ts, '1 hour', '30 minutes') "
+    "expands rows map-side; the DuckDB oracle is the union of the two "
+    "bucket phases.",
+    tags=("events", "window"),
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(f"CAST(SUM({VAL_I}) AS DOUBLE) / 100.0").alias("sum_value"),
+        )
+        .select(F.date_format("w.start", TS_FMT).alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@q(
+    "window_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, sid
+    """,
+    doc="Session windows (5-minute gap) per user — F.session_window, the "
+    "stateful-streaming primitive, in batch mode. DuckDB oracle uses the "
+    "classic gaps-and-islands construction; session_start = first event "
+    "ts in both. Second-granularity timestamps make the comparison "
+    "exact.",
+    tags=("events", "window", "session"),
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "event_dedup_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Latest event per user — the streaming dropDuplicates-by-key "
+    "pattern in batch form (deterministic: ties broken by event_id).",
+    tags=("events", "dedup"),
+)
+def event_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )

@@ -1,0 +1,125 @@
+"""Nested-data pack (SURVEY.md §2 phase 2): explode / unnest / struct ops.
+
+Reference surface: chain packs API results into a list column, explodes
+it, renames struct fields with an ``api_`` prefix, then unnests
+(magictable.py:276-298); `json_flatten` normalizes arbitrary JSON
+(utils.py:36-80).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import _t, q
+
+
+@q(
+    "explode",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           unnest(generate_series(1, l_linenumber)) AS n
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    doc="Array explode — one output row per element (magictable.py:281 "
+    "explode of api_results). Built from sequence() so both engines see "
+    "identical arrays. Explode multiplies rows before any shuffle; at "
+    "scale always filter/project first.",
+    tags=("nested", "explode"),
+)
+def explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(F.sequence(F.lit(1), F.col("l_linenumber"))).alias("n"),
+        )
+    )
+
+
+@q(
+    "explode_outer",
+    oracle="""
+    SELECT o_orderkey,
+           unnest(CASE WHEN o_orderstatus = 'O'
+                       THEN [NULL]
+                       ELSE generate_series(1, 2) END) AS n
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    doc="Outer explode: empty/null arrays keep the parent row with a "
+    "null element — the Polars explode semantic the reference relies on "
+    "(SURVEY §7.3: Spark plain explode drops them; explode_outer "
+    "matches). DuckDB oracle emulates with a [NULL] substitute.",
+    tags=("nested", "explode"),
+)
+def explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.lit(2))
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", F.explode_outer(arr).alias("n"))
+    )
+
+
+@q(
+    "unnest_prefixed",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus   AS api_status,
+           o_totalprice    AS api_total,
+           o_orderpriority AS api_priority
+    FROM orders
+    """,
+    doc="Struct unnest with field-prefix renaming — the chain result "
+    "projection (magictable.py:291-298: struct.rename_fields api_* then "
+    "unnest). Spark: pack a struct, then select struct.* with aliased, "
+    "sorted field names (deterministic, unlike the reference's set "
+    "union).",
+    tags=("nested", "struct"),
+)
+def unnest_prefixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("api"),
+    )
+    # unnest with api_ prefix, field names sorted for determinism
+    fields = sorted(f.name for f in packed.schema["api"].dataType.fields)
+    return packed.select(
+        "o_orderkey", *[F.col(f"api.{name}").alias(f"api_{name}") for name in fields]
+    ).select("o_orderkey", "api_status", "api_total", "api_priority")
+
+
+@q(
+    "json_flatten",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS "props.k"
+    FROM events
+    WHERE event_id % 10 = 0
+    """,
+    doc="The reference's json_flatten (utils.py:36-80) applied to the "
+    "events.props JSON payload: parse -> recursive struct flatten with "
+    "dotted names. Implementation: operators/flatten.py (schema walk on "
+    "the driver, declarative select/explode_outer plan — zero Python at "
+    "runtime).",
+    tags=("nested", "json"),
+)
+def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.operators.flatten import flatten
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", F.from_json("props", "struct<k:bigint>").alias("props"))
+    )
+    return flatten(ev)

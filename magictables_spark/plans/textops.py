@@ -1,0 +1,222 @@
+"""Text-analysis + deduplication pack over `documents` (mandated
+extension, SURVEY.md §2.C / BASELINE.json: the operators a large-scale
+training-data pipeline needs).
+
+All hot-path expressions are JVM built-ins (split/filter/transform/
+aggregate higher-order functions) — no Python UDFs. Fingerprints use
+md5 (identical hex output in Spark and DuckDB, so oracle-checkable);
+scale-path hashing (xxhash64) appears in the rows-only variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import _t, q
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+@q(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) + vocabulary size per "
+    "document. split() is a codegen JVM expression; no shuffle at all — "
+    "embarrassingly parallel at any scale.",
+    tags=("text",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+@q(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL})) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS distinct_ratio,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           (len(string_split(text, ' ')) BETWEEN 20 AND 1000
+            AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.1) AS quality_pass
+    FROM documents
+    """,
+    doc="Quality scoring: stopword ratio, type-token (distinct) ratio, "
+    "mean token length, and a pass/fail gate — the C4/Gopher-style "
+    "heuristic filters for training-data curation. Higher-order "
+    "list_filter stays JVM-side.",
+    tags=("text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (F.length("text").cast("double") / n).alias("avg_token_len"),
+        (F.size(toks).between(20, 1000) & (distinct_ratio > 0.1)).alias("quality_pass"),
+    )
+
+
+@q(
+    "lang_id",
+    oracle="""
+    SELECT doc_id, lang AS lang_true,
+           CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                     >= len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'das')))
+                THEN 'en' ELSE 'de' END AS lang_guess
+    FROM documents
+    """,
+    doc="Language-ID n-gram/marker heuristic (deterministic scoring of "
+    "marker-token hits per language; real corpora would use char "
+    "n-gram profiles — same plan shape). Identical CASE logic on both "
+    "engines.",
+    tags=("text", "langid"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+
+    def hits(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.when(hits(("the", "a")) >= hits(("der", "die", "das")), "en").otherwise("de").alias("lang_guess"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_shuffle_invariant
+    FROM documents
+    """,
+    doc="Document fingerprinting: exact content hash plus a "
+    "token-order-invariant hash (sorted distinct tokens) that catches "
+    "shuffled duplicates. md5 emits identical hex on both engines.",
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fp_shuffle_invariant"),
+    )
+
+
+@q(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact deduplication by content hash: one group per distinct "
+    "text, keeping the smallest doc_id (deterministic representative). "
+    "At 100 TB: hash-shuffle on the 128-bit fingerprint, never on the "
+    "full text — the md5 projection happens map-side before the "
+    "exchange.",
+    tags=("text", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i+1] || ' ' ||
+                                   string_split(text, ' ')[i+2])
+             )) AS shingle
+      FROM documents WHERE doc_id < 200
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+    doc="N-gram (3-token shingle) Jaccard near-duplicate pairs: distinct "
+    "shingles per doc, self-join on shingle, |A∩B| / |A∪B| >= 0.5. "
+    "Restricted to doc_id < 200 because the pair join is quadratic in "
+    "shared shingles — the scale path replaces the self-join with "
+    "MinHash banding (dedup_minhash), which buckets candidates in one "
+    "shuffle.",
+    tags=("text", "dedup", "similarity"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    sh = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

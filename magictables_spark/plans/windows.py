@@ -1,0 +1,222 @@
+"""Window-function + multidimensional-aggregation pack (SURVEY.md §2.B).
+
+Reference surface: Polars ``pl.col().over()`` / generated-pandas
+``groupby().transform``/``rank`` (README.md:127 engagement-rate calcs);
+cube/rollup/pivot are the "free in Spark" extensions (SURVEY §2.B/2.C).
+
+Scale notes: every window here partitions by a high-cardinality key
+(custkey) so the shuffle is even; no global (unpartitioned) windows —
+an ORDER BY without PARTITION BY serializes the whole table through
+one task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from magictables_spark.plans.registry import QTY_I, TOTALPRICE_I, _t, q
+
+
+@q(
+    "window_rank",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST({TOTALPRICE_I} AS DOUBLE) / 100.0 AS totalprice,
+           rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY {TOTALPRICE_I} DESC, o_orderkey) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+    doc="Top-3 orders per customer by price (pl.col().over() parity). "
+    "row_number with a unique tie-break (orderkey) keeps the result "
+    "deterministic; one shuffle on the partition key.",
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.expr(TOTALPRICE_I).desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr(f"CAST({TOTALPRICE_I} AS DOUBLE) / 100.0").alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+@q(
+    "window_agg",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           CAST(SUM({TOTALPRICE_I}) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS running_spend
+    FROM orders
+    """,
+    doc="Running per-customer spend (window aggregate; generated-pandas "
+    "cumsum parity). Frame is ROWS-based with a unique total order "
+    "(orderdate, orderkey) so partial sums are reproducible; summation "
+    "in exact int64 cents.",
+    tags=("window",),
+)
+def window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+        (F.sum(F.expr(TOTALPRICE_I)).over(w).cast("double") / 100.0).alias("running_spend"),
+    )
+
+
+@q(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+                     CAST(o_orderdate AS DATE)) AS days_since_prev,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+    FROM orders
+    """,
+    doc="lag/lead over a per-customer order timeline: days since the "
+    "previous order and the next order's key. Integer day diffs are "
+    "engine-exact; deterministic total order per partition.",
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@q(
+    "rollup",
+    oracle=f"""
+    SELECT n_name, o_orderpriority,
+           CAST(SUM({TOTALPRICE_I}) AS DOUBLE) / 100.0 AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+    doc="Hierarchical subtotals nation -> priority -> grand total "
+    "(Spark-free capability the reference lacks, SURVEY §2.C). NULL "
+    "group keys mark subtotal rows in both engines.",
+    tags=("agg", "cube"),
+)
+def rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", F.expr(TOTALPRICE_I).alias("_tp"))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.expr("CAST(SUM(_tp) AS DOUBLE) / 100.0").alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM({QTY_I}) AS DOUBLE) / 100.0 AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="All 2^2 grouping-set combinations over the two status flags. "
+    "Spark expands the cube map-side; output cardinality stays tiny at "
+    "any SF.",
+    tags=("agg", "cube"),
+)
+def cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", F.expr(QTY_I).alias("_qi"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr("CAST(SUM(_qi) AS DOUBLE) / 100.0").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {QTY_I} END) AS DOUBLE) / 100.0 AS f_qty,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {QTY_I} END) AS DOUBLE) / 100.0 AS o_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Pivot linestatus into columns (Polars df.pivot parity). Values "
+    "are enumerated explicitly — at scale an un-enumerated pivot first "
+    "runs a distinct scan; always pass the value list.",
+    tags=("agg", "pivot"),
+)
+def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", F.expr(QTY_I).alias("_qi"))
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.expr("CAST(SUM(_qi) AS DOUBLE) / 100.0"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("f_qty"),
+        F.col("O").alias("o_qty"),
+    )
+
+
+@q(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    doc="Pagination slice (Polars df.slice parity; Spark >= 3.4 offset). "
+    "Deterministic via unique tie-break.",
+    tags=("relational", "sort"),
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(20)
+    )

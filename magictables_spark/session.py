@@ -33,6 +33,10 @@ def get_spark(app_name: str = "magictables_spark", master: str | None = None) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as raw nanos (bigint) and convert in the
+        # catalog (truncation ns->us, documented divergence SURVEY §7.3)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Whole-stage codegen for wide decimal aggregates can exceed the
         # JVM's 8000-bytecode JIT threshold; without this flag HotSpot

@@ -1,0 +1,88 @@
+"""Golden unit fixtures for the json_flatten operator (SURVEY §5.2.2).
+
+Covers the reference's flatten_nested_structure semantics
+(utils.py:36-80): dict-in-dict dotted names, list-of-dicts explode,
+list-of-scalars repeated rows, scalars broadcast onto child rows, and
+null/empty-list preservation (Polars-style outer explode).
+"""
+
+from __future__ import annotations
+
+from magictables_spark.operators.flatten import flatten, flatten_json_column
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_struct_dotted_names(spark):
+    df = spark.createDataFrame(
+        [(1, {"b": 2, "c": {"d": 3}})],
+        "a int, s struct<b:int, c:struct<d:int>>",
+    )
+    out = flatten(df)
+    assert out.columns == ["a", "s.b", "s.c.d"]
+    assert _rows(out) == [(1, 2, 3)]
+
+
+def test_list_of_scalars_explodes_to_rows(spark):
+    df = spark.createDataFrame([(1, [10, 20, 30])], "a int, xs array<int>")
+    out = flatten(df)
+    assert out.columns == ["a", "xs"]
+    assert sorted(_rows(out)) == [(1, 10), (1, 20), (1, 30)]
+
+
+def test_list_of_structs_explode_then_unnest(spark):
+    df = spark.createDataFrame(
+        [(1, [{"x": 1}, {"x": 2}])],
+        "a int, items array<struct<x:int>>",
+    )
+    out = flatten(df)
+    assert out.columns == ["a", "items.x"]
+    assert sorted(_rows(out)) == [(1, 1), (1, 2)]
+
+
+def test_empty_and_null_arrays_keep_parent_row(spark):
+    df = spark.createDataFrame(
+        [(1, []), (2, None), (3, [7])],
+        "a int, xs array<int>",
+    )
+    out = flatten(df)
+    assert sorted(_rows(out)) == [(1, None), (2, None), (3, 7)]
+
+
+def test_two_arrays_cross_product_like_reference(spark):
+    # the reference emits one explode per nested key: 2 x 2 = 4 rows
+    df = spark.createDataFrame(
+        [(1, [1, 2], ["a", "b"])],
+        "k int, xs array<int>, ys array<string>",
+    )
+    out = flatten(df)
+    assert sorted(_rows(out)) == [(1, 1, "a"), (1, 1, "b"), (1, 2, "a"), (1, 2, "b")]
+
+
+def test_scalars_broadcast_to_child_rows(spark):
+    df = spark.createDataFrame(
+        [("top", {"inner": [1, 2]})],
+        "name string, payload struct<inner:array<int>>",
+    )
+    out = flatten(df)
+    assert out.columns == ["name", "payload.inner"]
+    assert sorted(_rows(out)) == [("top", 1), ("top", 2)]
+
+
+def test_flatten_json_column_infers_schema(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": 5, "nested": {"b": "x"}}'), (2, '{"a": 6, "nested": {"b": "y"}}')],
+        "id int, payload string",
+    )
+    out = flatten_json_column(df, "payload")
+    assert set(out.columns) == {"id", "payload.a", "payload.nested.b"}
+    got = {tuple(r) for r in out.collect()}
+    assert got == {(1, 5, "x"), (2, 6, "y")}
+
+
+def test_no_explode_mode_keeps_arrays(spark):
+    df = spark.createDataFrame([(1, [1, 2])], "a int, xs array<int>")
+    out = flatten(df, explode_arrays=False)
+    assert _rows(out) == [(1, [1, 2])]

@@ -1,0 +1,69 @@
+"""Quality gates for the scale-path (rows-only) similarity operators.
+
+The hashed variants (ann_lsh_topk, dedup_minhash, simhash) have no SQL
+oracle, so their correctness is asserted here against the exact
+operators they approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.queries import REGISTRY
+
+
+def test_ann_lsh_recall_against_exact(spark, sf_dir):
+    """LSH top-10 for the 5 probe vectors must recall a healthy fraction
+    of the exact cosine top-10 (sign-LSH with 16 planes on clustered
+    synthetic data; exact recall varies, demand >= 40% overall)."""
+    exact = (
+        REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).select("query_id", "neighbor_id").collect()
+    )
+    approx = (
+        REGISTRY["ann_lsh_topk"]
+        .fn(spark, sf_dir)
+        .filter(F.col("query_id") < 5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert exact_set, "exact top-k produced nothing"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall:.2f}"
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """Every pair the exact 3-gram Jaccard flags at >= 0.5 should be
+    surfaced by MinHash banding with identical jaccard values (the
+    verification step computes the same exact jaccard)."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_minhash"].fn(spark, sf_dir).collect()
+    }
+    # banding (4 bands x 4 rows) catches ~all pairs at j>=0.7; demand
+    # the high-similarity ones and value agreement on the overlap
+    high = {p for p, j in exact.items() if j >= 0.7}
+    missed = high - set(mh)
+    assert not missed, f"minhash missed high-jaccard pairs: {missed}"
+    for p in set(mh) & set(exact):
+        assert abs(mh[p] - exact[p]) < 1e-9
+
+
+def test_simhash_identical_docs_same_hash(spark, sf_dir):
+    """Docs with identical token sets must get identical simhash."""
+    sh = REGISTRY["simhash"].fn(spark, sf_dir)
+    docs = REGISTRY["doc_fingerprint"].fn(spark, sf_dir).select("doc_id", "fp_shuffle_invariant")
+    joined = sh.join(docs, "doc_id")
+    groups = (
+        joined.groupBy("fp_shuffle_invariant")
+        .agg(F.countDistinct("simhash").alias("n_hashes"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .collect()
+    )
+    for g in groups:
+        assert g.n_hashes == 1, "same token set produced different simhashes"
