@@ -19,6 +19,21 @@ from pyspark.sql import DataFrame, SparkSession
 from magictables_spark.identity import table_name
 
 
+def rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """List-of-dicts -> flattened DataFrame. Nested payloads go through
+    spark.read.json for full recursive schema inference, then the
+    json_flatten operator (ingest-time flattening, sources.py:74-76)."""
+    import json as _json
+
+    from magictables_spark.operators.flatten import flatten
+
+    if not rows:
+        return spark.createDataFrame([], "placeholder string").limit(0)
+    raw = spark.createDataFrame([(_json.dumps(r, default=str),) for r in rows], "json string")
+    df = spark.read.json(raw.rdd.map(lambda r: r.json))
+    return flatten(df)
+
+
 class MagicFrame:
     """A provenance-carrying wrapper over a lazy Spark DataFrame.
 
@@ -32,6 +47,74 @@ class MagicFrame:
         object.__setattr__(self, "df", df)
         object.__setattr__(self, "sources", list(sources or []))
         object.__setattr__(self, "name", name if name is not None else table_name(self.sources))
+
+    # -- ingest (reference MagicTable.from_source, magictable.py:55-67) ----
+
+    @classmethod
+    def from_source(
+        cls,
+        spark: SparkSession,
+        source,
+        warehouse=None,
+    ) -> "MagicFrame":
+        """Cache-probe by provenance id, else fetch + flatten + register.
+
+        Mirrors the reference lifecycle (SURVEY §3.1): source id ->
+        warehouse probe -> fetch_data() -> DataFrame (nested JSON
+        inference) -> flatten -> parquet + metadata row.
+        """
+        sid = source.get_id()
+        if warehouse is not None and warehouse.has_table(sid):
+            return cls(warehouse.read_table(spark, sid), sources=[sid])
+
+        rows = source.fetch_data()
+        df = rows_to_df(spark, rows)
+        if warehouse is not None:
+            warehouse.write_table(
+                df, sid, {"type": source.get_type(), "identifier": source.get_identifier()}
+            )
+            df = warehouse.read_table(spark, sid)
+        return cls(df, sources=[sid])
+
+    # -- chain (reference magictable.py:202-315) ---------------------------
+
+    def chain(
+        self,
+        url_template: str,
+        *,
+        source_key: str | None = None,
+        target_key: str | None = None,
+        fetcher=None,
+        warehouse=None,
+        ttl_seconds: float = 3600.0,
+    ) -> "MagicFrame":
+        """Per-row API-enrichment join (see operators/chain.py)."""
+        from magictables_spark.identity import source_id
+        from magictables_spark.operators.chain import chain_enrich
+
+        out = chain_enrich(
+            self.df,
+            url_template,
+            sources=self.sources,
+            source_key=source_key,
+            target_key=target_key,
+            fetcher=fetcher,
+            warehouse=warehouse,
+            ttl_seconds=ttl_seconds,
+        )
+        new_sources = self.sources + [source_id("api", url_template, {})]
+        return MagicFrame(out, sources=new_sources)
+
+    # -- transform (reference magictable.py:148-200) -----------------------
+
+    def transform(self, query: str, llm=None, warehouse=None, model: str = "mock") -> "MagicFrame":
+        """NL -> (cached) Spark SQL -> executed on a temp view (see
+        magictables_spark/llm)."""
+        from magictables_spark.identity import transform_name
+        from magictables_spark.llm import nl_transform
+
+        out = nl_transform(self.df, query, llm=llm, warehouse=warehouse, model=model, table_name=self.name)
+        return MagicFrame(out, sources=self.sources, name=transform_name(self.name, query, model))
 
     # -- closure property: every DataFrame-returning method stays magic ----
 

@@ -1,0 +1,212 @@
+"""LLM layer (SURVEY.md §2.A: llm_call / nl_transform / key_infer /
+source_gen) — driver-side, injectable, hermetically testable.
+
+The reference exec()s LLM-generated *pandas* code on the whole table
+(magictable.py:176-178, prompts.py:1-26) — unsafe and single-node. The
+rebuild's contract: the LLM emits **Spark SQL** (validated before
+execution, cached forever keyed (table, query, model) — reference cache
+semantics magictable.py:150-170) or **JSON rows** for generative
+sources (sources.py:153-183). Fence extraction mirrors
+utils.py:154-159.
+
+No provider SDK is required: ``LLMClient`` is a 1-method protocol;
+tests use MockLLM; a litellm-backed client is gated behind an import
+(litellm is a declared reference dep, pyproject.toml).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Protocol
+
+from pyspark.sql import DataFrame
+
+# ---------------------------------------------------------------------------
+# prompt contracts (fresh text; same I/O contracts as prompts.py:1-98)
+# ---------------------------------------------------------------------------
+
+TRANSFORM_PROMPT = """You translate a natural-language request into ONE Spark SQL query.
+
+Table summary (name `df`):
+{summary}
+
+Request: {query}
+
+Rules:
+- Emit exactly one SELECT (or WITH ... SELECT) statement over the view `df`.
+- Use only columns from the summary; alias every computed column.
+- Parse date strings with to_timestamp()/to_date().
+- No DDL/DML, no comments, no explanations.
+
+Reply with the SQL inside a ```sql fence."""
+
+KEY_INFER_PROMPT = """Map each URL template placeholder to the best-matching table column.
+
+URL template: {template}
+Columns (name: type, sample values): {columns}
+
+Reply with a ```json fence containing one object mapping placeholder -> column name.
+Use null when nothing plausibly matches."""
+
+GEN_ROWS_PROMPT = """Produce tabular data answering this request: {query}
+
+Reply with a ```json fence containing a list of flat JSON objects
+(consistent keys, scalar values only)."""
+
+
+class LLMClient(Protocol):
+    def complete(self, prompt: str, system: str | None = None) -> str: ...
+
+
+class MockLLM:
+    """Deterministic scripted client for tests: returns canned responses
+    in order, recording every prompt."""
+
+    def __init__(self, responses: list[str]):
+        self.responses = list(responses)
+        self.prompts: list[str] = []
+
+    def complete(self, prompt: str, system: str | None = None) -> str:
+        self.prompts.append(prompt)
+        if not self.responses:
+            raise RuntimeError("MockLLM exhausted")
+        return self.responses.pop(0)
+
+
+def litellm_client(model: str = "gpt-4o-mini"):
+    """Live client via litellm (reference utils.py:83-164) — only
+    constructed on demand; absent in CI."""
+    try:
+        import litellm
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("litellm not installed; inject a client instead") from exc
+
+    class _Client:
+        def complete(self, prompt: str, system: str | None = None) -> str:
+            messages = ([{"role": "system", "content": system}] if system else []) + [
+                {"role": "user", "content": prompt}
+            ]
+            resp = litellm.completion(model=model, messages=messages)
+            return resp.choices[0].message.content
+
+    return _Client()
+
+
+# ---------------------------------------------------------------------------
+# fence extraction (utils.py:154-159 semantics)
+# ---------------------------------------------------------------------------
+
+
+def extract_fence(text: str, lang: str) -> str:
+    m = re.search(rf"```{lang}\s*(.*?)```", text, re.DOTALL)
+    if m:
+        return m.group(1).strip()
+    m = re.search(r"```\s*(.*?)```", text, re.DOTALL)
+    if m:
+        return m.group(1).strip()
+    return text.strip()
+
+
+# ---------------------------------------------------------------------------
+# nl_transform: NL -> cached Spark SQL -> temp view execution
+# ---------------------------------------------------------------------------
+
+_FORBIDDEN_SQL = re.compile(
+    r"\b(insert|update|delete|drop|create|alter|truncate|merge|grant)\b", re.IGNORECASE
+)
+
+
+def validate_sql(sql: str) -> str:
+    """Reject anything but a single SELECT/WITH statement (the rebuild's
+    replacement for the reference's unsandboxed exec, SURVEY §7.3)."""
+    stripped = sql.strip().rstrip(";")
+    if ";" in stripped:
+        raise ValueError(f"multiple statements not allowed: {sql!r}")
+    if not re.match(r"^\s*(select|with)\b", stripped, re.IGNORECASE):
+        raise ValueError(f"only SELECT queries allowed, got: {sql!r}")
+    if _FORBIDDEN_SQL.search(stripped):
+        raise ValueError(f"forbidden SQL keyword in: {sql!r}")
+    return stripped
+
+
+def summarize(df: DataFrame, n_sample: int = 1) -> str:
+    """Schema + first row — the reference's prompt context
+    (mt.summary(), magictable.py:145-146). Cheap: no full count."""
+    head = df.limit(n_sample).collect()
+    first = head[0].asDict(recursive=True) if head else None
+    return json.dumps({"columns": dict(df.dtypes), "first_row": first}, default=str)
+
+
+def nl_transform(
+    df: DataFrame,
+    query: str,
+    llm: LLMClient | None = None,
+    warehouse=None,
+    model: str = "mock",
+    table_name: str = "df",
+) -> DataFrame:
+    """NL -> (cached) SQL -> result DataFrame. Code cache key =
+    (table, query, model) — reference keys f"{name}_{query}" forever
+    (magictable.py:150-170); model added per SURVEY §3.2."""
+    cache_key = f"{table_name}_query:{query}_model:{model}"
+    sql = warehouse.get_code(cache_key) if warehouse is not None else None
+    if sql is None:
+        if llm is None:
+            raise ValueError("nl_transform cache miss and no LLM client provided")
+        raw = llm.complete(TRANSFORM_PROMPT.format(summary=summarize(df), query=query))
+        sql = validate_sql(extract_fence(raw, "sql"))
+        if warehouse is not None:
+            warehouse.put_code(cache_key, sql)
+    df.createOrReplaceTempView("df")
+    return df.sparkSession.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# key_infer: deterministic match first, LLM fallback (magictable.py:393-447)
+# ---------------------------------------------------------------------------
+
+
+def key_infer(
+    template: str,
+    df: DataFrame,
+    llm: LLMClient | None = None,
+    n_samples: int = 5,
+) -> dict[str, str]:
+    from magictables_spark.operators.chain import PLACEHOLDER_RE, resolve_keys
+
+    try:
+        return resolve_keys(template, df.columns)
+    except KeyError:
+        if llm is None:
+            raise
+    samples = {r: [] for r in df.columns}
+    for row in df.limit(n_samples).collect():
+        for c in df.columns:
+            samples[c].append(row[c])
+    col_desc = json.dumps(
+        {c: {"type": t, "samples": samples[c]} for c, t in df.dtypes}, default=str
+    )
+    raw = llm.complete(KEY_INFER_PROMPT.format(template=template, columns=col_desc))
+    mapping = json.loads(extract_fence(raw, "json"))
+    placeholders = PLACEHOLDER_RE.findall(template)
+    out: dict[str, str] = {}
+    for ph in placeholders:
+        col = mapping.get(ph)
+        if col is None or col not in df.columns:
+            raise KeyError(f"LLM could not bind placeholder {{{ph}}} (got {col!r})")
+        out[ph] = col
+    return out
+
+
+# ---------------------------------------------------------------------------
+# source_gen: NL -> JSON rows (safe replacement for exec'd pandas code)
+# ---------------------------------------------------------------------------
+
+
+def generate_rows(llm: LLMClient, query: str) -> list[dict]:
+    raw = llm.complete(GEN_ROWS_PROMPT.format(query=query))
+    rows = json.loads(extract_fence(raw, "json"))
+    if not isinstance(rows, list) or not all(isinstance(r, dict) for r in rows):
+        raise ValueError("generative source must return a JSON list of objects")
+    return rows

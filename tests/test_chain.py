@@ -1,0 +1,144 @@
+"""chain_enrich tests against a mock fetcher (SURVEY §5.2.4):
+api_ prefixed unnest, list-payload explode, URL templating, per-URL
+cache (second chain does zero fetches), failure -> null payload."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from magictables_spark.frame import MagicFrame
+from magictables_spark.operators.chain import (
+    chain_enrich,
+    resolve_keys,
+    url_expr,
+)
+from magictables_spark.warehouse import Warehouse
+
+class MockFetcher:
+    """Picklable fetcher that logs every call to a file — the fetch runs
+    inside executor worker processes, so an in-memory list on the driver
+    would never see the calls; the shared filesystem does."""
+
+    def __init__(self, log_file: str):
+        self.log_file = log_file
+
+    def calls(self) -> list[str]:
+        import os
+
+        if not os.path.exists(self.log_file):
+            return []
+        with open(self.log_file) as f:
+            return [line.strip() for line in f if line.strip()]
+
+    def __call__(self, url: str, params=None):
+        with open(self.log_file, "a") as f:
+            f.write(url + "\n")
+        if "/user/" in url:
+            uid = int(url.rsplit("/", 1)[-1])
+            return {"uid": uid, "score": uid * 10, "tier": "gold" if uid % 2 else "silver"}
+        if "/orders/" in url:
+            uid = int(url.rsplit("/", 1)[-1])
+            if uid == 3:
+                return []  # empty list payload -> explode_outer keeps the row
+            return [{"order": f"{uid}-{i}", "amount": i * 100} for i in range(2)]
+        return {}
+
+
+@pytest.fixture
+def wh(tmp_path):
+    return Warehouse(str(tmp_path / "wh"))
+
+
+@pytest.fixture
+def mock_fetcher(tmp_path):
+    return MockFetcher(str(tmp_path / "calls.log"))
+
+
+def test_url_expr_fills_path_and_query(spark):
+    df = spark.createDataFrame([(7, "np")], "user_id int, region string")
+    out = df.select(
+        url_expr("http://api/user/{user_id}?r={region}").alias("u")
+    ).collect()
+    assert out[0]["u"] == "http://api/user/7?r=np"
+
+
+def test_resolve_keys_exact_then_ci():
+    assert resolve_keys("http://a/{user_id}", ["user_id", "x"]) == {"user_id": "user_id"}
+    assert resolve_keys("http://a/{USER_ID}", ["user_id"]) == {"USER_ID": "user_id"}
+    with pytest.raises(KeyError):
+        resolve_keys("http://a/{missing}", ["user_id"])
+
+
+def test_chain_struct_payload_api_prefix(spark, wh, mock_fetcher):
+    df = spark.createDataFrame([(1,), (2,)], "user_id int")
+    out = chain_enrich(
+        df, "http://api/user/{user_id}", fetcher=mock_fetcher, warehouse=wh, sources=["s0"]
+    )
+    assert sorted(out.columns) == ["api_score", "api_tier", "api_uid", "user_id"]
+    rows = {r["user_id"]: (r["api_uid"], r["api_score"], r["api_tier"]) for r in out.collect()}
+    assert rows == {1: (1, 10, "gold"), 2: (2, 20, "silver")}
+
+
+def test_chain_list_payload_explodes_outer(spark, wh, mock_fetcher):
+    df = spark.createDataFrame([(1,), (3,)], "user_id int")
+    out = chain_enrich(df, "http://api/orders/{user_id}", fetcher=mock_fetcher, warehouse=wh)
+    rows = sorted((r["user_id"], r["api_order"]) for r in out.collect())
+    # user 1: two orders; user 3: empty payload -> kept with null
+    assert rows == [(1, "1-0"), (1, "1-1"), (3, None)]
+
+
+def test_chain_dedupes_and_caches_urls(spark, wh, mock_fetcher):
+    df = spark.createDataFrame([(1,), (1,), (2,)], "user_id int")  # dup url for 1
+    chain_enrich(df, "http://api/user/{user_id}", fetcher=mock_fetcher, warehouse=wh, sources=["d1"])
+    first_calls = mock_fetcher.calls()
+    assert len(first_calls) == 2  # deduped before fetch
+
+    # different provenance, overlapping keys: only the NEW url is fetched
+    # (distinct chain identity -> no merged-result hit, but per-URL cache
+    # serves 1; reference magictable.py:355-386)
+    df2 = spark.createDataFrame([(1,), (5,)], "user_id int")
+    chain_enrich(df2, "http://api/user/{user_id}", fetcher=mock_fetcher, warehouse=wh, sources=["d2"])
+    new_urls = mock_fetcher.calls()[len(first_calls):]
+    assert new_urls == ["http://api/user/5"]
+
+
+def test_chain_result_cache_ttl(spark, wh, mock_fetcher):
+    df = spark.createDataFrame([(1,)], "user_id int")
+    out1 = chain_enrich(
+        df, "http://api/user/{user_id}", fetcher=mock_fetcher, warehouse=wh, sources=["src"]
+    )
+    n_calls = len(mock_fetcher.calls())
+    assert n_calls == 1
+    # identical chain identity -> merged-result cache hit, zero fetches,
+    # zero URL-cache reads
+    out2 = chain_enrich(
+        df, "http://api/user/{user_id}", fetcher=mock_fetcher, warehouse=wh, sources=["src"]
+    )
+    assert len(mock_fetcher.calls()) == n_calls
+    assert sorted(out1.columns) == sorted(out2.columns)
+    # lineage recorded once
+    assert len(wh.get_chains()) == 1
+    assert wh.get_chains()[0].chain_type == "api_chain"
+
+
+def test_magicframe_chain_appends_provenance(spark, wh, mock_fetcher):
+    mf = MagicFrame(spark.createDataFrame([(1,)], "user_id int"), sources=["origin"])
+    out = mf.chain("http://api/user/{user_id}", fetcher=mock_fetcher, warehouse=wh)
+    assert out.sources[0] == "origin" and len(out.sources) == 2
+    assert "api_uid" in out.df.columns
+
+
+def test_chain_explicit_key_override(spark, wh, mock_fetcher):
+    df = spark.createDataFrame([(9, 1)], "uid int, other int")
+    out = chain_enrich(
+        df,
+        "http://api/user/{user_id}",
+        source_key="uid",
+        target_key="user_id",
+        fetcher=mock_fetcher,
+        warehouse=wh,
+    )
+    assert out.select("api_uid").first()[0] == 9

@@ -1,0 +1,97 @@
+"""Mocked-LLM determinism tests (SURVEY §5.2.3): nl_transform SQL
+generation + validation + caching, key_infer fallback order,
+generate_rows contract, fence extraction."""
+
+from __future__ import annotations
+
+import pytest
+
+from magictables_spark.frame import MagicFrame
+from magictables_spark.llm import (
+    MockLLM,
+    extract_fence,
+    generate_rows,
+    key_infer,
+    nl_transform,
+    validate_sql,
+)
+from magictables_spark.sources import GenerativeSource
+from magictables_spark.warehouse import Warehouse
+
+
+@pytest.fixture
+def wh(tmp_path):
+    return Warehouse(str(tmp_path / "wh"))
+
+
+def test_extract_fence_variants():
+    assert extract_fence("```sql\nSELECT 1\n```", "sql") == "SELECT 1"
+    assert extract_fence("text\n```\nSELECT 2\n```\nmore", "sql") == "SELECT 2"
+    assert extract_fence("SELECT 3", "sql") == "SELECT 3"
+
+
+def test_validate_sql_rejects_ddl_and_multi():
+    assert validate_sql("  SELECT * FROM df;") == "SELECT * FROM df"
+    assert validate_sql("WITH t AS (SELECT 1 AS x) SELECT x FROM t").startswith("WITH")
+    for bad in ["DROP TABLE df", "SELECT 1; SELECT 2", "INSERT INTO df VALUES (1)"]:
+        with pytest.raises(ValueError):
+            validate_sql(bad)
+
+
+def test_nl_transform_executes_and_caches(spark, wh):
+    df = spark.createDataFrame([(1, 5.0), (2, 9.0), (3, 2.0)], "id int, rating double")
+    llm = MockLLM(["```sql\nSELECT id, rating FROM df ORDER BY rating DESC LIMIT 2\n```"])
+    out = nl_transform(df, "top 2 by rating", llm=llm, warehouse=wh, model="m1", table_name="t")
+    assert [r["id"] for r in out.collect()] == [2, 1]
+    assert len(llm.prompts) == 1
+    # the table summary reaches the prompt (reference magictable.py:155-158)
+    assert "rating" in llm.prompts[0]
+
+    # cache hit: no LLM needed at all
+    out2 = nl_transform(df, "top 2 by rating", llm=None, warehouse=wh, model="m1", table_name="t")
+    assert [r["id"] for r in out2.collect()] == [2, 1]
+
+
+def test_nl_transform_rejects_malicious_sql(spark, wh):
+    df = spark.createDataFrame([(1,)], "id int")
+    llm = MockLLM(["```sql\nDROP TABLE df\n```"])
+    with pytest.raises(ValueError):
+        nl_transform(df, "nuke it", llm=llm, warehouse=wh, table_name="x")
+    assert wh.get_code("x_query:nuke it_model:mock") is None  # invalid code never cached
+
+
+def test_magicframe_transform_renames(spark, wh):
+    mf = MagicFrame(spark.createDataFrame([(1,)], "id int"), sources=["abc"])
+    llm = MockLLM(["```sql\nSELECT id * 2 AS id2 FROM df\n```"])
+    out = mf.transform("double it", llm=llm, warehouse=wh, model="m")
+    assert out.df.collect()[0]["id2"] == 2
+    assert out.name == "abc_query:double it_model:m"  # magictable.py:180 semantics
+
+
+def test_key_infer_deterministic_before_llm(spark):
+    df = spark.createDataFrame([(1, "a")], "movie_id int, title string")
+    # exact match: LLM must not be consulted
+    llm = MockLLM([])
+    assert key_infer("http://api/movie/{movie_id}", df, llm=llm) == {"movie_id": "movie_id"}
+
+    # no match: LLM consulted with dtypes+samples, mapping honored
+    llm2 = MockLLM(['```json\n{"id": "movie_id"}\n```'])
+    assert key_infer("http://api/movie/{id}", df, llm=llm2) == {"id": "movie_id"}
+    assert "movie_id" in llm2.prompts[0]
+
+    # LLM returns an unknown column -> error (magictable.py:440-447)
+    llm3 = MockLLM(['```json\n{"id": "nope"}\n```'])
+    with pytest.raises(KeyError):
+        key_infer("http://api/movie/{id}", df, llm=llm3)
+
+
+def test_generative_source(spark, wh):
+    llm = MockLLM(['```json\n[{"country": "FR", "pop": 68}, {"country": "DE", "pop": 84}]\n```'])
+    mf = MagicFrame.from_source(spark, GenerativeSource("eu populations", llm=llm), warehouse=wh)
+    rows = sorted(tuple(r) for r in mf.df.collect())
+    assert rows == [("DE", 84), ("FR", 68)]
+
+    # bad contract -> error
+    llm_bad = MockLLM(['```json\n{"not": "a list"}\n```'])
+    with pytest.raises(ValueError):
+        generate_rows(llm_bad, "x")
