@@ -21,7 +21,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one representative per operator family, weighted toward
-# the shapes that dominate at 100 TB (scan-agg, multi-join, window, dedup).
+# the shapes that dominate at 100 TB (scan-agg, multi-join, window, dedup,
+# event-time, text dedup, embedding similarity).
 HEADLINE = [
     "flagship_q3",
     "groupby_agg",
@@ -29,6 +30,12 @@ HEADLINE = [
     "join_left",
     "sort_topk",
     "dedup_subset",
+    "window_rank",
+    "window_tumbling",
+    "asof_join",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_cosine_topk",
 ]
 
 
@@ -41,6 +48,26 @@ def main() -> None:
 
     spark = get_spark("magictables_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: pay one-time JVM/codegen/broadcast-machinery costs outside
+    # the timed region so numbers reflect steady-state throughput.
+    from pyspark.sql import functions as F
+
+    from magictables_spark.plans.catalog import TABLES, load_table
+
+    for _name in TABLES:  # footer/schema + file-index caches per table
+        load_table(spark, sf_dir, _name).schema
+
+    _li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10000)
+    _na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        _li.join(F.broadcast(_na), _li.l_suppkey % 25 == _na.n_nationkey)
+        .groupBy("n_name")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     slugs = [s for s in HEADLINE if s in REGISTRY]
     timings: dict[str, float] = {}

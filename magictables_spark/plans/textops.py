@@ -220,3 +220,60 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@q(
+    "term_freq",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 100
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    )
+    SELECT tf.doc_id, tf.token, tf.tf, df.df
+    FROM tf JOIN df ON tf.token = df.token
+    WHERE tf.tf >= 3
+    """,
+    doc="Term frequency + document frequency in exact integer space — "
+    "the deterministic core of TF-IDF (the IDF log stays out of the "
+    "oracle: libm rounding differs across engines; tests compute it "
+    "Spark-side). Shuffle on token for the DF side; both aggregates "
+    "partial map-side.",
+    tags=("text", "tfidf"),
+)
+def term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return tf.join(df, "token").filter(F.col("tf") >= 3).select("doc_id", "token", "tf", "df")
+
+
+@q(
+    "tfidf",
+    oracle=None,
+    doc="Full TF-IDF vectors per document: tf * ln(N/df) over the "
+    "term_freq integers. Rows-only (natural log is not bit-stable "
+    "across engines); the integer core is oracle-checked by term_freq.",
+    tags=("text", "tfidf", "scale"),
+)
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(df, "token")
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+        )
+    )

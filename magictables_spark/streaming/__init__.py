@@ -1,0 +1,57 @@
+"""Structured Streaming twins of the batch event-time operators
+(SURVEY §2.C: the reference is fully batch; these are the same window
+expressions behind readStream/writeStream).
+
+Each builder takes an input streaming DataFrame with the `events`
+schema (event_id, ts timestamp, user_id, event_type, value) and returns
+the transformed streaming DataFrame — source/sink agnostic, so tests
+drive them with a file source + memory sink and production would use
+Kafka + Delta. Watermarks bound state: late events beyond the watermark
+are dropped instead of growing state forever (the 100 TB requirement
+for any stateful operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+
+def stream_tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of the batch `window_tumbling` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_session_counts(events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Streaming twin of `window_session` (session_window state merges
+    as events arrive; watermark finalizes sessions)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def stream_dedup_latest(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of `event_dedup_latest`: exactly-once per
+    (user_id, event_id) within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_id"])
+
+
+def read_events_stream(spark, path: str, max_files_per_trigger: int = 10) -> DataFrame:
+    """File-source stream with the events schema (tests write JSON files
+    here; production swaps in Kafka — the transformations are source
+    agnostic)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
