@@ -15,8 +15,10 @@ Catalyst and execute distributed:
 - :mod:`magictables_spark.llm`       — NL->Spark-SQL transform layer (mockable)
 """
 
+from magictables_spark.facade import NotSoMagicFrame
 from magictables_spark.frame import MagicFrame
 from magictables_spark.session import get_spark
+from magictables_spark.warehouse import Warehouse
 
-__all__ = ["MagicFrame", "get_spark"]
+__all__ = ["MagicFrame", "NotSoMagicFrame", "Warehouse", "get_spark"]
 __version__ = "0.1.0"

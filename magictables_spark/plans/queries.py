@@ -16,6 +16,8 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     scalar,
     similarity,
     textops,
+    tpch_extra,
+    udfs,
     windows,
 )
 from magictables_spark.plans.registry import (  # noqa: F401

@@ -1,0 +1,153 @@
+"""TPC-H-shaped deep queries: multi-join, correlated subqueries,
+unpivot — the query shapes that stress Catalyst's decorrelation and
+join planning (free rewrites the reference has no engine for,
+SURVEY §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import QTY_I, REV_I, _t, q
+
+
+@q(
+    "q5_local_supply",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM({REV_I}) AS DOUBLE) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table join with a same-nation join predicate "
+    "spanning customer and supplier, selective region filter. Catalyst "
+    "reorders; nation/region broadcast; the customer-supplier nation "
+    "equality rides the supplier join condition (no extra shuffle).",
+    tags=("relational", "join", "flagship"),
+)
+def q5_local_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01'"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.expr(REV_I).alias("_rev_i")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.expr("CAST(SUM(_rev_i) AS DOUBLE) / 10000.0").alias("revenue"))
+    )
+
+
+_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1998-06-01'
+)
+GROUP BY o_orderpriority
+"""
+
+
+@q(
+    "exists_subquery",
+    oracle=_EXISTS_SQL,
+    doc="Correlated EXISTS (TPC-H Q4 shape). Catalyst decorrelates to a "
+    "left-semi join automatically — the rewrite class the reference "
+    "has no engine for (SURVEY §4.2 'subquery decorrelation: free once "
+    "we emit SQL'). Identical SQL text runs on both engines.",
+    tags=("relational", "subquery", "sql"),
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_EXISTS_SQL)
+
+
+@q(
+    "scalar_subquery",
+    oracle=f"""
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM({QTY_I}) AS DOUBLE) / 100.0 AS total_small_qty
+    FROM lineitem l
+    WHERE {QTY_I} * 5 * (SELECT COUNT(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+          < (SELECT SUM(CAST(ROUND(i.l_quantity * 100) AS BIGINT))
+             FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+    """,
+    doc="Correlated scalar subquery (TPC-H Q17 shape: rows below 20% of "
+    "their part's average quantity). The avg comparison is rearranged "
+    "to pure int64 (qty*5*cnt < sum) so both engines compare exact "
+    "integers — no float avg. Catalyst decorrelates both subqueries "
+    "into one aggregate join on l_partkey.",
+    tags=("relational", "subquery"),
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", F.expr(QTY_I).alias("_qi"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.count("*").alias("_cnt"), F.sum("_qi").alias("_sum")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("_qi") * 5 * F.col("_cnt") < F.col("_sum"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.expr("CAST(SUM(_qi) AS DOUBLE) / 100.0").alias("total_small_qty"),
+        )
+    )
+
+
+@q(
+    "unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey % 200 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey % 200 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax
+    FROM lineitem WHERE l_orderkey % 200 = 0
+    """,
+    doc="Unpivot/melt (Polars df.melt parity): wide metric columns to "
+    "long (metric, val) rows. Spark unpivot expands map-side — no "
+    "shuffle, 3x row multiplier before any exchange.",
+    tags=("relational", "pivot"),
+)
+def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 200 == 0)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+        .withColumn("metric", F.regexp_replace("metric", "^l_", ""))
+    )

@@ -1,0 +1,140 @@
+"""Formal UDF/UDAF/UDTF surface (SURVEY §2.C: the reference's only
+"UDF" is exec()ed LLM code on the whole table; the rebuild exposes the
+three legitimate Spark shapes).
+
+Rule of thumb encoded here: built-in expressions beat any UDF — these
+slugs exist to prove the Arrow path works and to host logic that
+genuinely can't be expressed declaratively. All three are
+Arrow-batched (pandas in/out); none is a row-at-a-time Python UDF.
+
+Determinism: the Python kernels do integer math on numpy int64 (exact,
+same values as the SQL oracle's scaled-int fragments). np.rint ties
+never occur because inputs carry exactly 2 decimals.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from magictables_spark.plans.registry import _t, q
+
+
+def _net_cents_udf():
+    """Scalar pandas UDF: revenue in scaled int (price_i * (100-disc_i)).
+    Built lazily — a module-level @pandas_udf with a DDL return type
+    needs an active SparkContext at import time."""
+    from pyspark.sql.types import LongType
+
+    def _net_cents(price: pd.Series, disc: pd.Series) -> pd.Series:
+        import numpy as np
+
+        price_i = np.rint(price.to_numpy() * 100).astype("int64")
+        disc_i = np.rint(disc.to_numpy() * 100).astype("int64")
+        return pd.Series(price_i * (100 - disc_i))
+
+    return pandas_udf(_net_cents, returnType=LongType())
+
+
+@q(
+    "pandas_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS net_price
+    FROM lineitem
+    WHERE l_orderkey % 20 = 0
+    """,
+    doc="Scalar pandas_udf (Arrow-vectorized, ~10-100x over row-at-a-time "
+    "Python). The same arithmetic exists as a pure column expression in "
+    "`project` — this slug proves the Arrow batch path yields identical "
+    "integers. At scale prefer the built-in; use this shape only for "
+    "logic Catalyst can't express (model scoring, custom parsing).",
+    tags=("udf", "arrow"),
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (_net_cents_udf()("l_extendedprice", "l_discount").cast("double") / 10000.0).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+@q(
+    "apply_in_pandas_group",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Grouped applyInPandas (UDAF shape): each group becomes ONE "
+    "pandas DataFrame in a Python worker. The shuffle is the same as "
+    "groupBy; the risk at 100 TB is a skewed group exceeding worker "
+    "memory — guard with salting or pre-aggregation when group sizes "
+    "are unbounded. (This aggregation is expressible declaratively — "
+    "the slug pins the API contract.)",
+    tags=("udf", "arrow", "agg"),
+)
+def apply_in_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kernel is a closure, NOT a module-level function: cloudpickle then
+    # serializes it BY VALUE, so Python workers need no importable copy
+    # of this package (module-level kernels break whenever the driver's
+    # cwd isn't the repo root — workers import by module path)
+    def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        qty_i = np.rint(pdf["l_quantity"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "n_rows": [len(pdf)],
+                "sum_qty": [float(qty_i.sum()) / 100.0],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(_group_stats, schema="l_returnflag string, n_rows bigint, sum_qty double")
+    )
+
+
+@q(
+    "map_in_pandas_stream",
+    oracle="""
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+    """,
+    doc="mapInPandas over partition iterators — the UDTF/flat-map shape "
+    "(also the chain fetch stage's shape, operators/chain.py). Streams "
+    "Arrow batches through Python without materializing a partition; "
+    "use for per-partition I/O or models, never for string ops a "
+    "built-in covers (text_tokens is the JVM twin of this exact "
+    "output).",
+    tags=("udf", "arrow", "udtf"),
+)
+def map_in_pandas_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _tokenize_batches(batches):
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            out = pdf[["doc_id"]].copy()
+            out["n_tokens"] = toks.map(len)
+            yield out
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(_tokenize_batches, schema="doc_id bigint, n_tokens int")
+    )
