@@ -1,0 +1,52 @@
+"""Scale operators: bucketed co-located joins and skew-salted joins —
+the two manual shuffle-elimination tools that matter at 100 TB
+(everything else is Catalyst/AQE's job).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_cols: list[str], n_buckets: int = 32, sort_cols: list[str] | None = None
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on the join key.
+    Two tables bucketed the same way join WITHOUT a shuffle — at 100 TB
+    the bucketing write is paid once and every subsequent join on the
+    key skips its exchange entirely."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner") -> DataFrame:
+    """Join two same-bucketed saved tables; the plan should show NO
+    Exchange on either side (verified in tests)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to heavy key skew: the (large, skewed) left
+    side gets a random salt in [0, n_salts); the (smaller) right side is
+    replicated n_salts times; the join key becomes (key, salt), spreading
+    a hot key over n_salts tasks.
+
+    AQE's skew-join splitting handles sort-merge skew automatically —
+    reach for manual salting only when AQE can't help (aggregations over
+    skewed keys, broadcast-ineligible right sides with a few giant
+    keys). Correctness: every left row keeps exactly one salt, every
+    right row exists under every salt, so pairs are preserved 1:1."""
+    salted_l = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    salted_r = right.select("*", salts)
+    out = salted_l.join(salted_r, [on, "__salt"], how)
+    return out.drop("__salt")

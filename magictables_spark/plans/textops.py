@@ -251,7 +251,10 @@ def term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives FROM tf (tf rows are unique per (doc, token), so
+    # count(*) == countDistinct(doc_id)) — avoids re-exploding and
+    # re-shuffling the raw token stream a second time
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     return tf.join(df, "token").filter(F.col("tf") >= 3).select("doc_id", "token", "tf", "df")
 
 
@@ -268,7 +271,7 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
     return (
         tf.join(df, "token")
         .select(

@@ -1,0 +1,58 @@
+"""Bucketed join (no-Exchange plan assertion) + salted join
+(correctness vs plain join under skew)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from magictables_spark.operators.scale import bucketed_join, salted_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    # saveAsTable writes to the session's static warehouse dir
+    # (./spark-warehouse, gitignored); tables dropped on teardown
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_name")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "custkey"), "b_orders", ["custkey"], 8)
+    write_bucketed(cust.withColumnRenamed("c_custkey", "custkey"), "b_cust", ["custkey"], 8)
+    yield "b_orders", "b_cust"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    lt, rt = bucketed_tables
+    # disable auto-broadcast so a shuffle would otherwise appear
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, lt, rt, ["custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed left: 90% of rows share key 1
+    left = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 != 0, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.createDataFrame([(1, "hot"), (20, "cold"), (999, "x")], "k bigint, rv string")
+    plain = {(r.k, r.lv, r.rv) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.lv, r.rv) for r in salted_join(left, right, "k", n_salts=8).collect()}
+    assert salted == plain
+    assert len(plain) > 900  # the hot key actually dominated
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k int, lv string")
+    right = spark.createDataFrame([(1, "r")], "k int, rv string")
+    got = {(r.k, r.lv, r.rv) for r in salted_join(left, right, "k", n_salts=4, how="left").collect()}
+    assert got == {(1, "a", "r"), (2, "b", None)}
