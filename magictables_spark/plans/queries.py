@@ -11,6 +11,7 @@ from __future__ import annotations
 from magictables_spark.plans import (  # noqa: F401  (import = registration)
     events_pack,
     joins_advanced,
+    mllib_pack,
     nested,
     relational,
     scalar,

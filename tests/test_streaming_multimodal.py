@@ -120,3 +120,42 @@ def test_multimodal_real_decode_raises(spark, tmp_path):
     media = read_media(spark, str(media_dir))
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_stream_stateful_running_totals(spark, events_dir, tmp_path):
+    from magictables_spark.streaming import stream_running_totals
+
+    src = read_events_stream(spark, events_dir)
+    q = (
+        stream_running_totals(src)
+        .writeStream.format("memory")
+        .queryName("run_tot")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.user_id: (r.n_events, r.total_value) for r in spark.sql("SELECT * FROM run_tot").collect()}
+    assert rows[1] == (2, 3.0)   # two clicks, 1.0 + 2.0
+    assert rows[2] == (2, 6.0)   # duplicate view rows both counted (raw state op)
+
+
+def test_embed_texts_deterministic(spark):
+    from magictables_spark.operators.embed import embed_texts
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "hello world"), (3, "other")], "id int, text string")
+    out = embed_texts(df, "text", dim=16)
+    rows = {r.id: r.embedding for r in out.collect()}
+    assert len(rows[1]) == 16
+    assert rows[1] == rows[2] != rows[3]  # same text -> same vector
+
+    # custom embedder injection + null handling
+    def const_embedder(texts):
+        return [None if t is None else [1.0, 2.0] for t in texts]
+
+    df2 = spark.createDataFrame([(1, "x"), (2, None)], "id int, text string")
+    got = {r.id: r.embedding for r in embed_texts(df2, "text", embedder=const_embedder).collect()}
+    assert got[1] == [1.0, 2.0] and got[2] is None
