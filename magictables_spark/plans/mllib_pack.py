@@ -24,14 +24,9 @@ def _doc_shingle_vectors(spark: SparkSession, sf_dir: str, max_id: int = 200):
     from pyspark.ml.feature import HashingTF
 
     toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
-    )
+    from magictables_spark.functions import shingles as _sh
+
+    shingles = _sh("text", n=3)
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < max_id)

@@ -190,14 +190,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
-    )
+    from magictables_spark.functions import shingles as _sh
+
+    shingles = _sh("text", n=3)
     sh = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
