@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from magictables_spark.plans.registry import TOTALPRICE_I, _t, q
+from magictables_spark.plans.registry import PRICE_I, QTY_I, TOTALPRICE_I, _t, q
 
 
 @q(
@@ -200,3 +200,53 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(SUM({TOTALPRICE_I}) AS DOUBLE) / 100.0 / COUNT(*)").alias("mean_price"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@q(
+    "corr_exact",
+    oracle=f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM({QTY_I}) AS sx,
+             SUM({PRICE_I}) AS sy,
+             SUM({QTY_I} * {QTY_I}) AS sxx,
+             SUM({PRICE_I} * {PRICE_I}) AS syy,
+             SUM({QTY_I} * {PRICE_I}) AS sxy
+      FROM lineitem
+    )
+    SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_price,
+        n AS n_rows
+    FROM s
+    """,
+    doc="Pearson correlation of quantity vs price from exact int64 "
+    "moment sums (n*Sxy - Sx*Sy over the sqrt product) — engine-native "
+    "corr() aggregates in floating point with engine-specific update "
+    "order and is NOT hash-comparable; this formulation is. Single "
+    "scan, partial+final agg of 6 integer sums.",
+    tags=("agg", "stats"),
+)
+def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qi, pi = F.expr(QTY_I), F.expr(PRICE_I)
+    s = _t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n"),
+        F.sum(qi).alias("sx"),
+        F.sum(pi).alias("sy"),
+        F.sum(qi * qi).alias("sxx"),
+        F.sum(pi * pi).alias("syy"),
+        F.sum(qi * pi).alias("sxy"),
+    )
+    # moment sums are exact int64; the combination happens in double
+    # (identical cast-then-multiply sequence in the oracle) because the
+    # integer products n*sxy etc. overflow int64 at this scale
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return s.select((num / den).alias("corr_qty_price"), F.col("n").alias("n_rows"))

@@ -220,3 +220,26 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(20)
     )
+
+
+@q(
+    "window_ntile",
+    oracle=f"""
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY {TOTALPRICE_I} DESC, o_orderkey) AS quartile
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="NTILE quartiles by order value (Polars qcut parity). NOTE: an "
+    "un-partitioned window serializes through one task — acceptable "
+    "only on the filtered subset here; at scale bucket via ntile per "
+    "partition key or approx quantiles.",
+    tags=("window",),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy(F.expr(TOTALPRICE_I).desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    )
