@@ -126,12 +126,19 @@ def fetch_urls(
     fetcher = fetcher or default_fetcher
     urls = urls_df.select(F.col(urls_df.columns[0]).alias("__url")).distinct()
 
+    def _read_cache(path: str) -> DataFrame | None:
+        # a dir with no part files (failed/empty prior write) is not a cache
+        if not os.path.isdir(path) or not any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return None
+        return spark.read.parquet(path).dropDuplicates(["__url"])
+
     cached = None
     cache_dir = None
     if warehouse is not None:
         cache_dir = os.path.join(warehouse.root, "_url_cache")
-        if os.path.exists(cache_dir):
-            cached = spark.read.parquet(cache_dir).dropDuplicates(["__url"])
+        cached = _read_cache(cache_dir)
 
     if cached is not None:
         misses = urls.join(cached, "__url", "left_anti")
@@ -146,8 +153,9 @@ def fetch_urls(
         # persist fresh responses before use: a downstream task retry
         # re-reads the cache instead of re-fetching (idempotency)
         fetched.write.mode("append").parquet(cache_dir)
-        all_payloads = spark.read.parquet(cache_dir).dropDuplicates(["__url"])
-        return urls.join(all_payloads, "__url", "left")
+        all_payloads = _read_cache(cache_dir)
+        if all_payloads is not None:
+            return urls.join(all_payloads, "__url", "left")
     return urls.join(fetched, "__url", "left")
 
 

@@ -207,3 +207,34 @@ def cond_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("o_orderstatus") == "F").alias("is_finished"),
     )
+
+
+@q(
+    "null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O')                    AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), '<open>') AS status_filled,
+           (nullif(o_orderstatus, 'O') IS NULL)          AS is_open,
+           CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL THEN o_totalprice END AS closed_price
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+    doc="Null-handling pack: nullif/coalesce/isNull/conditional-null "
+    "(Polars fill_null/drop_nulls surface — fixtures carry no nulls, so "
+    "nullif manufactures them deterministically on both engines).",
+    tags=("scalar", "null"),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    status_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            status_null.alias("status_or_null"),
+            F.coalesce(status_null, F.lit("<open>")).alias("status_filled"),
+            status_null.isNull().alias("is_open"),
+            F.when(status_null.isNotNull(), F.col("o_totalprice")).alias("closed_price"),
+        )
+    )

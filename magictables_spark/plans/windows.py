@@ -243,3 +243,34 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 10 == 0)
         .select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
     )
+
+
+@q(
+    "window_dense_pct",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           DENSE_RANK()   OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST()    OVER w AS cdist
+    FROM orders
+    WHERE o_custkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY {TOTALPRICE_I} DESC, o_orderkey)
+    """,
+    doc="dense_rank / percent_rank / cume_dist per customer (remaining "
+    "Polars rank-variant surface). The ratio outputs are (rank-1)/(n-1) "
+    "and k/n from identical integers — engine-exact doubles.",
+    tags=("window",),
+)
+def window_dense_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.expr(TOTALPRICE_I).desc(), F.col("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 20 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+    )

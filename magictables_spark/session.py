@@ -12,6 +12,36 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors as a zip (``addPyFile``).
+
+    Python workers unpickle module-level functions BY REFERENCE
+    (``module.qualname``), so any captured module-level callable — e.g.
+    the default fetcher handed to ``mapInPandas`` — needs
+    ``magictables_spark`` importable on the worker. On a real cluster
+    that is exactly what addPyFile is for; in local mode it also
+    decouples workers from the driver's cwd/sys.path.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_magictables_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), f"magictables_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._magictables_pkg_shipped = True
+
+
 def get_spark(app_name: str = "magictables_spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
@@ -47,4 +77,6 @@ def get_spark(app_name: str = "magictables_spark", master: str | None = None) ->
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
