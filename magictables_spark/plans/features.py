@@ -1,0 +1,186 @@
+"""Feature-engineering pack (the north star names "feature engineering
+pipelines" as a first-class capability; the reference's Polars surface
+exposes describe/quantile/cut-style stats).
+
+Determinism notes (registry.py rules):
+- histogram buckets via pure int64 division — never the engines'
+  width_bucket internals (double-division rounding at bucket edges
+  differs between implementations).
+- quantiles via PERCENTILE_DISC semantics (returns an actual data
+  value, an exact int) — never interpolating PERCENTILE_CONT.
+- min-max / z-score outputs are single IEEE ops (div, sqrt) on exact
+  integer/decimal moments, so the doubles are bit-identical across
+  engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from magictables_spark.plans.registry import TOTALPRICE_I, _t, q
+
+# 24 buckets of 2.5M cents over [0, 60M) — o_totalprice tops out ~530k$
+_BUCKET_CENTS = 2_500_000
+
+
+@q(
+    "histogram",
+    oracle=f"""
+    SELECT ({TOTALPRICE_I} // {_BUCKET_CENTS}) AS bucket,
+           CAST(({TOTALPRICE_I} // {_BUCKET_CENTS}) * {_BUCKET_CENTS} AS DOUBLE) / 100.0 AS lo_edge,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Fixed-width histogram of order totals (width_bucket surface, "
+    "Polars cut). Bucket id from exact int64 division; one shuffle on "
+    "the bucket id with map-side partial counts — at scale this is a "
+    "24-row result regardless of input size.",
+    tags=("stats", "features"),
+)
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.expr(f"{TOTALPRICE_I} div {_BUCKET_CENTS}")
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            ((F.col("bucket") * _BUCKET_CENTS).cast("double") / 100.0).alias("lo_edge"),
+            "n",
+        )
+    )
+
+
+@q(
+    "quantiles_disc",
+    oracle=f"""
+    SELECT o_orderpriority,
+           quantile_disc({TOTALPRICE_I}, 0.25) AS p25_cents,
+           quantile_disc({TOTALPRICE_I}, 0.50) AS p50_cents,
+           quantile_disc({TOTALPRICE_I}, 0.90) AS p90_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Discrete quantiles per priority class: PERCENTILE_DISC returns "
+    "an actual data value (exact int64 cents) — cross-engine safe where "
+    "interpolating quantiles are not. Spark sorts within each group "
+    "once for all three fractions.",
+    tags=("stats", "features"),
+)
+def quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                f"CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY {TOTALPRICE_I}) AS BIGINT)"
+            ).alias("p25_cents"),
+            F.expr(
+                f"CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY {TOTALPRICE_I}) AS BIGINT)"
+            ).alias("p50_cents"),
+            F.expr(
+                f"CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY {TOTALPRICE_I}) AS BIGINT)"
+            ).alias("p90_cents"),
+        )
+    )
+
+
+@q(
+    "feat_minmax",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) AS scaled
+    FROM (
+      SELECT o_orderkey, o_orderpriority, {TOTALPRICE_I} AS cents,
+             MIN({TOTALPRICE_I}) OVER (PARTITION BY o_orderpriority) AS mn,
+             MAX({TOTALPRICE_I}) OVER (PARTITION BY o_orderpriority) AS mx
+      FROM orders
+      WHERE o_orderkey % 5 = 0
+    )
+    """,
+    doc="Per-group min-max scaling to [0,1] (MLlib MinMaxScaler "
+    "semantics, grouped). The scale factors are exact int64 window "
+    "aggregates; the output is ONE double division of two exact ints — "
+    "bit-identical across engines. One shuffle on the group key.",
+    tags=("features", "window"),
+)
+def feat_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority")
+    cents = F.expr(TOTALPRICE_I)
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            cents.alias("cents"),
+            F.min(cents).over(w).alias("mn"),
+            F.max(cents).over(w).alias("mx"),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (
+                (F.col("cents") - F.col("mn")).cast("double")
+                / (F.col("mx") - F.col("mn")).cast("double")
+            ).alias("scaled"),
+        )
+    )
+
+
+@q(
+    "feat_zscore",
+    oracle=f"""
+    SELECT o_orderkey, o_orderpriority,
+           (CAST(n * cents - s AS DOUBLE))
+             / sqrt(CAST(n AS DOUBLE) * CAST(n * ssq - s * s AS DOUBLE)) AS z
+    FROM (
+      SELECT o_orderkey, o_orderpriority,
+             CAST({TOTALPRICE_I} AS DECIMAL(38, 0)) AS cents,
+             SUM(CAST({TOTALPRICE_I} AS DECIMAL(38, 0)))
+               OVER (PARTITION BY o_orderpriority) AS s,
+             SUM(CAST({TOTALPRICE_I} AS DECIMAL(38, 0)) * CAST({TOTALPRICE_I} AS DECIMAL(38, 0)))
+               OVER (PARTITION BY o_orderpriority) AS ssq,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+      WHERE o_orderkey % 5 = 0
+    )
+    """,
+    doc="Per-group z-score (MLlib StandardScaler semantics, population "
+    "variance). Moments accumulate in exact DECIMAL(38) (order-"
+    "independent); z = (n*x - s) / sqrt(n * (n*ssq - s^2)) touches "
+    "doubles only in the final correctly-rounded div/sqrt, so results "
+    "are bit-identical across engines.",
+    tags=("features", "window"),
+)
+def feat_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority")
+    dec = F.expr(f"CAST({TOTALPRICE_I} AS DECIMAL(38, 0))")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            dec.alias("cents"),
+            F.sum(dec).over(w).alias("s"),
+            F.sum(dec * dec).over(w).alias("ssq"),
+            F.count("*").over(w).alias("n"),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (
+                (F.col("n") * F.col("cents") - F.col("s")).cast("double")
+                / F.sqrt(
+                    F.col("n").cast("double")
+                    * (F.col("n") * F.col("ssq") - F.col("s") * F.col("s")).cast(
+                        "double"
+                    )
+                )
+            ).alias("z"),
+        )
+    )

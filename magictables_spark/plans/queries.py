@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from magictables_spark.plans import (  # noqa: F401  (import = registration)
     events_pack,
+    features,
     joins_advanced,
     mllib_pack,
     nested,
@@ -17,6 +18,7 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     scalar,
     similarity,
     textops,
+    timeseries,
     tpch_extra,
     udfs,
     windows,

@@ -319,3 +319,76 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "simhash", F.shiftrightunsigned("simhash", 48).alias("bucket16"))
     )
+
+
+@q(
+    "ann_ivf_topk",
+    oracle=None,
+    doc="Approximate k-NN via an IVF (inverted-file) index — the other "
+    "classic ANN scale path next to LSH (ann_lsh_topk). Coarse "
+    "quantizer: ~16 deterministic seed vectors (vec_id % 31 == 0) act "
+    "as centroids; every vector assigns map-side to its nearest "
+    "centroid by exact int64 L2 (broadcast centroids, min-struct "
+    "argmin — no iterative k-means, so the plan is fully deterministic "
+    "and one-pass). Queries probe their 4 nearest cells; candidates "
+    "are exact-cosine re-ranked to top-10. At 100 TB: the cell "
+    "assignment is a broadcast map-side pass, candidate generation "
+    "shuffles on cell id only (|data| x nprobe/k rows), never O(n^2). "
+    "Rows-only check; recall vs exact top-k asserted in "
+    "tests/test_similarity.py.",
+    tags=("similarity", "ann", "scale"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_probe = 4
+    e = _quantized(spark, sf_dir)
+    norms = e.withColumn("nrm", _dot("q", "q"))
+    cents = norms.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
+    )
+
+    # exact int64 squared L2 between q and cq
+    l2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+    dists = norms.crossJoin(F.broadcast(cents)).withColumn("d2", l2)
+
+    # cell assignment: argmin centroid per vector (min over (d2, cent_id)
+    # structs — deterministic tie-break). Runs map-side after AQE sees
+    # the broadcast; the groupBy shuffles (vec_id, 16-row groups).
+    assigned = (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cent_id")).alias("m"))
+        .select("vec_id", F.col("m.cent_id").alias("cell"))
+    )
+    cells = norms.join(assigned, "vec_id").select(
+        F.col("cell"), F.col("vec_id").alias("neighbor_id"), "q", "nrm"
+    )
+
+    # query probes: n_probe nearest cells per query vector
+    wq = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    probes = (
+        dists.filter(F.col("vec_id") < 5)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            F.col("q").alias("qa"),
+            F.col("nrm").alias("na"),
+        )
+    )
+
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot("qa", "q").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    scored = cand.withColumn("cosine", cos).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).drop("rn")

@@ -275,3 +275,42 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
         )
     )
+
+
+@q(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS dist
+    FROM documents a
+    JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 15
+    """,
+    doc="Fuzzy near-dup candidate pairs via edit distance on a 40-char "
+    "prefix, blocked by language (classic blocking+verify fuzzy dedup). "
+    "levenshtein() is the same dynamic-program in both engines (exact "
+    "int). At scale the lang block bounds the quadratic verify step; "
+    "swap the blocking key for a minhash band to tighten candidates.",
+    tags=("text", "dedup"),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 15)
+    )

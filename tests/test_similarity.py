@@ -67,3 +67,24 @@ def test_simhash_identical_docs_same_hash(spark, sf_dir):
     )
     for g in groups:
         assert g.n_hashes == 1, "same token set produced different simhashes"
+
+
+def test_ann_ivf_recall_against_exact(spark, sf_dir):
+    """IVF top-10 (nprobe=4 of ~16 cells) for the 5 probe vectors must
+    recall a healthy fraction of the exact cosine top-10. Cells are
+    L2-based while ranking is cosine, so recall < 1 by design; demand
+    >= 40% overall like the LSH gate."""
+    exact = (
+        REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).select("query_id", "neighbor_id").collect()
+    )
+    approx = (
+        REGISTRY["ann_ivf_topk"]
+        .fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .collect()
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert exact_set, "exact top-k produced nothing"
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
