@@ -151,3 +151,139 @@ def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("metric", F.regexp_replace("metric", "^l_", ""))
     )
+
+
+@q(
+    "q10_returned_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({REV_I}) AS DOUBLE) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY SUM({REV_I}) DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned-item revenue "
+    "(4-table join, date + flag filters, group, top-k). Catalyst pushes "
+    "both filters into the scans and broadcasts nation; the top-k is "
+    "TakeOrderedAndProject (no global sort shuffle). Tie-break on "
+    "c_custkey keeps LIMIT deterministic.",
+    tags=("relational", "join", "flagship"),
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", F.expr(REV_I).alias("_rev_i"))
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("_rev_i").alias("_rev_sum"))
+        .orderBy(F.desc("_rev_sum"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("_rev_sum").cast("double") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(big.q AS DOUBLE) / 100.0 AS total_qty
+    FROM (
+      SELECT l_orderkey, SUM({QTY_I}) AS q
+      FROM lineitem GROUP BY l_orderkey HAVING SUM({QTY_I}) > 20000
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape: large-volume orders (groupBy HAVING on the "
+    "fact table, then join back to orders/customer). The HAVING "
+    "aggregate runs first and shrinks the fact side to the qualifying "
+    "orders before any join — the join input is |big orders|, not "
+    "|lineitem|.",
+    tags=("relational", "join", "having"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.expr(QTY_I)).alias("q"))
+        .filter(F.col("q") > 20000)
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            (F.col("q").cast("double") / 100.0).alias("total_qty"),
+        )
+    )
+
+
+@q(
+    "q14_promo_ratio",
+    oracle=f"""
+    SELECT CAST(100 * SUM(CASE WHEN p_type = 'PROMO' THEN {REV_I} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({REV_I}) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-03-01'
+    """,
+    doc="TPC-H Q14 shape: promo revenue share — conditional aggregation "
+    "over a fact-dimension join, single-row output. Both sums stay "
+    "exact int64; the percentage is one double division, bit-identical "
+    "across engines. part broadcasts; shipdate filter is pushed to the "
+    "lineitem scan.",
+    tags=("relational", "join", "agg"),
+)
+def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-03-01").cast("date"))
+        )
+        .select("l_partkey", F.expr(REV_I).alias("_rev_i"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                (
+                    100
+                    * F.sum(F.when(F.col("p_type") == "PROMO", F.col("_rev_i")).otherwise(0))
+                ).cast("double")
+                / F.sum("_rev_i").cast("double")
+            ).alias("promo_pct")
+        )
+    )
