@@ -50,3 +50,25 @@ def salted_join(
     salted_r = right.select("*", salts)
     out = salted_l.join(salted_r, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], sort_within: list[str] | None = None
+) -> None:
+    """Persist hive-style partitioned parquet (dir per partition value).
+    At 100 TB this is the primary pruning lever: a filter on the
+    partition column skips whole directories at planning time (zero I/O
+    for pruned partitions), before row-group min/max skipping even
+    runs. ``sort_within`` clusters rows inside each file so non-
+    partition predicates skip row groups via parquet statistics."""
+    out = df
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def pruned_scan(spark: SparkSession, path: str, predicate) -> DataFrame:
+    """Read a partitioned dataset with a partition predicate applied
+    immediately — Catalyst turns it into PartitionFilters (directory
+    pruning), verified in tests/test_scale_ops.py via the explain text."""
+    return spark.read.parquet(path).filter(predicate)

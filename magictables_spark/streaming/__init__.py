@@ -86,3 +86,38 @@ def stream_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataF
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with the same
+    user's views from the preceding ``within`` interval. Both sides are
+    watermarked so the join state store evicts rows once they can no
+    longer match (without the time bound a stream-stream join would
+    buffer both streams forever — the 100 TB state-boundedness
+    requirement). The same expression joins two batch frames
+    identically (parity test)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            f"""
+            user_id = v_user_id AND
+            view_ts >= click_ts - INTERVAL {within} AND
+            view_ts <= click_ts
+            """
+        ),
+    ).select("user_id", "click_id", "view_id", "click_ts", "view_ts")

@@ -56,3 +56,29 @@ def test_salted_left_join_keeps_unmatched(spark):
     right = spark.createDataFrame([(1, "r")], "k int, rv string")
     got = {(r.k, r.lv, r.rv) for r in salted_join(left, right, "k", n_salts=4, how="left").collect()}
     assert got == {(1, "a", "r"), (2, "b", None)}
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become PartitionFilters
+    (planning-time directory pruning), and the pruned scan must touch
+    fewer files than the full dataset."""
+    import contextlib
+    import io
+
+    from magictables_spark.operators.scale import pruned_scan, write_partitioned
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, ["o_orderpriority"], sort_within=["o_orderdate"])
+
+    scan = pruned_scan(spark, path, F.col("o_orderpriority") == "1-URGENT")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    # row parity with a post-hoc filter on the unpartitioned source
+    expect = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert scan.count() == expect

@@ -159,3 +159,51 @@ def test_embed_texts_deterministic(spark):
     df2 = spark.createDataFrame([(1, "x"), (2, None)], "id int, text string")
     got = {r.id: r.embedding for r in embed_texts(df2, "text", embedder=const_embedder).collect()}
     assert got[1] == [1.0, 2.0] and got[2] is None
+
+
+def test_stream_interval_join_and_batch_parity(spark, tmp_path):
+    """Stream-stream interval join pairs each click with the same
+    user's views in the prior 30 min; the same builder on batch frames
+    returns the identical row set."""
+    from magictables_spark.streaming import stream_interval_join
+
+    clicks = [
+        {"event_id": 10, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 11, "ts": "2024-01-01T02:00:00", "user_id": 2, "event_type": "click", "value": 1.0},
+    ]
+    views = [
+        # within 30 min of click 10, same user -> joins
+        {"event_id": 20, "ts": "2024-01-01T00:45:00", "user_id": 1, "event_type": "view", "value": 1.0},
+        # same user but 75 min before click 10 -> outside interval
+        {"event_id": 21, "ts": "2024-01-01T23:45:00", "user_id": 1, "event_type": "view", "value": 1.0},
+        # within interval but different user -> no join
+        {"event_id": 22, "ts": "2024-01-01T00:50:00", "user_id": 3, "event_type": "view", "value": 1.0},
+        # exactly at click 11's ts -> joins (inclusive bound)
+        {"event_id": 23, "ts": "2024-01-01T02:00:00", "user_id": 2, "event_type": "view", "value": 1.0},
+    ]
+    cdir, vdir = tmp_path / "clicks", tmp_path / "views"
+    cdir.mkdir(), vdir.mkdir()
+    (cdir / "b.json").write_text("\n".join(json.dumps(r) for r in clicks))
+    (vdir / "b.json").write_text("\n".join(json.dumps(r) for r in views))
+
+    out = stream_interval_join(
+        read_events_stream(spark, str(cdir)), read_events_stream(spark, str(vdir))
+    )
+    assert out.isStreaming
+    _run_stream(out, "ivj")
+    got = sorted(
+        (r.user_id, r.click_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ivj").collect()
+    )
+    assert got == [(1, 10, 20), (2, 11, 23)]
+
+    from magictables_spark.streaming import EVENTS_SCHEMA
+
+    batch = sorted(
+        (r.user_id, r.click_id, r.view_id)
+        for r in stream_interval_join(
+            spark.read.schema(EVENTS_SCHEMA).json(str(cdir)),
+            spark.read.schema(EVENTS_SCHEMA).json(str(vdir)),
+        ).collect()
+    )
+    assert batch == got
