@@ -184,3 +184,27 @@ def feat_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@q(
+    "approx_quantiles",
+    oracle=None,
+    doc="Approximate quantiles via percentile_approx (Greenwald-Khanna "
+    "sketch, accuracy=1000) — the 100 TB path where exact PERCENTILE_"
+    "DISC's per-group sort is too expensive: the sketch merges "
+    "map-side, one small shuffle, constant memory per group. "
+    "Rows-only (sketch internals are engine-specific); closeness to "
+    "the exact quantiles_disc is asserted in tests/test_features.py.",
+    tags=("stats", "features", "scale"),
+)
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.expr(TOTALPRICE_I)
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(cents, 0.25, 1000).alias("p25_cents"),
+            F.percentile_approx(cents, 0.50, 1000).alias("p50_cents"),
+            F.percentile_approx(cents, 0.90, 1000).alias("p90_cents"),
+        )
+    )

@@ -189,19 +189,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_structs.append(
             F.struct(F.lit(t).alias("table"), sum(bits[1:], bits[0]).alias("bucket"))
         )
+    # candidate generation is ID-ONLY: the vectors never enter the
+    # bucket exchange (they'd be duplicated x n_tables there); the
+    # re-rank re-attaches them to the much smaller deduped pair set
     bucketed = norms.select(
-        "vec_id", "q", "nrm", F.explode(F.array(*table_structs)).alias("tb")
-    ).select("vec_id", "q", "nrm", "tb.table", "tb.bucket")
+        "vec_id", F.explode(F.array(*table_structs)).alias("tb")
+    ).select("vec_id", "tb.table", "tb.bucket")
 
-    a = bucketed.select(
-        "table", "bucket", F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
-    )
-    b = bucketed.select("table", "bucket", F.col("vec_id").alias("neighbor_id"), "q", "nrm")
+    a = bucketed.select("table", "bucket", F.col("vec_id").alias("query_id"))
+    b = bucketed.select("table", "bucket", F.col("vec_id").alias("neighbor_id"))
     pairs = (
         a.join(b, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    qa = norms.select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+    )
+    qb = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm")
+    pairs = pairs.join(qa, "query_id").join(qb, "neighbor_id")
     cos = _dot("qa", "q").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
     )
