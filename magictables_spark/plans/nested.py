@@ -123,3 +123,71 @@ def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.from_json("props", "struct<k:bigint>").alias("props"))
     )
     return flatten(ev)
+
+
+@q(
+    "agg_list_string",
+    oracle="""
+    SELECT o_orderpriority,
+           list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS status_csv,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Grouped list / string aggregation (Polars agg-list, SQL "
+    "LISTAGG). Spark's collect_set is unordered, so the list is "
+    "canonicalized with sort_array before compare — the only "
+    "deterministic way to emit a collection column cross-engine.",
+    tags=("relational", "agg", "nested"),
+)
+def agg_list_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    statuses = F.sort_array(F.collect_set("o_orderstatus"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            statuses.alias("statuses"),
+            F.array_join(statuses, ",").alias("status_csv"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "map_fns",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
+           COUNT(DISTINCT o_orderstatus) AS map_size
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Map-type surface: per-priority status->count map built with "
+    "map_from_entries(collect_list(struct)), probed with element_at. "
+    "The oracle computes the same lookups as conditional counts — the "
+    "map itself never crosses engines (map layouts aren't comparable), "
+    "its observable lookups are.",
+    tags=("nested", "map"),
+)
+def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_status = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+    mapped = (
+        per_status.groupBy("o_orderpriority")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+            ).alias("m")
+        )
+    )
+    return mapped.select(
+        "o_orderpriority",
+        F.coalesce(F.element_at("m", "O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.element_at("m", "F"), F.lit(0)).alias("n_finished"),
+        F.size("m").cast("bigint").alias("map_size"),
+    )
