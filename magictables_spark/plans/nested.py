@@ -191,3 +191,31 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at("m", "F"), F.lit(0)).alias("n_finished"),
         F.size("m").cast("bigint").alias("map_size"),
     )
+
+
+@q(
+    "concat_diagonal",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status, CAST(NULL AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS VARCHAR) AS status,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 100 = 50
+    """,
+    doc="Diagonal concat (Polars concat(how='diagonal'), DuckDB UNION "
+    "BY NAME): frames with different column sets stack by NAME with "
+    "null padding — Spark's unionByName(allowMissingColumns=True). "
+    "Pure narrow op: no shuffle, both inputs stream through.",
+    tags=("relational", "union"),
+)
+def concat_diagonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", F.col("o_orderstatus").alias("status")
+    )
+    b = orders.filter(F.col("o_orderkey") % 100 == 50).select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return a.unionByName(b, allowMissingColumns=True)

@@ -274,3 +274,41 @@ def window_dense_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cdist"),
         )
     )
+
+
+@q(
+    "window_rolling",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM({TOTALPRICE_I}) OVER w AS DOUBLE)
+             / CAST(100 * COUNT(*) OVER w AS DOUBLE) AS rolling_avg_4
+    FROM orders
+    WHERE o_custkey % 10 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Rolling mean over the last 4 orders per customer (Polars "
+    "rolling_mean surface): bounded ROWS frame with a unique total "
+    "order. Numerator and denominator are exact ints in the same "
+    "frame; the mean is one double division — engine-exact.",
+    tags=("window", "timeseries"),
+)
+def window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    cents = F.expr(TOTALPRICE_I)
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (
+                F.sum(cents).over(w).cast("double")
+                / (100 * F.count("*").over(w)).cast("double")
+            ).alias("rolling_avg_4"),
+        )
+    )
