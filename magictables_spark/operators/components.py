@@ -1,0 +1,77 @@
+"""Connected components — turns near-duplicate PAIRS into duplicate
+GROUPS (the step after any pair-generating dedup: keep one doc per
+component). The reference has no graph step at all; large-scale
+training-data dedup needs one (pair lists chain: A~B, B~C => {A,B,C}).
+
+Algorithm: min-label propagation. Every node starts labeled with its
+own id; each round a node takes the min of its label and its
+neighbors' labels; converged when no label changes. Rounds needed =
+graph diameter — near-dup graphs are shallow (tight clusters), so this
+terminates in a handful of rounds.
+
+Scale notes (100 TB):
+- each round is ONE shuffle (edge-label join + min-agg on node id);
+  the label frame is |V| rows — tiny next to the corpus;
+- ``localCheckpoint`` truncates the lineage each round, or Spark would
+  re-execute the whole chain every iteration and the plan would grow
+  unboundedly;
+- the driver-side loop only reads a 1-row convergence count per round;
+  all data stays distributed;
+- for adversarial diameters (long chains), swap the propagation body
+  for the large-star/small-star rounds of Kiveris et al., "Connected
+  Components in MapReduce and Beyond" (SOCC'14) — O(log^2 n) rounds
+  with the same (id, label) interface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node; component = min reachable id.
+
+    ``edges`` is undirected input (each pair listed once is enough).
+    ``nodes`` optionally supplies the full node set (first column) so
+    isolated nodes — e.g. documents with no duplicate — appear as
+    singleton components.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+    labels = und.select(F.col("a").alias("id")).distinct()
+    if nodes is not None:
+        ids = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct()
+        labels = labels.union(ids).distinct()
+    labels = labels.withColumn("component", F.col("id"))
+
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        proposed = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+        )
+        changed = proposed.filter(F.col("new_component") != F.col("component")).limit(1).count()
+        labels = proposed.select(
+            "id", F.col("new_component").alias("component")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels

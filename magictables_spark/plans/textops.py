@@ -314,3 +314,56 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 15)
     )
+
+
+@q(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i+1] || ' ' ||
+                                   string_split(text, ' ')[i+2])
+             )) AS shingle
+      FROM documents WHERE doc_id < 200
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster
+    FROM reach GROUP BY id
+    """,
+    doc="Duplicate GROUPS from near-duplicate pairs: connected "
+    "components (operators/components.py min-label propagation) over "
+    "the jaccard>=0.5 pair graph; docs with no duplicate are singleton "
+    "clusters. The DuckDB oracle computes the same transitive closure "
+    "with a recursive CTE — a rare case where an iterative distributed "
+    "algorithm is still exactly SQL-checkable.",
+    tags=("text", "dedup", "graph", "scale"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.operators.components import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    return connected_components(pairs, src="doc_a", dst="doc_b", nodes=docs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )

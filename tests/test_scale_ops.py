@@ -82,3 +82,21 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     # row parity with a post-hoc filter on the unpartitioned source
     expect = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert scan.count() == expect
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node chain (diameter 4) must collapse to one component via
+    multi-round propagation; isolated nodes stay singletons."""
+    from magictables_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], "id bigint")
+    got = {
+        r.id: r.component
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert {got[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert got[10] == got[11] == 10
+    assert got[99] == 99
