@@ -367,3 +367,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="doc_a", dst="doc_b", nodes=docs).select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster")
     )
+
+
+# GPT-2-style pretokenizer, restricted to RE2-safe constructs (no
+# lookahead) so Spark (Java regex) and DuckDB (RE2) tokenize
+# identically: contractions | space?letters | space?digits |
+# space?other-runs
+BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+@q(
+    "text_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_PAT.replace("'", "''")}')) AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(text, '{BPE_PAT.replace("'", "''")}'))) AS n_distinct_bpe,
+           regexp_extract_all(text, '{BPE_PAT.replace("'", "''")}')[1] AS first_token
+    FROM documents
+    """,
+    doc="BPE-style token counting: the GPT-2 pretokenizer regex "
+    "(contractions / letter runs / digit runs / punctuation runs, "
+    "lookahead-free so both engines' regex dialects agree) — the "
+    "token-budget estimator for training-data pipelines, ~accurate "
+    "relative ordering without a vocab file. Pure codegen expression, "
+    "zero shuffle.",
+    tags=("text",),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all("text", F.lit(BPE_PAT), 0)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_bpe"),
+        F.get(toks, 0).alias("first_token"),
+    )
