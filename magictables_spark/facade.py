@@ -54,6 +54,12 @@ class NotSoMagicFrame:
     def transform(self, query: str, **kw) -> "NotSoMagicFrame":
         return NotSoMagicFrame(self._mf.transform(query, **kw), self._row_cap)
 
+    def join_with_query(self, other: "NotSoMagicFrame", query: str, **kw) -> "NotSoMagicFrame":
+        """NL-described join — dead API in the reference facade
+        (notsomagictable.py:21), real here (llm.nl_join)."""
+        other_mf = other._mf if isinstance(other, NotSoMagicFrame) else other
+        return NotSoMagicFrame(self._mf.join_with_query(other_mf, query, **kw), self._row_cap)
+
     def __getattr__(self, attr):
         # everything else: delegate to MagicFrame (which delegates to the
         # Spark DataFrame); re-wrap MagicFrame results

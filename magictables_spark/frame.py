@@ -116,6 +116,36 @@ class MagicFrame:
         out = nl_transform(self.df, query, llm=llm, warehouse=warehouse, model=model, table_name=self.name)
         return MagicFrame(out, sources=self.sources, name=transform_name(self.name, query, model))
 
+    # -- join_with_query (reference facade's dead API, made real) ----------
+
+    def join_with_query(
+        self, other: "MagicFrame", query: str, llm=None, warehouse=None, model: str = "mock"
+    ) -> "MagicFrame":
+        """NL-described join with another frame — the reference facade
+        calls MagicTable.join_with_query which exists nowhere
+        (notsomagictable.py:21); SURVEY §2.A marks it worth building
+        for real. Same validated-SELECT-only + cache contract as
+        transform (see llm.nl_join)."""
+        from magictables_spark.identity import transform_name
+        from magictables_spark.llm import nl_join
+
+        out = nl_join(
+            self.df,
+            other.df,
+            query,
+            llm=llm,
+            warehouse=warehouse,
+            model=model,
+            left_name=self.name,
+            right_name=other.name,
+        )
+        joined_sources = self.sources + other.sources
+        return MagicFrame(
+            out,
+            sources=joined_sources,
+            name=transform_name(table_name(joined_sources), query, model),
+        )
+
     # -- closure property: every DataFrame-returning method stays magic ----
 
     def __getattr__(self, attr: str) -> Any:

@@ -210,3 +210,63 @@ def generate_rows(llm: LLMClient, query: str) -> list[dict]:
     if not isinstance(rows, list) or not all(isinstance(r, dict) for r in rows):
         raise ValueError("generative source must return a JSON list of objects")
     return rows
+
+
+# ---------------------------------------------------------------------------
+# nl_join: the reference facade's join_with_query is a dead call into a
+# nonexistent API (notsomagictable.py:21 -> MagicTable.join_with_query,
+# defined nowhere). SURVEY §2.A flags it as worth implementing for
+# real: an NL-described join of two frames, same validated-SQL contract
+# as nl_transform.
+# ---------------------------------------------------------------------------
+
+JOIN_PROMPT = """You translate a natural-language join request into ONE Spark SQL query.
+
+Left table summary (view `left_df`):
+{left_summary}
+
+Right table summary (view `right_df`):
+{right_summary}
+
+Request: {query}
+
+Rules:
+- Emit exactly one SELECT (or WITH ... SELECT) statement joining the
+  views `left_df` and `right_df`.
+- Use only columns from the summaries; alias every computed column and
+  disambiguate collisions with a left_/right_ prefix.
+- No DDL/DML, no comments, no explanations.
+
+Reply with the SQL inside a ```sql fence."""
+
+
+def nl_join(
+    left: DataFrame,
+    right: DataFrame,
+    query: str,
+    llm: LLMClient | None = None,
+    warehouse=None,
+    model: str = "mock",
+    left_name: str = "left_df",
+    right_name: str = "right_df",
+) -> DataFrame:
+    """NL -> (cached) join SQL over two temp views. Cache key covers
+    both table identities so either side changing provenance misses.
+    The generated SQL is an ordinary Spark query — Catalyst picks the
+    join strategy (broadcast/shuffle) like any hand-written join."""
+    cache_key = f"{left_name}__{right_name}_join:{query}_model:{model}"
+    sql = warehouse.get_code(cache_key) if warehouse is not None else None
+    if sql is None:
+        if llm is None:
+            raise ValueError("nl_join cache miss and no LLM client provided")
+        raw = llm.complete(
+            JOIN_PROMPT.format(
+                left_summary=summarize(left), right_summary=summarize(right), query=query
+            )
+        )
+        sql = validate_sql(extract_fence(raw, "sql"))
+        if warehouse is not None:
+            warehouse.put_code(cache_key, sql)
+    left.createOrReplaceTempView("left_df")
+    right.createOrReplaceTempView("right_df")
+    return left.sparkSession.sql(sql)

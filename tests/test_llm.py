@@ -95,3 +95,36 @@ def test_generative_source(spark, wh):
     llm_bad = MockLLM(['```json\n{"not": "a list"}\n```'])
     with pytest.raises(ValueError):
         generate_rows(llm_bad, "x")
+
+
+def test_nl_join_executes_caches_and_validates(spark, wh):
+    """join_with_query: NL -> validated join SQL over left_df/right_df
+    views, cached by (left, right, query, model); second call needs no
+    LLM. The reference facade's version calls a nonexistent API
+    (notsomagictable.py:21) — this is the real one."""
+    from magictables_spark.llm import nl_join
+
+    left = MagicFrame(
+        spark.createDataFrame([(1, "Alpha"), (2, "Beta")], "id int, title string"),
+        sources=["lsrc"],
+    )
+    right = MagicFrame(
+        spark.createDataFrame([(1, 8.1), (2, 6.4)], "movie_id int, rating double"),
+        sources=["rsrc"],
+    )
+    sql = "SELECT l.title AS title, r.rating AS rating FROM left_df l JOIN right_df r ON l.id = r.movie_id WHERE r.rating > 7"
+    llm = MockLLM([f"```sql\n{sql}\n```"])
+    out = left.join_with_query(right, "titles rated above 7", llm=llm, warehouse=wh, model="m")
+    assert [tuple(r) for r in out.df.collect()] == [("Alpha", 8.1)]
+    assert out.sources == ["lsrc", "rsrc"]
+    assert len(llm.prompts) == 1 and "left_df" in llm.prompts[0]
+
+    # cache hit: exhausted MockLLM must not be consulted
+    llm2 = MockLLM([])
+    again = left.join_with_query(right, "titles rated above 7", llm=llm2, warehouse=wh, model="m")
+    assert [tuple(r) for r in again.df.collect()] == [("Alpha", 8.1)]
+
+    # malicious SQL rejected
+    llm3 = MockLLM(["```sql\nDROP TABLE left_df\n```"])
+    with pytest.raises(ValueError):
+        nl_join(left.df, right.df, "nuke it", llm=llm3)
