@@ -138,3 +138,92 @@ def map_in_pandas_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .mapInPandas(_tokenize_batches, schema="doc_id bigint, n_tokens int")
     )
+
+
+def _sum_cents_udaf():
+    """Grouped-agg pandas UDF (a real UDAF): exact int64 sum of cents.
+    Built lazily for the same SparkContext-at-import reason."""
+    from pyspark.sql.types import LongType
+
+    from pyspark.sql.functions import PandasUDFType
+
+    def _sum_cents(price: pd.Series) -> int:
+        import numpy as np
+
+        return int(np.rint(price.to_numpy() * 100).astype("int64").sum())
+
+    return pandas_udf(_sum_cents, returnType=LongType(), functionType=PandasUDFType.GROUPED_AGG)
+
+
+@q(
+    "pandas_udaf_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_spend
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Grouped-aggregate pandas_udf — the UDAF shape: one Arrow batch "
+    "per group per partition, partial results combined by Spark's agg "
+    "machinery. Integer math in the kernel makes it oracle-exact. At "
+    "scale a built-in SUM is strictly better; this shape is for "
+    "aggregations Catalyst lacks (weighted medians, custom sketches).",
+    tags=("udf", "arrow", "agg"),
+)
+def pandas_udaf_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    udaf = _sum_cents_udaf()
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(udaf(F.col("o_totalprice")).alias("_cents"))
+        .select(
+            "o_orderpriority",
+            (F.col("_cents").cast("double") / 100.0).alias("total_spend"),
+        )
+    )
+
+
+@q(
+    "python_udtf",
+    oracle="""
+    SELECT o_orderkey,
+           unnest(['P1', 'P2']) AS phase,
+           unnest([CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     - CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2]) AS phase_cents
+    FROM orders
+    WHERE o_orderkey % 200 = 0
+    """,
+    doc="Python UDTF (Spark 3.5+ table function): one input row yields "
+    "N output rows — here a deterministic 2-phase payment split in "
+    "exact cents (floor half + remainder, so the phases sum exactly). "
+    "The UDTF shape is for row-expanding logic with state per input "
+    "row that explode()-on-an-expression can't build; lateral-joined "
+    "per partition, no shuffle.",
+    tags=("udf", "udtf"),
+)
+def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="phase string, phase_cents bigint", useArrow=True)
+    class SplitPayment:
+        def eval(self, cents: int):
+            half = cents // 2
+            yield "P1", half
+            yield "P2", cents - half
+
+    spark.udtf.register("split_payment", SplitPayment)
+    base = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 200 == 0)
+        .select(
+            "o_orderkey",
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    base.createOrReplaceTempView("udtf_base")
+    return spark.sql(
+        "SELECT o_orderkey, s.phase, s.phase_cents "
+        "FROM udtf_base, LATERAL split_payment(cents) s"
+    )

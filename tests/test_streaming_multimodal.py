@@ -207,3 +207,49 @@ def test_stream_interval_join_and_batch_parity(spark, tmp_path):
         ).collect()
     )
     assert batch == got
+
+
+def test_stream_late_data_dropped_by_watermark(spark, tmp_path):
+    """Append-mode tumbling agg: an event arriving AFTER the watermark
+    passed its window must be dropped, so the finalized window keeps
+    the on-time count (SURVEY §2.C late-data requirement)."""
+    from magictables_spark.streaming import stream_tumbling_counts
+
+    d = tmp_path / "late_in"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        (d / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def ev(i, ts, v=1.0):
+        return {"event_id": i, "ts": ts, "user_id": 1, "event_type": "click", "value": v}
+
+    # batch 1: two on-time events in [00:00, 01:00) + one at 02:10 that
+    # advances the watermark (30 min lag) to 01:40 > window end
+    write_batch("b1.json", [ev(1, "2024-01-01T00:10:00"), ev(2, "2024-01-01T00:20:00"),
+                            ev(3, "2024-01-01T02:10:00")])
+    src = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    out = stream_tumbling_counts(src, watermark="30 minutes")
+    q = out.writeStream.format("memory").queryName("late").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event for the already-finalized 00:00 window
+        # (event time 00:30 << watermark 01:40) + one at 04:00 pushing
+        # the watermark past the 02:00 window
+        write_batch("b2.json", [ev(4, "2024-01-01T00:30:00"), ev(5, "2024-01-01T04:00:00")])
+        q.processAllAvailable()
+        # batch 3: advances processing so the 02:00 window finalizes too
+        write_batch("b3.json", [ev(6, "2024-01-01T06:00:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        r["win_start"].isoformat(): r["n_events"]
+        for r in spark.sql("SELECT * FROM late").collect()
+    }
+    # the 00:00 window finalized with the 2 on-time events; the late
+    # event 4 did NOT resurrect or grow it
+    assert rows["2024-01-01T00:00:00"] == 2
+    # the 02:10 event's window finalized normally
+    assert rows["2024-01-01T02:00:00"] == 1
