@@ -53,3 +53,26 @@ def test_rows_to_df_empty(spark):
 
     out = rows_to_df(spark, [])
     assert out.count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    from magictables_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    # no nodes at all -> empty result with the right schema
+    out = connected_components(edges)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "component"}
+    # nodes but no edges -> all singletons
+    nodes = spark.createDataFrame([(1,), (2,)], "id bigint")
+    got = {r.id: r.component for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 2}
+
+
+def test_salted_join_empty_sides(spark):
+    from magictables_spark.operators.scale import salted_join
+
+    left = spark.createDataFrame([], "k int, a int")
+    right = spark.createDataFrame([(1, 2)], "k int, b int")
+    assert salted_join(left, right, on="k").count() == 0
+    assert salted_join(right, left, on="k").count() == 0
