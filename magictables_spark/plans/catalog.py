@@ -35,6 +35,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     receives PushedFilters + ReadSchema automatically."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet is TIMESTAMP(NANOS), which the parquet reader
+        # rejects outright unless nanos surface as bigint. The conf is
+        # runtime-settable — set it here so the scan works on ANY
+        # session (the driver may build its own, without our defaults).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as nanos-bigint via
     # spark.sql.legacy.parquet.nanosAsLong; convert to a microsecond
