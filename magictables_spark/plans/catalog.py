@@ -35,11 +35,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     receives PushedFilters + ReadSchema automatically."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Defensive runtime confs: the driver may build its own session
+    # without our get_spark defaults. All three are runtime-settable.
+    # - naive fixture timestamps must stay NTZ + UTC or formatted
+    #   output shifts with the machine timezone (oracle is tz-naive);
+    # - events.parquet is TIMESTAMP(NANOS), which the reader rejects
+    #   outright unless nanos surface as bigint.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     if name == "events":
-        # events.parquet is TIMESTAMP(NANOS), which the parquet reader
-        # rejects outright unless nanos surface as bigint. The conf is
-        # runtime-settable — set it here so the scan works on ANY
-        # session (the driver may build its own, without our defaults).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is TIMESTAMP(NANOS) parquet, surfaced as nanos-bigint via
