@@ -424,3 +424,42 @@ def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cust.subtract(supp)  # subtract == EXCEPT DISTINCT (SQL set semantics)
+
+
+@q(
+    "agg_salted_twophase",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM({QTY_I}) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Two-phase salted aggregation over 3 heavy-hitter keys: phase 1 "
+    "groups on (key, salt16) so one hot key spreads over 16 reducers, "
+    "phase 2 merges the 48 partials. The oracle is the plain GROUP BY — "
+    "salting must be observationally invisible. This is the manual "
+    "fallback when AQE skew handling can't apply (it only splits "
+    "sort-merge JOIN partitions, not aggregations); counts/sums stay "
+    "exact ints so the rewrite is value-identical, not just row-stable. "
+    "Salt = crc32(unique line id) % 16 — deterministic, no rand().",
+    tags=("relational", "agg", "scale", "skew"),
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(QTY_I).alias("_qi"),
+        (F.crc32(F.concat_ws("_", "l_orderkey", "l_linenumber")) % 16).alias("_salt"),
+    )
+    partial = li.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("_n"), F.sum("_qi").alias("_sq")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.sum("_n").alias("n"), F.sum("_sq").alias("_sq_total"))
+        .select(
+            "l_returnflag",
+            "n",
+            (F.col("_sq_total").cast("double") / 100.0).alias("sum_qty"),
+        )
+    )
