@@ -20,6 +20,7 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     textops,
     timeseries,
     tpch_extra,
+    tpch_suite,
     udfs,
     windows,
 )
