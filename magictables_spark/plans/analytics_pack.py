@@ -1,0 +1,215 @@
+"""Event-sequence + array-kernel analytics: funnel conversion, exact
+heavy hitters, higher-order array functions.
+
+These extend the events/embeddings fixtures beyond the reference's
+surface (SURVEY §2.C "capability gaps"): ordered-sequence funnel
+analysis is the canonical product-analytics query a Polars user would
+hand-loop, and higher-order array functions are the JVM-side
+(whole-stage-codegen) alternative to per-row Python UDFs over vector
+columns.
+
+Scale notes: the funnel computes all three stages under ONE hash
+partitioning on user_id (chained Window specs over the same partition
+key → a single Exchange, two Window nodes, then a 1-row global
+aggregate). Heavy hitters is a partial-aggregated groupBy +
+TakeOrderedAndProject — no global sort. The array kernels are pure
+map-side expressions (zero shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import _t, q
+from magictables_spark.plans.similarity import QUANT_DUCK, QUANT_SPARK
+
+# ---------------------------------------------------------------------------
+# funnel: view -> click -> purchase, strictly ordered per user
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+    doc="Ordered funnel: users who viewed, then clicked strictly after "
+    "the first view, then purchased strictly after that first click. "
+    "The oracle decomposes into three correlated stage CTEs; the Spark "
+    "plan instead chains three window aggregates over ONE user_id "
+    "partitioning (first-view ts -> first-click-after ts -> "
+    "first-purchase-after ts), so the whole funnel costs a single "
+    "shuffle regardless of stage count. Fixture timestamps are unique "
+    "per user at microsecond grain (verified), so nanos-vs-micros "
+    "truncation cannot flip the strict inequalities.",
+    tags=("events", "funnel", "analytics"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "_tv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "_tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("_tv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "_tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("_tc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    # groupBy(user_id) reuses the Window's hash partitioning (no new
+    # Exchange — EnsureRequirements sees the child already partitioned),
+    # so the only remaining movement is the 1-row final aggregate.
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("_tv").isNotNull().cast("int")).alias("_v"),
+        F.max(F.col("_tc").isNotNull().cast("int")).alias("_c"),
+        F.max(F.col("_tp").isNotNull().cast("int")).alias("_p"),
+    )
+    return per_user.agg(
+        F.sum("_v").alias("n_view"),
+        F.sum("_c").alias("n_view_click"),
+        F.sum("_p").alias("n_full_funnel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (top-k hot keys) — the skew-detection primitive
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "heavy_hitters_exact",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY COUNT(*) DESC, user_id, event_type
+    LIMIT 25
+    """,
+    doc="Exact top-25 hottest (user, event_type) keys. This is the "
+    "skew-detection primitive behind salted joins (operators/scale.py): "
+    "at 100 TB you run exactly this to find the keys worth salting. "
+    "Partial map-side counts + TakeOrderedAndProject — no global sort, "
+    "driver receives only k rows. Tie-break on the full key keeps "
+    "LIMIT deterministic.",
+    tags=("events", "analytics", "skew"),
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"), F.asc("event_type"))
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# higher-order array functions over embedding vectors (zero-shuffle kernels)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "array_hof",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(list_sum({QUANT_DUCK}) AS BIGINT) AS vec_sum,
+           CAST(len(list_filter({QUANT_DUCK}, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_sum(list_transform({QUANT_DUCK}, x -> x * x)) AS BIGINT)
+             AS self_dot
+    FROM embeddings
+    WHERE vec_id % 7 = 0
+    """,
+    doc="Higher-order array functions on the embedding column — "
+    "transform / filter / aggregate / zip_with staying entirely inside "
+    "whole-stage codegen (the JVM-side alternative to a per-row Python "
+    "UDF; ~100x at scale). Vectors are int64-quantized first "
+    "(registry.py rule 5) so sum/filter/dot are integer-exact on both "
+    "engines. Pure map-side: the plan has no Exchange at all.",
+    tags=("functions", "array", "embeddings"),
+)
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 7 == 0)
+        .withColumn("_q", F.expr(QUANT_SPARK))
+        .select(
+            "vec_id",
+            F.expr("aggregate(_q, 0L, (a, x) -> a + x)").alias("vec_sum"),
+            F.expr("CAST(size(filter(_q, x -> x > 0)) AS BIGINT)").alias("n_pos"),
+            F.expr("aggregate(zip_with(_q, _q, (a, b) -> a * b), 0L, (a, x) -> a + x)").alias(
+                "self_dot"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts: signup week -> weekly activity matrix
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+    )
+    SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day', t0, e.ts) / 7) AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: users bucketed by first-seen week, "
+    "counted distinct in each subsequent week offset. First-seen ts "
+    "comes from a window MIN over the user_id partitioning instead of "
+    "an aggregate-then-self-join (one shuffle replaces three); the "
+    "final distinct-count groups on the small (cohort, offset) key. "
+    "Week offsets are integer day arithmetic — no float date math.",
+    tags=("events", "analytics", "cohort"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.withColumn("t0", F.min("ts").over(Window.partitionBy("user_id")))
+        .select(
+            F.date_format(F.date_trunc("week", "t0"), "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(F.col("ts"), F.col("t0")) / 7).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -1,0 +1,257 @@
+"""Training-data pipeline operators: deterministic sampling, splits,
+per-group top-k, quality-band filtering, multi-format round-trips.
+
+The sampling/split operators use **content-hash bucketing** (md5 of the
+key compared against a hex prefix) instead of RNG: the same row lands
+in the same bucket on every engine, every run, every cluster size.
+That is the property a 100 TB training pipeline actually needs —
+resampling a grown dataset keeps prior decisions stable (no reshuffle
+of examples between train and test when new data arrives), and the
+"sample" is reproducible from the data alone, with no seed state to
+ship. It also makes the operators exactly oracle-checkable (both
+engines agree on md5 hex), unlike `df.sample(seed)` whose RNG stream
+is engine-private (covered separately by the `sample` slug).
+
+Scale notes: hash-bucket predicates are map-side scan filters (no
+shuffle, no driver coordination); group-top-k is one window shuffle
+with the rank filter applied before any downstream join; the format
+round-trips exercise the csv/jsonl sink+scan path with explicit
+schemas (schema inference at 100 TB means reading the data twice).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import _t, q
+
+# ---------------------------------------------------------------------------
+# deterministic (content-hash) sampling and splits
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sample_hash_bucket",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
+    """,
+    doc="Deterministic ~10% sample: keep rows whose md5(key) hex falls "
+    "below a prefix threshold. Engine-independent and stable under "
+    "data growth — the property `df.sample(seed)` cannot give you "
+    "across engines (its RNG stream is private). Pure scan filter: "
+    "no shuffle, no seed state, embarrassingly parallel at any scale.",
+    tags=("pipeline", "sampling"),
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.md5(F.col("doc_id").cast("string")) < "1a")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@q(
+    "train_test_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM (
+      SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '4'
+                  THEN 'train' ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    ) s
+    GROUP BY split
+    """,
+    doc="Deterministic 25/75 train-test split by content hash. A "
+    "document keeps its split assignment forever (append-only data "
+    "never migrates rows between train and test — the leakage property "
+    "that matters for training pipelines). Verified by per-split "
+    "counts + integer checksum.",
+    tags=("pipeline", "sampling"),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.when(F.md5(F.col("doc_id").cast("string")) < "4", "train")
+            .otherwise("test")
+            .alias("split"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k (the "best N examples per language" selector)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "group_topk_per_key",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) ranked
+    WHERE rn <= 5
+    """,
+    doc="Top-5 longest documents per language — the per-stratum "
+    "selector every curation pipeline needs. One shuffle on the group "
+    "key; rank ties broken by doc_id so the cut is deterministic. At "
+    "scale this beats a groupBy+collect_list+slice by never "
+    "materializing a whole group in one buffer.",
+    tags=("pipeline", "window"),
+)
+def group_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-band filter (drop outliers per stratum by exact percentiles)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "quality_band_filter",
+    oracle="""
+    WITH bands AS (
+      SELECT lang,
+             CAST(PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25,
+             CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p75
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, COUNT(*) AS n_kept, SUM(d.n_chars) AS sum_chars
+    FROM documents d JOIN bands b ON d.lang = b.lang
+    WHERE d.n_chars BETWEEN b.p25 AND b.p75
+    GROUP BY d.lang
+    """,
+    doc="Interquartile quality band: keep documents whose length sits "
+    "within [p25, p75] of their language — the outlier-trim step of a "
+    "corpus-quality pipeline. Exact integer PERCENTILE_DISC per "
+    "stratum (25 groups), broadcast back into a scan filter; the "
+    "expensive percentile runs on the tiny grouped side, never on the "
+    "full corpus width.",
+    tags=("pipeline", "quality"),
+)
+def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    bands = docs.groupBy("lang").agg(
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").alias("p25"),
+        F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").alias("p75"),
+    )
+    return (
+        docs.join(F.broadcast(bands), "lang")
+        .filter(F.col("n_chars").between(F.col("p25"), F.col("p75")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-format round-trips (csv / jsonl sink + scan with explicit schema)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_dir(fmt: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"mts_roundtrip_{fmt}")
+
+
+@q(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="CSV sink + scan: write nation+region to headered CSV, read "
+    "back with an explicit schema (inference at 100 TB = reading the "
+    "data twice), join and aggregate. Result must equal the same "
+    "query straight off parquet — the round-trip is lossless for "
+    "int/string columns. Polars scan_csv/sink parity (SURVEY §2.B).",
+    tags=("sources", "formats"),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _roundtrip_dir("csv")
+    nat, reg = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    nat.write.mode("overwrite").option("header", True).csv(f"{out}/nation")
+    reg.write.mode("overwrite").option("header", True).csv(f"{out}/region")
+    nat2 = spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").option(
+        "header", True
+    ).csv(f"{out}/nation")
+    reg2 = spark.read.schema("r_regionkey INT, r_name STRING").option(
+        "header", True
+    ).csv(f"{out}/region")
+    return (
+        nat2.join(F.broadcast(reg2), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@q(
+    "scan_jsonl_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders, SUM(o_orderkey) AS key_checksum
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="JSON-lines sink + scan: write filtered orders (int/string "
+    "projection) as JSONL, read back with an explicit schema, "
+    "aggregate. JSONL is the interchange format of LLM data work; the "
+    "explicit schema keeps the scan single-pass and the checksum "
+    "proves lossless ints. Polars scan_ndjson parity (SURVEY §2.B).",
+    tags=("sources", "formats"),
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _roundtrip_dir("jsonl")
+    (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .json(out)
+    )
+    back = spark.read.schema("o_orderkey LONG, o_orderpriority STRING").json(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"), F.sum("o_orderkey").alias("key_checksum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate frequent items (sketch side of heavy_hitters_exact)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "freq_items_approx",
+    oracle=None,  # sketch output; gated against exact counts in tests
+    doc="Approximate frequent user_ids via Spark's freqItems sketch "
+    "(Karp-Schenker-Papadimitriou single-pass, map-side mergeable). "
+    "The scale path for 'which keys are hot' when an exact groupBy is "
+    "not worth a shuffle; tests assert every true >1% heavy hitter "
+    "appears in the sketch output (the KSP guarantee).",
+    tags=("pipeline", "sketch"),
+)
+def freq_items_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = _t(spark, sf_dir, "events").stat.freqItems(["user_id"], support=0.02)
+    return hits.select(
+        F.explode(F.array_sort(F.col("user_id_freqItems"))).alias("candidate_user_id")
+    )

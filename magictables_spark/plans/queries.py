@@ -9,6 +9,7 @@ import time.
 from __future__ import annotations
 
 from magictables_spark.plans import (  # noqa: F401  (import = registration)
+    analytics_pack,
     events_pack,
     features,
     joins_advanced,
