@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "sim_cosine_topk",
+    "q9_product_profit",
+    "funnel_conversion",
 ]
 
 

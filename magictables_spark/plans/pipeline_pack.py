@@ -59,7 +59,7 @@ def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "train_test_split",
     oracle="""
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM (
       SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '4'
                   THEN 'train' ELSE 'test' END AS split,
@@ -137,7 +137,7 @@ def group_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p75
       FROM documents GROUP BY lang
     )
-    SELECT d.lang, COUNT(*) AS n_kept, SUM(d.n_chars) AS sum_chars
+    SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
     FROM documents d JOIN bands b ON d.lang = b.lang
     WHERE d.n_chars BETWEEN b.p25 AND b.p75
     GROUP BY d.lang
@@ -208,7 +208,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "scan_jsonl_roundtrip",
     oracle="""
-    SELECT o_orderpriority, COUNT(*) AS n_orders, SUM(o_orderkey) AS key_checksum
+    SELECT o_orderpriority, COUNT(*) AS n_orders, CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
     FROM orders
     WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority

@@ -15,6 +15,7 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     joins_advanced,
     mllib_pack,
     nested,
+    pipeline_pack,
     relational,
     scalar,
     similarity,
