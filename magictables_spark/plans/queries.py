@@ -17,6 +17,7 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     nested,
     pipeline_pack,
     relational,
+    rollup_pack,
     scalar,
     similarity,
     textops,

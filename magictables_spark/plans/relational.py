@@ -463,3 +463,36 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_sq_total").cast("double") / 100.0).alias("sum_qty"),
         )
     )
+
+
+@q(
+    "join_shuffle_hash",
+    oracle=f"""
+    SELECT s_nationkey, COUNT(*) AS n_lines,
+           CAST(SUM({REV_I}) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+    doc="Physical join-strategy control: the SHUFFLE_HASH hint forces a "
+    "shuffled hash join where Spark would default to sort-merge — the "
+    "right call when one side is far smaller than the other but too "
+    "big to broadcast (hash-building the small side skips BOTH sort "
+    "passes). Same logical result as any equi-join slug; the test "
+    "asserts ShuffledHashJoin actually appears in the physical plan.",
+    tags=("relational", "join", "physical"),
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.expr(REV_I).alias("_rev_i")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey").hint(
+        "SHUFFLE_HASH"
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.expr("CAST(SUM(_rev_i) AS DOUBLE) / 10000.0").alias("revenue"),
+        )
+    )

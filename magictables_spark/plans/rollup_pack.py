@@ -1,0 +1,195 @@
+"""Time-series rollups and change analytics: hypertable-style
+multi-resolution aggregation, period-over-period growth, interval
+RANGE window frames, snapshot merge (SCD upsert).
+
+The hypertable rollup is the continuous-aggregate pattern from
+time-series stores (TimescaleDB-style): one pass over the fact stream
+produces hour, day, and month resolutions together via GROUPING SETS
+over pre-computed bucket columns — Spark expands grouping sets
+map-side (one Expand node, one shuffle) instead of three separate
+scans.
+
+Determinism: bucket labels are formatted strings; value sums in scaled
+int64 (registry rule 1); growth ratios are one double division of
+identical integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import REV_I, _t, q
+
+VAL_I = "CAST(ROUND(value * 100) AS BIGINT)"  # events.value cents
+
+
+@q(
+    "hypertable_rollup",
+    oracle=f"""
+    SELECT 'hour' AS resolution,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM({VAL_I}) AS BIGINT) AS value_sum_i
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d'),
+           event_type, COUNT(*), CAST(SUM({VAL_I}) AS BIGINT)
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'month', strftime(date_trunc('month', ts), '%Y-%m'),
+           event_type, COUNT(*), CAST(SUM({VAL_I}) AS BIGINT)
+    FROM events GROUP BY 2, 3
+    """,
+    doc="Hypertable-style continuous aggregate: hour + day + month "
+    "resolutions of the event stream in ONE pass. Spark uses GROUPING "
+    "SETS over three pre-truncated bucket columns — a single Expand "
+    "(3x map-side row fan-out) feeding one shuffle, versus three "
+    "separate scans of a 100 TB fact table. The oracle cross-joins a "
+    "resolution spine to express the same union declaratively.",
+    tags=("timeseries", "rollup", "events"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(VAL_I).alias("v"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour_b"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_b"),
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month_b"),
+        )
+    )
+    ev.createOrReplaceTempView("_rollup_src")
+    # GROUPING SETS: one Expand node, one shuffle, all three resolutions
+    rolled = spark.sql(
+        """
+        SELECT hour_b, day_b, month_b, event_type,
+               COUNT(*) AS n_events, SUM(v) AS value_sum_i
+        FROM _rollup_src
+        GROUP BY event_type
+        GROUPING SETS ((hour_b, event_type), (day_b, event_type),
+                       (month_b, event_type))
+        """
+    )
+    return rolled.select(
+        F.when(F.col("hour_b").isNotNull(), "hour")
+        .when(F.col("day_b").isNotNull(), "day")
+        .otherwise("month")
+        .alias("resolution"),
+        F.coalesce("hour_b", "day_b", "month_b").alias("bucket"),
+        "event_type",
+        "n_events",
+        "value_sum_i",
+    )
+
+
+@q(
+    "period_over_period",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_i
+      FROM orders GROUP BY 1
+    )
+    SELECT month, CAST(rev_i AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_i - LAG(rev_i) OVER (ORDER BY month) AS DOUBLE) / 100.0
+             AS mom_change
+    FROM monthly
+    """,
+    doc="Period-over-period change: monthly revenue with month-over-"
+    "month delta via LAG. The window runs over the *aggregated* "
+    "monthly series (dozens of rows), so the single-partition window "
+    "sort is trivial no matter how large the fact table — aggregate "
+    "first, window second is the scale rule this slug encodes.",
+    tags=("timeseries", "window"),
+)
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("rev_i"))
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        (F.col("rev_i").cast("double") / 100.0).alias("revenue"),
+        ((F.col("rev_i") - F.lag("rev_i").over(w)).cast("double") / 100.0).alias(
+            "mom_change"
+        ),
+    )
+
+
+@q(
+    "window_range_interval",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(SUM({REV_I})) OVER (
+             PARTITION BY l_orderkey ORDER BY epoch(l_shipdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rev_7d_i
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    GROUP BY l_orderkey, l_linenumber, epoch(l_shipdate)
+    """,
+    doc="RANGE window frame over a real time axis: per-order trailing "
+    "7-day revenue, frame bounded by *value* (seconds) not row count — "
+    "the frame semantics Polars' rolling_sum_by maps to. Both engines "
+    "order by epoch seconds so the 604800-second bound is integer-"
+    "exact. The inner GROUP BY collapses same-timestamp rows first "
+    "(RANGE frames treat peers atomically — engines agree only when "
+    "peers are pre-merged).",
+    tags=("timeseries", "window"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .groupBy(
+            "l_orderkey",
+            "l_linenumber",
+            F.unix_timestamp("l_shipdate").alias("_epoch"),
+        )
+        .agg(F.sum(F.expr(REV_I)).alias("_rev_i"))
+    )
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("_epoch")
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("_rev_i").over(w).alias("rev_7d_i"),
+    )
+
+
+@q(
+    "merge_upsert_latest",
+    oracle="""
+    SELECT o_custkey,
+           MAX_BY(o_orderstatus,
+                  CAST(epoch(o_orderdate) AS BIGINT) * 4294967296 + o_orderkey)
+             AS latest_status,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="SCD-1 snapshot merge: collapse an append-only change stream "
+    "(orders as status updates) to latest-record-per-key in one "
+    "aggregate — max_by over a packed (epoch << 32 | unique-id) "
+    "version key, a deterministic scalar tie-break both engines "
+    "honor. This is the upsert pattern for engines without MERGE "
+    "INTO: one shuffle, no window sort, map-side partial max_by.",
+    tags=("pipeline", "merge"),
+)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    version = (
+        F.unix_timestamp("o_orderdate").cast("long") * F.lit(4294967296).cast("long")
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderstatus", version).alias("latest_status"),
+        F.count("*").alias("n_orders"),
+    )

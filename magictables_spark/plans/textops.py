@@ -401,3 +401,49 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_bpe"),
         F.get(toks, 0).alias("first_token"),
     )
+
+
+@q(
+    "ngram_top",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n
+    FROM (
+      SELECT unnest(list_transform(
+               range(2, len(string_split(text, ' ')) + 1),
+               i -> string_split(text, ' ')[i - 1] || '_' ||
+                    string_split(text, ' ')[i]
+             )) AS bigram
+      FROM documents
+    ) g
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 30
+    """,
+    doc="Top word bigrams across the corpus — n-gram generation as a "
+    "codegen array expression (transform over an index sequence; "
+    "1-based element_at on both engines) followed by explode + count "
+    "+ TakeOrderedAndProject. The sequence is guarded for <2-token "
+    "texts (Spark's sequence(1,0) DESCENDS — it never sees an empty "
+    "range). The shuffle carries (bigram, partial count) pairs, not "
+    "token arrays.",
+    tags=("text", "ngram"),
+)
+def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    # guard: sequence(2, 1) would DESCEND; emit an empty array instead
+    bigrams = F.when(F.size(toks) < 2, F.expr("array()")).otherwise(
+        F.transform(
+            F.sequence(F.lit(2), F.size(toks)),
+            lambda i: F.concat_ws(
+                "_", F.element_at(toks, i - 1), F.element_at(toks, i)
+            ),
+        )
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(30)
+    )

@@ -1,0 +1,34 @@
+"""Physical-plan assertions for the strategy-control slugs."""
+
+from __future__ import annotations
+
+from magictables_spark.plans.queries import REGISTRY
+
+
+def _plan(spark, sf_dir, slug: str) -> str:
+    return (
+        REGISTRY[slug].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_hypertable_rollup_is_single_pass(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hypertable_rollup")
+    # one scan + one Expand: all three resolutions from a single pass
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2, plan
+
+
+def test_funnel_single_data_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "funnel_conversion")
+    # one hash-partitioned exchange for the windows + the 1-row final agg
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_array_hof_no_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "array_hof")
+    assert "Exchange" not in plan, plan
