@@ -72,3 +72,42 @@ def pruned_scan(spark: SparkSession, path: str, predicate) -> DataFrame:
     immediately — Catalyst turns it into PartitionFilters (directory
     pruning), verified in tests/test_scale_ops.py via the explain text."""
     return spark.read.parquet(path).filter(predicate)
+
+
+def compact_files(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes``. The small-files problem dominates long-run
+    table health at 100 TB (every file is a task + a NameNode/listing
+    entry + a footer fetch); streaming sinks and over-parallel writers
+    produce thousands of KB-size files that make every downstream scan
+    pay per-file overhead.
+
+    Sizing reads the actual on-disk bytes (not a row-count guess) and
+    coalesce() avoids a shuffle entirely — each output task
+    concatenates a set of input splits. Returns the file count written.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(input_dir)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(input_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df.coalesce(n_files).write.mode("overwrite").parquet(output_dir)
+    return len(
+        [
+            f
+            for root, _, files in os.walk(output_dir)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+    )

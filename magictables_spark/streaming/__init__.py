@@ -121,3 +121,67 @@ def stream_interval_join(
             """
         ),
     ).select("user_id", "click_id", "view_id", "click_ts", "view_ts")
+
+
+def stream_upsert_foreach_batch(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("user_id",),
+    status_col: str = "event_type",
+):
+    """Streaming SCD-1 upsert sink via foreachBatch: every micro-batch
+    merges latest-record-per-key into a parquet table — MERGE INTO
+    semantics without a table format (the batch twin is the
+    `merge_upsert_latest` slug). Each batch:
+
+      read current snapshot -> union new rows -> max_by((ts, event_id))
+      per key -> write to a fresh snapshot dir -> atomic swap.
+
+    The swap (write-new, rename, delete-old) keeps readers from ever
+    seeing a half-written snapshot; at production scale the same
+    foreachBatch body targets Delta/Iceberg MERGE and the swap
+    disappears. State is bounded: the snapshot carries one row per
+    key, not the event history.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        incoming = batch_df.select(
+            *keys, F.col(status_col), F.col("ts"), F.col("event_id")
+        )
+        snap = os.path.join(target_dir, "snapshot")
+        if os.path.exists(snap):
+            current = spark.read.parquet(snap).select(*incoming.columns)
+            incoming = current.unionByName(incoming)
+        version = (
+            F.unix_timestamp("ts").cast("long") * F.lit(4294967296).cast("long")
+            + F.col("event_id")
+        )
+        merged = incoming.groupBy(*keys).agg(
+            F.max_by(status_col, version).alias(status_col),
+            F.max("ts").alias("ts"),
+            F.max_by("event_id", version).alias("event_id"),
+        )
+        fresh = os.path.join(target_dir, f"snapshot_{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").parquet(fresh)
+        old = os.path.join(target_dir, f"old_{uuid.uuid4().hex[:8]}")
+        if os.path.exists(snap):
+            os.rename(snap, old)
+        os.rename(fresh, snap)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,94 @@
+"""foreachBatch streaming upsert + small-file compaction tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from magictables_spark.operators.scale import compact_files
+from magictables_spark.streaming import (
+    read_events_stream,
+    stream_upsert_foreach_batch,
+)
+
+
+@pytest.fixture
+def upsert_events_dir(tmp_path):
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:10:00", "user_id": 1, "event_type": "signup", "value": 0.0},
+        {"event_id": 2, "ts": "2024-01-01T00:20:00", "user_id": 2, "event_type": "view", "value": 1.0},
+    ]
+    batch2 = [
+        # user 1 progresses; later (ts, event_id) must win
+        {"event_id": 3, "ts": "2024-01-01T01:00:00", "user_id": 1, "event_type": "purchase", "value": 9.0},
+        # stale duplicate for user 2 (same ts, lower event_id loses)
+        {"event_id": 1, "ts": "2024-01-01T00:20:00", "user_id": 2, "event_type": "error", "value": 0.0},
+    ]
+    d = tmp_path / "upsert_in"
+    d.mkdir()
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (d / "b2.json").write_text("\n".join(json.dumps(r) for r in batch2))
+    return str(d)
+
+
+def test_stream_upsert_latest_wins(spark, upsert_events_dir, tmp_path):
+    target = str(tmp_path / "table")
+    os.makedirs(target)
+    src = read_events_stream(spark, upsert_events_dir, max_files_per_trigger=1)
+    q = stream_upsert_foreach_batch(
+        src, target, str(tmp_path / "ckpt")
+    ).start()
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    snap = spark.read.parquet(os.path.join(target, "snapshot"))
+    rows = {r.user_id: r for r in snap.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].event_type == "purchase"  # later ts won
+    # same ts: event_id 2 ("view") > event_id 1 ("error") — stale loses
+    assert rows[2].event_type == "view"
+    # snapshot is one row per key, not event history
+    assert snap.count() == 2
+
+
+def test_stream_upsert_is_incremental_across_restarts(spark, upsert_events_dir, tmp_path):
+    """availableNow + checkpoint: a second run with no new files must
+    not rewrite state; adding a file processes only the delta."""
+    target = str(tmp_path / "table")
+    os.makedirs(target)
+    ckpt = str(tmp_path / "ckpt")
+    src = read_events_stream(spark, upsert_events_dir, max_files_per_trigger=1)
+    q = stream_upsert_foreach_batch(src, target, ckpt).start()
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    # new late batch: user 2 recovers
+    extra = {"event_id": 9, "ts": "2024-01-01T02:00:00", "user_id": 2, "event_type": "purchase", "value": 5.0}
+    with open(os.path.join(upsert_events_dir, "b3.json"), "w") as f:
+        f.write(json.dumps(extra))
+    src2 = read_events_stream(spark, upsert_events_dir, max_files_per_trigger=1)
+    q2 = stream_upsert_foreach_batch(src2, target, ckpt).start()
+    try:
+        q2.awaitTermination(120)
+    finally:
+        q2.stop()
+    snap = spark.read.parquet(os.path.join(target, "snapshot"))
+    rows = {r.user_id: r.event_type for r in snap.collect()}
+    assert rows == {1: "purchase", 2: "purchase"}
+
+
+def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
+    frag = str(tmp_path / "fragmented")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.repartition(32).write.parquet(frag)
+    n_in = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_in >= 16  # deliberately fragmented
+
+    out = str(tmp_path / "compacted")
+    n_out = compact_files(spark, frag, out, target_file_bytes=512 * 1024)
+    assert n_out < n_in
+    assert spark.read.parquet(out).count() == events.count()
