@@ -1,0 +1,227 @@
+"""The composed corpus-curation pipeline + remaining window/explode
+coverage (value windows, interpolated quantiles, positional explode).
+
+``corpus_curation_pipeline`` is the end-to-end story the individual
+slugs build toward: language filter -> quality gate -> exact dedup ->
+train split, reported as per-stage survivor counts. Every stage is
+deterministic (column equality, integer ratio compares, md5 content
+hashes), so the whole funnel is exactly oracle-checkable — and the
+Spark plan runs it in ONE pass: per-doc stage flags are map-side
+expressions plus a single fingerprint-partitioned window, folded by a
+1-row aggregate. A naive implementation would count 5 DataFrames = 5
+jobs; this is 1 job, 1 shuffle, and at 100 TB that's the difference
+between one corpus scan and five.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import QTY_I, _t, q
+
+
+@q(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH flags AS (
+      SELECT doc_id, text,
+             (lang = 'en') AS f_lang,
+             (lang = 'en'
+              AND len(string_split(text, ' ')) BETWEEN 20 AND 1000
+              AND len(list_distinct(string_split(text, ' '))) * 10
+                  > len(string_split(text, ' '))) AS f_qual
+      FROM documents
+    ), dedup AS (
+      SELECT *,
+             f_qual AND doc_id = MIN(CASE WHEN f_qual THEN doc_id END)
+                                  OVER (PARTITION BY md5(text)) AS f_dedup
+      FROM flags
+    ), final AS (
+      SELECT *,
+             f_dedup AND md5(CAST(doc_id AS VARCHAR)) < '4' AS f_split
+      FROM dedup
+    )
+    SELECT '0_raw' AS stage, COUNT(*) AS n_docs FROM final
+    UNION ALL SELECT '1_lang',
+      CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) FROM final
+    UNION ALL SELECT '2_quality',
+      CAST(SUM(CASE WHEN f_qual THEN 1 ELSE 0 END) AS BIGINT) FROM final
+    UNION ALL SELECT '3_dedup',
+      CAST(SUM(CASE WHEN f_dedup THEN 1 ELSE 0 END) AS BIGINT) FROM final
+    UNION ALL SELECT '4_train_split',
+      CAST(SUM(CASE WHEN f_split THEN 1 ELSE 0 END) AS BIGINT) FROM final
+    """,
+    doc="End-to-end corpus curation funnel: language filter -> "
+    "C4-style quality gate (token count band + integer-exact "
+    "type-token ratio) -> exact content dedup (min doc_id per md5 "
+    "fingerprint) -> deterministic hash train split, reported as "
+    "per-stage survivor counts. ONE pass: stage flags are map-side "
+    "booleans, dedup is a single window over the content fingerprint, "
+    "the report is a 1-row aggregate unpivoted to (stage, count) — "
+    "1 corpus scan + 1 shuffle instead of five counting jobs.",
+    tags=("pipeline", "text", "flagship"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    f_lang = F.col("lang") == "en"
+    f_qual = (
+        f_lang
+        & F.size(toks).between(20, 1000)
+        & (F.size(F.array_distinct(toks)) * 10 > F.size(toks))
+    )
+    w = Window.partitionBy(F.md5("text"))
+    flagged = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang", f_lang.alias("f_lang"), f_qual.alias("f_qual"))
+        .withColumn(
+            "f_dedup",
+            F.col("f_qual")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("f_qual"), F.col("doc_id"))).over(w)
+            ),
+        )
+        .withColumn(
+            "f_split",
+            F.col("f_dedup") & (F.md5(F.col("doc_id").cast("string")) < "4"),
+        )
+    )
+    counts = flagged.agg(
+        F.count("*").alias("0_raw"),
+        F.sum(F.col("f_lang").cast("long")).alias("1_lang"),
+        F.sum(F.col("f_qual").cast("long")).alias("2_quality"),
+        F.sum(F.col("f_dedup").cast("long")).alias("3_dedup"),
+        F.sum(F.col("f_split").cast("long")).alias("4_train_split"),
+    )
+    return counts.unpivot([], counts.columns, "stage", "n_docs")
+
+
+@q(
+    "window_value_fns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FIRST_VALUE(l_linenumber) OVER w AS first_line,
+           LAST_VALUE(l_linenumber) OVER w AS last_line,
+           NTH_VALUE(l_linenumber, 2) OVER w AS second_line
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Value window functions: first/last/nth over an explicit "
+    "full-partition ROWS frame. The explicit frame matters — "
+    "last_value's DEFAULT frame ends at CURRENT ROW, the classic "
+    "silent-wrong-answer; pinning UNBOUNDED FOLLOWING makes both "
+    "engines (and any reader) agree. Ordered by the unique line "
+    "number, so results are tie-free.",
+    tags=("window",),
+)
+def window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.first("l_linenumber").over(w).alias("first_line"),
+            F.last("l_linenumber").over(w).alias("last_line"),
+            F.nth_value("l_linenumber", 2).over(w).alias("second_line"),
+        )
+    )
+
+
+@q(
+    "quantiles_cont",
+    oracle=f"""
+    SELECT l_returnflag,
+           PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY {QTY_I}) AS median_qty_i,
+           PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY {QTY_I}) AS p25_qty_i
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Interpolated (continuous) percentiles per group over the "
+    "scaled-int quantity. At 0.5/0.25 the interpolation weights are "
+    "exact binary fractions, so a + (b-a)*f is bit-exact on int64 "
+    "inputs below 2^52 in both engines — the only quantile fractions "
+    "where cross-engine double equality is guaranteed (0.3 would "
+    "not be). Complements quantiles_disc / approx_quantiles.",
+    tags=("stats",),
+)
+def quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(f"percentile({QTY_I}, 0.5)").alias("median_qty_i"),
+            F.expr(f"percentile({QTY_I}, 0.25)").alias("p25_qty_i"),
+        )
+    )
+
+
+@q(
+    "posexplode_tokens",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) - 1 AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+    doc="Positional explode: token with its offset — the op sequence "
+    "labeling / position-aware chunking needs. Spark posexplode emits "
+    "(pos, col) map-side with no shuffle; the oracle zips DuckDB's "
+    "aligned parallel unnests. Row order is irrelevant (driver "
+    "compare is order-insensitive); position comes from the data.",
+    tags=("nested", "text"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"))
+    )
+
+
+@q(
+    "multimodal_features",
+    oracle=None,  # binary plumbing; schema/batch shape gated in unit tests
+    doc="Multimodal column pipeline as a query: materialize documents "
+    "as binary media files, ingest via the binaryFile source with "
+    "mime tagging, extract fixed-dim features through the "
+    "Arrow-batched mapInPandas kernel (deterministic stub decoder — "
+    "no media libs in this container; the kernel boundary is where "
+    "PIL/ffmpeg plug in), and report per-mime file counts + feature "
+    "dimensionality. Exercises the full binary ingest -> vectorize "
+    "path end to end (operators/multimodal.py).",
+    tags=("multimodal", "pipeline"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from magictables_spark.operators.multimodal import extract_features, read_media
+
+    media_dir = os.path.join(tempfile.gettempdir(), "mts_media_demo")
+    os.makedirs(media_dir, exist_ok=True)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0).collect()
+    for r in docs:
+        ext = ".png" if r.doc_id % 200 == 0 else ".wav"
+        with open(os.path.join(media_dir, f"doc_{r.doc_id}{ext}"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    media = read_media(spark, media_dir)
+    feats = extract_features(media, dim=8, decode_stub=True)
+    return (
+        feats.groupBy("mime")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.min(F.size("feature")).alias("feature_dim"),
+            F.sum(F.col("ok").cast("long")).alias("n_decoded"),
+        )
+        .orderBy("mime")
+    )

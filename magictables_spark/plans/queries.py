@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from magictables_spark.plans import (  # noqa: F401  (import = registration)
     analytics_pack,
+    curation_pack,
     events_pack,
     features,
     joins_advanced,

@@ -406,3 +406,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.withColumn("cosine", cos).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).drop("rn")
+
+
+@q(
+    "knn_label_vote",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, {QUANT_DUCK} AS q FROM embeddings
+    ), norms AS (
+      SELECT vec_id, label, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
+      FROM e
+    ), scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             CAST(list_sum(list_transform(range(1, 65), i -> qs.q[i]*c.q[i])) AS BIGINT)
+               / (sqrt(CAST(qs.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+      FROM norms qs JOIN norms c ON qs.vec_id % 20 = 0 AND c.vec_id <> qs.vec_id
+    ), top5 AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label, cosine, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), votes AS (
+      SELECT query_id, label, COUNT(*) AS n_votes FROM top5 GROUP BY 1, 2
+    )
+    SELECT query_id, label AS predicted_label, n_votes FROM (
+      SELECT query_id, label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, label) AS rv
+      FROM votes
+    ) WHERE rv = 1
+    """,
+    doc="k-NN label propagation: predict each probe's label by majority "
+    "vote of its 5 nearest neighbors (exact int64 cosine; ties broken "
+    "by neighbor id, vote ties by smallest label — fully "
+    "deterministic). The auto-labeling / weak-supervision primitive a "
+    "training pipeline runs over unlabeled examples; same "
+    "broadcast-probes plan shape as sim_cosine_topk, then two tiny "
+    "per-query aggregations.",
+    tags=("similarity", "ann", "pipeline"),
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(QUANT_SPARK).alias("q")
+    )
+    norms = e.withColumn("nrm", _dot("q", "q"))
+    probes = norms.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
+    )
+    cand = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("label"), "q", "nrm")
+    scored = (
+        cand.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot("qq", "q").cast("double")
+            / (F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("nrm").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("query_id", "label").agg(F.count("*").alias("n_votes"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
