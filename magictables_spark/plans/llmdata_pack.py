@@ -1,0 +1,163 @@
+"""LLM-training-data preparation: document chunking, sequence packing,
+text redaction.
+
+These are the map-side text transforms between a curated corpus and a
+tokenizer: split long documents into overlapping context-window
+chunks, pack short documents into budget-bounded sequences, scrub
+PII-shaped spans. All three are pure expressions (chunking/redaction)
+or a single window pass (packing) — no Python UDFs, no driver loops,
+so they scale linearly with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import _t, q
+
+CHUNK = 50  # tokens per chunk
+STRIDE = 40  # tokens advanced per chunk (CHUNK-STRIDE = overlap)
+
+
+@q(
+    "doc_chunking",
+    oracle=f"""
+    SELECT doc_id, chunk_idx,
+           array_to_string(
+             list_slice(string_split(text, ' '),
+                        chunk_idx * {STRIDE} + 1,
+                        chunk_idx * {STRIDE} + {CHUNK}), ' ') AS chunk_text,
+           len(list_slice(string_split(text, ' '),
+                          chunk_idx * {STRIDE} + 1,
+                          chunk_idx * {STRIDE} + {CHUNK})) AS n_tokens
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(
+               greatest(len(string_split(text, ' ')) - {CHUNK}, 0)
+               / {STRIDE}.0) AS BIGINT) + 1)) AS chunk_idx
+      FROM documents
+      WHERE doc_id % 25 = 0
+    ) c
+    """,
+    doc=f"Sliding-window chunking: {CHUNK}-token chunks advancing "
+    f"{STRIDE} tokens ({CHUNK - STRIDE}-token overlap) — the "
+    "context-window splitter for embedding/pretraining pipelines. "
+    "Chunk count and slices are pure integer arithmetic over the "
+    "token array (transform over an index sequence + slice), emitted "
+    "via explode: map-side only, no shuffle, no UDF. The final "
+    "partial chunk is kept (slice truncates at the array end).",
+    tags=("text", "pipeline", "llm"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n_chunks = (
+        F.ceil(F.greatest(F.size(toks) - CHUNK, F.lit(0)) / float(STRIDE)).cast("long")
+        + 1
+    )
+    # sequence(0, n-1): n_chunks >= 1 always, so never a descending range
+    idx = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select("doc_id", F.explode(idx).alias("chunk_idx"), F.col("text"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.split(F.col("text"), " "),
+                    (F.col("chunk_idx") * STRIDE + 1).cast("int"),
+                    CHUNK,
+                ),
+            ).alias("chunk_text"),
+            F.size(
+                F.slice(
+                    F.split(F.col("text"), " "),
+                    (F.col("chunk_idx") * STRIDE + 1).cast("int"),
+                    CHUNK,
+                )
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+@q(
+    "sequence_packing",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), placed AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM sized
+    )
+    SELECT CAST(cum_before // 2048 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM placed
+    GROUP BY 1
+    """,
+    doc="Sequence packing: assign documents (in doc_id order) to "
+    "2048-token training bins by integer division of the running "
+    "token count — the deterministic streaming-order packer (greedy "
+    "best-fit is order-dependent and unparallelizable; this one is a "
+    "single window pass and reproducible on any engine). Bins can "
+    "overflow by at most one document — the standard concat-then-cut "
+    "pretraining tradeoff. The global ORDER BY serializes one window "
+    "pass; at 100 TB you partition the window by a shard key "
+    "(hash-bucket of doc_id) and pack within shards — same code with "
+    "partitionBy added, kept global here for exact oracle parity.",
+    tags=("text", "pipeline", "llm"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sized = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    placed = sized.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        placed.groupBy(F.expr("cum_before div 2048").alias("bin_id"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
+    )
+
+
+@q(
+    "text_redact",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+             '[0-9]+', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_num_spans
+    FROM documents
+    WHERE doc_id % 25 = 0
+    """,
+    doc="PII-shaped redaction: email-like spans then digit runs "
+    "replaced with typed placeholders, plus a span count for audit. "
+    "Plain POSIX character classes so both regex engines agree "
+    "(Spark's regexp_replace is global by default; DuckDB takes the "
+    "'g' flag). Pure codegen string kernel — the scrub pass before "
+    "any text leaves the pipeline.",
+    tags=("text", "pipeline", "quality"),
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[A-Za-z0-9._]+@[A-Za-z0-9.]+", "<EMAIL>"),
+        "[0-9]+",
+        "<NUM>",
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id",
+            redacted.alias("redacted"),
+            F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("bigint").alias(
+                "n_num_spans"
+            ),
+        )
+    )

@@ -14,6 +14,7 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     events_pack,
     features,
     joins_advanced,
+    llmdata_pack,
     mllib_pack,
     nested,
     pipeline_pack,
