@@ -38,6 +38,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "q9_product_profit",
     "funnel_conversion",
+    "corpus_curation_pipeline",
 ]
 
 
