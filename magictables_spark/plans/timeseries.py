@@ -140,3 +140,81 @@ def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "interpolate_linear",
+    oracle=_GRID_CTE
+    + """
+    SELECT event_type, win_start, n_events, interp_value
+    FROM (
+      SELECT g.event_type,
+             strftime(g.h, '%Y-%m-%d %H:%M:%S') AS win_start,
+             COALESCE(a.n, 0) AS n_events,
+             CASE
+               WHEN a.s IS NOT NULL THEN CAST(a.s AS DOUBLE) / 100.0
+               ELSE COALESCE((
+                 CAST(last_value(a.s IGNORE NULLS) OVER back AS DOUBLE)
+                 + CAST((first_value(a.s IGNORE NULLS) OVER fwd
+                         - last_value(a.s IGNORE NULLS) OVER back)
+                        * (rn - last_value(CASE WHEN a.s IS NOT NULL THEN rn END
+                                           IGNORE NULLS) OVER back) AS DOUBLE)
+                   / CAST(first_value(CASE WHEN a.s IS NOT NULL THEN rn END
+                                      IGNORE NULLS) OVER fwd
+                          - last_value(CASE WHEN a.s IS NOT NULL THEN rn END
+                                       IGNORE NULLS) OVER back AS DOUBLE)
+               ), CAST(last_value(a.s IGNORE NULLS) OVER back AS DOUBLE)
+               ) / 100.0
+             END AS interp_value
+      FROM (
+        SELECT g0.*, ROW_NUMBER() OVER (PARTITION BY g0.event_type
+                                        ORDER BY g0.h) AS rn
+        FROM grid g0
+      ) g
+      LEFT JOIN agg a ON g.event_type = a.event_type AND g.h = a.h
+      WINDOW back AS (PARTITION BY g.event_type ORDER BY g.h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd AS (PARTITION BY g.event_type ORDER BY g.h
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    """,
+    doc="Linear interpolation over resample gaps (Polars "
+    "interpolate()): a missing hour gets prev + (next-prev)*k/n "
+    "between its bracketing observations. The arithmetic runs on "
+    "exact int64 sums with ONE double division in a fixed order, so "
+    "both engines produce bit-identical doubles — integer floor "
+    "division would NOT work (DuckDB // floors, Spark div truncates; "
+    "they disagree on negative deltas). Leading gaps stay NULL, "
+    "trailing gaps fall back to LOCF (next is NULL -> division "
+    "yields NULL -> coalesce to prev). Two windows over one grid "
+    "shuffle.",
+    tags=("events", "timeseries", "window"),
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg, grid = _hourly(spark, sf_dir)
+    w_key = Window.partitionBy("event_type").orderBy("h")
+    back = w_key.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w_key.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    g = grid.withColumn("rn", F.row_number().over(w_key)).join(
+        agg, ["event_type", "h"], "left"
+    )
+    obs_rn = F.when(F.col("s").isNotNull(), F.col("rn"))
+    prev_s = F.last("s", ignorenulls=True).over(back)
+    next_s = F.first("s", ignorenulls=True).over(fwd)
+    prev_rn = F.last(obs_rn, ignorenulls=True).over(back)
+    next_rn = F.first(obs_rn, ignorenulls=True).over(fwd)
+    interp = (
+        prev_s.cast("double")
+        + ((next_s - prev_s) * (F.col("rn") - prev_rn)).cast("double")
+        / (next_rn - prev_rn).cast("double")
+    )
+    # trailing gap: next is NULL -> interp NULL -> LOCF to prev
+    filled = F.when(F.col("s").isNotNull(), F.col("s").cast("double")).otherwise(
+        F.coalesce(interp, prev_s.cast("double"))
+    )
+    return g.select(
+        "event_type",
+        F.date_format("h", TS_FMT).alias("win_start"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        (filled / 100.0).alias("interp_value"),
+    )
