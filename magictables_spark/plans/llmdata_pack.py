@@ -161,3 +161,88 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "contamination_check",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS sh
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT sh FROM shingled WHERE doc_id % 97 = 0
+    ), train AS (
+      SELECT doc_id, sh FROM shingled WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT DISTINCT t.doc_id
+      FROM train t JOIN bench b ON t.sh = b.sh
+    )
+    SELECT (SELECT COUNT(*) FROM hits) AS n_contaminated,
+           (SELECT COUNT(DISTINCT doc_id) FROM documents
+            WHERE doc_id % 97 <> 0) AS n_train_docs
+    """,
+    doc="Benchmark decontamination: flag training documents sharing "
+    "any 8-token shingle with the held-out set (doc_id % 97 == 0 "
+    "stands in for the benchmark corpus) — the leakage scan every "
+    "pretraining pipeline runs before training. Spark shape: both "
+    "sides shingle map-side (distinct within doc), the held-out "
+    "shingle set is tiny and BROADCAST into a left-semi join — the "
+    "100 TB train side is never shuffled at all. Counts are exact.",
+    tags=("text", "pipeline", "llm", "dedup"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.functions import shingles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text", n=8).alias("sh")
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        train.select("doc_id", F.explode("sh").alias("sh"))
+        .join(F.broadcast(bench), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    totals = train.agg(F.countDistinct("doc_id").alias("n_train_docs"))
+    return contaminated.agg(F.count("*").alias("n_contaminated")).crossJoin(
+        F.broadcast(totals)
+    )
+
+
+@q(
+    "stratified_hash_sample",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE WHEN lang = 'en' THEN '2' ELSE '8' END
+    GROUP BY lang
+    """,
+    doc="Stratified rebalancing sample: majority language keeps "
+    "~12.5% (hex prefix < '2'), minority languages keep ~50% "
+    "(< '8') — the down-sample-the-head / keep-the-tail move that "
+    "rebalances a language-skewed corpus. Same content-hash "
+    "determinism as sample_hash_bucket (append-stable, "
+    "engine-independent), per-stratum thresholds via one CASE in a "
+    "scan filter: zero shuffle until the count.",
+    tags=("pipeline", "sampling"),
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    threshold = F.when(F.col("lang") == "en", "2").otherwise("8")
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.md5(F.col("doc_id").cast("string")) < threshold)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sum_chars"))
+    )
