@@ -208,3 +208,79 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx(cents, 0.90, 1000).alias("p90_cents"),
         )
     )
+
+
+@q(
+    "mode_per_group",
+    oracle="""
+    SELECT lang, source AS mode_source, n FROM (
+      SELECT lang, source, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY COUNT(*) DESC, source) AS rn
+      FROM documents
+      GROUP BY lang, source
+    ) WHERE rn = 1
+    """,
+    doc="Statistical mode per group (most frequent source per "
+    "language), deterministic via (count DESC, value ASC) ranking. "
+    "Two-level aggregate: the inner count shrinks to |lang x source| "
+    "rows before the window, so the window sort is over a tiny "
+    "grouped set — never the raw table.",
+    tags=("stats",),
+)
+def mode_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    counted = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("mode_source"), "n")
+    )
+
+
+@q(
+    "mad_robust_stats",
+    oracle="""
+    WITH med AS (
+      SELECT lang,
+             CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_chars)
+                  AS BIGINT) AS med_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, m.med_chars,
+           CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (
+                ORDER BY abs(d.n_chars - m.med_chars)) AS BIGINT) AS mad_chars
+    FROM documents d JOIN med m ON d.lang = m.lang
+    GROUP BY d.lang, m.med_chars
+    """,
+    doc="Median absolute deviation per group — the robust spread "
+    "statistic quality filters should use instead of stddev (one "
+    "10M-char outlier doc barely moves MAD but wrecks sigma). "
+    "Two-pass exact: per-group integer median, broadcast back, median "
+    "of absolute deviations. All integer PERCENTILE_DISC — no float "
+    "drift possible.",
+    tags=("stats", "quality"),
+)
+def mad_robust_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"
+        ).alias("med_chars")
+    )
+    return (
+        docs.join(F.broadcast(med), "lang")
+        .withColumn("_dev", F.abs(F.col("n_chars") - F.col("med_chars")))
+        .groupBy("lang", "med_chars")
+        .agg(
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY _dev) AS BIGINT)"
+            ).alias("mad_chars")
+        )
+    )
