@@ -151,3 +151,61 @@ def event_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type")
     )
+
+
+@q(
+    "gaps_islands_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             CAST(d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                           AS INTEGER) AS DATE) AS anchor
+      FROM days
+    ), islands AS (
+      SELECT user_id, COUNT(*) AS streak_days,
+             strftime(MIN(d), '%Y-%m-%d') AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, streak_days, streak_start FROM (
+      SELECT user_id, streak_days, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_days DESC, streak_start) AS rn
+      FROM islands
+    ) WHERE rn = 1
+    """,
+    doc="Gaps-and-islands: each user's longest consecutive-day "
+    "activity streak via the date-minus-row-number anchor trick "
+    "(consecutive days share an anchor; any gap starts a new island). "
+    "The distinct-day projection collapses the event stream before "
+    "any window — the windows and island aggregate run over "
+    "|user x active-day|, not |events|. Ties broken by earliest "
+    "streak start.",
+    tags=("events", "window", "analytics"),
+)
+def gaps_islands_streaks(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    islands = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("streak_days"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    wbest = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start")
+    )

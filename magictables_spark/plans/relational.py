@@ -496,3 +496,53 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(_rev_i) AS DOUBLE) / 10000.0").alias("revenue"),
         )
     )
+
+
+_AGG_FILTER_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE {QTY_I} > 2500) AS n_large,
+       CAST(SUM({REV_I}) FILTER (WHERE {DISC_I} = 0) AS DOUBLE) / 10000.0
+         AS rev_no_discount
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@q(
+    "agg_filter_clause",
+    oracle=_AGG_FILTER_SQL,
+    doc="SQL-standard FILTER (WHERE ...) aggregate modifier — several "
+    "conditional aggregates from ONE pass without CASE scaffolding. "
+    "The identical SQL text runs on both engines via spark.sql "
+    "(SQL-entry parity, SURVEY §2.C); Catalyst compiles each FILTER "
+    "into the same partial-aggregate pipeline a CASE WHEN would get.",
+    tags=("relational", "agg", "sql"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_AGG_FILTER_SQL)
+
+
+@q(
+    "except_all",
+    oracle="""
+    SELECT l_orderkey % 97 AS k, l_linenumber FROM lineitem
+    EXCEPT ALL
+    SELECT l_orderkey % 97, l_linenumber FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+    doc="Multiset difference (EXCEPT ALL): duplicates subtract by "
+    "count, unlike set EXCEPT which collapses them — the correct "
+    "semantics for 'remove one occurrence per match' reconciliation. "
+    "Spark plans a hash-partitioned count-difference expand, one "
+    "shuffle on the row value.",
+    tags=("relational", "setops"),
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select((F.col("l_orderkey") % 97).alias("k"), "l_linenumber")
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        (F.col("l_orderkey") % 97).alias("k"), "l_linenumber"
+    )
+    return a.exceptAll(b)
