@@ -546,3 +546,55 @@ def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % 97).alias("k"), "l_linenumber"
     )
     return a.exceptAll(b)
+
+
+@q(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN l_orderkey % 5 = 0 THEN NULL
+                  ELSE l_orderkey % 50 END AS k,
+             l_linenumber
+      FROM lineitem WHERE l_orderkey % 10 < 2
+    ), b AS (
+      SELECT DISTINCT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                           ELSE o_orderkey % 50 END AS k
+      FROM orders WHERE o_orderkey % 10 < 2
+    )
+    SELECT a.k, COUNT(*) AS n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    """,
+    doc="Null-safe equality join: NULL keys MATCH each other (Spark "
+    "<=> / SQL IS NOT DISTINCT FROM), where plain equality silently "
+    "drops every NULL-keyed row — the semantics dimension tables with "
+    "unknown members need. Planned as a regular hash join on the "
+    "null-safe key, not a nested loop.",
+    tags=("relational", "join", "nulls"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 < 2)
+        .select(
+            F.when(F.col("l_orderkey") % 5 == 0, None)
+            .otherwise(F.col("l_orderkey") % 50)
+            .alias("k"),
+            "l_linenumber",
+        )
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 < 2)
+        .select(
+            F.when(F.col("o_orderkey") % 5 == 0, None)
+            .otherwise(F.col("o_orderkey") % 50)
+            .alias("kb")
+        )
+        .distinct()
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["kb"]))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )

@@ -312,3 +312,32 @@ def window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rolling_avg_4"),
         )
     )
+
+
+@q(
+    "window_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CUME_DIST() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_custkey) AS cd
+    FROM customer
+    WHERE c_custkey % 20 = 0
+    """,
+    doc="Cumulative distribution window: fraction of the partition at "
+    "or below each row. Ordered by the unique key, so every rank — "
+    "and therefore every cume_dist fraction k/n — is tie-free and "
+    "identical across engines (the division is one exact int-ratio "
+    "double).",
+    tags=("window",),
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.cume_dist().over(w).alias("cd"),
+        )
+    )

@@ -100,3 +100,14 @@ def test_connected_components_chain_and_singletons(spark):
     assert {got[i] for i in (1, 2, 3, 4, 5)} == {1}
     assert got[10] == got[11] == 10
     assert got[99] == 99
+
+
+def test_observed_write_metrics(spark, sf_dir, tmp_path):
+    from magictables_spark.operators.scale import observed_write
+
+    df = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    instrumented, obs = observed_write(df)
+    instrumented.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    metrics = obs.get
+    assert metrics["n_rows"] == df.count()
+    assert metrics["n_null_first_col"] == 0
