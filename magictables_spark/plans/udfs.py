@@ -227,3 +227,42 @@ def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, s.phase, s.phase_cents "
         "FROM udtf_base, LATERAL split_payment(cents) s"
     )
+
+
+@q(
+    "map_in_arrow_stream",
+    oracle="""
+    SELECT doc_id, length(text) * 2 AS double_chars
+    FROM documents
+    """,
+    doc="mapInArrow surface: the partition-streaming UDF API one rung "
+    "below mapInPandas — RecordBatches reach Python with NO pandas "
+    "conversion (no index construction, no block consolidation), the "
+    "right choice when the kernel is already columnar (numpy/pyarrow "
+    "compute). Same Arrow transport, less per-batch overhead; the "
+    "kernel here is pure pyarrow.compute so nothing materializes "
+    "row-wise anywhere.",
+    tags=("udf", "arrow"),
+)
+def map_in_arrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _double_chars(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            out = pa.table(
+                {
+                    "doc_id": tbl["doc_id"],
+                    "double_chars": pc.multiply(
+                        pc.utf8_length(tbl.column("text").combine_chunks()), 2
+                    ),
+                }
+            )
+            yield from out.to_batches()
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInArrow(_double_chars, schema="doc_id bigint, double_chars bigint")
+    )
