@@ -238,3 +238,67 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(status_null.isNotNull(), F.col("o_totalprice")).alias("closed_price"),
         )
     )
+
+
+@q(
+    "date_arith_months",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_1m,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+           strftime(CAST(date_trunc('month', o_orderdate) AS DATE)
+                    + INTERVAL 1 MONTH - INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS month_end
+    FROM orders
+    WHERE o_orderkey % 40 = 0
+    """,
+    doc="Calendar month arithmetic: +1/+3 months and end-of-month "
+    "derivation. Both engines clamp overflow to the last valid day "
+    "(Jan 31 + 1 month = Feb 28/29) — this slug PROVES the clamping "
+    "semantics agree rather than assuming it; month_end is the "
+    "truncate-advance-subtract idiom that is correct in every "
+    "calendar corner (leap years included).",
+    tags=("scalar", "date"),
+)
+def date_arith_months(spark, sf_dir):
+    d = F.to_date("o_orderdate")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select(
+            "o_orderkey",
+            F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_1m"),
+            F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3m"),
+            F.date_format(
+                F.date_sub(F.add_months(F.trunc(d, "month"), 1), 1), "yyyy-MM-dd"
+            ).alias("month_end"),
+        )
+    )
+
+
+@q(
+    "try_cast_clean",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(TRY_CAST(string_split(text, ' ')[1] AS BIGINT)) AS n_numeric_lead,
+           CAST(COALESCE(SUM(TRY_CAST(string_split(text, ' ')[1] AS BIGINT)), 0)
+                AS BIGINT) AS numeric_sum
+    FROM documents
+    """,
+    doc="Dirty-data coercion: TRY_CAST the first token of every "
+    "document — NULL on failure instead of a task-killing exception "
+    "(plain CAST aborts the whole 100 TB job on one malformed row). "
+    "Identical null-on-failure semantics on both engines; COUNT(expr) "
+    "skips the nulls, giving the parse-success rate for free.",
+    tags=("scalar", "quality"),
+)
+def try_cast_clean(spark, sf_dir):
+    lead = F.element_at(F.split(F.col("text"), " "), 1)
+    parsed = F.try_cast(lead, "bigint") if hasattr(F, "try_cast") else F.expr(
+        "TRY_CAST(split(text, ' ')[0] AS BIGINT)"
+    )
+    return _t(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_rows"),
+        F.count(parsed).alias("n_numeric_lead"),
+        F.coalesce(F.sum(parsed), F.lit(0)).cast("bigint").alias("numeric_sum"),
+    )
