@@ -284,3 +284,34 @@ def mad_robust_stats(spark, sf_dir):
             ).alias("mad_chars")
         )
     )
+
+
+@q(
+    "hll_sketch_rollup",
+    oracle=None,  # sketch estimates; gated vs exact distincts in tests
+    doc="Mergeable HLL sketch rollup (Apache DataSketches via Spark 4 "
+    "hll_sketch_agg): per-day user sketches union-merged into weekly "
+    "distinct-user estimates WITHOUT re-touching the events — the "
+    "pattern that makes 100 TB distinct-count rollups incremental "
+    "(store tiny daily sketches, merge any horizon on demand; exact "
+    "COUNT DISTINCT would re-scan the raw data per horizon). Tests "
+    "gate every estimate within 5% of the exact distinct count.",
+    tags=("stats", "sketch", "scale"),
+)
+def hll_sketch_rollup(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("week")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_weekly_users"),
+        )
+        .orderBy("week")
+    )

@@ -114,3 +114,22 @@ def test_streaks_within_activity_span(spark, sf_dir):
     for r in streaks:
         lo, hi = spans[r.user_id]
         assert 1 <= r.streak_days <= (hi - lo).days + 1
+
+
+def test_hll_rollup_close_to_exact(spark, sf_dir):
+    from magictables_spark.plans.catalog import load_table
+
+    approx = {
+        r.week: r.approx_weekly_users
+        for r in _run(spark, sf_dir, "hll_sketch_rollup").collect()
+    }
+    exact = {
+        r.week: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for wk, n in exact.items():
+        assert abs(approx[wk] - n) <= max(1, 0.05 * n), (wk, approx[wk], n)
