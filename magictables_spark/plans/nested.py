@@ -219,3 +219,33 @@ def concat_diagonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+@q(
+    "variant_json_ops",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           COUNT(json_extract_string(props, '$.k')) AS k_present
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT ingestion of the events.props JSON payload: "
+    "parse_json once into the binary semi-structured type, then "
+    "variant_get path access — no per-query string re-parsing and no "
+    "rigid struct schema, the right shape for heterogeneous JSON at "
+    "scale (VARIANT columns store shredded binary; path access skips "
+    "text parsing entirely). Oracle reads the same paths via DuckDB's "
+    "JSON functions.",
+    tags=("nested", "json", "spark4"),
+)
+def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.expr("CAST(variant_get(v, '$.k') AS BIGINT)")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.count(k).alias("k_present"),
+    )
