@@ -213,3 +213,50 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@q(
+    "triangle_count",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey % 400 AS p FROM lineitem),
+    edges AS (
+      SELECT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e2.v = e3.v AND e1.u = e3.u) AS n_triangles
+    """,
+    doc="Distributed triangle counting over the part co-purchase graph "
+    "(parts co-occurring in >= 2 orders). Edges are canonically "
+    "ordered (u < v), so each triangle is counted exactly once by the "
+    "u<v<w three-way join — the standard shuffle-join formulation "
+    "(node-iterator); at real scale you'd pre-partition edges by u "
+    "and prune by degree ordering, same plan shape. Complements "
+    "dedup_clusters (connectivity) with cohesion analytics.",
+    tags=("graph", "analytics"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 400).alias("p")
+    )
+    a = li.select("l_orderkey", F.col("p").alias("u"))
+    b = li.select("l_orderkey", F.col("p").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        F.broadcast(n_edges)
+    ).select("n_edges", "n_triangles")
