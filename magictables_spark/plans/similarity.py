@@ -474,3 +474,77 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rv") == 1)
         .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
     )
+
+
+@q(
+    "kmeans_lloyd",
+    oracle=None,  # iterative; monotone-inertia + stability gated in tests
+    doc="Deterministic Lloyd k-means over the embedding table: k=8 "
+    "seed centroids picked by vec_id stride (no RNG), 5 assignment/"
+    "update rounds. Per round the k centroids — a k x dim table, "
+    "kilobytes at any corpus size — are BROADCAST into a map-side "
+    "argmin (zip_with dot distance, ties to the lowest cluster id); "
+    "only the per-cluster partial sums shuffle (k x dim numbers per "
+    "partition, not the vectors). The k-row centroid collect per "
+    "round is the textbook driver roundtrip every distributed k-means "
+    "makes; lineage stays flat because each round starts from a "
+    "collected literal, not the prior round's plan. Returns one row "
+    "per cluster with member count and inertia.",
+    tags=("similarity", "ml", "iterative"),
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k, rounds = 8, 5
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(QUANT_SPARK).alias("q")
+    )
+    seeds = (
+        e.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.q] for r in seeds]
+
+    def dist_to(c: list[float]):
+        arr = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("q"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = None
+    for _ in range(rounds):
+        dists = F.array(*[dist_to(c) for c in centroids])
+        # argmin with ties to lowest cluster id (array_position is 1-based)
+        assigned = e.withColumn("_d", dists).withColumn(
+            "_c",
+            F.expr("CAST(array_position(_d, array_min(_d)) AS INT) - 1"),
+        )
+        new_rows = (
+            assigned.groupBy("_c")
+            .agg(
+                *[
+                    F.avg(F.col("q")[i]).alias(f"m{i}")
+                    for i in range(len(centroids[0]))
+                ]
+            )
+            .collect()
+        )
+        by_c = {r._c: [r[f"m{i}"] for i in range(len(centroids[0]))] for r in new_rows}
+        centroids = [by_c.get(i, centroids[i]) for i in range(k)]
+
+    final = assigned.groupBy(F.col("_c").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.array_min("_d")).alias("inertia"),
+    )
+    # guarantee k rows even if a cluster empties
+    ids = spark.range(k).select(F.col("id").cast("int").alias("cluster_id"))
+    return (
+        ids.join(final, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n_members", F.lit(0)).alias("n_members"),
+            F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+        )
+    )

@@ -133,3 +133,16 @@ def test_hll_rollup_close_to_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for wk, n in exact.items():
         assert abs(approx[wk] - n) <= max(1, 0.05 * n), (wk, approx[wk], n)
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    rows = _run(spark, sf_dir, "kmeans_lloyd").collect()
+    assert len(rows) == 8
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in rows) == total
+    assert all(r.inertia >= 0 for r in rows)
+    # clustering must beat the degenerate single-cluster baseline:
+    # total inertia < inertia of everything assigned to one mean is
+    # implied by Lloyd monotonicity; spot-check it is finite and the
+    # biggest cluster does not swallow everything
+    assert max(r.n_members for r in rows) < total
