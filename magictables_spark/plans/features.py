@@ -315,3 +315,53 @@ def hll_sketch_rollup(spark, sf_dir):
         )
         .orderBy("week")
     )
+
+
+@q(
+    "winsorize_clip",
+    oracle="""
+    WITH bounds AS (
+      SELECT lang,
+             CAST(PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS lo,
+             CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           CASE WHEN d.n_chars < b.lo THEN b.lo
+                WHEN d.n_chars > b.hi THEN b.hi
+                ELSE d.n_chars END AS clipped_chars,
+           (d.n_chars < b.lo OR d.n_chars > b.hi) AS was_clipped
+    FROM documents d JOIN bounds b ON d.lang = b.lang
+    WHERE d.doc_id % 10 = 0
+    """,
+    doc="Winsorization (Polars clip parity): cap values at per-stratum "
+    "p05/p95 instead of dropping outlier rows — the transform twin of "
+    "quality_band_filter's filter. Exact integer percentiles on the "
+    "tiny grouped side broadcast back into a map-side clamp; the "
+    "was_clipped flag gives the audit trail.",
+    tags=("stats", "quality", "pipeline"),
+)
+def winsorize_clip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    bounds = docs.groupBy("lang").agg(
+        F.expr(
+            "CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"
+        ).alias("lo"),
+        F.expr(
+            "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"
+        ).alias("hi"),
+    )
+    return (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .join(F.broadcast(bounds), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.greatest(F.least(F.col("n_chars"), F.col("hi")), F.col("lo")).alias(
+                "clipped_chars"
+            ),
+            (
+                (F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi"))
+            ).alias("was_clipped"),
+        )
+    )
