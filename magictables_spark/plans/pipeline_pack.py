@@ -255,3 +255,64 @@ def freq_items_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select(
         F.explode(F.array_sort(F.col("user_id_freqItems"))).alias("candidate_user_id")
     )
+
+
+@q(
+    "kfold_assignment",
+    oracle="""
+    SELECT fold, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT ascii(md5(CAST(doc_id AS VARCHAR))) % 5 AS fold, n_chars
+      FROM documents
+    ) f
+    GROUP BY fold
+    """,
+    doc="Deterministic k-fold cross-validation assignment: fold = "
+    "first md5 hex byte mod 5 — same content-hash determinism as "
+    "train_test_split (a document keeps its fold forever; folds are "
+    "reproducible on any engine with no RNG state). ascii() of the "
+    "hex string's first char agrees across engines because md5 hex "
+    "is lowercase on both. Map-side label + tiny aggregate.",
+    tags=("pipeline", "sampling", "ml"),
+)
+def kfold_assignment(spark, sf_dir):
+    fold = F.ascii(F.md5(F.col("doc_id").cast("string"))) % 5
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(fold.alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("sum_chars"))
+    )
+
+
+@q(
+    "arrays_zip_explode",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           unnest(list_transform(string_split(text, ' '), t -> length(t)))
+             AS token_len
+    FROM documents
+    WHERE doc_id % 50 = 0
+    """,
+    doc="Parallel-array zip + explode: tokens and their lengths emitted "
+    "as aligned rows via arrays_zip -> explode (Polars "
+    "explode-multiple-columns parity). DuckDB zips aligned parallel "
+    "unnests; Spark explodes the zipped struct then projects its "
+    "fields. Map-side, no shuffle.",
+    tags=("nested", "array"),
+)
+def arrays_zip_explode(spark, sf_dir):
+    toks = F.split(F.col("text"), " ")
+    lens = F.transform(toks, lambda t: F.length(t))
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", F.explode(F.arrays_zip(toks.alias("t"), lens.alias("l"))).alias("z"))
+        .select(
+            "doc_id",
+            F.col("z.t").alias("token"),
+            F.col("z.l").cast("bigint").alias("token_len"),
+        )
+    )
