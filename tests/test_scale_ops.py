@@ -111,3 +111,30 @@ def test_observed_write_metrics(spark, sf_dir, tmp_path):
     metrics = obs.get
     assert metrics["n_rows"] == df.count()
     assert metrics["n_null_first_col"] == 0
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact with a filtered dim must inject a
+    dynamicpruning subquery into the fact scan — at 100 TB this is
+    the difference between scanning 5 and 5000 partitions."""
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "orders_by_status")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .write.partitionBy("o_orderstatus")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        spark.createDataFrame(
+            [("F", "finished"), ("O", "open"), ("P", "pending")],
+            "status string, label string",
+        )
+        .filter(F.col("label") == "finished")
+    )
+    joined = fact.join(dim, fact.o_orderstatus == dim.status).groupBy("label").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    rows = joined.collect()
+    assert rows and rows[0]["count"] > 0
