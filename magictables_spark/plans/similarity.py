@@ -232,7 +232,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hashes, n_bands = 16, 4  # 4 rows per band
-    toks = F.split(F.col("text"), " ")
     from magictables_spark.functions import shingles as _sh
 
     shingles = _sh("text", n=3)
