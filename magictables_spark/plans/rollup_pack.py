@@ -45,8 +45,8 @@ VAL_I = "CAST(ROUND(value * 100) AS BIGINT)"  # events.value cents
     "resolutions of the event stream in ONE pass. Spark uses GROUPING "
     "SETS over three pre-truncated bucket columns — a single Expand "
     "(3x map-side row fan-out) feeding one shuffle, versus three "
-    "separate scans of a 100 TB fact table. The oracle cross-joins a "
-    "resolution spine to express the same union declaratively.",
+    "separate scans of a 100 TB fact table — exactly what the oracle's "
+    "three-way UNION ALL pays.",
     tags=("timeseries", "rollup", "events"),
 )
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,4 +192,73 @@ def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_custkey").agg(
         F.max_by("o_orderstatus", version).alias("latest_status"),
         F.count("*").alias("n_orders"),
+    )
+
+
+@q(
+    "pct_change",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_i
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev_i - LAG(rev_i) OVER (ORDER BY month) AS DOUBLE)
+             / CAST(LAG(rev_i) OVER (ORDER BY month) AS DOUBLE) AS pct_change
+    FROM monthly
+    """,
+    doc="Relative period-over-period change (Polars pct_change "
+    "parity): (cur - prev) / prev over the aggregated monthly "
+    "series. Both operands are exact int64 sums, the division is one "
+    "IEEE double op — bit-identical across engines; the first month "
+    "is NULL on both. Same aggregate-first-window-second scale shape "
+    "as period_over_period.",
+    tags=("timeseries", "window"),
+)
+def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("rev_i"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev_i").over(w)
+    return monthly.select(
+        "month",
+        ((F.col("rev_i") - prev).cast("double") / prev.cast("double")).alias(
+            "pct_change"
+        ),
+    )
+
+
+@q(
+    "value_counts_share",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE) AS share
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Normalized frequency table (Polars value_counts(normalize) "
+    "parity): category counts with share-of-total. The 1-row grand "
+    "total broadcasts into the grouped counts; the share is one "
+    "exact-int double division. No second scan of the data — Spark "
+    "reuses the aggregated side for both.",
+    tags=("stats", "agg"),
+)
+def value_counts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    return counts.join(F.broadcast(total)).select(
+        "o_orderpriority",
+        "n",
+        (F.col("n").cast("double") / F.col("_total").cast("double")).alias("share"),
     )
