@@ -207,8 +207,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from magictables_spark.operators.multimodal import extract_features, read_media
 
-    media_dir = os.path.join(tempfile.gettempdir(), "mts_media_demo")
-    os.makedirs(media_dir, exist_ok=True)
+    import shutil
+
+    # per-sf dir, cleared each run: output must depend on the input
+    # sf_dir, never on files left by a previous run at another SF
+    media_dir = os.path.join(
+        tempfile.gettempdir(), "mts_media_demo_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(media_dir, ignore_errors=True)
+    os.makedirs(media_dir)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0).collect()
     for r in docs:
         ext = ".png" if r.doc_id % 200 == 0 else ".wav"

@@ -179,7 +179,11 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(orders as status updates) to latest-record-per-key in one "
     "aggregate — max_by over a packed (epoch << 32 | unique-id) "
     "version key, a deterministic scalar tie-break both engines "
-    "honor. This is the upsert pattern for engines without MERGE "
+    "honor (scalar packing because DuckDB's max_by cannot order by a "
+    "struct; epoch-second granularity is lossless here since "
+    "o_orderdate is day-grained — the streaming twin "
+    "stream_upsert_foreach_batch uses a full-precision struct MAX "
+    "instead). This is the upsert pattern for engines without MERGE "
     "INTO: one shuffle, no window sort, map-side partial max_by.",
     tags=("pipeline", "merge"),
 )

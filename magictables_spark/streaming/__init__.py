@@ -135,18 +135,24 @@ def stream_upsert_foreach_batch(
     semantics without a table format (the batch twin is the
     `merge_upsert_latest` slug). Each batch:
 
-      read current snapshot -> union new rows -> max_by((ts, event_id))
-      per key -> write to a fresh snapshot dir -> atomic swap.
+      read current snapshot -> union new rows -> take the MAX of a
+      (ts, event_id, status) struct per key (one atomic winner row —
+      never a hybrid of fields from different events; full timestamp
+      precision, no epoch-second truncation) -> write a new versioned
+      snapshot dir -> atomically repoint a manifest file at it.
 
-    The swap (write-new, rename, delete-old) keeps readers from ever
-    seeing a half-written snapshot; at production scale the same
-    foreachBatch body targets Delta/Iceberg MERGE and the swap
-    disappears. State is bounded: the snapshot carries one row per
-    key, not the event history.
+    Crash safety: the manifest (`LATEST`) is updated with os.replace —
+    atomic on POSIX — so readers either resolve the old snapshot or
+    the new one, never a half state; a crash between write and
+    repoint leaves the old snapshot intact and the checkpoint simply
+    re-runs the batch. Superseded snapshot dirs are pruned after the
+    repoint. At production scale the same foreachBatch body targets
+    Delta/Iceberg MERGE and the manifest disappears. State is
+    bounded: the snapshot carries one row per key, not the event
+    history. Read back with :func:`read_upsert_snapshot`.
     """
     import os
     import shutil
-    import uuid
 
     from pyspark.sql import functions as F
 
@@ -157,27 +163,37 @@ def stream_upsert_foreach_batch(
         incoming = batch_df.select(
             *keys, F.col(status_col), F.col("ts"), F.col("event_id")
         )
-        snap = os.path.join(target_dir, "snapshot")
-        if os.path.exists(snap):
-            current = spark.read.parquet(snap).select(*incoming.columns)
+        current_dir = _resolve_snapshot(target_dir)
+        if current_dir is not None:
+            current = spark.read.parquet(current_dir).select(*incoming.columns)
             incoming = current.unionByName(incoming)
-        version = (
-            F.unix_timestamp("ts").cast("long") * F.lit(4294967296).cast("long")
-            + F.col("event_id")
+        # one struct MAX picks the whole winning row atomically:
+        # lexicographic (ts, event_id) is the version order, and the
+        # status rides inside the struct so fields can never mix
+        winner = F.max(
+            F.struct(F.col("ts"), F.col("event_id"), F.col(status_col).alias("_s"))
+        ).alias("_w")
+        merged = (
+            incoming.groupBy(*keys)
+            .agg(winner)
+            .select(
+                *keys,
+                F.col("_w._s").alias(status_col),
+                F.col("_w.ts").alias("ts"),
+                F.col("_w.event_id").alias("event_id"),
+            )
         )
-        merged = incoming.groupBy(*keys).agg(
-            F.max_by(status_col, version).alias(status_col),
-            F.max("ts").alias("ts"),
-            F.max_by("event_id", version).alias("event_id"),
-        )
-        fresh = os.path.join(target_dir, f"snapshot_{uuid.uuid4().hex[:8]}")
+        fresh = os.path.join(target_dir, f"snapshot_b{batch_id}")
         merged.write.mode("overwrite").parquet(fresh)
-        old = os.path.join(target_dir, f"old_{uuid.uuid4().hex[:8]}")
-        if os.path.exists(snap):
-            os.rename(snap, old)
-        os.rename(fresh, snap)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        # atomic repoint: readers see the old snapshot or the new one
+        tmp = os.path.join(target_dir, "LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(os.path.basename(fresh))
+        os.replace(tmp, os.path.join(target_dir, "LATEST"))
+        for name in os.listdir(target_dir):
+            p = os.path.join(target_dir, name)
+            if name.startswith("snapshot_") and p != fresh and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(merge_batch)
@@ -185,3 +201,23 @@ def stream_upsert_foreach_batch(
         .outputMode("update")
         .trigger(availableNow=True)
     )
+
+
+def _resolve_snapshot(target_dir: str) -> str | None:
+    import os
+
+    manifest = os.path.join(target_dir, "LATEST")
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as f:
+        name = f.read().strip()
+    path = os.path.join(target_dir, name)
+    return path if os.path.isdir(path) else None
+
+
+def read_upsert_snapshot(spark, target_dir: str) -> DataFrame:
+    """Read the current upsert snapshot via the manifest pointer."""
+    path = _resolve_snapshot(target_dir)
+    if path is None:
+        raise FileNotFoundError(f"no snapshot manifest in {target_dir}")
+    return spark.read.parquet(path)

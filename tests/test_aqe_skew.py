@@ -44,7 +44,7 @@ def test_skewed_join_matches_plain_join(spark, sf_dir):
         .otherwise(F.col("o_orderkey"))
         .alias("k"),
         "o_orderpriority",
-    ).dropDuplicates(["k"])
+    ).groupBy("k").agg(F.min("o_orderpriority").alias("o_orderpriority"))
     joined = li.join(dim, "k").groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), F.sum(F.expr("CAST(ROUND(l_quantity*100) AS BIGINT)")).alias("q")
     )

@@ -29,6 +29,8 @@ def test_curation_funnel_stages_shrink(spark, sf_dir):
 
 
 def test_chunking_covers_and_overlaps(spark, sf_dir):
+    from magictables_spark.plans.llmdata_pack import CHUNK, STRIDE
+
     docs = {
         r.doc_id: r.text.split(" ")
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -43,11 +45,11 @@ def test_chunking_covers_and_overlaps(spark, sf_dir):
         got = by_doc[doc_id]
         # chunk i must be exactly the stride-window slice of the source
         for i, ctoks in got.items():
-            assert ctoks == toks[i * 40 : i * 40 + 50], (doc_id, i)
+            assert ctoks == toks[i * STRIDE : i * STRIDE + CHUNK], (doc_id, i)
         # every token position is covered by at least one chunk
         covered = set()
         for i in got:
-            covered.update(range(i * 40, min(i * 40 + 50, len(toks))))
+            covered.update(range(i * STRIDE, min(i * STRIDE + CHUNK, len(toks))))
         assert covered == set(range(len(toks))), doc_id
 
 

@@ -10,6 +10,7 @@ import pytest
 from magictables_spark.operators.scale import compact_files
 from magictables_spark.streaming import (
     read_events_stream,
+    read_upsert_snapshot,
     stream_upsert_foreach_batch,
 )
 
@@ -44,7 +45,7 @@ def test_stream_upsert_latest_wins(spark, upsert_events_dir, tmp_path):
         q.awaitTermination(120)
     finally:
         q.stop()
-    snap = spark.read.parquet(os.path.join(target, "snapshot"))
+    snap = read_upsert_snapshot(spark, target)
     rows = {r.user_id: r for r in snap.collect()}
     assert set(rows) == {1, 2}
     assert rows[1].event_type == "purchase"  # later ts won
@@ -76,7 +77,7 @@ def test_stream_upsert_is_incremental_across_restarts(spark, upsert_events_dir, 
         q2.awaitTermination(120)
     finally:
         q2.stop()
-    snap = spark.read.parquet(os.path.join(target, "snapshot"))
+    snap = read_upsert_snapshot(spark, target)
     rows = {r.user_id: r.event_type for r in snap.collect()}
     assert rows == {1: "purchase", 2: "purchase"}
 
@@ -92,3 +93,27 @@ def test_compact_files_reduces_file_count(spark, sf_dir, tmp_path):
     n_out = compact_files(spark, frag, out, target_file_bytes=512 * 1024)
     assert n_out < n_in
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_stream_upsert_subsecond_ordering(spark, tmp_path):
+    """A later sub-second event with a LOWER event_id must win — the
+    version order is full-precision (ts, event_id), not epoch
+    seconds (regression: scalar epoch packing truncated to whole
+    seconds and let the higher id win the tie it shouldn't see)."""
+    rows = [
+        {"event_id": 20, "ts": "2024-01-01T00:00:01.100", "user_id": 1, "event_type": "click", "value": 0.0},
+        {"event_id": 10, "ts": "2024-01-01T00:00:01.900", "user_id": 1, "event_type": "purchase", "value": 0.0},
+    ]
+    d = tmp_path / "subsec_in"
+    d.mkdir()
+    (d / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    target = str(tmp_path / "table")
+    os.makedirs(target)
+    src = read_events_stream(spark, str(d))
+    q = stream_upsert_foreach_batch(src, target, str(tmp_path / "ckpt")).start()
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    row = read_upsert_snapshot(spark, target).collect()[0]
+    assert row.event_type == "purchase" and row.event_id == 10
