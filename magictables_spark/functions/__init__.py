@@ -39,17 +39,27 @@ def shingles(text_col: Column | str, n: int = 3, sep: str = " ") -> Column:
     """Distinct n-token shingles of a text column (dedup/similarity
     building block)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(c, sep)
-    # guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), so short texts
-    # must short-circuit to an empty array, not an empty sequence
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                idx, lambda i: F.concat_ws(sep, *[F.element_at(toks, i + k) for k in range(n)])
+
+    # Bind the token array ONCE as a lambda variable: higher-order
+    # functions are interpreted without common-subexpression elimination,
+    # so referencing split(text) directly inside the per-index lambda
+    # re-splits the whole text per element (O(tokens^2) per doc — measured
+    # 5x the entire minhash pipeline at sf0.1). The array-wrap trick
+    # evaluates split() once per row.
+    def _body(toks):
+        # guard: sequence(1, 0) DESCENDS in Spark ([1, 0]), so short texts
+        # must short-circuit to an empty array, not an empty sequence
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(sep, *[F.element_at(toks, i + k) for k in range(n)]),
+                )
             )
         )
-    )
+
+    return F.element_at(F.transform(F.array(F.split(c, sep)), _body), 1)
 
 
 def token_count(text_col: Column | str, sep: str = " ") -> Column:

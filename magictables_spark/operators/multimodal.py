@@ -9,11 +9,12 @@ feature-extract / resize / frame-sample run as Arrow-batched
 a cluster: one Python worker per partition, binary batches cross via
 Arrow, no per-row pickling.
 
-The actual decoders (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernel is stubbed: ``decode_stub=True`` produces
-deterministic fake features (so the distributed plumbing — schema,
-batching, partitioning — is fully testable); ``decode_stub=False``
-raises NotImplementedError where the real library call belongs.
+Decode is REAL for PNG and WAV via pure-stdlib codecs
+(``media_codecs.py``: struct/zlib PNG unfiltering + ``wave``-module PCM
+parsing — no external media library needed); formats that genuinely
+require a codec library (JPEG/MP3/MP4, where PIL/ffmpeg would plug into
+the kernel) yield ``ok=False``. ``decode_stub=True`` switches to a
+deterministic md5-seeded fake embedding for plumbing-only tests.
 """
 
 from __future__ import annotations
@@ -61,24 +62,37 @@ def _feature_kernel(decode_stub: bool, dim: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from magictables_spark.operators.media_codecs import (
+            UnsupportedMediaError,
+            media_features,
+        )
+
         for pdf in batches:
             feats, oks = [], []
-            for content in pdf["content"]:
+            for content, mime in zip(pdf["content"], pdf["mime"]):
                 if content is None:
                     feats.append(None)
                     oks.append(False)
                     continue
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real media decode needs PIL/ffmpeg (not in this container); "
-                        "call with decode_stub=True"
-                    )
-                # deterministic fake embedding: md5-seeded floats from the
-                # bytes — exercises the exact schema/batch path a real
-                # model would use
-                h = hashlib.md5(bytes(content)).digest()
-                feats.append([((h[i % 16] / 255.0) - 0.5) for i in range(dim)])
-                oks.append(True)
+                if decode_stub:
+                    # deterministic fake embedding: md5-seeded floats from
+                    # the bytes — exercises the exact schema/batch path a
+                    # real model would use, without decoding
+                    h = hashlib.md5(bytes(content)).digest()
+                    feats.append([((h[i % 16] / 255.0) - 0.5) for i in range(dim)])
+                    oks.append(True)
+                    continue
+                # real decode: pure-stdlib PNG/WAV codecs
+                # (media_codecs.py); corrupt bytes or formats needing a
+                # codec library (JPEG/MP3/MP4 -> PIL/ffmpeg plug in HERE)
+                # must yield ok=False, never a task failure — at 100 TB a
+                # bad file cannot kill the job
+                try:
+                    feats.append(media_features(bytes(content), mime, dim))
+                    oks.append(True)
+                except UnsupportedMediaError:
+                    feats.append(None)
+                    oks.append(False)
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
@@ -92,6 +106,8 @@ def _feature_kernel(decode_stub: bool, dim: int):
     return run
 
 
-def extract_features(media: DataFrame, dim: int = 8, decode_stub: bool = True) -> DataFrame:
-    """Binary -> feature vectors through Arrow-batched mapInPandas."""
+def extract_features(media: DataFrame, dim: int = 8, decode_stub: bool = False) -> DataFrame:
+    """Binary -> feature vectors through Arrow-batched mapInPandas.
+    Real PNG/WAV decode by default; ``decode_stub=True`` for
+    plumbing-only deterministic fake features."""
     return media.mapInPandas(_feature_kernel(decode_stub, dim), schema=FEATURE_SCHEMA)

@@ -191,44 +191,37 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "multimodal_features",
     oracle=None,  # binary plumbing; schema/batch shape gated in unit tests
-    doc="Multimodal column pipeline as a query: materialize documents "
-    "as binary media files, ingest via the binaryFile source with "
-    "mime tagging, extract fixed-dim features through the "
-    "Arrow-batched mapInPandas kernel (deterministic stub decoder — "
-    "no media libs in this container; the kernel boundary is where "
-    "PIL/ffmpeg plug in), and report per-mime file counts + feature "
-    "dimensionality. Exercises the full binary ingest -> vectorize "
-    "path end to end (operators/multimodal.py).",
+    doc="Multimodal column pipeline as a query: a pre-materialized "
+    "deterministic media corpus (8 PNGs + 8 WAVs + 1 corrupt file per "
+    "modality; generated once, idempotent — no per-run driver loop, no "
+    ".collect()) is ingested via the binaryFile source with mime "
+    "tagging, REAL-decoded with the pure-stdlib PNG/WAV codecs "
+    "(struct/zlib scanline unfiltering, wave-module PCM stats — "
+    "operators/media_codecs.py) inside the Arrow-batched mapInPandas "
+    "kernel, and aggregated to per-mime file counts, decode successes "
+    "and mean amplitude/pixel statistics. The query itself is a pure "
+    "scan -> featurize -> agg plan that scales with the file count.",
     tags=("multimodal", "pipeline"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from magictables_spark.operators.media_codecs import ensure_media_fixture_dir
     from magictables_spark.operators.multimodal import extract_features, read_media
 
-    import shutil
-
-    # per-sf dir, cleared each run: output must depend on the input
-    # sf_dir, never on files left by a previous run at another SF
-    media_dir = os.path.join(
-        tempfile.gettempdir(), "mts_media_demo_" + os.path.basename(sf_dir.rstrip("/"))
+    media_dir = ensure_media_fixture_dir(
+        os.path.join(tempfile.gettempdir(), "mts_media_fixture_v2")
     )
-    shutil.rmtree(media_dir, ignore_errors=True)
-    os.makedirs(media_dir)
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0).collect()
-    for r in docs:
-        ext = ".png" if r.doc_id % 200 == 0 else ".wav"
-        with open(os.path.join(media_dir, f"doc_{r.doc_id}{ext}"), "wb") as f:
-            f.write(r.text.encode("utf-8"))
     media = read_media(spark, media_dir)
-    feats = extract_features(media, dim=8, decode_stub=True)
+    feats = extract_features(media, dim=8, decode_stub=False)
     return (
         feats.groupBy("mime")
         .agg(
             F.count("*").alias("n_files"),
-            F.min(F.size("feature")).alias("feature_dim"),
             F.sum(F.col("ok").cast("long")).alias("n_decoded"),
+            F.min(F.when(F.col("ok"), F.size("feature"))).alias("feature_dim"),
+            F.round(F.avg(F.when(F.col("ok"), F.col("feature")[4])), 6).alias("mean_stat"),
         )
         .orderBy("mime")
     )

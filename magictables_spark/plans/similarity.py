@@ -97,7 +97,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_neardup",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings WHERE vec_id < 500
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
     ), norms AS (
       SELECT vec_id, q,
              CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
@@ -110,14 +110,15 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i]*b.q[i])) AS BIGINT)
              / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) > 0.35
     """,
-    doc="Embedding-cosine near-duplicate pairs (cosine > 0.35, all pairs "
-    "among vec_id < 500). The all-pairs join is the correctness "
-    "baseline; ann_lsh_topk is the bucketed scale path that avoids the "
-    "quadratic join.",
+    doc="Embedding-cosine near-duplicate pairs (cosine > 0.35) over the "
+    "FULL embeddings table. The all-pairs join is the exact correctness "
+    "baseline — intentionally quadratic; ann_lsh_topk is the bucketed "
+    "scale path that avoids the quadratic join and is the only "
+    "acceptable default at 100 TB.",
     tags=("similarity", "dedup"),
 )
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norms = _quantized(spark, sf_dir, max_id=500).withColumn("nrm", _dot("q", "q"))
+    norms = _quantized(spark, sf_dir).withColumn("nrm", _dot("q", "q"))
     a = norms.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nrm").alias("na")
     )
@@ -226,7 +227,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signature are candidate pairs, verified with exact shingle "
     "Jaccard. Shuffles: one per-band exchange on the band hash + the "
     "candidate verification join — linear in corpus size, not "
-    "quadratic. Rows-only check (xxhash64 is Spark-specific); parity "
+    "quadratic. Runs over the FULL documents table (no fixture cap). "
+    "Rows-only check (xxhash64 is Spark-specific); parity "
     "with the exact Jaccard pairs is asserted in tests.",
     tags=("text", "dedup", "scale"),
 )
@@ -235,19 +237,45 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magictables_spark.functions import shingles as _sh
 
     shingles = _sh("text", n=3)
-    docs = (
+    # Stage geometry, tuned for both ends of the scale:
+    # 1. repartition the raw (doc_id, text) BEFORE the shingle work — a
+    #    small corpus arrives as one parquet split, which would serialize
+    #    the whole map side onto a single core; at 100 TB the same
+    #    exchange spreads skewed file layouts.
+    # 2. shingle ONCE, hash each shingle ONCE to a 64-bit token, then
+    #    repartition the hashed-shingle table. This second exchange is
+    #    consumed three times (banding + both sides of the verify join),
+    #    so Spark's ReusedExchange materializes the expensive
+    #    shingle+hash computation exactly once instead of three times.
+    #    All downstream math is over fixed-width longs, never strings.
+    P = spark.sparkContext.defaultParallelism
+    # round-robin spread (NOT by doc_id): keeps this exchange distinct
+    # from the hash exchange below so Catalyst can't collapse them —
+    # otherwise the shingle+hash projection would float above the only
+    # exchange and be recomputed by every consumer
+    raw = (
         _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id", shingles.alias("sh"))
-        .filter(F.size("sh") > 0)
+        .select("doc_id", "text")
+        # cheap pre-filter: >= n tokens <=> >= 1 shingle. Filtering on
+        # size(hs) AFTER shingling instead would be pushed into the scan
+        # as a DataFilter with the whole shingle+hash pipeline inlined —
+        # running it serially on the scan side before the repartition
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .repartition(P)
     )
-    # minhash k: min over shingles of xxhash64(k, shingle)
+    docs = (
+        raw.select("doc_id", shingles.alias("sh"))
+        # hash each distinct shingle once: the minhash passes and the
+        # Jaccard verify both run on these 8-byte tokens
+        .select("doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs"))
+        .repartition(P, "doc_id")
+    )
+    # minhash k: min over hashed shingles of xxhash64(k, h)
     mh = docs.select(
         "doc_id",
-        "sh",
         F.array(
             *[
-                F.array_min(F.transform(F.col("sh"), lambda s, k=k: F.xxhash64(F.lit(k), s)))
+                F.array_min(F.transform(F.col("hs"), lambda h, k=k: F.xxhash64(F.lit(k), h)))
                 for k in range(n_hashes)
             ]
         ).alias("sig"),
@@ -256,7 +284,6 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = n_hashes // n_bands
     bands = mh.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -282,8 +309,12 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sha = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    shb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    # exact Jaccard on the hashed shingle sets — identical to the
+    # string-shingle Jaccard absent 64-bit collisions (n^2/2^64 over a
+    # per-doc set: negligible), and the arrays join back from the SAME
+    # reused exchange that fed the banding
+    sha = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sha"))
+    shb = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
     union = F.size(F.array_union("sha", "shb")).cast("double")
     return (

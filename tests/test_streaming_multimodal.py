@@ -109,17 +109,24 @@ def test_multimodal_plumbing(spark, tmp_path):
     assert len(rows["a.png"]["feature"]) == 8
     assert rows["a.png"]["n_bytes"] == 21
     # deterministic: same bytes -> same feature
-    feats2 = {r["path"].rsplit("/", 1)[-1]: r["feature"] for r in extract_features(media).collect()}
+    feats2 = {
+        r["path"].rsplit("/", 1)[-1]: r["feature"]
+        for r in extract_features(media, decode_stub=True).collect()
+    }
     assert feats2["a.png"] == rows["a.png"]["feature"]
 
 
-def test_multimodal_real_decode_raises(spark, tmp_path):
+def test_multimodal_real_decode_corrupt_is_ok_false(spark, tmp_path):
+    """Real decode (the default) must skip corrupt/unsupported bytes
+    with ok=False — never fail the task."""
     media_dir = tmp_path / "m2"
     media_dir.mkdir()
-    (media_dir / "x.png").write_bytes(b"png")
+    (media_dir / "x.png").write_bytes(b"png")  # not a real PNG
+    (media_dir / "y.mp4").write_bytes(b"\x00" * 32)  # needs ffmpeg
     media = read_media(spark, str(media_dir))
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        extract_features(media, decode_stub=False).collect()
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in extract_features(media).collect()}
+    assert not rows["x.png"]["ok"] and rows["x.png"]["feature"] is None
+    assert not rows["y.mp4"]["ok"]
 
 
 def test_stream_stateful_running_totals(spark, events_dir, tmp_path):
