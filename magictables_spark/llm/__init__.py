@@ -113,20 +113,70 @@ def extract_fence(text: str, lang: str) -> str:
 # ---------------------------------------------------------------------------
 
 _FORBIDDEN_SQL = re.compile(
-    r"\b(insert|update|delete|drop|create|alter|truncate|merge|grant)\b", re.IGNORECASE
+    r"\b(insert|update|delete|drop|create|alter|truncate|merge|grant|"
+    r"cache|uncache|set|reset|refresh|analyze|msck|call)\b",
+    re.IGNORECASE,
 )
 
+# SELECT-reachable escape hatches: java_method()/reflect() execute
+# arbitrary JVM static methods; to_avro/from_avro style gadgets are fine
+# but the reflection pair is not
+_FORBIDDEN_FUNCS = re.compile(r"\b(java_method|reflect)\s*\(", re.IGNORECASE)
 
-def validate_sql(sql: str) -> str:
+# path-based table syntax: SELECT * FROM parquet.`/etc/...` reads any
+# file the executor can see
+_PATH_TABLE = re.compile(r"\b\w+\s*\.\s*`", re.IGNORECASE)
+
+
+def validate_sql(sql: str, spark=None, allowed_tables: set[str] | None = None) -> str:
     """Reject anything but a single SELECT/WITH statement (the rebuild's
-    replacement for the reference's unsandboxed exec, SURVEY §7.3)."""
-    stripped = sql.strip().rstrip(";")
+    replacement for the reference's unsandboxed exec, SURVEY §7.3).
+
+    Three layers:
+    1. textual: single statement, SELECT/WITH prefix, DDL/DML keyword
+       blocklist, JVM-reflection functions, backtick path-tables;
+    2. parse-level (when ``spark`` is given): the statement must parse
+       to a query plan, not a Command (catches CACHE/SET/EXPLAIN forms
+       that dodge regexes inside CTE text);
+    3. relation allowlist (when ``allowed_tables`` is given): every
+       UnresolvedRelation in the parsed tree must be a single-part name
+       in the set — LLM SQL cannot reach other catalog tables, temp
+       views, or file paths.
+    """
+    stripped = sql.strip().rstrip(";").strip()
     if ";" in stripped:
         raise ValueError(f"multiple statements not allowed: {sql!r}")
     if not re.match(r"^\s*(select|with)\b", stripped, re.IGNORECASE):
         raise ValueError(f"only SELECT queries allowed, got: {sql!r}")
     if _FORBIDDEN_SQL.search(stripped):
         raise ValueError(f"forbidden SQL keyword in: {sql!r}")
+    if _FORBIDDEN_FUNCS.search(stripped):
+        raise ValueError(f"forbidden function (JVM reflection) in: {sql!r}")
+    if _PATH_TABLE.search(stripped):
+        raise ValueError(f"path-based table access not allowed: {sql!r}")
+
+    if spark is not None:
+        parser = spark._jsparkSession.sessionState().sqlParser()
+        try:
+            plan = parser.parsePlan(stripped)
+        except Exception as exc:  # noqa: BLE001 - py4j wraps ParseException
+            raise ValueError(f"SQL does not parse: {sql!r}") from exc
+        cls = plan.getClass().getSimpleName()
+        if "Command" in cls or "Insert" in cls or "Ddl" in cls:
+            raise ValueError(f"non-query statement ({cls}) not allowed: {sql!r}")
+        if allowed_tables is not None:
+            allowed = {t.lower() for t in allowed_tables}
+            tree = plan.toString()
+            # names defined by the query's own CTEs are legal relations
+            for m in re.finditer(r"\bCTE \[([^\]]*)\]", tree):
+                allowed.update(p.strip().strip("`").lower() for p in m.group(1).split(","))
+            for m in re.finditer(r"'UnresolvedRelation \[([^\]]*)\]", tree):
+                parts = [p.strip().strip("`") for p in m.group(1).split(",")]
+                if len(parts) != 1 or parts[0].lower() not in allowed:
+                    raise ValueError(
+                        f"table {'.'.join(parts)!r} not in allowed set "
+                        f"{sorted(allowed)}: {sql!r}"
+                    )
     return stripped
 
 
@@ -155,9 +205,16 @@ def nl_transform(
         if llm is None:
             raise ValueError("nl_transform cache miss and no LLM client provided")
         raw = llm.complete(TRANSFORM_PROMPT.format(summary=summarize(df), query=query))
-        sql = validate_sql(extract_fence(raw, "sql"))
+        # validate BEFORE caching (invalid code must never be stored) ...
+        sql = validate_sql(
+            extract_fence(raw, "sql"), spark=df.sparkSession, allowed_tables={"df"}
+        )
         if warehouse is not None:
             warehouse.put_code(cache_key, sql)
+    else:
+        # ... and AGAIN on cache reads: a tampered warehouse entry must
+        # not execute either
+        sql = validate_sql(sql, spark=df.sparkSession, allowed_tables={"df"})
     df.createOrReplaceTempView("df")
     return df.sparkSession.sql(sql)
 

@@ -151,8 +151,18 @@ def fetch_urls(
 
     if cache_dir is not None:
         # persist fresh responses before use: a downstream task retry
-        # re-reads the cache instead of re-fetching (idempotency)
-        fetched.write.mode("append").parquet(cache_dir)
+        # re-reads the cache instead of re-fetching (idempotency).
+        # FAILURE payloads are NOT cached: default_fetcher returns {}
+        # after final failure, so an empty payload means "fetch failed
+        # or API returned nothing" — caching it would poison every
+        # future chain with an infinite-TTL empty row (reference only
+        # stores non-empty data: magictable.py 'if data:'). Failed URLs
+        # come back null THIS run and are re-fetched on the next one.
+        cacheable = fetched.filter(
+            F.col("__payload").isNotNull()
+            & ~F.col("__payload").isin("", "null", "{}", "[]", '""')
+        )
+        cacheable.write.mode("append").parquet(cache_dir)
         all_payloads = _read_cache(cache_dir)
         if all_payloads is not None:
             return urls.join(all_payloads, "__url", "left")

@@ -8,6 +8,10 @@ Spark-natively, no code copied):
   (recursively);
 - each array field is exploded — one output row per element, with
   top-level scalars repeated (broadcast) onto each child row;
+- SIBLING arrays each produce their OWN row set, unioned (reference
+  emits one row per element per list with the other list keys absent —
+  never a cross-product of sibling elements; absent keys surface as
+  nulls in the fixed DataFrame schema);
 - arrays of structs explode then flatten with dotted names;
 - empty/null arrays keep one row with nulls (reference keeps the parent
   row; Spark's plain ``explode`` would drop it, so ``explode_outer``).
@@ -32,9 +36,11 @@ from pyspark.sql.types import ArrayType, StructType
 def flatten(df: DataFrame, sep: str = ".", explode_arrays: bool = True) -> DataFrame:
     """Flatten every struct to dotted columns; explode arrays (outer).
 
-    Arrays are exploded one at a time, left-to-right by sorted column
-    name, recursing until no struct/array columns remain — matching the
-    reference's one-explode-per-nested-key row semantics.
+    A level with several sibling array columns yields the UNION of one
+    exploded row set per array (elements of the others null) — the
+    reference's one-row-per-element-per-list semantics, never a
+    cross-product of sibling elements. Recurses until no struct/array
+    columns remain.
     """
     while True:
         # 1. flatten all structs (no row-count change)
@@ -54,13 +60,37 @@ def flatten(df: DataFrame, sep: str = ".", explode_arrays: bool = True) -> DataF
         if not explode_arrays:
             return df
 
-        # 2. explode the first array column (sorted order => deterministic)
         array_cols = sorted(f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType))
         if not array_cols:
             return df
-        target = array_cols[0]
-        others = [F.col(f"`{c}`") for c in df.columns if c != target]
-        df = df.select(*others, F.explode_outer(F.col(f"`{target}`")).alias(target))
+        if len(array_cols) == 1:
+            # 2a. single array: plain outer explode
+            target = array_cols[0]
+            others = [F.col(f"`{c}`") for c in df.columns if c != target]
+            df = df.select(*others, F.explode_outer(F.col(f"`{target}`")).alias(target))
+            continue
+        # 2b. sibling arrays: one branch per array (union preserves the
+        # reference's row semantics; a single downstream union is one
+        # plan node — each branch still reads the same child subtree, so
+        # Catalyst/AQE can reuse the exchange underneath)
+        types = {f.name: f.dataType for f in df.schema.fields}
+        branches = []
+        for target in array_cols:
+            sel = []
+            for c in df.columns:
+                if c == target:
+                    sel.append(F.explode_outer(F.col(f"`{c}`")).alias(c))
+                elif c in array_cols:
+                    # other lists absent on this branch (reference drops
+                    # their keys; fixed schema -> typed null element)
+                    sel.append(F.lit(None).cast(types[c].elementType).alias(c))
+                else:
+                    sel.append(F.col(f"`{c}`"))
+            branches.append(df.select(*sel))
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        df = out
 
 
 def flatten_json_column(df: DataFrame, json_col: str, sep: str = ".") -> DataFrame:

@@ -44,7 +44,16 @@ def salted_join(
     reach for manual salting only when AQE can't help (aggregations over
     skewed keys, broadcast-ineligible right sides with a few giant
     keys). Correctness: every left row keeps exactly one salt, every
-    right row exists under every salt, so pairs are preserved 1:1."""
+    right row exists under every salt, so MATCHED pairs are preserved
+    1:1 — but an UNMATCHED right row would surface once per salt
+    (n_salts null-extended duplicates), so only ``inner`` and ``left``
+    are salt-safe; other join types raise."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "replicating the right side duplicates its unmatched rows "
+            "n_salts times under right/full/semi/anti semantics"
+        )
     salted_l = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     salted_r = right.select("*", salts)

@@ -135,25 +135,39 @@ class WebSource(BaseSource):
         return self.url
 
 
+def bytes_fetcher(url: str, params: dict | None = None, *, max_retries: int = 5) -> bytes:
+    """Raw-bytes GET with the same retry policy as default_fetcher —
+    binary payloads (PDFs, media) must never round-trip through a text
+    decode. b'' after final failure."""
+    for attempt in range(max_retries):
+        try:
+            with urllib.request.urlopen(url, timeout=30) as resp:
+                return resp.read()
+        except Exception:  # noqa: BLE001
+            if attempt == max_retries - 1:
+                return b""
+            time.sleep(2**attempt + random.random())
+    return b""
+
+
 class PDFSource(BaseSource):
-    """GET pdf -> one row per page (sources.py:122-150). PDF text
-    extraction requires a PDF library not present in this environment;
-    the fetch/plumbing is real, the extraction step is stubbed behind an
-    import guard."""
+    """GET pdf -> one row per page with key ``page_content``
+    (sources.py:122-150: PyPDF2 extract_text per page). Extraction is a
+    real pure-stdlib parser (pdf_text.py: obj scan, /Root->/Kids page
+    order, FlateDecode, Tj/TJ text ops); PDFs needing a full library
+    (encrypted, /ObjStm, CID fonts) raise UnsupportedPdfError."""
 
     def __init__(self, pdf_url: str, fetcher: Fetcher | None = None):
         self.pdf_url = pdf_url
-        self.fetcher = fetcher or default_fetcher
+        self.fetcher = fetcher or bytes_fetcher
 
     def fetch_data(self) -> list[dict]:
-        try:
-            import PyPDF2  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "PDF extraction needs PyPDF2 (not installed here); "
-                "inject a fetcher returning page dicts to test the plumbing"
-            ) from exc
-        raise NotImplementedError("real PDF path exercised only with PyPDF2 present")
+        from magictables_spark.sources.pdf_text import extract_pdf_pages
+
+        payload = self.fetcher(self.pdf_url, None)
+        if isinstance(payload, str):
+            payload = payload.encode("latin-1", errors="replace")
+        return [{"page_content": text} for text in extract_pdf_pages(payload)]
 
     def get_identifier(self) -> str:
         return self.pdf_url

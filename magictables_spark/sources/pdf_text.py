@@ -1,0 +1,374 @@
+"""Minimal pure-stdlib PDF text extraction (reference parity:
+sources.py:122-150 — PyPDF2 ``page.extract_text()`` per page, one row
+per page).
+
+No PDF library ships in this environment, so this is a small real
+parser for the common case rather than an import stub:
+
+- objects located by scanning ``N G obj ... endobj`` (no xref needed —
+  robust against the linearized/append-updated files where offsets lie);
+- page ORDER comes from walking ``/Root -> /Pages -> /Kids`` exactly
+  like a conforming reader; documents without a resolvable tree fall
+  back to object order of ``/Type /Page`` dicts;
+- content streams support ``/FlateDecode`` (zlib) and raw streams;
+- text collected from ``Tj``, ``'``, ``\"`` and ``TJ`` show operators
+  inside BT/ET blocks; literal strings handle the ``\\``-escapes and
+  octal forms of the spec, hex strings handled too; a ``TJ`` kern gap
+  <= -180/1000 em and the ``Td/TD/T*`` line operators introduce
+  whitespace the way simple extractors do.
+
+This intentionally does NOT cover encrypted PDFs, CID/Type0 composite
+fonts, or object streams (/ObjStm) — those genuinely need a real PDF
+library; such files raise ``UnsupportedPdfError`` so callers can fall
+back or skip, never silently return wrong text.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+class UnsupportedPdfError(ValueError):
+    """PDF uses features beyond this minimal parser (encryption,
+    object streams, composite fonts)."""
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+
+
+def _dict_part(body: bytes) -> bytes:
+    """The object's top-level dictionary (before any stream data)."""
+    i = body.find(b"stream")
+    return body[:i] if i >= 0 else body
+
+
+def _find_ref(body: bytes, key: bytes) -> int | None:
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _kids(body: bytes) -> list[int]:
+    m = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+    if not m:
+        return []
+    return [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+
+
+def _page_order(data: bytes, objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in document order via Root -> Pages -> Kids;
+    fallback: object-number order of /Type /Page dicts."""
+    root = None
+    for m in re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", data):
+        root = int(m.group(1))  # last trailer wins (incremental updates)
+    pages_root = _find_ref(objs.get(root, b""), b"/Pages") if root is not None else None
+
+    order: list[int] = []
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 64 or num not in objs:
+            return
+        body = _dict_part(objs[num])
+        kids = _kids(body)
+        if kids:
+            for k in kids:
+                walk(k, depth + 1)
+        elif re.search(rb"/Type\s*/Page\b", body):
+            order.append(num)
+
+    if pages_root is not None:
+        walk(pages_root)
+    if not order:
+        order = sorted(
+            n
+            for n, b in objs.items()
+            if re.search(rb"/Type\s*/Page\b", _dict_part(b))
+            and not re.search(rb"/Type\s*/Pages\b", _dict_part(b))
+        )
+    return order
+
+
+def _content_bytes(objs: dict[int, bytes], page_body: bytes) -> bytes:
+    """Concatenated decoded content streams for one page."""
+    m = re.search(rb"/Contents\s*\[(.*?)\]", page_body, re.S)
+    if m:
+        refs = [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+    else:
+        ref = _find_ref(page_body, b"/Contents")
+        refs = [ref] if ref is not None else []
+    out = bytearray()
+    for ref in refs:
+        body = objs.get(ref, b"")
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            continue
+        raw = sm.group(1)
+        head = _dict_part(body)
+        if b"/FlateDecode" in head:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise UnsupportedPdfError(f"bad FlateDecode stream: {exc}") from exc
+        elif re.search(rb"/Filter\s*/(?!FlateDecode)\w+", head) or re.search(
+            rb"/Filter\s*\[", head
+        ):
+            raise UnsupportedPdfError("unsupported stream filter")
+        out += raw + b"\n"
+    return bytes(out)
+
+
+_ESCAPES = {
+    b"n": b"\n",
+    b"r": b"\r",
+    b"t": b"\t",
+    b"b": b"\b",
+    b"f": b"\f",
+    b"(": b"(",
+    b")": b")",
+    b"\\": b"\\",
+}
+
+
+def _literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ``(...)`` literal starting at the '(' — returns (bytes,
+    index after the closing paren). Handles escapes, octal, nesting."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    while i < len(data) and depth:
+        c = data[i : i + 1]
+        if c == b"\\":
+            nxt = data[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, len(data)) and data[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(data[i + 1 : j], 8) & 0xFF)
+                i = j
+            elif nxt in (b"\r", b"\n"):  # line continuation
+                i += 2
+            else:
+                out += nxt
+                i += 2
+        elif c == b"(":
+            depth += 1
+            out += c
+            i += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
+                out += c
+            i += 1
+        else:
+            out += c
+            i += 1
+    return bytes(out), i
+
+
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+
+def _page_text(content: bytes) -> str:
+    """Walk the content stream's text operators. A tiny tokenizer: we
+    only need strings, numbers and operator words between BT/ET."""
+    parts: list[str] = []
+    i = 0
+    n = len(content)
+    in_text = False
+    pending: list[tuple[str, object]] = []  # operands since last operator
+
+    def flush_show(strings: list[bytes]) -> None:
+        txt = b"".join(strings).decode("latin-1")
+        if txt:
+            parts.append(txt)
+
+    while i < n:
+        c = content[i : i + 1]
+        if c in b" \t\r\n\0":
+            i += 1
+        elif c == b"(":
+            s, i = _literal_string(content, i)
+            pending.append(("str", s))
+        elif c == b"<" and content[i + 1 : i + 2] != b"<":
+            j = content.find(b">", i)
+            if j < 0:
+                break
+            hx = re.sub(rb"\s", b"", content[i + 1 : j])
+            if len(hx) % 2:
+                hx += b"0"
+            pending.append(("str", bytes.fromhex(hx.decode("ascii"))))
+            i = j + 1
+        elif c == b"[":
+            # collect a TJ array: strings + kern numbers
+            j = i + 1
+            arr: list[tuple[str, object]] = []
+            while j < n and content[j : j + 1] != b"]":
+                cj = content[j : j + 1]
+                if cj == b"(":
+                    s, j = _literal_string(content, j)
+                    arr.append(("str", s))
+                elif cj == b"<":
+                    k = content.find(b">", j)
+                    hx = re.sub(rb"\s", b"", content[j + 1 : k])
+                    if len(hx) % 2:
+                        hx += b"0"
+                    arr.append(("str", bytes.fromhex(hx.decode("ascii"))))
+                    j = k + 1
+                else:
+                    m = _NUM_RE.match(content, j)
+                    if m:
+                        arr.append(("num", float(m.group(0))))
+                        j = m.end()
+                    else:
+                        j += 1
+            pending.append(("arr", arr))
+            i = j + 1
+        elif c == b"<" :  # '<<' dict — skip balanced
+            depth = 0
+            while i < n:
+                if content[i : i + 2] == b"<<":
+                    depth += 1
+                    i += 2
+                elif content[i : i + 2] == b">>":
+                    depth -= 1
+                    i += 2
+                    if depth == 0:
+                        break
+                else:
+                    i += 1
+        else:
+            m = _NUM_RE.match(content, i)
+            if m:
+                pending.append(("num", float(m.group(0))))
+                i = m.end()
+                continue
+            m = re.compile(rb"[A-Za-z'\"*]+").match(content, i)
+            if not m:
+                i += 1
+                continue
+            op = m.group(0)
+            i = m.end()
+            if op == b"BT":
+                in_text = True
+            elif op == b"ET":
+                in_text = False
+                parts.append("\n")
+            elif in_text and op == b"Tj":
+                flush_show([v for t, v in pending if t == "str"])
+            elif in_text and op in (b"'", b'"'):
+                parts.append("\n")
+                flush_show([v for t, v in pending if t == "str"])
+            elif in_text and op == b"TJ":
+                for t, v in pending:
+                    if t == "arr":
+                        buf: list[bytes] = []
+                        for tt, vv in v:
+                            if tt == "str":
+                                buf.append(vv)
+                            elif tt == "num" and vv <= -180:
+                                buf.append(b" ")  # big kern gap = word break
+                        flush_show(buf)
+            elif in_text and op in (b"Td", b"TD", b"T*"):
+                parts.append("\n")
+            pending = []
+    text = "".join(parts)
+    # normalize: collapse blank-line runs, strip trailing space per line
+    lines = [ln.rstrip() for ln in text.split("\n")]
+    out: list[str] = []
+    for ln in lines:
+        if ln or (out and out[-1]):
+            out.append(ln)
+    return "\n".join(out).strip()
+
+
+def extract_pdf_pages(data: bytes) -> list[str]:
+    """bytes -> per-page extracted text (reference: PyPDF2
+    page.extract_text() loop, sources.py:131-139)."""
+    if not data.startswith(b"%PDF-"):
+        raise UnsupportedPdfError("not a PDF (missing %PDF- header)")
+    if b"/Encrypt" in data[-2048:] or re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data):
+        raise UnsupportedPdfError("encrypted PDF unsupported")
+    objs = _objects(data)
+    if not objs:
+        if b"/ObjStm" in data:
+            raise UnsupportedPdfError("object streams (/ObjStm) unsupported")
+        raise UnsupportedPdfError("no PDF objects found")
+    pages = _page_order(data, objs)
+    if not pages and b"/ObjStm" in data:
+        raise UnsupportedPdfError("object streams (/ObjStm) unsupported")
+    return [_page_text(_content_bytes(objs, _dict_part(objs[p]))) for p in pages]
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (tests only need Tj/TJ + Flate on one page)
+# ---------------------------------------------------------------------------
+
+
+def build_simple_pdf(pages: list[str], compress_from: int = 1) -> bytes:
+    """Deterministic minimal PDF: one content stream per page showing
+    each text line with Tj; pages with index >= ``compress_from`` get a
+    FlateDecode stream so the inflate path is exercised."""
+
+    def esc(s: str) -> bytes:
+        return (
+            s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)").encode("latin-1")
+        )
+
+    objects: list[bytes] = []  # bodies, 1-indexed object numbers
+
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # 2
+    font_obj = 3 + 2 * n_pages
+    for i, page in enumerate(pages):
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj} 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        lines = page.split("\n")
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                ops += b"0 -14 Td\n"
+            ops += b"(" + esc(line) + b") Tj\n"
+        ops += b"ET"
+        if i >= compress_from:
+            data = zlib.compress(bytes(ops))
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        else:
+            data = bytes(ops)
+            head = f"<< /Length {len(data)} >>".encode()
+        objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

@@ -57,22 +57,35 @@ def read_events_stream(spark, path: str, max_files_per_trigger: int = 10) -> Dat
     )
 
 
-def stream_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def stream_running_totals(
+    events: DataFrame, watermark: str = "1 hour", idle_timeout_ms: int = 3_600_000
+) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value total maintained as explicit state —
     the arbitrary-stateful-processing escape hatch for logic windowed
-    aggs can't express (SURVEY §2.C streaming gap). State is bounded by
-    the watermark (timed-out keys are dropped)."""
+    aggs can't express (SURVEY §2.C streaming gap). State IS bounded:
+    EventTimeTimeout with the timeout timestamp re-armed to
+    (current watermark + ``idle_timeout_ms``) on every update, so a key
+    idle for that long past the watermark is dropped from the store —
+    per-key state cannot grow with the key space forever (the 100 TB
+    state-boundedness requirement). A key seen again after eviction
+    restarts from zero."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: "GroupState"):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # watermark passed the armed timeout: evict this key's state
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((n, float(total)))
+        # re-arm: evict after idle_timeout_ms of event-time inactivity
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_timeout_ms)
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
 
     return (
@@ -83,7 +96,7 @@ def stream_running_totals(events: DataFrame, watermark: str = "1 hour") -> DataF
             outputStructType="user_id bigint, n_events bigint, total_value double",
             stateStructType="n bigint, total double",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

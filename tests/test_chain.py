@@ -105,6 +105,40 @@ def test_chain_dedupes_and_caches_urls(spark, wh, mock_fetcher):
     assert new_urls == ["http://api/user/5"]
 
 
+class RecoveringFetcher(MockFetcher):
+    """Answers EVERY url (including ones MockFetcher fails on) — models
+    the API coming back after an outage."""
+
+    def __call__(self, url: str, params=None):
+        with open(self.log_file, "a") as f:
+            f.write(url + "\n")
+        return {"recovered": url.rsplit("/", 1)[-1]}
+
+
+def test_failed_fetches_are_not_cached(spark, wh, tmp_path, mock_fetcher):
+    """A fetcher failure ({} terminal payload) must NOT enter the
+    infinite-TTL per-URL cache — the next run retries it; successful
+    payloads stay cached (reference magictable.py 'if data:' semantics)."""
+    import json as _json
+
+    from magictables_spark.operators.chain import fetch_urls
+
+    urls = spark.createDataFrame(
+        [("http://api/user/7",), ("http://api/broken/1",)], "u string"
+    )
+    out1 = {r["__url"]: r["__payload"] for r in fetch_urls(spark, urls, mock_fetcher, wh).collect()}
+    assert _json.loads(out1["http://api/user/7"])["uid"] == 7
+    assert out1["http://api/broken/1"] is None  # failure -> null payload this run
+
+    recovered = RecoveringFetcher(str(tmp_path / "calls2.log"))
+    out2 = {r["__url"]: r["__payload"] for r in fetch_urls(spark, urls, recovered, wh).collect()}
+    # the failed URL was refetched and now succeeds...
+    assert _json.loads(out2["http://api/broken/1"]) == {"recovered": "1"}
+    # ...while the cached success was NOT refetched
+    assert recovered.calls() == ["http://api/broken/1"]
+    assert _json.loads(out2["http://api/user/7"])["uid"] == 7
+
+
 def test_chain_result_cache_ttl(spark, wh, mock_fetcher):
     df = spark.createDataFrame([(1,)], "user_id int")
     out1 = chain_enrich(

@@ -51,14 +51,20 @@ def test_empty_and_null_arrays_keep_parent_row(spark):
     assert sorted(_rows(out)) == [(1, None), (2, None), (3, 7)]
 
 
-def test_two_arrays_cross_product_like_reference(spark):
-    # the reference emits one explode per nested key: 2 x 2 = 4 rows
+def test_two_sibling_arrays_union_not_cross_product(spark):
+    # reference flatten_nested_structure (utils.py:49-61): one row per
+    # element per list, the OTHER list's key absent (-> null here) —
+    # never a cross-product of sibling elements
     df = spark.createDataFrame(
-        [(1, [1, 2], ["a", "b"])],
+        [(1, [1, 2], ["a", "b", "c"])],
         "k int, xs array<int>, ys array<string>",
     )
     out = flatten(df)
-    assert sorted(_rows(out)) == [(1, 1, "a"), (1, 1, "b"), (1, 2, "a"), (1, 2, "b")]
+    got = sorted(_rows(out), key=str)
+    assert len(got) == 5  # 2 + 3, not 2 x 3
+    assert sorted(x for _, x, y in got if x is not None) == [1, 2]
+    assert sorted(y for _, x, y in got if y is not None) == ["a", "b", "c"]
+    assert all((x is None) != (y is None) for _, x, y in got)
 
 
 def test_scalars_broadcast_to_child_rows(spark):

@@ -38,6 +38,50 @@ def test_validate_sql_rejects_ddl_and_multi():
             validate_sql(bad)
 
 
+def test_validate_sql_rejects_spark_escape_hatches():
+    """SELECT-reachable escapes: JVM reflection, path-table reads,
+    CACHE/SET statements (textual layer, no session needed)."""
+    for bad in [
+        "SELECT java_method('java.lang.System', 'exit', 0)",
+        "SELECT reflect('java.lang.Runtime', 'getRuntime')",
+        "SELECT * FROM parquet.`/etc/passwd`",
+        "SELECT * FROM text.`/root/.ssh/id_rsa`",
+        "CACHE TABLE t AS SELECT 1",
+        "SET spark.sql.ansi.enabled=false",
+        "WITH t AS (SELECT 1) SELECT * FROM t CROSS JOIN csv.`/tmp/x`",
+    ]:
+        with pytest.raises(ValueError):
+            validate_sql(bad)
+
+
+def test_validate_sql_parse_level_and_allowlist(spark):
+    """Parse layer: non-query statements that regex-dodge are rejected;
+    relation allowlist confines the query to the registered view."""
+    ok = validate_sql("SELECT id FROM df WHERE id > 1", spark=spark, allowed_tables={"df"})
+    assert ok.startswith("SELECT")
+    # CTE name is not a real relation — must still pass the allowlist
+    validate_sql(
+        "WITH t AS (SELECT id FROM df) SELECT * FROM t", spark=spark, allowed_tables={"df"}
+    )
+    with pytest.raises(ValueError, match="does not parse"):
+        validate_sql("SELECT (((", spark=spark)
+    with pytest.raises(ValueError, match="not in allowed set"):
+        validate_sql("SELECT * FROM other_table", spark=spark, allowed_tables={"df"})
+    with pytest.raises(ValueError, match="not in allowed set"):
+        validate_sql(
+            "SELECT * FROM df JOIN secret_view USING (id)", spark=spark, allowed_tables={"df"}
+        )
+
+
+def test_nl_transform_cannot_reach_other_views(spark, wh):
+    """Prompt-injected SQL referencing another temp view is rejected."""
+    spark.createDataFrame([(42,)], "secret int").createOrReplaceTempView("secrets_view")
+    df = spark.createDataFrame([(1,)], "id int")
+    llm = MockLLM(["```sql\nSELECT * FROM secrets_view\n```"])
+    with pytest.raises(ValueError, match="not in allowed set"):
+        nl_transform(df, "exfiltrate", llm=llm, warehouse=wh, table_name="z")
+
+
 def test_nl_transform_executes_and_caches(spark, wh):
     df = spark.createDataFrame([(1, 5.0), (2, 9.0), (3, 2.0)], "id int, rating double")
     llm = MockLLM(["```sql\nSELECT id, rating FROM df ORDER BY rating DESC LIMIT 2\n```"])

@@ -1,0 +1,86 @@
+"""PDF text extraction tests (sources/pdf_text.py): golden round trip
+through the fixture writer, filter/escape/ordering edge cases, and the
+PDFSource one-row-per-page contract (reference sources.py:122-150)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from magictables_spark.sources import PDFSource
+from magictables_spark.sources.pdf_text import (
+    UnsupportedPdfError,
+    build_simple_pdf,
+    extract_pdf_pages,
+)
+
+
+def test_two_page_roundtrip():
+    pdf = build_simple_pdf(["Hello first page", "Second page here"])
+    pages = extract_pdf_pages(pdf)
+    assert len(pages) == 2
+    assert pages[0] == "Hello first page"
+    assert pages[1] == "Second page here"
+
+
+def test_multiline_and_flate_page():
+    # page 0 raw, page 1 FlateDecode (compress_from=1 default)
+    pdf = build_simple_pdf(["line one\nline two\nline three", "compressed\ncontent"])
+    assert b"/FlateDecode" in pdf
+    pages = extract_pdf_pages(pdf)
+    assert pages[0].split("\n") == ["line one", "line two", "line three"]
+    assert pages[1].split("\n") == ["compressed", "content"]
+
+
+def test_escapes_and_parens():
+    text = r"paren (nested) and \ backslash 50% (a)(b)"
+    pages = extract_pdf_pages(build_simple_pdf([text]))
+    assert pages[0] == text
+
+
+def test_tj_array_and_hex_strings():
+    # hand-built content: TJ with kern gaps + hex string Tj
+    content = b"BT /F1 12 Tf [ (Hel) -20 (lo) -500 (world) ] TJ ET\nBT <68692074686572> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    pages = extract_pdf_pages(pdf)
+    # small kern (-20) joins, large kern (-500) becomes a space
+    assert "Hello world" in pages[0]
+    assert "hi ther" in pages[0]
+
+
+def test_page_order_follows_kids_not_object_numbers():
+    pdf = build_simple_pdf(["alpha", "beta", "gamma"])
+    # reverse the /Kids array: document order must follow Kids
+    assert b"/Kids [3 0 R 5 0 R 7 0 R]" in pdf
+    flipped = pdf.replace(b"/Kids [3 0 R 5 0 R 7 0 R]", b"/Kids [7 0 R 5 0 R 3 0 R]")
+    assert extract_pdf_pages(flipped) == ["gamma", "beta", "alpha"]
+
+
+def test_rejects_non_pdf_encrypted_and_objstm():
+    with pytest.raises(UnsupportedPdfError):
+        extract_pdf_pages(b"not a pdf")
+    pdf = build_simple_pdf(["x"])
+    with pytest.raises(UnsupportedPdfError):
+        extract_pdf_pages(pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"))
+    objstm = b"%PDF-1.5\n9 0 obj\n<< /Type /ObjStm >>\nstream\n" + zlib.compress(b"x") + b"\nendstream\nendobj\n"
+    with pytest.raises(UnsupportedPdfError):
+        extract_pdf_pages(objstm)
+
+
+def test_pdf_source_one_row_per_page():
+    pdf = build_simple_pdf(["page A", "page B"])
+    src = PDFSource("http://example.com/doc.pdf", fetcher=lambda url, params=None: pdf)
+    rows = src.fetch_data()
+    assert rows == [{"page_content": "page A"}, {"page_content": "page B"}]
+    assert src.get_type() == "pdf"
+    assert src.get_identifier() == "http://example.com/doc.pdf"

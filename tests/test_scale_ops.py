@@ -58,6 +58,18 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert got == {(1, "a", "r"), (2, "b", None)}
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    """Right/full outer would duplicate every unmatched right row once
+    per salt — the operator must refuse instead of silently multiplying."""
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "k int, lv string")
+    right = spark.createDataFrame([(2, "r")], "k int, rv string")
+    for how in ("right", "full", "outer", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(left, right, "k", how=how)
+
+
 def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     """A filter on the partition column must become PartitionFilters
     (planning-time directory pruning), and the pruned scan must touch

@@ -150,6 +150,53 @@ def test_stream_stateful_running_totals(spark, events_dir, tmp_path):
     assert rows[2] == (2, 6.0)   # duplicate view rows both counted (raw state op)
 
 
+def test_stream_running_totals_state_evicted_after_idle(spark, events_dir, tmp_path):
+    """EventTimeTimeout boundedness: a key idle past watermark +
+    idle_timeout is dropped from the state store, so when it reappears
+    its totals restart from zero instead of accumulating forever."""
+    import json as _json
+
+    from magictables_spark.streaming import stream_running_totals
+
+    src = read_events_stream(spark, events_dir)
+    q = (
+        stream_running_totals(src, watermark="10 minutes", idle_timeout_ms=60_000)
+        .writeStream.format("memory")
+        .queryName("run_tot_evict")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_evict"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: only user 2, far in the future -> advances the
+        # watermark well past user 1's timeout timestamp
+        with open(f"{events_dir}/batch2.json", "w") as f:
+            f.write(_json.dumps({
+                "event_id": 10, "ts": "2024-01-02T00:00:00", "user_id": 2,
+                "event_type": "view", "value": 1.0,
+            }))
+        q.processAllAvailable()
+        # batch 3: triggers the timed-out callback (eviction) for user 1
+        # and then user 1 reappears -> state restarts at 1 event
+        with open(f"{events_dir}/batch3.json", "w") as f:
+            f.write(_json.dumps({
+                "event_id": 11, "ts": "2024-01-02T00:30:00", "user_id": 1,
+                "event_type": "click", "value": 5.0,
+            }))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    user1 = {
+        (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM run_tot_evict WHERE user_id = 1").collect()
+    }
+    # batch 1 emitted (2, 3.0); batch 3 must emit a RESET (1, 5.0) —
+    # (3, 8.0) would mean the old state survived the idle timeout
+    assert (1, 5.0) in user1, f"state for user 1 not evicted: {user1}"
+    assert (3, 8.0) not in user1, f"state for user 1 not evicted: {user1}"
+
+
 def test_embed_texts_deterministic(spark):
     from magictables_spark.operators.embed import embed_texts
 
