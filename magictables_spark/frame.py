@@ -21,17 +21,29 @@ from magictables_spark.identity import table_name
 
 def rows_to_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
     """List-of-dicts -> flattened DataFrame. Nested payloads go through
-    spark.read.json for full recursive schema inference, then the
-    json_flatten operator (ingest-time flattening, sources.py:74-76)."""
+    spark.read.json for full recursive schema inference (merged across
+    ALL rows — a single-sample schema_of_json would drop keys absent
+    from the sample), then the json_flatten operator (ingest-time
+    flattening, sources.py:74-76).
+
+    Ingest rows are driver-sized by definition (they came from a
+    source's fetch_data()); they ride to the scan through a temp JSONL
+    file rather than the deprecated RDD[str] json() overload — no
+    ``.rdd`` anywhere, Spark-4-clean."""
     import json as _json
+    import os
+    import tempfile
 
     from magictables_spark.operators.flatten import flatten
 
     if not rows:
         return spark.createDataFrame([], "placeholder string").limit(0)
-    raw = spark.createDataFrame([(_json.dumps(r, default=str),) for r in rows], "json string")
-    df = spark.read.json(raw.rdd.map(lambda r: r.json))
-    return flatten(df)
+    d = tempfile.mkdtemp(prefix="mts_ingest_")
+    path = os.path.join(d, "rows.jsonl")
+    with open(path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(_json.dumps(r, default=str) + "\n")
+    return flatten(spark.read.json(path))
 
 
 class MagicFrame:

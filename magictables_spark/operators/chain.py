@@ -117,10 +117,21 @@ def fetch_urls(
     urls_df: DataFrame,
     fetcher: Fetcher | None = None,
     warehouse: Warehouse | None = None,
+    for_join: bool = False,
 ) -> DataFrame:
     """Distinct-URL fetch with warehouse cache: returns (url, payload)
     for every input URL, fetching only cache misses (batch_fetch,
-    magictable.py:349-391)."""
+    magictable.py:349-391).
+
+    ``for_join=True`` (the chain_enrich path) returns the post-fetch
+    cache table itself instead of re-joining it to the input URL set:
+    the caller left-joins on __url anyway, so the extra join here only
+    hides the parquet statistics behind a non-stage boundary and forces
+    a sort-merge join upstream. A bare cache scan lets Catalyst size
+    the join side statically — broadcast when the cache is small, plain
+    shuffle join when it isn't, which is the right call either way at
+    100 TB. Rows for URLs that failed THIS run are simply absent (the
+    caller's left join surfaces them as null payloads)."""
     import os
 
     fetcher = fetcher or default_fetcher
@@ -165,6 +176,8 @@ def fetch_urls(
         cacheable.write.mode("append").parquet(cache_dir)
         all_payloads = _read_cache(cache_dir)
         if all_payloads is not None:
+            if for_join:
+                return all_payloads
             return urls.join(all_payloads, "__url", "left")
     return urls.join(fetched, "__url", "left")
 
@@ -220,7 +233,7 @@ def chain_enrich(
 
     mapping = resolve_keys(url_template, df.columns, source_key, target_key)
     with_url = df.withColumn("__url", url_expr(url_template, mapping))
-    payloads = fetch_urls(spark, with_url.select("__url"), fetcher, warehouse)
+    payloads = fetch_urls(spark, with_url.select("__url"), fetcher, warehouse, for_join=True)
     joined = with_url.join(payloads, "__url", "left")
     result = parse_payload(joined).drop("__url")
 

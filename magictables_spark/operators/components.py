@@ -35,6 +35,7 @@ def connected_components(
     dst: str = "dst",
     nodes: DataFrame | None = None,
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """(id, component) for every node; component = min reachable id.
 
@@ -42,7 +43,15 @@ def connected_components(
     ``nodes`` optionally supplies the full node set (first column) so
     isolated nodes — e.g. documents with no duplicate — appear as
     singleton components.
-    """
+
+    Iteration bound: min-label propagation moves a label ONE hop per
+    round, so convergence needs ``graph diameter`` rounds — fine for
+    near-dup graphs (tight, shallow clusters), adversarial for long
+    chains. A run that exhausts ``max_iter`` without converging RAISES
+    under ``strict=True`` (the default) instead of silently returning
+    half-merged components; callers with genuinely deep graphs should
+    raise ``max_iter`` or switch to a large-star/small-star scheme
+    (Kiveris et al., SOCC'14)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
 
@@ -52,6 +61,7 @@ def connected_components(
         labels = labels.union(ids).distinct()
     labels = labels.withColumn("component", F.col("id"))
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und.b == labels.id)
@@ -73,5 +83,12 @@ def connected_components(
             "id", F.col("new_component").alias("component")
         ).localCheckpoint(eager=True)
         if changed == 0:
+            converged = True
             break
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (graph diameter exceeds the bound); raise max_iter or "
+            "use a large-star/small-star scheme for deep graphs"
+        )
     return labels

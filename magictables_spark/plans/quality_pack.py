@@ -1,0 +1,384 @@
+"""Data-quality + graph-analytics pack (round-2 coverage widening).
+
+Operators a production 100 TB pipeline runs between ingest and
+training that were not yet first-class in the registry:
+
+- ``bloom_join``      — bloom-filter pre-filtered join (the classic
+                        big-side scan pruning trick);
+- ``column_profile``  — per-column profiling (nulls/ndv/min/max), the
+                        ANALYZE/data-quality primitive;
+- ``iqr_outliers``    — robust outlier fencing per group;
+- ``degree_distribution`` — graph degree histogram over the part
+                        co-purchase graph;
+- ``pagerank``        — iterative link analysis (no oracle: iterative;
+                        invariant-gated in tests);
+- ``decontaminate``   — remove (not just count) train docs leaking
+                        held-out 8-gram shingles.
+
+All oracles follow the registry determinism rules (int64 money math,
+exact binary quantile fractions, ordered top-k with tie-breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import PRICE_I, REV_I, _t, q
+
+
+@q(
+    "bloom_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM({REV_I}) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+    doc="Bloom-style pre-filtered join: the filtered orders side is "
+    "compressed into a 2^18-bit membership bitmap (bucket = "
+    "xxhash64 mod M; 64-bit words built with bit_or aggregation — "
+    "~4k rows, kilobytes), BROADCAST, and the lineitem scan drops "
+    "non-candidate rows map-side with a word lookup + bit test "
+    "BEFORE the join shuffle — at 100 TB this is the difference "
+    "between shuffling the whole fact table and shuffling only the "
+    "~matching fraction. Hash-collision false positives are removed "
+    "by the exact join that follows, so the result equals the plain "
+    "join (exactly what the oracle computes). Same mechanism as "
+    "Spark's internal runtime row-level bloom filtering "
+    "(bloom_filter_agg/might_contain, not SQL-exposed in OSS), built "
+    "from public primitives so the pruning is explicit and testable.",
+    tags=("join", "scale"),
+)
+def bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m_bits = 1 << 18
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1997-01-01")
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    words = (
+        orders.select(F.expr(f"pmod(xxhash64(o_orderkey), {m_bits})").alias("bkt"))
+        .select(
+            (F.col("bkt") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, CAST(bkt % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.expr(REV_I).alias("rev_i"))
+        .withColumn("bkt", F.expr(f"pmod(xxhash64(l_orderkey), {m_bits})"))
+        .withColumn("w", (F.col("bkt") / 64).cast("int"))
+        # broadcast word-table join + bit test: the inner join drops
+        # rows whose word holds no small-side key at all, the bit test
+        # drops the rest — all map-side, before the big join exchange
+        .join(F.broadcast(words), "w")
+        .filter(F.expr("(word & shiftleft(1L, CAST(bkt % 64 AS INT))) != 0"))
+        .select("l_orderkey", "rev_i")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            (F.sum("rev_i").cast("double") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+@q(
+    "column_profile",
+    oracle="""
+    SELECT col, n_nulls, n_distinct, min_str, max_str FROM (
+      SELECT 'event_type' AS col,
+             CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             COUNT(DISTINCT event_type) AS n_distinct,
+             CAST(MIN(event_type) AS VARCHAR) AS min_str,
+             CAST(MAX(event_type) AS VARCHAR) AS max_str
+      FROM events
+      UNION ALL
+      SELECT 'user_id',
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT user_id),
+             CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+      FROM events
+      UNION ALL
+      SELECT 'value',
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(DISTINCT value),
+             -- FLOOR first: double->int casts truncate in Spark but
+             -- ROUND in DuckDB; floor is defined identically in both
+             CAST(CAST(FLOOR(MIN(value)) AS BIGINT) AS VARCHAR),
+             CAST(CAST(FLOOR(MAX(value)) AS BIGINT) AS VARCHAR)
+      FROM events
+    ) ORDER BY col
+    """,
+    doc="Per-column data-quality profile (null count, exact NDV, "
+    "min/max) over events — the ANALYZE/profiling primitive every "
+    "pipeline runs on ingest. ONE pass over the data computes all "
+    "columns' aggregates simultaneously (a single groupBy().agg with "
+    "2k agg buffers), then a driver-side unpivot of the 1-row result "
+    "into (col, stats) rows — never one scan per column. Floats are "
+    "surfaced as integer-cast strings to keep the cross-engine hash "
+    "exact.",
+    tags=("quality", "stats"),
+)
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    prof = ev.agg(
+        F.sum(F.col("event_type").isNull().cast("long")).alias("nn_event_type"),
+        F.countDistinct("event_type").alias("nd_event_type"),
+        F.min("event_type").cast("string").alias("mn_event_type"),
+        F.max("event_type").cast("string").alias("mx_event_type"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("nn_user_id"),
+        F.countDistinct("user_id").alias("nd_user_id"),
+        F.min("user_id").cast("string").alias("mn_user_id"),
+        F.max("user_id").cast("string").alias("mx_user_id"),
+        F.sum(F.col("value").isNull().cast("long")).alias("nn_value"),
+        F.countDistinct("value").alias("nd_value"),
+        F.floor(F.min("value")).cast("bigint").cast("string").alias("mn_value"),
+        F.floor(F.max("value")).cast("bigint").cast("string").alias("mx_value"),
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_str"),
+            F.col(f"mx_{c}").alias("max_str"),
+        )
+        for c in ("event_type", "user_id", "value")
+    ]
+    return (
+        prof.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.col", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str")
+        .orderBy("col")
+    )
+
+
+@q(
+    "iqr_outliers",
+    oracle=f"""
+    WITH fences AS (
+      SELECT l_returnflag,
+             PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY {PRICE_I}) AS q1,
+             PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY {PRICE_I}) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {PRICE_I} < q1 - 1.5*(q3-q1)
+                      OR {PRICE_I} > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MIN(q1) AS DOUBLE) AS q1, CAST(MIN(q3) AS DOUBLE) AS q3
+    FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    doc="Robust outlier fencing per group: exact Q1/Q3 (0.25/0.75 are "
+    "exact binary fractions -> bit-identical interpolation on int64 "
+    "inputs, same guarantee as quantiles_cont) over scaled-int price, "
+    "1.5*IQR Tukey fences, outlier count per return flag. Spark "
+    "shape: the 3-row fence table broadcasts back onto the scan — two "
+    "passes total, no per-row window sort. The data-quality screen "
+    "that precedes winsorize_clip (which fixes what this one finds).",
+    tags=("quality", "stats"),
+)
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.expr(PRICE_I).alias("price_i")
+    )
+    fences = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(price_i, 0.25)").alias("q1"),
+        F.expr("percentile(price_i, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("price_i") < F.col("q1") - 1.5 * iqr) | (
+        F.col("price_i") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        li.join(F.broadcast(fences), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+            F.min("q1").cast("double").alias("q1"),
+            F.min("q3").cast("double").alias("q3"),
+        )
+    )
+
+
+# shared co-purchase edge definition (same graph as triangle_count)
+_EDGES_SQL = """
+    WITH li AS (SELECT l_orderkey, l_partkey % 400 AS p FROM lineitem),
+    edges AS (
+      SELECT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= 2
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 400).alias("p")
+    )
+    a = li.select("l_orderkey", F.col("p").alias("u"))
+    b = li.select("l_orderkey", F.col("p").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+
+
+@q(
+    "degree_distribution",
+    oracle=_EDGES_SQL
+    + """
+    , und AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL
+      SELECT v, u FROM edges
+    ), degs AS (
+      SELECT node, COUNT(*) AS degree FROM und GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes
+    FROM degs GROUP BY degree ORDER BY degree
+    """,
+    doc="Degree histogram of the part co-purchase graph (same "
+    "canonical u<v edge set as triangle_count): undirect the edges, "
+    "count per node, histogram the counts. Two small shuffles on "
+    "ID-only rows — the structural profile (hubs/skew) one checks "
+    "BEFORE running propagation algorithms, because max degree bounds "
+    "their per-round fan-out.",
+    tags=("graph", "analytics"),
+)
+def degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    und = e.select(F.col("u").alias("node")).union(e.select(F.col("v").alias("node")))
+    degs = und.groupBy("node").agg(F.count("*").alias("degree"))
+    return degs.groupBy("degree").agg(F.count("*").alias("n_nodes")).orderBy("degree")
+
+
+@q(
+    "pagerank",
+    oracle=None,  # iterative double arithmetic; invariant-gated in tests
+    doc="PageRank (10 rounds, d=0.85) over the part co-purchase graph. "
+    "Per round ONE shuffle: contributions flow along edges "
+    "(rank/degree per neighbor) and sum per target node; dangling "
+    "mass is redistributed uniformly so total rank stays = |V| (the "
+    "tested invariant). The rank frame is |V| rows — tiny next to the "
+    "corpus — and lineage is truncated per round with localCheckpoint "
+    "exactly like connected_components; the driver only ever sees a "
+    "1-row dangling-mass aggregate. Rows-only driver check; sum "
+    "invariant + convergence asserted in tests/test_quality_graph.py.",
+    tags=("graph", "analytics", "iterative"),
+)
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, rounds = 0.85, 10
+    e = _edges(spark, sf_dir)
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    degs = und.groupBy("u").agg(F.count("*").alias("degree"))
+    nodes = degs.select(F.col("u").alias("node")).localCheckpoint(eager=True)
+    n_nodes = nodes.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(rounds):
+        contribs = (
+            und.join(ranks, und.u == ranks.node)
+            .join(degs, "u")
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("degree")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - d) + F.lit(d) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(25)
+        .select("node", F.round("rank", 6).alias("rank"))
+    )
+
+
+@q(
+    "decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 7, 0) + 1),
+               i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS sh
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT sh FROM shingled WHERE doc_id % 97 = 0
+    ), contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM shingled s JOIN bench b ON s.sh = b.sh
+      WHERE s.doc_id % 97 <> 0
+    )
+    SELECT lang,
+           COUNT(*) AS n_clean_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE doc_id % 97 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Benchmark decontamination, the REMOVAL step: drop every "
+    "training document sharing an 8-token shingle with the held-out "
+    "set and report the surviving corpus per language "
+    "(contamination_check is the measurement twin). Spark shape: the "
+    "held-out shingle set broadcasts into a left-semi probe that "
+    "yields the contaminated doc ids (tiny), which broadcast back "
+    "into a left-anti join against the train side — the 100 TB train "
+    "corpus is scanned twice and shuffled never.",
+    tags=("text", "pipeline", "llm", "dedup"),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.functions import shingles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", shingles("text", n=8).alias("sh")
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        train.select("doc_id", F.explode("sh").alias("sh"))
+        .join(F.broadcast(bench), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_clean_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -18,6 +18,7 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     mllib_pack,
     nested,
     pipeline_pack,
+    quality_pack,
     relational,
     rollup_pack,
     scalar,

@@ -32,3 +32,27 @@ def test_funnel_single_data_shuffle(spark, sf_dir):
 def test_array_hof_no_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "array_hof")
     assert "Exchange" not in plan, plan
+
+
+def test_chain_payload_join_broadcasts(spark, tmp_path):
+    """chain_enrich promises the payload join-back is a broadcast when
+    the distinct-URL set is small (operators/chain.py module doc); at
+    100 TB the left side never shuffles for the enrichment join."""
+    from magictables_spark.operators.chain import fetch_urls, url_expr
+    from magictables_spark.warehouse import Warehouse
+    from tests.test_chain import MockFetcher
+
+    df = spark.createDataFrame([(i % 7,) for i in range(500)], "user_id int")
+    with_url = df.withColumn("__url", url_expr("http://api/user/{user_id}"))
+    payloads = fetch_urls(
+        spark,
+        with_url.select("__url"),
+        MockFetcher(str(tmp_path / "calls.log")),
+        Warehouse(str(tmp_path / "wh")),
+        for_join=True,
+    )
+    joined = with_url.join(payloads, "__url", "left")
+    joined.collect()  # materialize so AQE finalizes join strategies
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

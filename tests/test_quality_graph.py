@@ -1,0 +1,73 @@
+"""Quality + graph pack gates (plans/quality_pack.py): pagerank
+invariants (no SQL oracle — iterative), bloom_join pruning mechanics.
+The oracle-backed slugs (bloom_join, column_profile, iqr_outliers,
+degree_distribution, decontaminate) are covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.queries import REGISTRY
+
+
+def test_pagerank_mass_and_determinism(spark, sf_dir):
+    """Total rank stays ~= |V| (damping redistributes, never destroys
+    mass on this undirected graph), ranks are positive, and a second
+    run is bit-identical (no RNG anywhere)."""
+    out1 = REGISTRY["pagerank"].fn(spark, sf_dir)
+    rows1 = out1.collect()
+    assert len(rows1) == 25
+    assert all(r.rank > 0 for r in rows1)
+    rows2 = REGISTRY["pagerank"].fn(spark, sf_dir).collect()
+    assert [(r.node, r.rank) for r in rows1] == [(r.node, r.rank) for r in rows2]
+
+
+def test_pagerank_favors_high_degree_nodes(spark, sf_dir):
+    """Sanity: the top-ranked node should be among the higher-degree
+    nodes (PageRank on a near-regular co-purchase graph tracks degree)."""
+    from magictables_spark.plans.quality_pack import _edges
+
+    e = _edges(spark, sf_dir)
+    und = e.select(F.col("u").alias("node")).union(e.select(F.col("v").alias("node")))
+    degs = {r.node: r.degree for r in und.groupBy("node").agg(F.count("*").alias("degree")).collect()}
+    top = REGISTRY["pagerank"].fn(spark, sf_dir).first()
+    median_deg = sorted(degs.values())[len(degs) // 2]
+    assert degs[top.node] >= median_deg
+
+
+def test_bloom_join_prunes_before_join(spark, sf_dir):
+    """The bitmap membership test must appear as a Filter BEFORE the
+    final equi-join in the plan (map-side pruning), and the word table
+    side must be a broadcast."""
+    df = REGISTRY["bloom_join"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "shiftleft" in plan and "& shiftleft" in plan.replace("AND", "&"), plan
+
+
+def test_bloom_join_bitmap_is_small(spark, sf_dir):
+    """The broadcast word table is bounded by M/64 rows regardless of
+    data size — kilobytes at any scale."""
+    from magictables_spark.plans.registry import _t
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderdate") >= "1997-01-01")
+    )
+    m_bits = 1 << 18
+    n_words = (
+        orders.select(F.expr(f"pmod(xxhash64(o_orderkey), {m_bits})").alias("bkt"))
+        .select((F.col("bkt") / 64).cast("int").alias("w"))
+        .distinct()
+        .count()
+    )
+    assert n_words <= m_bits // 64
+
+
+def test_decontaminate_consistent_with_contamination_check(spark, sf_dir):
+    """The removal op must drop exactly the docs the measurement op
+    counts: n_train_docs - n_contaminated == sum(n_clean_docs)."""
+    check = REGISTRY["contamination_check"].fn(spark, sf_dir).first()
+    clean = REGISTRY["decontaminate"].fn(spark, sf_dir)
+    n_clean = clean.agg(F.sum("n_clean_docs")).first()[0]
+    assert check.n_train_docs - check.n_contaminated == n_clean

@@ -114,6 +114,38 @@ def test_connected_components_chain_and_singletons(spark):
     assert got[99] == 99
 
 
+def test_connected_components_long_path_converges(spark):
+    """Path graph deeper than typical near-dup clusters: a 30-node
+    chain (diameter 29) must still fully converge within the default
+    bound (min-label moves one hop per round)."""
+    from magictables_spark.operators.components import connected_components
+
+    n = 30
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint")
+    got = {r.id: r.component for r in connected_components(edges, max_iter=n).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
+def test_connected_components_detects_iteration_bound(spark):
+    """Diameter > max_iter must RAISE (strict default), never return
+    silently half-merged components; strict=False documents the escape
+    hatch and returns the partial labels."""
+    import pytest
+
+    from magictables_spark.operators.components import connected_components
+
+    n = 20
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+    partial = {
+        r.id: r.component
+        for r in connected_components(edges, max_iter=3, strict=False).collect()
+    }
+    assert len(set(partial.values())) > 1  # genuinely unconverged
+
+
 def test_observed_write_metrics(spark, sf_dir, tmp_path):
     from magictables_spark.operators.scale import observed_write
 

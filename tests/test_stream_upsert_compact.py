@@ -55,6 +55,70 @@ def test_stream_upsert_latest_wins(spark, upsert_events_dir, tmp_path):
     assert snap.count() == 2
 
 
+def test_stream_upsert_crash_between_write_and_repoint(
+    spark, upsert_events_dir, tmp_path, monkeypatch
+):
+    """Kill the sink after the new snapshot is written but BEFORE the
+    manifest repoint: the old manifest must still resolve (readers see
+    the previous consistent state), and a checkpoint-replay restart
+    must converge to the correct merged result."""
+    import magictables_spark.streaming  # noqa: F401 - sink resolves os.replace at call time
+
+    target = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(target)
+
+    # batch 1 lands normally (only b1.json exists yet)
+    d2 = tmp_path / "in2"
+    d2.mkdir()
+    (d2 / "b1.json").write_text(
+        json.dumps({"event_id": 1, "ts": "2024-01-01T00:10:00", "user_id": 1,
+                    "event_type": "signup", "value": 0.0})
+    )
+    q = stream_upsert_foreach_batch(read_events_stream(spark, str(d2)), target, ckpt).start()
+    q.awaitTermination(120)
+    q.stop()
+    manifest = os.path.join(target, "LATEST")
+    manifest_before = open(manifest).read()
+    before = {(r.user_id, r.event_type) for r in read_upsert_snapshot(spark, target).collect()}
+    assert before == {(1, "signup")}
+
+    # batch 2 arrives, but the repoint "crashes"
+    (d2 / "b2.json").write_text(
+        json.dumps({"event_id": 3, "ts": "2024-01-01T01:00:00", "user_id": 1,
+                    "event_type": "purchase", "value": 9.0})
+    )
+    real_replace = os.replace
+
+    def crash_on_repoint(src, dst, *args, **kwargs):
+        if os.path.basename(str(dst)) == "LATEST":
+            raise OSError("simulated crash between snapshot write and repoint")
+        return real_replace(src, dst, *args, **kwargs)
+
+    monkeypatch.setattr(os, "replace", crash_on_repoint)
+    q2 = stream_upsert_foreach_batch(read_events_stream(spark, str(d2)), target, ckpt).start()
+    with pytest.raises(Exception, match="simulated crash|Query.*terminated"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
+    q2.stop()
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # old manifest untouched -> readers still resolve the OLD snapshot
+    assert open(manifest).read() == manifest_before
+    assert {
+        (r.user_id, r.event_type) for r in read_upsert_snapshot(spark, target).collect()
+    } == {(1, "signup")}
+
+    # restart: checkpoint replays the failed batch and converges
+    q3 = stream_upsert_foreach_batch(read_events_stream(spark, str(d2)), target, ckpt).start()
+    q3.awaitTermination(120)
+    q3.stop()
+    assert {
+        (r.user_id, r.event_type) for r in read_upsert_snapshot(spark, target).collect()
+    } == {(1, "purchase")}
+    assert open(manifest).read() != manifest_before
+
+
 def test_stream_upsert_is_incremental_across_restarts(spark, upsert_events_dir, tmp_path):
     """availableNow + checkpoint: a second run with no new files must
     not rewrite state; adding a file processes only the delta."""
