@@ -88,9 +88,14 @@ def main() -> None:
         # the timed run measures the execution a cluster would repeat
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[slug] = round(time.perf_counter() - start, 3)
+        # min of two timed runs: the steady-state cost of the plan, not
+        # whichever run a noisy-neighbor scheduling hiccup landed on
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[slug] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
