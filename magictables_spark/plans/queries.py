@@ -17,6 +17,7 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     llmdata_pack,
     mllib_pack,
     nested,
+    pipeline_ops,
     pipeline_pack,
     quality_pack,
     relational,
