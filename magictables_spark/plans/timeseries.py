@@ -218,3 +218,143 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         (filled / 100.0).alias("interp_value"),
     )
+
+
+@q(
+    "ohlc_bars",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS h,
+             {VAL_I} AS v,
+             epoch_ms(ts) * 1000000 + event_id AS k
+      FROM events
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           arg_min(v, k) AS open_i,
+           MAX(v) AS high_i,
+           MIN(v) AS low_i,
+           arg_max(v, k) AS close_i,
+           COUNT(*) AS n_ticks
+    FROM ev GROUP BY event_type, h
+    """,
+    doc="OHLC bars (open/high/low/close per key per hour) — the "
+    "classic financial/telemetry downsampling rollup Polars users "
+    "reach group_by_dynamic for. Open/close are argmin/argmax over a "
+    "composed (epoch_ms, event_id) key, so ties in the timestamp "
+    "break deterministically and both engines elect the same tick; "
+    "values stay scaled int64 throughout. ONE partial-aggregated "
+    "shuffle on (key, hour) — the ideal rollup shape at any scale.",
+    tags=("events", "timeseries",),
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.expr(VAL_I).alias("v"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) * 1000000 + F.col("event_id")).alias("k"),
+    )
+    return ev.groupBy("event_type", "h").agg(
+        F.expr("min_by(v, k)").alias("open_i"),
+        F.max("v").alias("high_i"),
+        F.min("v").alias("low_i"),
+        F.expr("max_by(v, k)").alias("close_i"),
+        F.count("*").alias("n_ticks"),
+    ).select(
+        "event_type",
+        F.date_format("h", TS_FMT).alias("bar_start"),
+        "open_i", "high_i", "low_i", "close_i", "n_ticks",
+    )
+
+
+@q(
+    "time_weighted_avg",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, {VAL_I} AS v,
+             epoch_ms(ts) AS ms, event_id
+      FROM events
+    ), seg AS (
+      SELECT event_type, v,
+             LEAD(ms) OVER (PARTITION BY event_type ORDER BY ms, event_id) - ms AS dt
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(SUM(v * dt) AS BIGINT) AS vt_i,
+           CAST(SUM(dt) AS BIGINT) AS t_ms,
+           CAST(SUM(v * dt) AS DOUBLE) / SUM(dt) / 100.0 AS twap
+    FROM seg WHERE dt IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Time-weighted average (TWAP): each observation's value is "
+    "held until the next observation, weighted by its holding "
+    "duration — the correct mean for irregularly-sampled series "
+    "(plain AVG over-weights bursts). One LEAD window per key + one "
+    "aggregation; the v*dt products stay in exact int64 (value "
+    "cents x millisecond gaps), only the final ratio is a double — "
+    "bit-identical cross-engine per the registry determinism rules.",
+    tags=("events", "timeseries", "window"),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(VAL_I).alias("v"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("ms", "event_id")
+    seg = ev.withColumn("dt", F.lead("ms").over(w) - F.col("ms")).filter(
+        F.col("dt").isNotNull()
+    )
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.sum(F.col("v") * F.col("dt")).alias("vt_i"),
+            F.sum("dt").alias("t_ms"),
+            (
+                F.sum(F.col("v") * F.col("dt")).cast("double")
+                / F.sum("dt")
+                / 100.0
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT d, COUNT(*) AS n_new FROM first_seen GROUP BY d
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM per_day ORDER BY d
+    """,
+    doc="Cumulative distinct users per day (growth accounting). The "
+    "naive form — COUNT(DISTINCT) over an expanding window — "
+    "re-scans every prefix (quadratic); the scalable identity is "
+    "first-seen-date per user, then a running SUM over the tiny "
+    "per-day series. Two aggregations + one window over |days| rows; "
+    "the events table is touched once.",
+    tags=("events", "timeseries", "analytics"),
+)
+def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first_seen = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("d"))
+    )
+    per_day = first_seen.groupBy("d").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.col("d").cast("string").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    ).orderBy("day")
