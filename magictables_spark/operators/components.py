@@ -92,3 +92,85 @@ def connected_components(
             "use a large-star/small-star scheme for deep graphs"
         )
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(id, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SOCC'14) — O(log^2 n) rounds instead of min-label propagation's
+    O(diameter), so deep chains converge where :func:`connected_components`
+    hits its iteration bound.
+
+    Each round rewrites the edge set:
+    - large-star: for every neighborhood, attach all neighbors LARGER
+      than the minimum label to that minimum (star around the min);
+    - small-star: attach all neighbors <= the center to the minimum.
+    Edges monotonically point toward smaller labels; a fixed point means
+    every node links directly to its component's minimum id. Per round:
+    one groupBy-min + one join — same shuffle budget per round as
+    min-label, but exponentially fewer rounds on long paths.
+    """
+    e = edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    # undirected, no self loops
+    parents = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    for _ in range(max_rounds):
+        # hash-to-min round: m(a) = min over N(a) ∪ {a}; every member of
+        # the closed neighborhood links to m(a). Re-SYMMETRIZING before
+        # the next round is what makes minima hop multiple edges per
+        # round (distance to the component min roughly halves).
+        neigh_min = (
+            parents.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+        )
+        stars = (
+            parents.join(neigh_min, "a")
+            .select(F.col("m").alias("x"), F.col("b").alias("y"))
+            .union(neigh_min.select(F.col("m").alias("x"), F.col("a").alias("y")))
+        )
+        relinked = (
+            stars.union(stars.select(F.col("y").alias("x"), F.col("x").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+            .distinct()
+            .select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .localCheckpoint(eager=True)
+        )
+        # fixed point: the (distinct, symmetric) edge sets are equal
+        if (
+            relinked.exceptAll(parents).limit(1).count() == 0
+            and parents.exceptAll(relinked).limit(1).count() == 0
+        ):
+            parents = relinked
+            break
+        parents = relinked
+
+    # at the fixed point the graph is a star per component; the center
+    # (component minimum) still lists its members as neighbors, so the
+    # component id is least(self, min neighbor)
+    comp = parents.groupBy("a").agg(F.min("b").alias("mb")).select(
+        F.col("a").alias("id"), F.least(F.col("a"), F.col("mb")).alias("component")
+    )
+    # roots (component minima) and isolated nodes map to themselves
+    if nodes is not None:
+        ids = nodes.select(F.col(nodes.columns[0]).cast("long").alias("id")).distinct()
+    else:
+        # derive the universe from the RAW edges (not the de-looped
+        # working set): a node appearing only in a self-loop is still a
+        # node, and min-label's output includes it
+        ids = e.select(F.col("a").alias("id")).union(
+            e.select(F.col("b").alias("id"))
+        ).distinct()
+    return ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )

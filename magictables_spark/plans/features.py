@@ -365,3 +365,135 @@ def winsorize_clip(spark, sf_dir):
             ).alias("was_clipped"),
         )
     )
+
+
+@q(
+    "target_encoding",
+    oracle="""
+    WITH stats AS (
+      SELECT lang,
+             COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s
+      FROM documents GROUP BY lang
+    ), g AS (
+      SELECT CAST(SUM(n_chars) AS BIGINT) AS gs, COUNT(*) AS gn FROM documents
+    )
+    SELECT lang, n,
+           CAST(s AS DOUBLE) / n AS cat_mean,
+           (CAST(s AS DOUBLE) + 20.0 * (CAST(gs AS DOUBLE) / gn)) / (n + 20.0)
+             AS smoothed_encoding
+    FROM stats CROSS JOIN g
+    ORDER BY lang
+    """,
+    doc="Target encoding with additive smoothing: per-category mean of "
+    "the target blended toward the global mean by a pseudo-count "
+    "prior (m=20) — the leakage-averse categorical encoder for "
+    "gradient-boosted / linear models. Sums stay exact int64; the "
+    "global mean is a 1-row broadcast crossJoin, so the plan is two "
+    "partial-agg shuffles regardless of corpus size.",
+    tags=("features", "ml"),
+)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("s")
+    )
+    glob = docs.agg(F.sum("n_chars").alias("gs"), F.count("*").alias("gn"))
+    prior = F.col("gs").cast("double") / F.col("gn")
+    return (
+        stats.crossJoin(F.broadcast(glob))
+        .select(
+            "lang",
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("cat_mean"),
+            ((F.col("s").cast("double") + 20.0 * prior) / (F.col("n") + 20.0)).alias(
+                "smoothed_encoding"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@q(
+    "width_bucket_binning",
+    oracle="""
+    -- DuckDB lacks width_bucket; this is its exact formula for
+    -- lo=0, hi=4000, n=16 (left-closed bins, n+1 = overflow bucket)
+    SELECT LEAST(CAST(FLOOR(n_chars / 250.0) AS BIGINT) + 1, 17) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS lo_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS hi_chars
+    FROM documents
+    GROUP BY 1 ORDER BY bin
+    """,
+    doc="Equi-width binning via the SQL-standard width_bucket (both "
+    "engines implement the identical bucket formula on doubles, so "
+    "bin ids match exactly) — the discretizer for feature binning "
+    "and drift histograms. Map-side bucket id + one partial-agg "
+    "shuffle on <= 18 groups.",
+    tags=("features", "ml"),
+)
+def width_bucket_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.expr("width_bucket(CAST(n_chars AS DOUBLE), 0.0, 4000.0, 16)").alias("bin"),
+            "n_chars",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("lo_chars"),
+            F.max("n_chars").alias("hi_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+@q(
+    "lag_features",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day, n,
+           LAG(n, 1) OVER w AS n_lag1,
+           LAG(n, 7) OVER w AS n_lag7,
+           CAST(SUM(s) OVER (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS s_7d
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ORDER BY event_type, d
+    """,
+    doc="Forecasting feature frame: per-key daily series with lag-1, "
+    "lag-7 and a 7-day rolling sum in ONE window pass (all three "
+    "share the same (key, date) sort, so Spark plans a single window "
+    "exchange). Aggregate-then-window: the windows run over |keys| x "
+    "|days| rows, never over raw events — the only survivable shape "
+    "at 100 TB.",
+    tags=("features", "timeseries", "ml", "window"),
+)
+def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    w7 = w.rowsBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        F.col("d").cast("string").alias("day"),
+        "n",
+        F.lag("n", 1).over(w).alias("n_lag1"),
+        F.lag("n", 7).over(w).alias("n_lag7"),
+        F.sum("s").over(w7).alias("s_7d"),
+    ).orderBy("event_type", "day")

@@ -250,3 +250,59 @@ def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = n * sxy - sx * sy
     den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     return s.select((num / den).alias("corr_qty_price"), F.col("n").alias("n_rows"))
+
+
+@q(
+    "asof_join_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, event_id AS next_purchase FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    )
+    SELECT c.user_id, c.event_id,
+           p.next_purchase AS next_purchase_right,
+           date_diff('second', c.ts, p.ts) AS secs_to_purchase
+    FROM clicks c
+    ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+    doc="FORWARD as-of join: each click gets the user's next purchase "
+    "at-or-after it (time-to-conversion) — the mirror of asof_join's "
+    "backward direction, exercising operators/asof.py's "
+    "direction='forward' path (first-non-null over the following "
+    "window; left rows sort before right at equal timestamps so exact "
+    "matches are included). Same ONE-shuffle union+window plan; "
+    "DuckDB's native ASOF with <= is the oracle. Right side deduped "
+    "per (user, ts) keeping MIN event_id (forward ties are broken by "
+    "the earliest id in both engines).",
+    tags=("join", "asof", "events"),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    from magictables_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    w = _W.partitionBy("user_id", "ts").orderBy(F.asc("next_purchase"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("next_purchase"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id", direction="forward")
+    return joined.select(
+        "user_id",
+        "event_id",
+        "next_purchase_right",
+        (
+            F.unix_timestamp(F.col("ts_right").cast("timestamp"))
+            - F.unix_timestamp(F.col("ts").cast("timestamp"))
+        ).alias("secs_to_purchase"),
+    )

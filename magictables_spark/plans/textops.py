@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from magictables_spark.plans.registry import _t, q
+from magictables_spark.plans.registry import REGISTRY, _t, q
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 _STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
@@ -446,4 +446,26 @@ def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(30)
+    )
+
+
+@q(
+    "dedup_clusters_star",
+    oracle=REGISTRY["dedup_clusters"].oracle,
+    doc="Same duplicate-group output as dedup_clusters, computed with "
+    "the hash-to-min star-contraction scheme (operators/components.py "
+    "connected_components_star, after Kiveris et al. SOCC'14): rounds "
+    "scale with log(diameter), not diameter, so adversarially deep "
+    "pair graphs converge where min-label propagation would hit its "
+    "iteration bound. Checked against the identical recursive-CTE "
+    "oracle — two independent distributed algorithms, one SQL truth.",
+    tags=("text", "dedup", "graph", "scale"),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.operators.components import connected_components_star
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+    return connected_components_star(pairs, src="doc_a", dst="doc_b", nodes=docs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
     )

@@ -127,6 +127,31 @@ def test_connected_components_long_path_converges(spark):
     assert len(got) == n
 
 
+def test_star_components_deep_path_and_parity(spark):
+    """Star contraction (hash-to-min) must fully resolve a 60-node path
+    (diameter 59) in its default log-bounded rounds — the regime where
+    min-label propagation needs 59 — and agree with min-label on a
+    random graph."""
+    import random
+
+    from magictables_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 60
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint")
+    got = {r.id: r.component for r in connected_components_star(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == n
+
+    random.seed(11)
+    redges = [(random.randrange(150), random.randrange(150)) for _ in range(120)]
+    rdf = spark.createDataFrame(redges, "src bigint, dst bigint")
+    a = {r.id: r.component for r in connected_components_star(rdf).collect()}
+    b = {r.id: r.component for r in connected_components(rdf, max_iter=60).collect()}
+    assert a == b
+
+
 def test_connected_components_detects_iteration_bound(spark):
     """Diameter > max_iter must RAISE (strict default), never return
     silently half-merged components; strict=False documents the escape

@@ -92,6 +92,44 @@ def test_streaming_batch_parity(spark, events_dir):
     assert got_b == got_s
 
 
+def test_stream_session_counts_batch_parity(spark, events_dir):
+    """session_window merges as events arrive; the finalized sessions
+    must equal the batch twin on the same data."""
+    from magictables_spark.streaming import stream_session_counts
+
+    src = read_events_stream(spark, events_dir)
+    q = (
+        stream_session_counts(src, gap="15 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_s")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    ).json(events_dir)
+    got_b = {
+        (r["user_id"], r["session_start"].isoformat(), r["n_events"])
+        for r in stream_session_counts(batch, gap="15 minutes").collect()
+    }
+    got_s = {
+        (r["user_id"], r["session_start"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_s").collect()
+    }
+    assert got_b == got_s
+    # fixture shape: user 1's two clicks 10 min apart merge into ONE
+    # session of 2 events; user 2's duplicate views collapse to one window
+    by_user = {}
+    for u, _start, n in got_s:
+        by_user.setdefault(u, []).append(n)
+    assert by_user[1] == [2]
+    assert by_user[2] == [2]
+
+
 def test_multimodal_plumbing(spark, tmp_path):
     media_dir = tmp_path / "media"
     media_dir.mkdir()
