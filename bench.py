@@ -39,6 +39,11 @@ HEADLINE = [
     "q9_product_profit",
     "funnel_conversion",
     "corpus_curation_pipeline",
+    # round-2 additions: bitmap-pruned join, bucketized interval join,
+    # OHLC rollup — the new scale-path families
+    "bloom_join",
+    "interval_join_attribution",
+    "ohlc_bars",
 ]
 
 

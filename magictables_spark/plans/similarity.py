@@ -144,7 +144,22 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_TABLES = 8  # LSH tables (OR-amplification: candidate if ANY table agrees)
-BITS_PER_TABLE = 4  # sign bits per table (AND within a table)
+BITS_PER_TABLE = 4  # sign bits per table at fixture scale (AND within a table)
+
+
+def _lsh_bits_for(n_vectors: int, target_bucket: int = 32) -> int:
+    """Bucket-space sizing: with FIXED b bits, buckets hold n/2^b vectors
+    and within-bucket candidate pairs grow O(n^2/2^b) — the scale probe
+    measured the 4-bit config going superlinear (t ~ n^1.8) by 80k
+    vectors. Scaling b with log2(n/target) keeps expected bucket
+    occupancy ~constant, so candidate generation stays ~linear; at the
+    500-vector fixture this still yields the original 4 bits (recall
+    gates unchanged)."""
+    import math
+
+    if n_vectors <= 0:
+        return BITS_PER_TABLE
+    return max(BITS_PER_TABLE, min(18, math.ceil(math.log2(max(2, n_vectors / target_bucket)))))
 
 
 def _planes(table: int, bit: int) -> list[int]:
@@ -175,11 +190,14 @@ def _planes(table: int, bit: int) -> list[int]:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized(spark, sf_dir)
     norms = e.withColumn("nrm", _dot("q", "q"))
-    # per-table bucket ids from 4 sign bits each
+    # size the bucket space to the corpus: one bounded count job on the
+    # driver (same class of roundtrip as kmeans' k-row collect), then
+    # log2(n/32) sign bits per table so bucket occupancy stays constant
+    n_bits = _lsh_bits_for(norms.count())
     table_structs = []
     for t in range(N_TABLES):
         bits = []
-        for bit in range(BITS_PER_TABLE):
+        for bit in range(n_bits):
             plane_arr = F.array(*[F.lit(v) for v in _planes(t, bit)])
             dot_p = F.aggregate(
                 F.zip_with(F.col("q"), plane_arr, lambda x, y: x * y),

@@ -1,0 +1,129 @@
+"""Scale probe: measure how the scale-path operators grow with corpus
+size, on synthetic data larger than the shipped fixtures.
+
+Generates documents/embeddings parquet at several multiples of the
+sf0.1 fixture size into /tmp, runs the scale-path slugs at each size,
+and reports per-size wall time + the fitted power-law exponent
+(time ~ n^k). A linear operator shows k ~= 1; a quadratic one k ~= 2.
+
+Usage: python tools/scale_probe.py [--sizes 5000,20000,80000]
+Prints one JSON line per op and a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = [f"w{i:03d}" for i in range(800)]
+
+SCALE_OPS = [
+    "dedup_exact",
+    "dedup_minhash",
+    "simhash",
+    "ann_lsh_topk",
+    "corpus_curation_pipeline",
+    "text_quality",
+    "contamination_check",
+]
+
+
+def gen_tables(spark, out_dir: str, n_docs: int) -> None:
+    """Deterministic synthetic corpus shaped like the fixtures: ~10% of
+    docs are near-duplicates of a smaller base set (dup clusters for the
+    dedup paths), 64-dim embeddings for the ANN path."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "_done")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    langs = ["en", "en", "en", "de", "fr", "es", "pt"]
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            # 90% unique text seeded by own id, 10% copy text of id%97
+            # (dup clusters); 40-120 words from an 800-word vocab
+            F.when(F.col("id") % 10 == 0, F.col("id") % 97)
+            .otherwise(F.col("id"))
+            .alias("seed"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(sequence(1, 40 + CAST(xxhash64(seed) % 81 AS INT) % 81), "
+                f"i -> element_at(array({','.join(repr(w) for w in VOCAB)}), "
+                "1 + CAST(abs(xxhash64(seed, i)) % 800 AS INT))), ' ')"
+            ).alias("text"),
+            F.element_at(
+                F.array(*[F.lit(x) for x in langs]),
+                (F.col("doc_id") % len(langs) + 1).cast("int"),
+            ).alias("lang"),
+            F.lit("synthetic").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    n_vecs = max(1000, n_docs // 3)
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "CAST(CAST(xxhash64(id % 50, i) % 1000 AS DOUBLE) / 1000.0 "
+            "+ CAST(xxhash64(id, i) % 100 AS DOUBLE) / 1000.0 AS FLOAT))"
+        ).alias("embedding"),
+        (F.col("id") % 7).cast("int").alias("label"),
+    )
+    emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    open(os.path.join(out_dir, "_done"), "w").write("ok")
+
+
+def main() -> None:
+    sizes = [5000, 20000, 80000]
+    for a in sys.argv[1:]:
+        if a.startswith("--sizes"):
+            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    from magictables_spark.plans.queries import REGISTRY
+    from magictables_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {}
+    for n in sizes:
+        d = f"/tmp/mts_scale_{n}"
+        gen_tables(spark, d, n)
+        dirs[n] = d
+
+    results = {}
+    for slug in SCALE_OPS:
+        fn = REGISTRY[slug].fn
+        per_size = {}
+        for n, d in dirs.items():
+            fn(spark, d).write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t)
+            per_size[n] = round(best, 3)
+        lo, hi = min(sizes), max(sizes)
+        k = math.log(per_size[hi] / per_size[lo]) / math.log(hi / lo)
+        results[slug] = {"times": per_size, "exponent": round(k, 2)}
+        print(json.dumps({"op": slug, **results[slug]}), flush=True)
+
+    print("\nop                          " + "".join(f"{n:>10}" for n in sizes) + "   n^k")
+    for slug, r in results.items():
+        row = "".join(f"{r['times'][n]:>10.2f}" for n in sizes)
+        print(f"{slug:<28}{row}   {r['exponent']:.2f}")
+
+
+if __name__ == "__main__":
+    main()
