@@ -401,10 +401,20 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "scale"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     n_probe = 4
     e = _quantized(spark, sf_dir)
     norms = e.withColumn("nrm", _dot("q", "q"))
-    cents = norms.filter(F.col("vec_id") % 31 == 0).select(
+    # coarse-quantizer sizing: a FIXED stride means |centroids| = n/31,
+    # so the broadcast cell-assignment does O(n^2/31) distance evals —
+    # quadratic (same failure mode the scale probe caught in the LSH
+    # bucket space). stride ~ sqrt(n) keeps |centroids| ~ sqrt(n) and
+    # assignment O(n^1.5); the 500-vector fixture still gets stride 31
+    # (max clause), so recall gates and driver rows are unchanged.
+    n_vecs = norms.count()
+    stride = max(31, round(math.sqrt(max(1, n_vecs))))
+    cents = norms.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
     )
 

@@ -27,6 +27,7 @@ SCALE_OPS = [
     "dedup_minhash",
     "simhash",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "corpus_curation_pipeline",
     "text_quality",
     "contamination_check",
