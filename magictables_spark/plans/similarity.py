@@ -475,11 +475,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label, q,
              CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
       FROM e
+    ), stride AS (
+      -- probe set bounded ~sqrt(n): a fixed modulus would make the
+      -- probe count (and the broadcast join) grow linearly with the
+      -- corpus; FLOOR(SQRT(n)) matches the Spark side exactly
+      SELECT GREATEST(20, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s FROM embeddings
     ), scored AS (
       SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
              CAST(list_sum(list_transform(range(1, 65), i -> qs.q[i]*c.q[i])) AS BIGINT)
                / (sqrt(CAST(qs.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
-      FROM norms qs JOIN norms c ON qs.vec_id % 20 = 0 AND c.vec_id <> qs.vec_id
+      FROM norms qs CROSS JOIN stride
+      JOIN norms c ON qs.vec_id % stride.s = 0 AND c.vec_id <> qs.vec_id
     ), top5 AS (
       SELECT query_id, label FROM (
         SELECT query_id, label, cosine, neighbor_id,
@@ -507,11 +513,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "pipeline"),
 )
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr(QUANT_SPARK).alias("q")
     )
     norms = e.withColumn("nrm", _dot("q", "q"))
-    probes = norms.filter(F.col("vec_id") % 20 == 0).select(
+    # probe set bounded ~sqrt(n) (bounded count job, FLOOR matches the
+    # oracle's CTE): with the old fixed %20 stride the probe count grew
+    # linearly, turning the broadcast probe-x-corpus join quadratic
+    stride = max(20, math.floor(math.sqrt(max(1, norms.count()))))
+    probes = norms.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
     )
     cand = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("label"), "q", "nrm")

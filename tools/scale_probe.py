@@ -28,6 +28,7 @@ SCALE_OPS = [
     "simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "knn_label_vote",
     "corpus_curation_pipeline",
     "text_quality",
     "contamination_check",
