@@ -88,3 +88,21 @@ def test_ann_ivf_recall_against_exact(spark, sf_dir):
     assert exact_set, "exact top-k produced nothing"
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
+
+
+def test_lsh_bucket_space_scales_with_corpus():
+    """Fixed bucket spaces go quadratic (scale probe, SCALING.md):
+    bits must grow ~log2(n) while preserving the fixture behavior."""
+    from magictables_spark.plans.similarity import BITS_PER_TABLE, _lsh_bits_for
+
+    assert _lsh_bits_for(500) == BITS_PER_TABLE  # fixture unchanged
+    assert _lsh_bits_for(0) == BITS_PER_TABLE
+    assert _lsh_bits_for(27_000) == 10
+    assert _lsh_bits_for(1_000_000) == 15
+    assert _lsh_bits_for(10**12) == 18  # capped
+    # monotone non-decreasing
+    prev = 0
+    for n in (10, 100, 1000, 10**4, 10**5, 10**6, 10**9):
+        b = _lsh_bits_for(n)
+        assert b >= prev
+        prev = b
