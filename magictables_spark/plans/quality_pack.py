@@ -382,3 +382,37 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "crosstab_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cohort_0,
+           CAST(SUM(CASE WHEN user_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cohort_1,
+           CAST(SUM(CASE WHEN user_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS cohort_2,
+           CAST(SUM(CASE WHEN user_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS cohort_3
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Contingency table (df.stat.crosstab's shape, built "
+    "declaratively): event-type by user-cohort counts via pivot on a "
+    "bounded category set. Explicit pivot values keep the plan a "
+    "single partial-aggregated shuffle — pivot WITHOUT values adds a "
+    "distinct-scan job to discover columns, which at 100 TB is a "
+    "whole extra pass over the fact table.",
+    tags=("stats", "quality"),
+)
+def crosstab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", (F.col("user_id") % 4).alias("cohort"))
+        .groupBy("event_type")
+        .pivot("cohort", [0, 1, 2, 3])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "event_type",
+            *[F.coalesce(F.col(str(i)), F.lit(0)).alias(f"cohort_{i}") for i in range(4)],
+        )
+        .orderBy("event_type")
+    )
