@@ -5,6 +5,9 @@ the two manual shuffle-elimination tools that matter at 100 TB
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -15,7 +18,18 @@ def write_bucketed(
     """Persist a table bucketed (and optionally sorted) on the join key.
     Two tables bucketed the same way join WITHOUT a shuffle — at 100 TB
     the bucketing write is paid once and every subsequent join on the
-    key skips its exchange entirely."""
+    key skips its exchange entirely.
+
+    Crash-resilient: a killed session can leave the table's warehouse
+    directory on disk with no catalog entry, which makes a later
+    ``saveAsTable`` fail with LOCATION_ALREADY_EXISTS — so drop any
+    stale catalog entry AND remove the orphaned location first."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    location = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if os.path.isdir(location):
+        shutil.rmtree(location, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -53,9 +53,20 @@ def get_spark(app_name: str = "magictables_spark", master: str | None = None) ->
     - Arrow on: every pandas_udf / toPandas boundary is vectorized.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Per-process warehouse dir: saveAsTable writes table DIRECTORIES
+    # under the warehouse; a killed session leaves orphaned dirs with no
+    # catalog entry, and the next session's saveAsTable dies with
+    # LOCATION_ALREADY_EXISTS. A pid-scoped tmp dir makes every session
+    # start from a clean warehouse with zero manual cleanup.
+    warehouse = os.environ.get("SPARK_GRAFT_WAREHOUSE_DIR")
+    if not warehouse:
+        import tempfile
+
+        warehouse = os.path.join(tempfile.gettempdir(), f"magictables_warehouse_{os.getpid()}")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")

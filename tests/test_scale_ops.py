@@ -9,10 +9,27 @@ from pyspark.sql import functions as F
 from magictables_spark.operators.scale import bucketed_join, salted_join, write_bucketed
 
 
+def test_write_bucketed_survives_orphaned_location(spark):
+    """A killed session leaves the table directory in the warehouse with
+    no catalog entry; write_bucketed must clean it up instead of dying
+    with LOCATION_ALREADY_EXISTS (the one red of round 2)."""
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(warehouse, "b_orphan")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    write_bucketed(df, "b_orphan", ["k"], 4)
+    assert spark.table("b_orphan").count() == 2
+    spark.sql("DROP TABLE IF EXISTS b_orphan")
+
+
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, sf_dir):
-    # saveAsTable writes to the session's static warehouse dir
-    # (./spark-warehouse, gitignored); tables dropped on teardown
+    # saveAsTable writes to the session's per-pid tmp warehouse dir
+    # (see session.get_spark); tables dropped on teardown
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
