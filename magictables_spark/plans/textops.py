@@ -5,7 +5,8 @@ training-data pipeline needs).
 All hot-path expressions are JVM built-ins (split/filter/transform/
 aggregate higher-order functions) — no Python UDFs. Fingerprints use
 md5 (identical hex output in Spark and DuckDB, so oracle-checkable);
-scale-path hashing (xxhash64) appears in the rows-only variants.
+the scale-path variants (plans/similarity.py) hash with md5-derived
+60-bit ints for the same reason, so they are oracle-checked too.
 """
 
 from __future__ import annotations
