@@ -126,6 +126,58 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sequence_packing_sharded",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             ascii(md5(CAST(doc_id AS VARCHAR))) % 8 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), placed AS (
+      SELECT shard, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM sized
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(cum_before // 2048 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM placed
+    GROUP BY 1, 2
+    """,
+    doc="The scale-safe twin of sequence_packing: documents are first "
+    "hash-bucketed into 8 shards (first md5 hex byte of doc_id — the "
+    "same content-hash determinism as the samplers) and the running-sum "
+    "window packs WITHIN each shard, so the plan's window exchange is "
+    "hashpartitioning(shard), never the single-partition global sort "
+    "that made the exact variant a declared scale-killer. Bins are "
+    "(shard, bin_id) pairs; each shard packs independently — exactly "
+    "how a 100 TB pretraining run shards its packer. The global "
+    "variant stays registered as the exact-parity baseline; a plan "
+    "assertion in tests/test_pipeline_invariants.py pins the "
+    "multi-partition window.",
+    tags=("text", "pipeline", "llm", "scale"),
+)
+def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sized = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.ascii(F.md5(F.col("doc_id").cast("string"))) % 8).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = sized.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return placed.groupBy(
+        F.col("shard").cast("int").alias("shard"),
+        F.expr("cum_before div 2048").alias("bin_id"),
+    ).agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
+
+
+@q(
     "text_redact",
     oracle=r"""
     SELECT doc_id,

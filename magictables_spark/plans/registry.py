@@ -71,6 +71,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# Rows above which an intentionally-quadratic exact baseline refuses to
+# run: ~50k rows is ~1.25e9 candidate pairs — an hour-class cross join
+# that should never be launched by accident when a linear-shuffle twin
+# (LSH banding / bucketed ANN) exists.
+QUADRATIC_GUARD_ROWS = 50_000
+
+
+class QuadraticInputError(ValueError):
+    """Raised when an exact all-pairs baseline is asked to run on an
+    input large enough that only its linear-scale twin makes sense."""
+
+
+def guard_quadratic(df: DataFrame, slug: str, scale_twin: str, limit: int | None = None) -> DataFrame:
+    """Fail fast before an all-pairs join. The count is one bounded job
+    (same class of driver roundtrip as the LSH bucket-space sizing);
+    passing the guard returns the input unchanged. The registered
+    fixture runs stay far below the threshold, so driver/oracle
+    behavior is unaffected — this only stops a user pointing the exact
+    baseline at a production-size table."""
+    if limit is None:
+        limit = QUADRATIC_GUARD_ROWS
+    n = df.count()
+    if n > limit:
+        raise QuadraticInputError(
+            f"{slug}: input has {n} rows (> {limit}); this exact all-pairs "
+            f"baseline is quadratic by design — use {scale_twin} at scale"
+        )
+    return df
+
+
 # ---------------------------------------------------------------------------
 # shared exact-arithmetic SQL fragments (parsed identically by Spark & DuckDB)
 # ---------------------------------------------------------------------------

@@ -118,7 +118,13 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norms = _quantized(spark, sf_dir).withColumn("nrm", _dot("q", "q"))
+    from magictables_spark.plans.registry import guard_quadratic
+
+    norms = guard_quadratic(
+        _quantized(spark, sf_dir).withColumn("nrm", _dot("q", "q")),
+        "embed_neardup",
+        "ann_lsh_topk",
+    )
     a = norms.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("nrm").alias("na")
     )

@@ -194,9 +194,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magictables_spark.functions import shingles as _sh
 
     shingles = _sh("text", n=3)
+    from magictables_spark.plans.registry import guard_quadratic
+
     sh = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
+        guard_quadratic(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200),
+            "dedup_ngram_jaccard",
+            "dedup_minhash",
+        )
         .select("doc_id", F.explode(shingles).alias("shingle"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -296,8 +301,14 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup"),
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
+    from magictables_spark.plans.registry import guard_quadratic
+
+    docs = guard_quadratic(
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
+        ),
+        "dedup_fuzzy_levenshtein",
+        "dedup_minhash",
     )
     a = docs.alias("a")
     b = docs.alias("b")

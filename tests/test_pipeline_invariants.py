@@ -148,3 +148,49 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
     # implied by Lloyd monotonicity; spot-check it is finite and the
     # biggest cluster does not swallow everything
     assert max(r.n_members for r in rows) < total
+
+
+def test_sequence_packing_sharded_parity_and_plan(spark, sf_dir):
+    """The sharded packer must (a) conserve tokens and docs vs the
+    global packer, (b) never overflow a bin by more than one document,
+    and (c) run its window behind a MULTI-partition hash exchange —
+    never the single-partition global sort of the exact variant."""
+    sharded = _run(spark, sf_dir, "sequence_packing_sharded")
+    rows = sharded.collect()
+    glob = _run(spark, sf_dir, "sequence_packing").collect()
+    assert sum(r.bin_tokens for r in rows) == sum(r.bin_tokens for r in glob)
+    assert sum(r.n_docs for r in rows) == sum(r.n_docs for r in glob)
+    assert {r.shard for r in rows} == set(range(8))
+
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(shard" in plan, plan[:2000]
+
+
+def test_quadratic_guard_fast_fails(spark, sf_dir):
+    """The exact all-pairs baselines refuse oversized inputs with a
+    pointer to their linear-scale twin; fixture-size inputs pass."""
+    import pytest
+
+    from magictables_spark.plans import registry
+    from magictables_spark.plans.registry import QuadraticInputError, guard_quadratic
+
+    big = spark.range(0, 100)
+    with pytest.raises(QuadraticInputError, match="ann_lsh_topk"):
+        guard_quadratic(big, "embed_neardup", "ann_lsh_topk", limit=10)
+    # passing the guard returns the input unchanged
+    assert guard_quadratic(big, "x", "y", limit=1000).count() == 100
+
+    # the registered ops consult the module default at call time
+    prev = registry.QUADRATIC_GUARD_ROWS
+    registry.QUADRATIC_GUARD_ROWS = 3
+    try:
+        for slug, twin in [
+            ("embed_neardup", "ann_lsh_topk"),
+            ("dedup_ngram_jaccard", "dedup_minhash"),
+            ("dedup_fuzzy_levenshtein", "dedup_minhash"),
+        ]:
+            with pytest.raises(QuadraticInputError, match=twin):
+                _run(spark, sf_dir, slug).collect()
+    finally:
+        registry.QUADRATIC_GUARD_ROWS = prev
