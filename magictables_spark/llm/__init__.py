@@ -112,9 +112,14 @@ def extract_fence(text: str, lang: str) -> str:
 # nl_transform: NL -> cached Spark SQL -> temp view execution
 # ---------------------------------------------------------------------------
 
+# DML/DDL verbs blocked anywhere in the text. Statement-form keywords
+# (SET/CACHE/RESET/REFRESH/ANALYZE/CALL/...) are deliberately NOT here:
+# as statements they are already rejected by the SELECT/WITH prefix
+# check and the parse-level Command check, while a textual match would
+# false-positive on literals and identifiers like `status = 'set'` or
+# a column named reset_count.
 _FORBIDDEN_SQL = re.compile(
-    r"\b(insert|update|delete|drop|create|alter|truncate|merge|grant|"
-    r"cache|uncache|set|reset|refresh|analyze|msck|call)\b",
+    r"\b(insert|update|delete|drop|create|alter|truncate|merge|grant)\b",
     re.IGNORECASE,
 )
 
@@ -166,18 +171,71 @@ def validate_sql(sql: str, spark=None, allowed_tables: set[str] | None = None) -
             raise ValueError(f"non-query statement ({cls}) not allowed: {sql!r}")
         if allowed_tables is not None:
             allowed = {t.lower() for t in allowed_tables}
-            tree = plan.toString()
+            rels, ctes, sightings = _walk_relations(plan)
             # names defined by the query's own CTEs are legal relations
-            for m in re.finditer(r"\bCTE \[([^\]]*)\]", tree):
-                allowed.update(p.strip().strip("`").lower() for p in m.group(1).split(","))
-            for m in re.finditer(r"'UnresolvedRelation \[([^\]]*)\]", tree):
-                parts = [p.strip().strip("`") for p in m.group(1).split(",")]
+            allowed |= ctes
+            for parts in rels:
                 if len(parts) != 1 or parts[0].lower() not in allowed:
                     raise ValueError(
                         f"table {'.'.join(parts)!r} not in allowed set "
                         f"{sorted(allowed)}: {sql!r}"
                     )
+            # fail-CLOSED: a query with FROM/JOIN that surfaced zero
+            # relation-like nodes means the walk (or a Spark upgrade's
+            # node naming) missed something — reject instead of passing
+            # a table reference unvetted
+            if sightings == 0 and re.search(r"\b(from|join)\b", stripped, re.IGNORECASE):
+                raise ValueError(
+                    f"could not verify table references against allowlist: {sql!r}"
+                )
     return stripped
+
+
+def _walk_relations(plan) -> tuple[list[list[str]], set[str], int]:
+    """Structurally collect table references from a PARSED plan via py4j:
+    returns (UnresolvedRelation name-parts, CTE-defined names, count of
+    relation-like nodes seen). Walking the tree — children() plus
+    subqueries() so EXISTS/IN/scalar subqueries are covered — instead of
+    regexing plan.toString() means a rendering change in a Spark upgrade
+    breaks the walk loudly (zero sightings -> fail-closed above) rather
+    than silently allowlisting everything.
+
+    Table-valued functions and inline VALUES are counted as sightings
+    (so fail-closed doesn't fire on them) but not name-checked: they
+    carry no catalog table name, and the path-reading forms parse as
+    UnresolvedRelation or are caught by the path-table regex.
+    """
+    rels: list[list[str]] = []
+    ctes: set[str] = set()
+    sightings = 0
+    queue = [plan]
+    while queue:
+        node = queue.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "UnresolvedRelation":
+            ident = node.multipartIdentifier()
+            rels.append([ident.apply(i) for i in range(ident.size())])
+            sightings += 1
+        elif cls in ("UnresolvedTableValuedFunction", "UnresolvedInlineTable"):
+            sightings += 1
+        elif cls == "UnresolvedWith":
+            # cteRelations are INNER children (not in children()), so the
+            # definition bodies must be queued explicitly or a relation
+            # hidden inside `WITH t AS (SELECT * FROM secret)` is missed
+            cte = node.cteRelations()
+            for i in range(cte.size()):
+                ctes.add(str(cte.apply(i)._1()).lower())
+                queue.append(cte.apply(i)._2())
+        ch = node.children()
+        for i in range(ch.size()):
+            queue.append(ch.apply(i))
+        try:
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                queue.append(sq.apply(i))
+        except Exception:  # noqa: BLE001 - subqueries() is best-effort per node
+            pass
+    return rels, ctes, sightings
 
 
 def summarize(df: DataFrame, n_sample: int = 1) -> str:

@@ -81,7 +81,13 @@ def decode_png(data: bytes) -> dict:
         raise UnsupportedMediaError(f"unsupported PNG color type {color_type}")
     channels = _CHANNELS_BY_COLOR_TYPE[color_type]
 
-    raw = zlib.decompress(bytes(idat))
+    try:
+        # corrupt IDAT must surface as UnsupportedMediaError (the
+        # per-file skip contract), not a raw zlib.error that fails the
+        # whole Spark task
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise UnsupportedMediaError(f"PNG IDAT inflate failed: {e}") from e
     stride = width * channels  # bytes per scanline at bit depth 8
     if len(raw) != height * (stride + 1):
         raise UnsupportedMediaError("PNG pixel data length mismatch")

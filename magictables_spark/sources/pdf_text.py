@@ -134,6 +134,16 @@ _ESCAPES = {
 }
 
 
+def _hex_bytes(hx: bytes) -> bytes:
+    """Decode a PDF hex string body, mapping malformed hex (non-hex
+    chars, non-ascii) to UnsupportedPdfError instead of a bare
+    ValueError escaping mid-parse."""
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise UnsupportedPdfError(f"malformed hex string: {e}") from e
+
+
 def _literal_string(data: bytes, i: int) -> tuple[bytes, int]:
     """Parse a ``(...)`` literal starting at the '(' — returns (bytes,
     index after the closing paren). Handles escapes, octal, nesting."""
@@ -147,9 +157,13 @@ def _literal_string(data: bytes, i: int) -> tuple[bytes, int]:
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
-            elif nxt.isdigit():
+            elif nxt and nxt in b"01234567":
+                # octal digits ONLY: bytes.isdigit() accepts \8 and \9,
+                # which int(x, 8) rejects mid-parse; the PDF spec says a
+                # backslash before a non-escape char is ignored, so \8
+                # falls through to the branch below and yields '8'
                 j = i + 1
-                while j < min(i + 4, len(data)) and data[j : j + 1].isdigit():
+                while j < min(i + 4, len(data)) and data[j : j + 1] in b"01234567":
                     j += 1
                 out.append(int(data[i + 1 : j], 8) & 0xFF)
                 i = j
@@ -204,7 +218,7 @@ def _page_text(content: bytes) -> str:
             hx = re.sub(rb"\s", b"", content[i + 1 : j])
             if len(hx) % 2:
                 hx += b"0"
-            pending.append(("str", bytes.fromhex(hx.decode("ascii"))))
+            pending.append(("str", _hex_bytes(hx)))
             i = j + 1
         elif c == b"[":
             # collect a TJ array: strings + kern numbers
@@ -220,7 +234,7 @@ def _page_text(content: bytes) -> str:
                     hx = re.sub(rb"\s", b"", content[j + 1 : k])
                     if len(hx) % 2:
                         hx += b"0"
-                    arr.append(("str", bytes.fromhex(hx.decode("ascii"))))
+                    arr.append(("str", _hex_bytes(hx)))
                     j = k + 1
                 else:
                     m = _NUM_RE.match(content, j)

@@ -172,3 +172,30 @@ def test_nl_join_executes_caches_and_validates(spark, wh):
     llm3 = MockLLM(["```sql\nDROP TABLE left_df\n```"])
     with pytest.raises(ValueError):
         nl_join(left.df, right.df, "nuke it", llm=llm3)
+
+
+def test_validate_sql_keyword_blocklist_no_false_positives(spark):
+    """Statement-form keywords inside string literals or identifiers are
+    legal (the prefix + parse layers classify the statement); only real
+    DML/DDL verbs stay on the textual blocklist."""
+    for ok in [
+        "SELECT * FROM df WHERE status = 'set'",
+        "SELECT id AS reset_count FROM df",
+        "SELECT 'cache me' AS note, id FROM df",
+        "SELECT id FROM df WHERE name = 'analyze this call'",
+    ]:
+        got = validate_sql(ok, spark=spark, allowed_tables={"df"})
+        assert got.startswith("SELECT")
+
+
+def test_validate_sql_allowlist_walks_subqueries(spark):
+    """Relations hidden in EXISTS/IN/scalar subqueries are walked
+    structurally (not regex-scraped from toString) and rejected."""
+    for bad in [
+        "SELECT id FROM df WHERE EXISTS (SELECT 1 FROM secret_view)",
+        "SELECT id FROM df WHERE id IN (SELECT id FROM secret_view)",
+        "SELECT id, (SELECT MAX(id) FROM secret_view) AS m FROM df",
+        "WITH t AS (SELECT * FROM secret_view) SELECT * FROM t",
+    ]:
+        with pytest.raises(ValueError, match="not in allowed set"):
+            validate_sql(bad, spark=spark, allowed_tables={"df"})

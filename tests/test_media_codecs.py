@@ -154,3 +154,28 @@ def test_multimodal_features_query_real_decode(spark, sf_dir):
     # decoded stats are real: mean pixel (index 4) in (0, 1), audio rms > 0
     assert 0.0 < png["mean_stat"] < 1.0
     assert wav["mean_stat"] > 0.0
+
+def test_png_corrupt_idat_is_unsupported_not_zlib_error():
+    """Valid signature + IHDR but garbage IDAT must raise
+    UnsupportedMediaError (per-file skip contract), never let
+    zlib.error escape and fail the whole Spark task."""
+    import struct
+    import zlib as _zlib
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 gray, 8-bit
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\xde\xad\xbe\xef not deflate")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(UnsupportedMediaError, match="inflate"):
+        decode_png(bad)

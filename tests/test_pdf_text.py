@@ -84,3 +84,40 @@ def test_pdf_source_one_row_per_page():
     assert rows == [{"page_content": "page A"}, {"page_content": "page B"}]
     assert src.get_type() == "pdf"
     assert src.get_identifier() == "http://example.com/doc.pdf"
+
+def test_literal_string_non_octal_escapes_ignored_backslash():
+    r"""Per the PDF spec, a backslash before a non-escape char is
+    dropped: \8 -> '8', \9 -> '9' — must not crash int(x, 8).
+    Content is hand-built: build_simple_pdf would escape the
+    backslashes and never exercise this path."""
+    content = rb"BT (code \8 and \9 and \123 octal) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    pages = extract_pdf_pages(pdf)
+    # \123 IS octal (= 'S'); \8 and \9 fall through with backslash dropped
+    assert "code 8 and 9 and" in pages[0]
+    assert "S octal" in pages[0]
+
+
+def test_malformed_hex_string_is_unsupported_pdf_error():
+    content = b"BT <68692ZZ> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content
+        + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    )
+    with pytest.raises(UnsupportedPdfError):
+        extract_pdf_pages(pdf)
