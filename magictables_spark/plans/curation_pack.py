@@ -188,32 +188,45 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_fixture_dir() -> str:
+    """Resolve the committed media corpus (tests/fixtures/media next to
+    the package); fall back to a one-time tempdir materialization so
+    the query still runs in a stripped checkout."""
+    import os
+    import tempfile
+
+    import magictables_spark
+    from magictables_spark.operators.media_codecs import ensure_media_fixture_dir
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(magictables_spark.__file__)))
+    committed = os.path.join(repo_root, "tests", "fixtures", "media")
+    if os.path.exists(os.path.join(committed, ".complete")):
+        return committed
+    return ensure_media_fixture_dir(os.path.join(tempfile.gettempdir(), "mts_media_fixture_v2"))
+
+
 @q(
     "multimodal_features",
     oracle=None,  # binary plumbing; schema/batch shape gated in unit tests
-    doc="Multimodal column pipeline as a query: a pre-materialized "
-    "deterministic media corpus (8 PNGs + 8 WAVs + 1 corrupt file per "
-    "modality; generated once, idempotent — no per-run driver loop, no "
-    ".collect()) is ingested via the binaryFile source with mime "
+    doc="Multimodal column pipeline as a query: the COMMITTED "
+    "deterministic media corpus (tests/fixtures/media: 8 PNGs + 8 WAVs "
+    "+ 1 corrupt file per modality) is ingested via the binaryFile "
+    "source with mime "
     "tagging, REAL-decoded with the pure-stdlib PNG/WAV codecs "
     "(struct/zlib scanline unfiltering, wave-module PCM stats — "
     "operators/media_codecs.py) inside the Arrow-batched mapInPandas "
     "kernel, and aggregated to per-mime file counts, decode successes "
-    "and mean amplitude/pixel statistics. The query itself is a pure "
-    "scan -> featurize -> agg plan that scales with the file count.",
+    "and mean amplitude/pixel statistics. The query body is a pure "
+    "scan -> featurize -> agg plan that scales with the file count and "
+    "WRITES nothing (round 2 generated the corpus into tempdir at "
+    "query time; tempdir materialization remains only as a fallback "
+    "for checkouts without the committed fixture).",
     tags=("multimodal", "pipeline"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    from magictables_spark.operators.media_codecs import ensure_media_fixture_dir
     from magictables_spark.operators.multimodal import extract_features, read_media
 
-    media_dir = ensure_media_fixture_dir(
-        os.path.join(tempfile.gettempdir(), "mts_media_fixture_v2")
-    )
-    media = read_media(spark, media_dir)
+    media = read_media(spark, _media_fixture_dir())
     feats = extract_features(media, dim=8, decode_stub=False)
     return (
         feats.groupBy("mime")

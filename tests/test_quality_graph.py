@@ -11,15 +11,35 @@ from magictables_spark.plans.queries import REGISTRY
 
 
 def test_pagerank_mass_and_determinism(spark, sf_dir):
-    """Total rank stays ~= |V| (damping redistributes, never destroys
-    mass on this undirected graph), ranks are positive, and a second
-    run is bit-identical (no RNG anywhere)."""
+    """Total rank stays ~= |V| (every node has degree >= 1, so no
+    dangling mass and damping conserves the total), ranks are positive,
+    and a second run is bit-identical (no RNG anywhere)."""
+    from magictables_spark.plans.quality_pack import _pagerank_ranks
+
+    ranks, _ = _pagerank_ranks(spark, sf_dir)
+    full = ranks.collect()
+    n_nodes = len(full)
+    total = sum(r.rank for r in full)
+    assert abs(total - n_nodes) < 1e-6 * n_nodes, (total, n_nodes)
+
     out1 = REGISTRY["pagerank"].fn(spark, sf_dir)
     rows1 = out1.collect()
     assert len(rows1) == 25
     assert all(r.rank > 0 for r in rows1)
     rows2 = REGISTRY["pagerank"].fn(spark, sf_dir).collect()
     assert [(r.node, r.rank) for r in rows1] == [(r.node, r.rank) for r in rows2]
+
+
+def test_pagerank_early_stop_tracks_graph(spark, sf_dir):
+    """Delta-based convergence: the fixture graph must settle in fewer
+    rounds than the old fixed-10 schedule, and a tighter tolerance must
+    take at least as many rounds (monotone in tol)."""
+    from magictables_spark.plans.quality_pack import _pagerank_ranks
+
+    _, rounds_loose = _pagerank_ranks(spark, sf_dir)
+    assert rounds_loose < 10, rounds_loose
+    _, rounds_tight = _pagerank_ranks(spark, sf_dir, tol=1e-5)
+    assert rounds_tight >= rounds_loose
 
 
 def test_pagerank_favors_high_degree_nodes(spark, sf_dir):
