@@ -306,3 +306,82 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_timestamp(F.col("ts").cast("timestamp"))
         ).alias("secs_to_purchase"),
     )
+
+
+@q(
+    "asof_join_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT user_id, ts, event_id AS purch FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ), b AS (
+      SELECT c.user_id, c.event_id, c.ts, p.ts AS bts, p.purch AS bev
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ), f AS (
+      SELECT c.user_id, c.event_id, p.ts AS fts, p.purch AS fev
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    ), merged AS (
+      SELECT b.user_id, b.event_id,
+             CASE WHEN fts IS NULL OR (bts IS NOT NULL
+                        AND date_diff('microsecond', bts, b.ts)
+                            <= date_diff('microsecond', b.ts, fts))
+                  THEN bev ELSE fev END AS purchase_right,
+             CASE WHEN fts IS NULL OR (bts IS NOT NULL
+                        AND date_diff('microsecond', bts, b.ts)
+                            <= date_diff('microsecond', b.ts, fts))
+                  THEN date_diff('microsecond', bts, b.ts)
+                  ELSE date_diff('microsecond', b.ts, fts) END AS dist_us
+      FROM b JOIN f ON b.event_id = f.event_id
+    )
+    SELECT user_id, event_id,
+           CASE WHEN dist_us <= 7200000000 THEN purchase_right END AS purchase_right,
+           CASE WHEN dist_us <= 7200000000 THEN dist_us END AS dist_us
+    FROM merged
+    """,
+    doc="NEAREST as-of join with tolerance — the last delegated-surface "
+    "delta vs Polars join_asof(strategy='nearest', tolerance=...): each "
+    "click matches the user's CLOSEST purchase in either direction, "
+    "nulled when farther than the 7200 s tolerance. Equal distances go "
+    "backward (deterministic; mirrored in the oracle's <=). The plan "
+    "fills both directions over ONE hash exchange (two in-partition "
+    "sorts, no second shuffle); distances compare in exact integer "
+    "microseconds so float rounding can never flip the side choice vs "
+    "the oracle's date_diff. Right side deduped per (user, ts) keeping "
+    "max event_id.",
+    tags=("join", "asof", "events"),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    from magictables_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    w = _W.partitionBy("user_id", "ts").orderBy(F.desc("purch"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purch"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    joined = asof_join(
+        clicks, purchases, on="ts", by="user_id", direction="nearest", tolerance=7200.0
+    )
+    dist = F.abs(
+        F.unix_micros(F.col("ts_right").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("purch_right").alias("purchase_right"),
+        dist.cast("bigint").alias("dist_us"),
+    )

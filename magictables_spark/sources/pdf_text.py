@@ -17,10 +17,15 @@ parser for the common case rather than an import stub:
   <= -180/1000 em and the ``Td/TD/T*`` line operators introduce
   whitespace the way simple extractors do.
 
-This intentionally does NOT cover encrypted PDFs, CID/Type0 composite
-fonts, or object streams (/ObjStm) — those genuinely need a real PDF
-library; such files raise ``UnsupportedPdfError`` so callers can fall
-back or skip, never silently return wrong text.
+- object streams (``/ObjStm``, PDF 1.5+ linearized writers) ARE
+  unpacked: the FlateDecode container's (objnum, offset) header is
+  parsed and the packed bodies join the object table, so page trees
+  compressed into ObjStm resolve like top-level objects.
+
+This intentionally does NOT cover encrypted PDFs or CID/Type0
+composite fonts — those genuinely need a real PDF library; such files
+raise ``UnsupportedPdfError`` so callers can fall back or skip, never
+silently return wrong text.
 """
 
 from __future__ import annotations
@@ -39,7 +44,53 @@ class UnsupportedPdfError(ValueError):
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    _expand_object_streams(objs)
+    return objs
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Unpack /ObjStm containers (PDF 1.5+): a FlateDecode stream whose
+    first /First bytes are N (objnum, offset) pairs, followed by the
+    packed object bodies (plain dicts/values — the spec forbids nested
+    streams). Modern linearized writers put the page tree here, so
+    without this most current PDFs would have no reachable /Pages.
+    Packed bodies are added to ``objs`` keyed by their object number;
+    a top-level object with the same number wins (incremental updates
+    override compressed originals)."""
+    for num in list(objs):
+        body = objs[num]
+        head = _dict_part(body)
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            raise UnsupportedPdfError("ObjStm object has no stream data")
+        raw = sm.group(1)
+        if b"/FlateDecode" in head:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise UnsupportedPdfError(f"bad ObjStm FlateDecode stream: {exc}") from exc
+        m_n = re.search(rb"/N\s+(\d+)", head)
+        m_first = re.search(rb"/First\s+(\d+)", head)
+        if not (m_n and m_first):
+            raise UnsupportedPdfError("ObjStm missing /N or /First")
+        n, first = int(m_n.group(1)), int(m_first.group(1))
+        header = raw[:first].split()
+        if len(header) < 2 * n:
+            raise UnsupportedPdfError("ObjStm header truncated")
+        try:
+            nums = [int(x) for x in header[0 : 2 * n : 2]]
+            offs = [int(x) for x in header[1 : 2 * n : 2]]
+        except ValueError as exc:
+            raise UnsupportedPdfError(f"ObjStm header malformed: {exc}") from exc
+        for i in range(n):
+            start = first + offs[i]
+            end = first + offs[i + 1] if i + 1 < n else len(raw)
+            if start > len(raw):
+                raise UnsupportedPdfError("ObjStm offset past stream end")
+            objs.setdefault(nums[i], raw[start:end])
 
 
 def _dict_part(body: bytes) -> bytes:
@@ -312,12 +363,8 @@ def extract_pdf_pages(data: bytes) -> list[str]:
         raise UnsupportedPdfError("encrypted PDF unsupported")
     objs = _objects(data)
     if not objs:
-        if b"/ObjStm" in data:
-            raise UnsupportedPdfError("object streams (/ObjStm) unsupported")
         raise UnsupportedPdfError("no PDF objects found")
     pages = _page_order(data, objs)
-    if not pages and b"/ObjStm" in data:
-        raise UnsupportedPdfError("object streams (/ObjStm) unsupported")
     return [_page_text(_content_bytes(objs, _dict_part(objs[p]))) for p in pages]
 
 
@@ -385,4 +432,68 @@ def build_simple_pdf(pages: list[str], compress_from: int = 1) -> bytes:
         f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def build_objstm_pdf(pages: list[str]) -> bytes:
+    """Deterministic PDF-1.5-style fixture: the whole page tree
+    (catalog, pages node, page dicts) is PACKED into one FlateDecode
+    /ObjStm container, the way modern linearized writers emit it;
+    only the content streams stay top-level (the spec forbids streams
+    inside an ObjStm). Exercises _expand_object_streams end-to-end."""
+
+    def esc(s: str) -> bytes:
+        return (
+            s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)").encode("latin-1")
+        )
+
+    n_pages = len(pages)
+    # object numbering: 1 catalog, 2 pages, 3..2+n page dicts (all
+    # packed); 10+i content streams and 30 the ObjStm container are
+    # top-level
+    packed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            (
+                "<< /Type /Pages /Kids ["
+                + " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+                + f"] /Count {n_pages} >>"
+            ).encode(),
+        ),
+    ]
+    for i in range(n_pages):
+        packed.append(
+            (
+                3 + i,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Contents {10 + i} 0 R >>"
+                ).encode(),
+            )
+        )
+
+    bodies = b""
+    header_parts = []
+    for num, body in packed:
+        header_parts.append(f"{num} {len(bodies)}".encode())
+        bodies += body + b"\n"
+    header = b" ".join(header_parts) + b"\n"
+    payload = zlib.compress(header + bodies)
+
+    out = bytearray(b"%PDF-1.5\n")
+    for i, page in enumerate(pages):
+        ops = b"BT /F1 12 Tf 72 720 Td\n(" + esc(page) + b") Tj\nET"
+        out += (
+            f"{10 + i} 0 obj\n<< /Length {len(ops)} >>\nstream\n".encode()
+            + ops
+            + b"\nendstream\nendobj\n"
+        )
+    out += (
+        f"30 0 obj\n<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Length {len(payload)} /Filter /FlateDecode >>\nstream\n".encode()
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"trailer\n<< /Size 31 /Root 1 0 R >>\n%%EOF\n"
     return bytes(out)

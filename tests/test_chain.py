@@ -176,3 +176,86 @@ def test_chain_explicit_key_override(spark, wh, mock_fetcher):
         warehouse=wh,
     )
     assert out.select("api_uid").first()[0] == 9
+
+
+def test_chain_enrich_full_pipeline_real_http(spark, wh):
+    """Integration over a REAL localhost HTTP server (everything else
+    in this file injects fetchers): url_expr -> distinct fetch through
+    executor worker processes -> 429-retry -> parse/unnest -> join ->
+    cross-call warehouse cache, plus a permanently-500 endpoint
+    surfacing as null payload columns instead of a task failure."""
+    import functools
+    import http.server
+    import json as _json
+    import threading
+
+    from magictables_spark.sources import default_fetcher
+
+    hits: dict[str, int] = {}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            with lock:
+                n = hits[self.path] = hits.get(self.path, 0) + 1
+            if self.path.startswith("/user/"):
+                if n == 1:  # first hit per URL rate-limits -> retry path
+                    self.send_response(429)
+                    self.end_headers()
+                    return
+                uid = int(self.path.rsplit("/", 1)[-1])
+                body = _json.dumps({"uid": uid, "score": uid * 10}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(500)
+                self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    fetcher = functools.partial(default_fetcher, max_retries=2)
+    try:
+        df = spark.createDataFrame([(1,), (2,), (3,)], "user_id int")
+        out = chain_enrich(
+            df,
+            f"http://127.0.0.1:{port}/user/{{user_id}}",
+            fetcher=fetcher,
+            warehouse=wh,
+        )
+        rows = {r.user_id: r for r in out.collect()}
+        assert {u: rows[u].api_score for u in (1, 2, 3)} == {1: 10, 2: 20, 3: 30}
+        with lock:
+            # every URL was hit exactly twice: one 429 + one success
+            assert all(v == 2 for v in hits.values()), hits
+            n_after_first = sum(hits.values())
+
+        # second chain: warehouse cache answers, ZERO new socket hits
+        out2 = chain_enrich(
+            df,
+            f"http://127.0.0.1:{port}/user/{{user_id}}",
+            fetcher=fetcher,
+            warehouse=wh,
+        )
+        assert {r.user_id: r.api_score for r in out2.collect()} == {1: 10, 2: 20, 3: 30}
+        with lock:
+            assert sum(hits.values()) == n_after_first, hits
+
+        # permanently-500 endpoint: null payload columns, no task failure
+        bad = chain_enrich(
+            spark.createDataFrame([(7,)], "user_id int"),
+            f"http://127.0.0.1:{port}/missing/{{user_id}}",
+            fetcher=fetcher,
+        )
+        brow = bad.collect()[0]
+        assert brow.user_id == 7
+        api_cols = [c for c in bad.columns if c.startswith("api_")]
+        assert all(brow[c] is None for c in api_cols) or api_cols == []
+    finally:
+        srv.shutdown()

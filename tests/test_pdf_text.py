@@ -121,3 +121,28 @@ def test_malformed_hex_string_is_unsupported_pdf_error():
     )
     with pytest.raises(UnsupportedPdfError):
         extract_pdf_pages(pdf)
+
+
+def test_objstm_page_tree_extracts_all_pages():
+    """PDF-1.5 object streams: catalog/pages/page dicts live inside a
+    FlateDecode /ObjStm container (the modern linearized layout the
+    reference handles via PyPDF2); both pages must extract in order."""
+    from magictables_spark.sources.pdf_text import build_objstm_pdf
+
+    pdf = build_objstm_pdf(["compressed first page", "compressed second page"])
+    pages = extract_pdf_pages(pdf)
+    assert pages == ["compressed first page", "compressed second page"]
+
+
+def test_objstm_top_level_object_wins():
+    """An incremental update appending a top-level object with the same
+    number must override the ObjStm-packed original."""
+    from magictables_spark.sources.pdf_text import build_objstm_pdf
+
+    pdf = build_objstm_pdf(["original text"])
+    updated = (
+        pdf
+        + b"10 0 obj\n<< /Length 36 >>\nstream\nBT /F1 12 Tf (updated text) Tj ET\nendstream\nendobj\n"
+        b"trailer\n<< /Size 31 /Root 1 0 R >>\n%%EOF\n"
+    )
+    assert extract_pdf_pages(updated) == ["updated text"]
