@@ -356,6 +356,95 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 1_000_000_000_000  # rank fixed-point: 1.0 == 10^12
+
+_PR_ORACLE = (
+    _EDGES_SQL
+    + f"""
+    , und AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v, u FROM edges
+    ), degs AS (
+      SELECT src AS node, COUNT(*) AS degree FROM und GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM degs
+    )"""
+    + "".join(
+        f"""
+    , c{i} AS (
+      SELECT und.dst AS node, SUM(r{i - 1}.rank // degs.degree) AS inflow
+      FROM und
+      JOIN r{i - 1} ON und.src = r{i - 1}.node
+      JOIN degs ON und.src = degs.node
+      GROUP BY und.dst
+    ), r{i} AS (
+      SELECT d.node,
+             {(_PR_SCALE * 15) // 100} + (COALESCE(c{i}.inflow, 0) * 85) // 100 AS rank
+      FROM degs d LEFT JOIN c{i} ON d.node = c{i}.node
+    )"""
+        for i in (1, 2, 3)
+    )
+    + """
+    SELECT node, CAST(rank AS BIGINT) AS rank_scaled
+    FROM r3 ORDER BY rank DESC, node LIMIT 25
+    """
+)
+
+
+@q(
+    "pagerank_fixed_iters",
+    oracle=_PR_ORACLE,
+    doc="PageRank with 3 unrolled rounds in FIXED-POINT int64 (1.0 = "
+    "10^12): contributions are rank DIV degree, the damping step is "
+    "(inflow*85) DIV 100 + 0.15*scale — every operation is exact "
+    "integer truncating division on positive values, so Spark and "
+    "DuckDB produce bit-identical bigint ranks and the iterative "
+    "algorithm family gains a full value-hash oracle (the converging "
+    "double-arithmetic `pagerank` stays invariant-gated: libm "
+    "summation order makes its doubles engine-specific). Per round "
+    "ONE shuffle — contributions flow along edges and sum per target "
+    "— identical stage geometry to the production `pagerank`. "
+    "Reference analog: lineage-graph analytics over "
+    "/root/reference/magictables/tablegraph.py:12-17.",
+    tags=("graph", "analytics", "iterative"),
+)
+def pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _edges(spark, sf_dir)
+    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    degs = und.groupBy("src").agg(F.count("*").alias("degree"))
+    ranks = degs.select(
+        F.col("src").alias("node"), F.lit(_PR_SCALE).cast("bigint").alias("rank")
+    )
+    base = F.lit((_PR_SCALE * 15) // 100).cast("bigint")
+    for _ in range(3):
+        contribs = (
+            und.join(ranks, und.src == ranks.node)
+            .join(degs, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank DIV degree").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            degs.select(F.col("src").alias("node"))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr("(COALESCE(inflow, CAST(0 AS BIGINT)) * 85) DIV 100")
+                ).alias("rank"),
+            )
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(25)
+        .select("node", F.col("rank").alias("rank_scaled"))
+    )
+
+
 @q(
     "decontaminate",
     oracle="""

@@ -772,3 +772,66 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
         )
     )
+
+
+@q(
+    "kmeans_assign",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, q AS cq FROM e
+      WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 8
+    ), dists AS (
+      SELECT e.vec_id, cent.cid,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (e.q[i] - cent.cq[i]) * (e.q[i] - cent.cq[i]))) AS BIGINT) AS d2
+      FROM e CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM dists
+    )
+    SELECT cid AS centroid_id,
+           COUNT(*) AS n_points,
+           CAST(SUM(d2) AS BIGINT) AS ssd
+    FROM assign WHERE rn = 1
+    GROUP BY cid ORDER BY cid
+    """,
+    doc="One Lloyd ASSIGNMENT step in exact integer space — the "
+    "hash-checkable core of distributed k-means (the converging "
+    "kmeans_lloyd stays invariant-gated: its double averages are "
+    "engine-specific). Seeds are the same vec_id%37 stride as "
+    "kmeans_lloyd; distances are squared-L2 over the 1e6-quantized "
+    "int64 vectors, so the argmin (ties to lowest centroid id) and "
+    "per-cluster (count, sum-of-squared-distance) are bit-identical "
+    "in Spark and DuckDB. Plan shape is the 100 TB pattern: the 8-row "
+    "centroid table BROADCASTs into a map-side nested-loop, the "
+    "argmin is a partial-aggregating groupBy(vec_id) on (d2, cid) "
+    "structs, and only k rows come out — the vectors never shuffle.",
+    tags=("similarity", "ml", "scale"),
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(F.broadcast(cent)).select("vec_id", "cid", d2.alias("d2"))
+    best = (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("b"))
+        .select(F.col("b.cid").alias("centroid_id"), F.col("b.d2").alias("d2"))
+    )
+    return (
+        best.groupBy("centroid_id")
+        .agg(F.count("*").alias("n_points"), F.sum("d2").alias("ssd"))
+        .orderBy("centroid_id")
+    )
