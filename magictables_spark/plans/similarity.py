@@ -43,6 +43,19 @@ def _dot(a: str, b: str):
     )
 
 
+def _dot_unrolled(a: str, b: str, dim: int = 64):
+    """Same int64 dot product as _dot, but unrolled over the fixed
+    64-dim embedding contract (the oracles hardcode range(1,65) too).
+    GetArrayItem + multiply-add chains participate in whole-stage
+    codegen; HigherOrderFunction lambdas are interpreted per element —
+    on a 21.7M-pair re-rank the unrolled form measured ~3x faster."""
+    terms = [F.col(a)[i] * F.col(b)[i] for i in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 @q(
     "sim_cosine_topk",
     oracle=f"""
@@ -289,7 +302,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size the bucket space to the corpus: one bounded count job on the
     # driver (same class of roundtrip as kmeans' k-row collect), then
     # log2(n/32) sign bits per table so bucket occupancy stays constant
-    n_bits = _lsh_bits_for(norms.count())
+    n_vec = norms.count()
+    n_bits = _lsh_bits_for(n_vec)
     table_structs = []
     for t in range(N_TABLES):
         bits = []
@@ -311,23 +325,55 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.explode(F.array(*table_structs)).alias("tb")
     ).select("vec_id", "tb.table", "tb.bucket")
 
-    a = bucketed.select("table", "bucket", F.col("vec_id").alias("query_id"))
-    b = bucketed.select("table", "bucket", F.col("vec_id").alias("neighbor_id"))
+    a = bucketed.select("table", "bucket", F.col("vec_id").alias("lo"))
+    b = bucketed.select("table", "bucket", F.col("vec_id").alias("hi"))
+    # Candidate pairs are UNORDERED (bucket sharing is symmetric) and
+    # cosine is symmetric, so generate each pair once with lo < hi —
+    # half the raw candidate volume and half the exact re-ranks — then
+    # mirror both directions map-side just before the ranking window.
     pairs = (
         a.join(b, ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("lo") < F.col("hi"))
+        .select("lo", "hi")
     )
-    qa = norms.select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
-    )
-    qb = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm")
-    pairs = pairs.join(qa, "query_id").join(qb, "neighbor_id")
-    cos = _dot("qa", "q").cast("double") / (
+    # Physical shape, tuned at 27k clustered vectors / 38M raw
+    # canonical candidates (round-2 plan: 16s; this one: ~7s):
+    # 1. cross-table pair dedup is a HASH aggregate (dropDuplicates) —
+    #    sort-free, unlike a row_number window which must sort the
+    #    full candidate stream (measured +1.5s at this size).
+    # 2. Vectors attach map-side via broadcast (when they fit an
+    #    executor; shuffled hash joins otherwise) and the int64 dot is
+    #    the codegen'd unrolled form — HOF lambdas are interpreted and
+    #    measured ~3x slower on this stage.
+    # 3. The mirrored 2x stream hits the top-10 window through Spark's
+    #    partial WindowGroupLimit, so each map task prunes to <=10
+    #    rows per query BEFORE the final exchange — the last exchange
+    #    and sort see ~10 rows per (query, task), not 21.7M.
+    pairs = pairs.dropDuplicates(["lo", "hi"])
+    qa = norms.select(F.col("vec_id").alias("lo"), F.col("q").alias("qa"), F.col("nrm").alias("na"))
+    qb = norms.select(F.col("vec_id").alias("hi"), "q", "nrm")
+    if n_vec <= 250_000:  # ~130 MB of 64-dim int64 vectors — broadcastable
+        qa, qb = F.broadcast(qa), F.broadcast(qb)
+    pairs = pairs.join(qa, "lo").join(qb, "hi")
+    cos = _dot_unrolled("qa", "q").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
     )
-    scored = pairs.withColumn("cosine", cos).select("query_id", "neighbor_id", "cosine")
+    scored = pairs.withColumn("cosine", cos).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lo").alias("query_id"),
+                    F.col("hi").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("hi").alias("query_id"),
+                    F.col("lo").alias("neighbor_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.query_id", "r.neighbor_id", "r.cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).drop("rn")
 
