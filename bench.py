@@ -44,6 +44,11 @@ HEADLINE = [
     "bloom_join",
     "interval_join_attribution",
     "ohlc_bars",
+    # round-3 additions: the re-planned multi-table LSH ANN (canonical
+    # pairs + hash dedup + broadcast re-rank) and the fixed-point
+    # iterative-graph twin
+    "ann_lsh_topk",
+    "pagerank_fixed_iters",
 ]
 
 

@@ -48,12 +48,10 @@ def _dot_unrolled(a: str, b: str, dim: int = 64):
     64-dim embedding contract (the oracles hardcode range(1,65) too).
     GetArrayItem + multiply-add chains participate in whole-stage
     codegen; HigherOrderFunction lambdas are interpreted per element —
-    on a 21.7M-pair re-rank the unrolled form measured ~3x faster."""
-    terms = [F.col(a)[i] * F.col(b)[i] for i in range(dim)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    on a 21.7M-pair re-rank the unrolled form measured ~3x faster.
+    Built as one parsed SQL string: per-term Column arithmetic would
+    cost ~3*dim py4j roundtrips per call."""
+    return F.expr("(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)) + ")")
 
 
 @q(
@@ -298,32 +296,53 @@ def _planes(table: int, bit: int) -> list[int]:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _quantized(spark, sf_dir)
-    norms = e.withColumn("nrm", _dot("q", "q"))
+    # round-robin spread BEFORE the per-vector index work — the same
+    # stage geometry as dedup_minhash: a small corpus arrives as one
+    # parquet split and would otherwise compute every bucket on a
+    # single core; at scale the same exchange evens out skewed layouts
+    norms = e.repartition(spark.sparkContext.defaultParallelism).withColumn(
+        "nrm", _dot("q", "q")
+    )
     # size the bucket space to the corpus: one bounded count job on the
     # driver (same class of roundtrip as kmeans' k-row collect), then
     # log2(n/32) sign bits per table so bucket occupancy stays constant
     n_vec = norms.count()
     n_bits = _lsh_bits_for(n_vec)
-    table_structs = []
+    # The whole (table, bucket) computation is assembled as ONE SQL
+    # string and parsed JVM-side: building it with F.lit/F.array would
+    # issue ~N_TABLES * n_bits * 64 py4j roundtrips (measured 3.6 s of
+    # pure driver-side DataFrame construction per call — more than the
+    # query's execution at sf0.1). The plane dots stay zip_with +
+    # aggregate HOFs on purpose: a fully unrolled signed add chain
+    # (48 x 64 = 3072 flat nodes) blows Spark's huge-method codegen
+    # limit and degrades to per-node interpreted tree walking —
+    # measured 6x SLOWER than the HOF loop on this stage.
+    structs = []
     for t in range(N_TABLES):
         bits = []
         for bit in range(n_bits):
-            plane_arr = F.array(*[F.lit(v) for v in _planes(t, bit)])
-            dot_p = F.aggregate(
-                F.zip_with(F.col("q"), plane_arr, lambda x, y: x * y),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
+            plane = ",".join(str(v) for v in _planes(t, bit))
+            dot_p = (
+                f"aggregate(zip_with(q, array({plane}), (x, y) -> x * y),"
+                f" CAST(0 AS BIGINT), (a, x) -> a + x)"
             )
-            bits.append(F.when(dot_p >= 0, F.lit(1 << bit)).otherwise(F.lit(0)))
-        table_structs.append(
-            F.struct(F.lit(t).alias("table"), sum(bits[1:], bits[0]).alias("bucket"))
-        )
+            bits.append(
+                f"(CASE WHEN {dot_p} >= 0"
+                f" THEN CAST({1 << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+        structs.append(f"struct({t} AS table, ({' + '.join(bits)}) AS bucket)")
+    bucket_expr = f"explode(array({', '.join(structs)}))"
     # candidate generation is ID-ONLY: the vectors never enter the
     # bucket exchange (they'd be duplicated x n_tables there); the
-    # re-rank re-attaches them to the much smaller deduped pair set
-    bucketed = norms.select(
-        "vec_id", F.explode(F.array(*table_structs)).alias("tb")
-    ).select("vec_id", "tb.table", "tb.bucket")
+    # re-rank re-attaches them to the much smaller deduped pair set.
+    # localCheckpoint materializes the tiny (vec_id, table, bucket)
+    # frame ONCE — without it both sides of the bucket self-join
+    # recompute the whole index (measured as a 2x on this stage).
+    bucketed = (
+        norms.select("vec_id", F.expr(bucket_expr).alias("tb"))
+        .select("vec_id", "tb.table", "tb.bucket")
+        .localCheckpoint(eager=True)
+    )
 
     a = bucketed.select("table", "bucket", F.col("vec_id").alias("lo"))
     b = bucketed.select("table", "bucket", F.col("vec_id").alias("hi"))
