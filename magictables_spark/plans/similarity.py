@@ -794,17 +794,18 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = [[float(x) for x in r.q] for r in seeds]
 
-    def dist_to(c: list[float]):
-        arr = F.array(*[F.lit(x) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("q"), arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    def dist_to(c: list[float]) -> str:
+        # one parsed SQL fragment per centroid: k * dim * rounds F.lit
+        # calls (2,560 py4j roundtrips here) dominate driver time
+        arr = ",".join(f"CAST({x!r} AS DOUBLE)" for x in c)
+        return (
+            f"aggregate(zip_with(q, array({arr}), (a, b) -> (a - b) * (a - b)),"
+            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
 
     assigned = None
     for _ in range(rounds):
-        dists = F.array(*[dist_to(c) for c in centroids])
+        dists = F.expr(f"array({', '.join(dist_to(c) for c in centroids)})")
         # argmin with ties to lowest cluster id (array_position is 1-based)
         assigned = e.withColumn("_d", dists).withColumn(
             "_c",

@@ -46,6 +46,21 @@ def stream_dedup_latest(events: DataFrame, watermark: str = "1 hour") -> DataFra
     return events.withWatermark("ts", watermark).dropDuplicates(["user_id", "event_id"])
 
 
+def stream_dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """The STATE-BOUNDED streaming dedup: `dropDuplicates` keeps one
+    state row per key FOREVER (the key-space grows without bound on an
+    unbounded stream), while `dropDuplicatesWithinWatermark` evicts a
+    key's state once the watermark passes its event time — the only
+    form whose state is O(keys per watermark window) instead of
+    O(all keys ever), i.e. the one you can actually run for months on
+    a 100 TB/day ingest firehose. Semantics: duplicates arriving
+    within the watermark horizon of the first occurrence are dropped;
+    the dedup guarantee matches the at-least-once ingest contract."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_id"]
+    )
+
+
 def read_events_stream(spark, path: str, max_files_per_trigger: int = 10) -> DataFrame:
     """File-source stream with the events schema (tests write JSON files
     here; production swaps in Kafka — the transformations are source

@@ -62,6 +62,17 @@ def test_stream_dedup(spark, events_dir):
     assert sorted((r.event_id, r.user_id) for r in got) == [(1, 1), (2, 1), (3, 2)]
 
 
+def test_stream_dedup_within_watermark(spark, events_dir):
+    """The state-bounded dedup drops the in-horizon duplicate and emits
+    the same rows as the unbounded-state form on this input."""
+    from magictables_spark.streaming import stream_dedup_within_watermark
+
+    src = read_events_stream(spark, events_dir)
+    _run_stream(stream_dedup_within_watermark(src), "dedup_wm")
+    got = spark.sql("SELECT event_id, user_id FROM dedup_wm").collect()
+    assert sorted((r.event_id, r.user_id) for r in got) == [(1, 1), (2, 1), (3, 2)]
+
+
 def test_streaming_batch_parity(spark, events_dir):
     """The streaming aggregation and the batch twin produce identical
     results on the same data — the same-code-two-runtimes claim."""
