@@ -88,6 +88,45 @@ class MagicFrame:
             df = warehouse.read_table(spark, sid)
         return cls(df, sources=[sid])
 
+    # -- per-source convenience constructors (magictable.py:69-95) ---------
+    # Same thin sugar as the reference's from_api/from_web/from_pdf/
+    # from_gen/from_raw: construct the source, delegate to from_source.
+    # `fetcher`/`llm` stay injectable so the constructors are testable
+    # offline exactly like the underlying sources.
+
+    @classmethod
+    def from_api(
+        cls, spark: SparkSession, api_url: str, params: dict | None = None,
+        *, fetcher=None, warehouse=None,
+    ) -> "MagicFrame":
+        from magictables_spark.sources import APISource
+
+        return cls.from_source(spark, APISource(api_url, params, fetcher=fetcher), warehouse=warehouse)
+
+    @classmethod
+    def from_web(cls, spark: SparkSession, url: str, *, fetcher=None, warehouse=None) -> "MagicFrame":
+        from magictables_spark.sources import WebSource
+
+        return cls.from_source(spark, WebSource(url, fetcher=fetcher), warehouse=warehouse)
+
+    @classmethod
+    def from_pdf(cls, spark: SparkSession, pdf_url: str, *, fetcher=None, warehouse=None) -> "MagicFrame":
+        from magictables_spark.sources import PDFSource
+
+        return cls.from_source(spark, PDFSource(pdf_url, fetcher=fetcher), warehouse=warehouse)
+
+    @classmethod
+    def from_gen(cls, spark: SparkSession, query: str, *, llm=None, warehouse=None) -> "MagicFrame":
+        from magictables_spark.sources import GenerativeSource
+
+        return cls.from_source(spark, GenerativeSource(query, llm=llm), warehouse=warehouse)
+
+    @classmethod
+    def from_raw(cls, spark: SparkSession, data: list[dict], *, warehouse=None) -> "MagicFrame":
+        from magictables_spark.sources import RawSource
+
+        return cls.from_source(spark, RawSource(data), warehouse=warehouse)
+
     # -- chain (reference magictable.py:202-315) ---------------------------
 
     def chain(

@@ -111,3 +111,32 @@ def test_code_cache(wh):
     assert wh.get_code("k") is None
     wh.put_code("k", "SELECT 1")
     assert wh.get_code("k") == "SELECT 1"
+
+
+def test_convenience_constructors(spark, wh):
+    """from_api/from_web/from_raw/from_gen mirror the reference's
+    classmethod sugar (magictable.py:69-95): same result and same
+    provenance id as building the source explicitly."""
+
+    def fetcher(url, params=None):
+        return [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]
+
+    via_sugar = MagicFrame.from_api(spark, "http://mock/items", fetcher=fetcher, warehouse=wh)
+    via_source = MagicFrame.from_source(
+        spark, APISource("http://mock/items", fetcher=fetcher), warehouse=wh
+    )
+    assert via_sugar.sources == via_source.sources
+    assert via_sugar.df.count() == 2
+
+    web = MagicFrame.from_web(spark, "http://mock/page", fetcher=lambda u, p=None: "<html>x</html>")
+    assert "content" in web.df.columns and web.df.count() == 1
+
+    raw = MagicFrame.from_raw(spark, [{"k": 1}, {"k": 2}])
+    assert raw.df.count() == 2
+
+    from magictables_spark.llm import MockLLM
+
+    gen = MagicFrame.from_gen(
+        spark, "three colors", llm=MockLLM(['```json\n[{"color": "red"}, {"color": "blue"}]\n```'])
+    )
+    assert gen.df.count() == 2 and "color" in gen.df.columns
