@@ -72,6 +72,13 @@ def main() -> None:
     assert again.df.count() == top.df.count()
     print("transform cache: second run used 0 LLM calls")
 
+    # 3b. the non-LLM twin: hand-written SQL over the same frame --------
+    manual = enriched.sql(
+        "SELECT title, rating FROM df WHERE rating > 8 ORDER BY rating DESC"
+    )
+    assert manual.df.count() == top.df.count()
+    print("direct sql: same rows as the NL transform")
+
     # 4. the scale layer: fixture-backed analytics operators ------------
     from magictables_spark.plans.queries import REGISTRY
 

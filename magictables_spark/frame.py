@@ -240,3 +240,18 @@ class MagicFrame:
         safe = view_name or ("t_" + self.name[:32] if self.name else "t_anon")
         self.df.createOrReplaceTempView(safe)
         return safe
+
+    def sql(self, query: str, view_name: str = "df") -> "MagicFrame":
+        """Direct SQL over this frame: registers it as ``df`` (or
+        ``view_name``) and runs the statement — the non-LLM twin of
+        ``transform`` (same contract the generated SQL targets), so a
+        user can hand-write what the NL path would synthesize."""
+        self.df.createOrReplaceTempView(view_name)
+        return MagicFrame(self.spark.sql(query), sources=self.sources, name=self.name)
+
+    def to_pandas_on_spark(self):
+        """pandas-typed API over the SAME distributed frame
+        (``pyspark.pandas``) — the scalable twin of the reference's
+        NotSoMagicTable pandas view (notsomagictable.py:6-51), which
+        materialized everything in driver memory."""
+        return self.df.pandas_api()

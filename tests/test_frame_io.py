@@ -59,3 +59,21 @@ def test_csv_json_parquet_roundtrip(spark, tmp_path):
         back = reader.load(path)
         got = sorted(tuple(r) for r in back.select("id", "s", "v").collect())
         assert got == [(1, "a", 1.5), (2, "b", 2.5)], f"{fmt} roundtrip mismatch: {got}"
+
+
+def test_frame_sql_direct(spark):
+    """mf.sql is the hand-written twin of transform's generated SQL."""
+    from magictables_spark.frame import MagicFrame
+
+    mf = MagicFrame(spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], ["id", "k"]))
+    out = mf.sql("SELECT k, COUNT(*) AS n FROM df GROUP BY k ORDER BY k")
+    assert [(r.k, r.n) for r in out.df.collect()] == [("a", 2), ("b", 1)]
+    assert out.sources == mf.sources  # provenance carried
+
+
+def test_frame_pandas_on_spark(spark):
+    from magictables_spark.frame import MagicFrame
+
+    mf = MagicFrame(spark.createDataFrame([(1, 2.0), (2, 4.0)], ["id", "v"]))
+    psdf = mf.to_pandas_on_spark()
+    assert float(psdf["v"].sum()) == 6.0
