@@ -55,10 +55,20 @@ class MagicFrame:
         name: provenance-derived identity, ``"_".join(sources)``.
     """
 
-    def __init__(self, df: DataFrame, sources: list[str] | None = None, name: str | None = None):
+    def __init__(
+        self,
+        df: DataFrame,
+        sources: list[str] | None = None,
+        name: str | None = None,
+        last_identifier: str | None = None,
+    ):
         object.__setattr__(self, "df", df)
         object.__setattr__(self, "sources", list(sources or []))
         object.__setattr__(self, "name", name if name is not None else table_name(self.sources))
+        # the most recent source's identifier (e.g. an API URL template) —
+        # what the reference reads off `self.sources[-1]` when a frame is
+        # passed as the chain target (magictable.py:210-219)
+        object.__setattr__(self, "last_identifier", last_identifier)
 
     # -- ingest (reference MagicTable.from_source, magictable.py:55-67) ----
 
@@ -77,7 +87,11 @@ class MagicFrame:
         """
         sid = source.get_id()
         if warehouse is not None and warehouse.has_table(sid):
-            return cls(warehouse.read_table(spark, sid), sources=[sid])
+            return cls(
+                warehouse.read_table(spark, sid),
+                sources=[sid],
+                last_identifier=source.get_identifier(),
+            )
 
         rows = source.fetch_data()
         df = rows_to_df(spark, rows)
@@ -86,7 +100,7 @@ class MagicFrame:
                 df, sid, {"type": source.get_type(), "identifier": source.get_identifier()}
             )
             df = warehouse.read_table(spark, sid)
-        return cls(df, sources=[sid])
+        return cls(df, sources=[sid], last_identifier=source.get_identifier())
 
     # -- per-source convenience constructors (magictable.py:69-95) ---------
     # Same thin sugar as the reference's from_api/from_web/from_pdf/
@@ -131,17 +145,52 @@ class MagicFrame:
 
     def chain(
         self,
-        url_template: str,
+        other,
         *,
         source_key: str | None = None,
         target_key: str | None = None,
+        llm=None,
         fetcher=None,
         warehouse=None,
         ttl_seconds: float = 3600.0,
     ) -> "MagicFrame":
-        """Per-row API-enrichment join (see operators/chain.py)."""
+        """Per-row API-enrichment join (see operators/chain.py).
+
+        ``other`` is a URL template string, or — reference parity with
+        ``mt.chain(other: MagicTable)`` (magictable.py:210-219) —
+        another MagicFrame, whose most recent source identifier (its
+        API URL template) becomes the target. When no explicit keys
+        are given and deterministic placeholder->column binding fails,
+        an injected ``llm`` resolves the keys via ``llm.key_infer``
+        (sample-aware, magictable.py:393-447) — deterministic match
+        always runs FIRST, so sanely-named columns never cost an LLM
+        call."""
         from magictables_spark.identity import source_id
-        from magictables_spark.operators.chain import chain_enrich
+        from magictables_spark.operators.chain import chain_enrich, resolve_keys
+
+        if isinstance(other, MagicFrame):
+            if not other.last_identifier:
+                raise ValueError(
+                    "chain(other=MagicFrame) needs the target frame to carry a "
+                    "source identifier (build it with from_api/from_source)"
+                )
+            url_template = other.last_identifier
+        else:
+            url_template = other
+
+        if source_key is None and target_key is None and llm is not None:
+            try:
+                resolve_keys(url_template, self.df.columns)
+            except KeyError:
+                from magictables_spark.llm import key_infer
+
+                mapping = key_infer(url_template, self.df, llm=llm)
+                # chain_enrich's override is a single (placeholder, column)
+                # pair — bind the first non-identity mapping
+                for ph, col in mapping.items():
+                    if ph != col:
+                        source_key, target_key = col, ph
+                        break
 
         out = chain_enrich(
             self.df,

@@ -259,3 +259,47 @@ def test_chain_enrich_full_pipeline_real_http(spark, wh):
         assert all(brow[c] is None for c in api_cols) or api_cols == []
     finally:
         srv.shutdown()
+
+
+def test_chain_with_magicframe_target(spark, tmp_path):
+    """Reference parity for chain(other: MagicTable): the other frame's
+    source identifier (its URL template) becomes the chain target."""
+
+    def detail_fetcher(url, params=None):
+        mid = int(url.rsplit("/", 1)[-1])
+        return {"runtime": 90 + mid}
+
+    base = MagicFrame.from_raw(spark, [{"movie_id": 1}, {"movie_id": 2}])
+    other = MagicFrame(
+        spark.range(0).toDF("x"),
+        last_identifier="http://mock/detail/{movie_id}",
+    )
+    out = base.chain(other, fetcher=detail_fetcher)
+    got = {r.movie_id: r.api_runtime for r in out.df.collect()}
+    assert got == {1: 91, 2: 92}
+
+    bare = MagicFrame(spark.range(1).toDF("x"))
+    with pytest.raises(ValueError, match="source identifier"):
+        base.chain(bare)
+
+
+def test_chain_llm_key_inference(spark):
+    """Deterministic binding fails ({uid} has no matching column), the
+    injected LLM maps it, and the chain proceeds — deterministic match
+    first means the LLM is consulted exactly once."""
+    from magictables_spark.llm import MockLLM
+
+    def fetcher(url, params=None):
+        return {"plan": "pro" if url.endswith("2") else "free"}
+
+    base = MagicFrame.from_raw(spark, [{"user_identifier": 1}, {"user_identifier": 2}])
+    llm = MockLLM(['```json\n{"uid": "user_identifier"}\n```'])
+    out = base.chain("http://mock/u/{uid}", llm=llm, fetcher=fetcher)
+    got = sorted((r.user_identifier, r.api_plan) for r in out.df.collect())
+    assert got == [(1, "free"), (2, "pro")]
+    assert len(llm.prompts) == 1
+
+    # sanely-named columns: no LLM consultation at all
+    named = MagicFrame.from_raw(spark, [{"uid": 7}])
+    out2 = named.chain("http://mock/u/{uid}", llm=MockLLM([]), fetcher=fetcher)
+    assert out2.df.count() == 1
