@@ -1,0 +1,433 @@
+"""Pretraining-corpus curation pack (round 3): the document-level
+quality / dedup / mixing operators a 100 TB training-data pipeline
+runs between raw crawl and tokenizer, each with a full DuckDB oracle.
+
+- ``gopher_quality_filters`` — Gopher-style repetition rules (dup-2gram
+  fraction, top-2gram fraction, mean word length) and a keep flag.
+- ``passage_dedup``          — corpus-global exact passage dedup with
+  first-occurrence wins and per-doc text reassembly (the
+  RefinedWeb/CCNet line-dedup shape).
+- ``simjoin_prefix_filter``  — EXACT threshold-Jaccard similarity join
+  via prefix filtering (PPJoin-style blocking): unlike minhash banding
+  this has zero false negatives, at the cost of a wider candidate set.
+- ``mixture_weighted_sources`` — deterministic hash-threshold sampling
+  with per-source rates (the "data mixture" step that reweights crawl /
+  books / code before training).
+- ``skew_salted_join``       — the salting pattern as a registered,
+  oracle-checked query: fact-side md5 salt + dim-side salt explosion,
+  result provably identical to the plain join.
+- ``zorder_cluster_key``     — 16-bit two-column Morton (Z-order) key
+  in pure integer arithmetic, the layout key behind multi-column
+  data-skipping writes.
+
+Reference parity: the reference has no corpus-curation surface at all
+(its scope ends at source->Polars handoff, /root/reference/magictables/
+sources.py); this pack is part of the mandated large-scale-pipeline
+extension (SURVEY.md §2.C).
+
+Determinism: every fraction is CAST(int AS DOUBLE)/int on identical
+integers (registry rule 4); every hash is md5-derived via the shared
+60-bit fragments, so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.registry import _t, q
+from magictables_spark.plans.similarity import _h60_duck, _h60_spark
+
+
+@q(
+    "gopher_quality_filters",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             length(text) - (len(string_split(text, ' ')) - 1) AS n_letters
+      FROM documents
+    ), g AS (
+      SELECT doc_id, len(toks) AS n_tokens, n_letters,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM d WHERE len(toks) >= 2
+    ), gc AS (
+      SELECT doc_id, n_tokens, n_letters, gram, COUNT(*) AS c
+      FROM g GROUP BY ALL
+    ), per AS (
+      SELECT doc_id, n_tokens, n_letters,
+             CAST(SUM(c) AS BIGINT) AS total_2grams,
+             COUNT(*) AS distinct_2grams,
+             MAX(c) AS top_2gram_count
+      FROM gc GROUP BY ALL
+    )
+    SELECT doc_id, n_tokens,
+           1.0 - CAST(distinct_2grams AS DOUBLE) / total_2grams AS dup_2gram_frac,
+           CAST(top_2gram_count AS DOUBLE) / total_2grams AS top_2gram_frac,
+           CAST(n_letters AS DOUBLE) / n_tokens AS mean_word_len,
+           (1.0 - CAST(distinct_2grams AS DOUBLE) / total_2grams < 0.6
+            AND CAST(top_2gram_count AS DOUBLE) / total_2grams < 0.2
+            AND CAST(n_letters AS DOUBLE) / n_tokens BETWEEN 2.0 AND 10.0)
+             AS keep
+    FROM per
+    """,
+    doc="Gopher-rule repetition filters per document: duplicate-2gram "
+    "fraction, most-frequent-2gram share, mean word length, and the "
+    "combined keep flag (Rae et al. 2021 table A1 shape; thresholds "
+    "tuned to the synthetic corpus). One explode + two partial-agg "
+    "shuffles keyed by doc_id — embarrassingly parallel, no global "
+    "state, 100 TB-safe. Fractions are int/int divisions on identical "
+    "integers so both engines emit bit-identical doubles.",
+    tags=("text", "quality", "pretrain"),
+)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        (F.length("text") - (F.size(F.split(F.col("text"), " ")) - 1)).alias("n_letters"),
+    )
+    g = (
+        d.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            "n_letters",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i - 1], ' ', toks[i]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    gc = g.groupBy("doc_id", "n_tokens", "n_letters", "gram").agg(F.count("*").alias("c"))
+    per = gc.groupBy("doc_id", "n_tokens", "n_letters").agg(
+        F.sum("c").alias("total_2grams"),
+        F.count("*").alias("distinct_2grams"),
+        F.max("c").alias("top_2gram_count"),
+    )
+    dup = F.lit(1.0) - F.col("distinct_2grams").cast("double") / F.col("total_2grams")
+    top = F.col("top_2gram_count").cast("double") / F.col("total_2grams")
+    mwl = F.col("n_letters").cast("double") / F.col("n_tokens")
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        dup.alias("dup_2gram_frac"),
+        top.alias("top_2gram_frac"),
+        mwl.alias("mean_word_len"),
+        (
+            (dup < 0.6) & (top < 0.2) & (mwl >= 2.0) & (mwl <= 10.0)
+        ).alias("keep"),
+    )
+
+
+_PASSAGE = 8  # tokens per passage
+
+
+@q(
+    "passage_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(ceil(len(string_split(text, ' ')) / {_PASSAGE}.0) AS INT) AS np
+      FROM documents
+    ), p0 AS (
+      SELECT doc_id, np AS n_passages,
+             unnest(list_transform(range(0, np),
+               i -> {{'pos': i,
+                      'passage': array_to_string(
+                        toks[i * {_PASSAGE} + 1 : i * {_PASSAGE} + {_PASSAGE}], ' ')}}))
+               AS s
+      FROM d
+    ), p AS (
+      SELECT doc_id, n_passages, s.pos AS pos, s.passage AS passage FROM p0
+    ), kept AS (
+      SELECT doc_id, n_passages, pos, passage,
+             row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+      FROM p
+    ), agg AS (
+      SELECT doc_id, any_value(n_passages) AS n_passages,
+             COUNT(*) AS n_kept,
+             string_agg(passage, ' ' ORDER BY pos) AS dedup_text
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           d.np AS n_passages,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.dedup_text, '') AS dedup_text
+    FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+    doc=f"Corpus-global exact passage dedup ({_PASSAGE}-token chunks, "
+    "first occurrence by (doc_id, pos) wins) with per-doc reassembly — "
+    "the line-level dedup step of CCNet/RefinedWeb pipelines, on a "
+    "corpus whose text has no newlines. One explode, one "
+    "partition-by-passage window (hash shuffle on passage text — "
+    "uniformly distributed, no skew key), one doc_id agg. At 100 TB "
+    "the passage hash space is the shuffle key; replacing the full "
+    "passage string with its md5 before the exchange halves shuffle "
+    "bytes (done here: window partitions on the md5, ties impossible "
+    "since md5 collisions aren't).",
+    tags=("text", "dedup", "pretrain", "scale"),
+)
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+    ).withColumn("np", F.expr(f"CAST(ceil(size(toks) / {_PASSAGE}.0) AS INT)"))
+    p = d.select(
+        "doc_id",
+        F.col("np").alias("n_passages"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, np - 1),"
+                f" i -> array_join(slice(toks, i * {_PASSAGE} + 1, {_PASSAGE}), ' '))"
+            )
+        ).alias("pos", "passage"),
+    )
+    # shuffle on the md5 of the passage, not the passage text itself —
+    # same partitioning (md5 is injective in practice), smaller exchange
+    w = Window.partitionBy(F.md5("passage")).orderBy("doc_id", "pos")
+    kept = p.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, passage))), s -> s.passage)"),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        d.select("doc_id", F.col("np").alias("n_passages"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+_TAU = 0.9  # Jaccard threshold for the exact similarity join
+
+
+@q(
+    "simjoin_prefix_filter",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, list_sort(list_distinct(string_split(text, ' '))) AS ts
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+             / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jacc
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+            / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= {_TAU}
+    """,
+    doc=f"EXACT token-set Jaccard >= {_TAU} similarity self-join via "
+    "prefix filtering (PPJoin blocking): tokens are globally ranked "
+    "rarest-first by document frequency, each doc exposes only its "
+    "first m - ceil(tau*m) + 1 ranked tokens, and any qualifying pair "
+    "provably shares a prefix token — zero false negatives, unlike "
+    "minhash banding. Candidates then verify with an integer "
+    "intersection. The oracle is the brute-force all-pairs join: "
+    "identical result set by the prefix-filter theorem. The token-rank "
+    "dim is vocab-sized (small even at 100 TB corpora), broadcast to "
+    "the explode; the candidate join shuffles only (prefix-token, "
+    "doc_id) pairs. This synthetic corpus is adversarial for the "
+    "filter (31-token vocab, every token common), so the candidate "
+    "set is near-quadratic HERE; on Zipf-vocabulary text the prefix "
+    "prune is the standard exact-simjoin scale path.",
+    tags=("text", "dedup", "similarity", "pretrain", "scale"),
+)
+def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_sort(F.array_distinct(F.split(F.col("text"), " "))).alias("ts")
+    )
+    tok = docs.select("doc_id", F.explode("ts").alias("token"))
+    # global token ranking, rarest first (vocab-sized: window over the
+    # token dim, not the corpus)
+    df_rank = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .withColumn("rank", F.row_number().over(Window.orderBy("df", "token")))
+        .select("token", "rank")
+    )
+    ranked = (
+        tok.join(F.broadcast(df_rank), "token")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rank")).alias("ranks"))
+        .withColumn("m", F.size("ranks"))
+        .withColumn(
+            "prefix",
+            F.expr(f"slice(ranks, 1, m - CAST(ceil({_TAU} * m) AS INT) + 1)"),
+        )
+    )
+    cand = (
+        ranked.select("doc_id", F.explode("prefix").alias("r"))
+        .alias("a")
+        .join(
+            ranked.select("doc_id", F.explode("prefix").alias("r")).alias("b"),
+            (F.col("a.r") == F.col("b.r")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates()
+    )
+    sets = docs.select(F.col("doc_id"), F.col("ts"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    return (
+        cand.join(sets.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b")), "id_b")
+        .withColumn("jacc", inter.cast("double") / union)
+        .filter(F.col("jacc") >= _TAU)
+        .select("id_a", "id_b", "jacc")
+    )
+
+
+@q(
+    "mixture_weighted_sources",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             (({_h60_duck("source")} % 100) + 1) / 100.0 AS weight,
+             ({_h60_duck("CAST(doc_id AS VARCHAR) || ':' || source")} % 1000000)
+               / 1000000.0 AS u
+      FROM documents
+    )
+    SELECT source,
+           any_value(weight) AS weight,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u < weight THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM w GROUP BY source
+    """,
+    doc="Deterministic data-mixture sampling: each source gets a "
+    "hash-derived rate in (0, 1], each doc keeps iff its md5-uniform "
+    "u(doc_id, source) falls under the rate — the reweighting step "
+    "that balances crawl/books/code subsets before training. Pure "
+    "map-side predicate plus one partial-agg shuffle on source; "
+    "repeatable across engines and runs (no RNG state), so the same "
+    "mixture is reproducible on any cluster size. Swap the hash rate "
+    "for a config map in production; the mechanics are identical.",
+    tags=("pretrain", "sampling"),
+)
+def mixture_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CAST(({_h60_spark('source')} % 100) + 1 AS DOUBLE) / 100"
+        ).alias("weight"),
+        F.expr(
+            "CAST("
+            + _h60_spark("CAST(doc_id AS STRING) || ':' || source")
+            + " % 1000000 AS DOUBLE) / 1000000"
+        ).alias("u"),
+    )
+    return d.groupBy("source").agg(
+        F.first("weight").alias("weight"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("u") < F.col("weight"), 1).otherwise(0)).alias("n_sampled"),
+    )
+
+
+_SALT = 8
+
+
+@q(
+    "skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc=f"The skew-salting pattern as an oracle-checked query: the fact "
+    f"side salts each row with md5(o_orderkey) % {_SALT}, the dim side "
+    f"explodes into {_SALT} salted replicas, the join key becomes "
+    "(custkey, salt) — a single hot customer now spreads across "
+    f"{_SALT} reducers instead of one straggler. The oracle is the "
+    "PLAIN unsalted join: salting provably does not change the result. "
+    "Money sums in scaled int64 (registry rule 1). At 100 TB pair "
+    "this with AQE skew detection; explicit salting is the manual "
+    "control when the skew key is known a priori.",
+    tags=("join", "scale"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_i"),
+        F.expr(f"{_h60_spark('CAST(o_orderkey AS STRING)')} % {_SALT}").alias("salt"),
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.expr(f"sequence(0, {_SALT - 1})")))
+    )
+    return (
+        orders.join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey) & (orders.salt == cust.salt),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum("price_i").cast("double") / 100).alias("total_price"),
+        )
+    )
+
+
+def _morton_fragment(x: str, y: str, engine: str, bits: int = 8) -> str:
+    """16-bit Morton (Z-order) interleave of two `bits`-bit ints as a
+    pure integer SQL expression. Same arithmetic both engines; only the
+    shift syntax differs (Spark: shiftleft/shiftright fns, DuckDB:
+    << >> operators)."""
+    terms = []
+    for i in range(bits):
+        if engine == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@q(
+    "zorder_cluster_key",
+    oracle=f"""
+    WITH k AS (
+      SELECT l_orderkey, l_linenumber,
+             {_morton_fragment('(l_partkey % 256)', '(l_suppkey % 256)', 'duck')} AS zkey
+      FROM lineitem
+    )
+    SELECT zkey // 4096 AS zbucket,
+           COUNT(*) AS n_rows,
+           MIN(zkey) AS zmin, MAX(zkey) AS zmax
+    FROM k GROUP BY zbucket
+    """,
+    doc="Two-column Morton (Z-order) clustering key over (l_partkey, "
+    "l_suppkey) low bytes, in pure integer shift/mask arithmetic — the "
+    "layout key behind multi-column data-skipping: writing files "
+    "range-partitioned and sorted by zkey gives every file a tight "
+    "min/max envelope on BOTH columns, so a predicate on either prunes "
+    "~sqrt of the files (vs all-files for the non-leading column of a "
+    "lexicographic sort). The query emits per-bucket stats; the "
+    "write-side pattern (repartitionByRange(zkey) + "
+    "sortWithinPartitions) is asserted in tests/test_pretrain_pack.py. "
+    "Map-side only — zero shuffles before the bucket agg.",
+    tags=("scale", "layout"),
+)
+def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_morton_fragment("(l_partkey % 256)", "(l_suppkey % 256)", "spark")).alias("zkey"),
+    )
+    return k.groupBy(F.expr("zkey div 4096").alias("zbucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("zkey").alias("zmin"),
+        F.max("zkey").alias("zmax"),
+    )

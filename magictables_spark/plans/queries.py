@@ -19,6 +19,7 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     nested,
     pipeline_ops,
     pipeline_pack,
+    pretrain_pack,
     quality_pack,
     relational,
     rollup_pack,

