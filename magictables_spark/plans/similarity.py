@@ -604,19 +604,70 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "ann_ivf_topk",
-    oracle=None,
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), norms AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
+      FROM e
+    ), stride AS (
+      SELECT GREATEST(31, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS s FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, q AS cq
+      FROM norms CROSS JOIN stride WHERE vec_id % stride.s = 0
+    ), dists AS (
+      SELECT n.vec_id, n.q, n.nrm, c.cent_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (n.q[i] - c.cq[i]) * (n.q[i] - c.cq[i]))) AS BIGINT) AS d2
+      FROM norms n CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT a.cell, n.vec_id AS neighbor_id, n.q, n.nrm
+      FROM norms n JOIN assigned a USING (vec_id)
+    ), probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell, q AS qa, nrm AS na FROM (
+        SELECT d.*,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM dists d WHERE vec_id < 5
+      ) WHERE rn <= 4
+    ), cand AS (
+      SELECT DISTINCT p.query_id, c.neighbor_id, p.qa, p.na, c.q, c.nrm
+      FROM probes p JOIN cells c USING (cell)
+      WHERE p.query_id <> c.neighbor_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> qa[i]*q[i])) AS BIGINT)
+               / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cosine
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
     doc="Approximate k-NN via an IVF (inverted-file) index — the other "
     "classic ANN scale path next to LSH (ann_lsh_topk). Coarse "
-    "quantizer: ~16 deterministic seed vectors (vec_id % 31 == 0) act "
-    "as centroids; every vector assigns map-side to its nearest "
-    "centroid by exact int64 L2 (broadcast centroids, min-struct "
-    "argmin — no iterative k-means, so the plan is fully deterministic "
-    "and one-pass). Queries probe their 4 nearest cells; candidates "
-    "are exact-cosine re-ranked to top-10. At 100 TB: the cell "
-    "assignment is a broadcast map-side pass, candidate generation "
-    "shuffles on cell id only (|data| x nprobe/k rows), never O(n^2). "
-    "Rows-only check; recall vs exact top-k asserted in "
-    "tests/test_similarity.py.",
+    "quantizer: deterministic seed vectors (vec_id % stride == 0, "
+    "stride ~ sqrt(n)) act as centroids; every vector assigns map-side "
+    "to its nearest centroid by exact int64 L2 (broadcast centroids, "
+    "min-struct argmin — no iterative k-means, so the plan is fully "
+    "deterministic and one-pass). Queries probe their 4 nearest cells; "
+    "candidates are exact-cosine re-ranked to top-10. At 100 TB: the "
+    "cell assignment is a broadcast map-side pass, candidate "
+    "generation shuffles on cell id only (|data| x nprobe/k rows), "
+    "never O(n^2). The ENTIRE index pipeline — stride, centroid pick, "
+    "argmin assignment, probe set, re-rank — is mirrored in the DuckDB "
+    "oracle CTE (int64-exact math, deterministic tie-breaks), so this "
+    "is hash-checked, not rows-only; recall vs exact top-k "
+    "additionally asserted in tests/test_similarity.py.",
     tags=("similarity", "ann", "scale"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
