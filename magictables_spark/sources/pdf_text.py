@@ -22,7 +22,14 @@ parser for the common case rather than an import stub:
   parsed and the packed bodies join the object table, so page trees
   compressed into ObjStm resolve like top-level objects.
 
-This intentionally does NOT cover encrypted PDFs or CID/Type0
+- RC4-encrypted PDFs (standard security handler, /V 1-2 / /R 2-3,
+  empty user password — the classic "owner-locked" files PyPDF2
+  decrypts transparently) ARE decrypted: Algorithms 2/3/4/5 of the
+  spec (ISO 32000-1 §7.6.3) in pure stdlib (hashlib.md5 + a 15-line
+  RC4). Password-protected files (non-empty user password) and
+  AES/crypt-filter encryption (/V 4-5) raise ``UnsupportedPdfError``.
+
+This intentionally does NOT cover AES-encrypted PDFs or CID/Type0
 composite fonts — those genuinely need a real PDF library; such files
 raise ``UnsupportedPdfError`` so callers can fall back or skip, never
 silently return wrong text.
@@ -30,6 +37,7 @@ silently return wrong text.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
@@ -91,6 +99,125 @@ def _expand_object_streams(objs: dict[int, bytes]) -> None:
             if start > len(raw):
                 raise UnsupportedPdfError("ObjStm offset past stream end")
             objs.setdefault(nums[i], raw[start:end])
+
+
+# ---------------------------------------------------------------------------
+# standard security handler (RC4, ISO 32000-1 §7.6.3) — empty user password
+# ---------------------------------------------------------------------------
+
+# §7.6.3.3 padding string, appended/truncating passwords to 32 bytes
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+        0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (spec test vector asserted in tests/test_pdf_text.py)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) % 256
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) % 256
+        j = (j + s[i]) % 256
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) % 256]
+    return bytes(out)
+
+
+def _string_value(body: bytes, key: bytes) -> bytes:
+    """The string value of ``/key`` in a dict body — literal or hex."""
+    m = re.search(rb"/" + key + rb"\s*", body)
+    if not m:
+        raise UnsupportedPdfError(f"encrypt dict missing /{key.decode()}")
+    i = m.end()
+    if body[i : i + 1] == b"(":
+        s, _ = _literal_string(body, i)
+        return s
+    if body[i : i + 1] == b"<":
+        j = body.index(b">", i)
+        return _hex_bytes(re.sub(rb"\s", b"", body[i + 1 : j]))
+    raise UnsupportedPdfError(f"/{key.decode()} is not a string")
+
+
+def _parse_encrypt(enc_body: bytes, data: bytes) -> dict:
+    """Parse the /Encrypt dictionary + the trailer /ID first element.
+    Only the standard handler with RC4 (/V 1-2, /R 2-3) is supported."""
+    if not re.search(rb"/Filter\s*/Standard\b", enc_body):
+        raise UnsupportedPdfError("non-standard security handler")
+    v = int(m.group(1)) if (m := re.search(rb"/V\s+(\d+)", enc_body)) else 0
+    r = int(m.group(1)) if (m := re.search(rb"/R\s+(\d+)", enc_body)) else 2
+    if v > 2 or r > 3:
+        raise UnsupportedPdfError(
+            f"AES/crypt-filter encryption unsupported (/V {v} /R {r})"
+        )
+    p = int(m.group(1)) if (m := re.search(rb"/P\s+(-?\d+)", enc_body)) else -1
+    length = (
+        int(m.group(1)) if (m := re.search(rb"/Length\s+(\d+)", enc_body)) else 40
+    )
+    o = _string_value(enc_body, b"O")
+    u = _string_value(enc_body, b"U")
+    if len(o) != 32 or len(u) != 32:
+        raise UnsupportedPdfError("malformed /O or /U entry")
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
+    id0 = _hex_bytes(re.sub(rb"\s", b"", idm.group(1))) if idm else b""
+    return {"v": v, "r": r, "p": p, "n": length // 8, "o": o, "u": u, "id0": id0}
+
+
+def _encryption_key(enc: dict, password: bytes = b"") -> bytes:
+    """Algorithm 2: the file encryption key; then Algorithm 4/5 to
+    verify ``password`` as the user password (empty = the common
+    owner-locked case). A failed check raises — never wrong text."""
+    padded = (password + _PAD)[:32]
+    h = hashlib.md5(
+        padded
+        + enc["o"]
+        + (enc["p"] & 0xFFFFFFFF).to_bytes(4, "little")
+        + enc["id0"]
+    ).digest()
+    n = enc["n"] if enc["r"] >= 3 else 5
+    if enc["r"] >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+
+    if enc["r"] == 2:  # Algorithm 4
+        expect = _rc4(key, _PAD)
+        ok = expect == enc["u"]
+    else:  # Algorithm 5 (first 16 bytes significant)
+        x = hashlib.md5(_PAD + enc["id0"]).digest()
+        u = _rc4(key, x)
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        ok = u == enc["u"][:16]
+    if not ok:
+        raise UnsupportedPdfError("password-protected PDF (user password required)")
+    return key
+
+
+def _object_key(key: bytes, num: int, gen: int) -> bytes:
+    """§7.6.2 Algorithm 1: per-object RC4 key."""
+    h = hashlib.md5(
+        key + (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def _decrypt_body_streams(body: bytes, key: bytes, num: int, gen: int) -> bytes:
+    """RC4-decrypt the stream payload of one object body in place
+    (strings outside streams aren't needed for text extraction)."""
+    m = _STREAM_RE.search(body)
+    if not m:
+        return body
+    raw = _rc4(_object_key(key, num, gen), m.group(1))
+    return body[: m.start(1)] + raw + body[m.end(1) :]
 
 
 def _dict_part(body: bytes) -> bytes:
@@ -359,9 +486,27 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     page.extract_text() loop, sources.py:131-139)."""
     if not data.startswith(b"%PDF-"):
         raise UnsupportedPdfError("not a PDF (missing %PDF- header)")
-    if b"/Encrypt" in data[-2048:] or re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data):
-        raise UnsupportedPdfError("encrypted PDF unsupported")
-    objs = _objects(data)
+    enc_ref = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
+    if enc_ref:
+        # RC4 standard security handler: decrypt every stream payload
+        # with the per-object key, THEN expand ObjStm containers (the
+        # packed bodies inside are plaintext once the container is)
+        raw = {
+            int(m.group(1)): (int(m.group(2)), m.group(3))
+            for m in _OBJ_RE.finditer(data)
+        }
+        enc_num = int(enc_ref.group(1))
+        if enc_num not in raw:
+            raise UnsupportedPdfError("unresolvable /Encrypt reference")
+        enc = _parse_encrypt(_dict_part(raw[enc_num][1]), data)
+        key = _encryption_key(enc)
+        objs = {
+            num: (body if num == enc_num else _decrypt_body_streams(body, key, num, gen))
+            for num, (gen, body) in raw.items()
+        }
+        _expand_object_streams(objs)
+    else:
+        objs = _objects(data)
     if not objs:
         raise UnsupportedPdfError("no PDF objects found")
     pages = _page_order(data, objs)
@@ -496,4 +641,115 @@ def build_objstm_pdf(pages: list[str]) -> bytes:
         + b"\nendstream\nendobj\n"
     )
     out += b"trailer\n<< /Size 31 /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def build_rc4_pdf(
+    pages: list[str],
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+    r: int = 3,
+    key_bits: int = 40,
+) -> bytes:
+    """Deterministic RC4-encrypted fixture (standard security handler,
+    /R 2 or 3): same page tree as build_simple_pdf, with every content
+    stream RC4-encrypted under the per-object key and a spec-computed
+    /Encrypt dict (Algorithms 2 and 3) + /ID in the trailer. Written
+    independently from the reader against ISO 32000-1 §7.6.3 so the
+    round-trip test exercises both directions of the spec."""
+
+    def esc(s: str) -> bytes:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)").encode("latin-1")
+
+    n = key_bits // 8
+    id0 = hashlib.md5(b"fixture-id:" + str(pages).encode()).digest()
+
+    # Algorithm 3: the /O entry
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    rc4_key = h[:n]
+    o = _rc4(rc4_key, (user_pw + _PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4_key), o)
+
+    p = -44  # print allowed, modify denied — a typical owner-locked mask
+    enc = {"o": o, "p": p, "id0": id0, "r": r, "n": n}
+
+    # Algorithm 2: file key (from the USER password), then the /U entry
+    padded = (user_pw + _PAD)[:32]
+    h = hashlib.md5(padded + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[: (n if r >= 3 else 5)]
+    if r == 2:
+        u = _rc4(key, _PAD)
+    else:
+        x = hashlib.md5(_PAD + id0).digest()
+        u = _rc4(key, x)
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+
+    objects: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objects.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())  # 2
+    font_obj = 3 + 2 * n_pages
+    for i, page in enumerate(pages):
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj} 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(page.split("\n")):
+            if j:
+                ops += b"0 -14 Td\n"
+            ops += b"(" + esc(line) + b") Tj\n"
+        ops += b"ET"
+        # alternate raw/Flate so decrypt-then-inflate is exercised
+        plain = zlib.compress(bytes(ops)) if i % 2 else bytes(ops)
+        filt = b" /Filter /FlateDecode" if i % 2 else b""
+        data = _rc4(_object_key(key, content_num, 0), plain)
+        objects.append(
+            f"<< /Length {len(data)}".encode() + filt + b" >>\nstream\n" + data + b"\nendstream"
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    enc_num = len(objects) + 1
+    objects.append(
+        (
+            f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+            f"/Length {key_bits} /P {p} "
+        ).encode()
+        + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R "
+        f"/Encrypt {enc_num} 0 R /ID [<".encode()
+        + id0.hex().encode()
+        + b"> <"
+        + id0.hex().encode()
+        + b">] >>\n"
+        + f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
     return bytes(out)

@@ -146,3 +146,53 @@ def test_objstm_top_level_object_wins():
         b"trailer\n<< /Size 31 /Root 1 0 R >>\n%%EOF\n"
     )
     assert extract_pdf_pages(updated) == ["updated text"]
+
+
+def test_rc4_spec_vector():
+    """Public RC4 test vector (key 'Key', plaintext 'Plaintext') — the
+    cipher is validated independently of the PDF machinery, so the
+    encrypt-fixture/decrypt-reader round trip below can't pass on a
+    shared cipher bug."""
+    from magictables_spark.sources.pdf_text import _rc4
+
+    assert _rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert _rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    assert _rc4(b"Key", bytes.fromhex("bbf316e8d940af0ad3")) == b"Plaintext"
+
+
+def test_rc4_encrypted_roundtrip_r3():
+    """Owner-locked (empty user password) /R 3 128-bit file: the common
+    'encrypted' PDF in the wild. Both raw and Flate streams decrypt."""
+    from magictables_spark.sources.pdf_text import build_rc4_pdf
+
+    pages = ["secret page one", "secret page two\nwith a second line"]
+    out = extract_pdf_pages(build_rc4_pdf(pages, r=3, key_bits=128))
+    assert out[0] == "secret page one"
+    assert "second line" in out[1]
+
+
+def test_rc4_encrypted_roundtrip_r2_40bit():
+    from magictables_spark.sources.pdf_text import build_rc4_pdf
+
+    out = extract_pdf_pages(build_rc4_pdf(["legacy forty bit"], r=2, key_bits=40))
+    assert out == ["legacy forty bit"]
+
+
+def test_rc4_user_password_protected_raises():
+    """Non-empty USER password cannot be decrypted without the password:
+    must refuse loudly, never emit garbage text."""
+    from magictables_spark.sources.pdf_text import build_rc4_pdf
+
+    pdf = build_rc4_pdf(["cannot read me"], user_pw=b"hunter2", r=3, key_bits=128)
+    with pytest.raises(UnsupportedPdfError, match="password"):
+        extract_pdf_pages(pdf)
+
+
+def test_aes_crypt_filter_raises():
+    """/V 4 (AESV2 crypt filters) is beyond RC4 support: refuse."""
+    from magictables_spark.sources.pdf_text import build_rc4_pdf
+
+    pdf = build_rc4_pdf(["x"], r=3, key_bits=128)
+    pdf = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(UnsupportedPdfError, match="AES"):
+        extract_pdf_pages(pdf)
