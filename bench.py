@@ -49,6 +49,13 @@ HEADLINE = [
     # iterative-graph twin
     "ann_lsh_topk",
     "pagerank_fixed_iters",
+    # round-3 pretraining-curation pack: per-doc repetition filters,
+    # corpus-global passage dedup + reassembly, salted skew join,
+    # Morton-key layout clustering
+    "gopher_quality_filters",
+    "passage_dedup",
+    "skew_salted_join",
+    "zorder_cluster_key",
 ]
 
 

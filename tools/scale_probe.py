@@ -32,6 +32,12 @@ SCALE_OPS = [
     "corpus_curation_pipeline",
     "text_quality",
     "contamination_check",
+    # round-3 pretraining pack (this corpus's 800-word Zipf-ish vocab is
+    # the realistic regime for the prefix filter, unlike the 31-word
+    # fixture where every pair collides)
+    "gopher_quality_filters",
+    "passage_dedup",
+    "simjoin_prefix_filter",
 ]
 
 
