@@ -56,6 +56,7 @@ HEADLINE = [
     "passage_dedup",
     "skew_salted_join",
     "zorder_cluster_key",
+    "pretrain_corpus_funnel",
 ]
 
 

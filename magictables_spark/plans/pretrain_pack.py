@@ -431,3 +431,190 @@ def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zkey").alias("zmin"),
         F.max("zkey").alias("zmax"),
     )
+
+
+@q(
+    "pretrain_corpus_funnel",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks,
+             length(text) - (len(string_split(text, ' ')) - 1) AS n_letters
+      FROM documents
+    ), g AS (
+      SELECT doc_id, len(toks) AS n_tokens, n_letters,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM d WHERE len(toks) >= 2
+    ), gc AS (
+      SELECT doc_id, n_tokens, n_letters, gram, COUNT(*) AS c FROM g GROUP BY ALL
+    ), gq AS (
+      SELECT doc_id,
+             (1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) < 0.6
+              AND CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) < 0.2
+              AND CAST(n_letters AS DOUBLE) / n_tokens BETWEEN 2.0 AND 10.0) AS q_keep
+      FROM gc GROUP BY doc_id, n_tokens, n_letters
+    ), qd AS (
+      SELECT d.doc_id, d.source, d.toks,
+             CAST(ceil(len(d.toks) / {_PASSAGE}.0) AS INT) AS np
+      FROM d JOIN gq ON d.doc_id = gq.doc_id WHERE gq.q_keep
+    ), p0 AS (
+      SELECT doc_id, unnest(list_transform(range(0, np),
+        i -> {{'pos': i,
+               'passage': array_to_string(
+                 toks[i * {_PASSAGE} + 1 : i * {_PASSAGE} + {_PASSAGE}], ' ')}})) AS s
+      FROM qd
+    ), p AS (
+      SELECT doc_id, s.pos AS pos, s.passage AS passage FROM p0
+    ), kept AS (
+      SELECT doc_id, pos, passage,
+             row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+      FROM p
+    ), reasm AS (
+      SELECT qd.doc_id, qd.source,
+             COALESCE(k.dt, '') AS dt
+      FROM qd LEFT JOIN (
+        SELECT doc_id, string_agg(passage, ' ' ORDER BY pos) AS dt
+        FROM kept WHERE rn = 1 GROUP BY doc_id
+      ) k ON qd.doc_id = k.doc_id
+    ), exact AS (
+      SELECT doc_id, source, dt,
+             row_number() OVER (PARTITION BY md5(dt) ORDER BY doc_id) = 1 AS e_keep
+      FROM reasm
+    ), final AS (
+      SELECT doc_id, source, dt, e_keep,
+             e_keep AND
+             (CAST({_h60_duck("CAST(doc_id AS VARCHAR) || ':' || source")} % 1000000
+                   AS DOUBLE) / 1000000
+              < CAST(({_h60_duck("source")} % 100) + 1 AS DOUBLE) / 100) AS sampled
+      FROM exact
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(SUM(CASE WHEN f.e_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN f.sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN f.sampled AND f.dt <> ''
+                         THEN len(string_split(f.dt, ' ')) ELSE 0 END) AS BIGINT)
+             AS tokens_out
+    FROM d LEFT JOIN final f ON d.doc_id = f.doc_id
+    GROUP BY d.source
+    """,
+    doc="The four curation stages composed into ONE declarative plan — "
+    "the per-source funnel report (raw -> quality-kept -> exact-unique "
+    "-> mixture-sampled -> surviving tokens) a pretraining run reviews "
+    "before launching: Gopher repetition gate, corpus-global passage "
+    "dedup with reassembly, exact full-text dedup on the reassembled "
+    "text (md5 identity, first doc wins), deterministic mixture "
+    "sampling. Catalyst sees the whole pipeline at once: the 2-gram "
+    "explode and the passage window shuffle on different keys but "
+    "quality filtering prunes the passage stage's input, and the final "
+    "agg is a 20-group partial agg. Every stage mirrored in the "
+    "oracle's CTE chain.",
+    tags=("text", "pretrain", "pipeline", "scale"),
+)
+def pretrain_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(F.col("text"), " ").alias("toks"),
+        (F.length("text") - (F.size(F.split(F.col("text"), " ")) - 1)).alias("n_letters"),
+    )
+    g = d.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        "n_letters",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("gram"),
+    )
+    gc = g.groupBy("doc_id", "n_tokens", "n_letters", "gram").agg(F.count("*").alias("c"))
+    gq = (
+        gc.groupBy("doc_id", "n_tokens", "n_letters")
+        .agg(
+            F.sum("c").alias("tot"),
+            F.count("*").alias("dst"),
+            F.max("c").alias("top"),
+        )
+        .select(
+            "doc_id",
+            (
+                (F.lit(1.0) - F.col("dst").cast("double") / F.col("tot") < 0.6)
+                & (F.col("top").cast("double") / F.col("tot") < 0.2)
+                & (F.col("n_letters").cast("double") / F.col("n_tokens") >= 2.0)
+                & (F.col("n_letters").cast("double") / F.col("n_tokens") <= 10.0)
+            ).alias("q_keep"),
+        )
+    )
+    qd = (
+        d.join(gq, "doc_id")
+        .filter("q_keep")
+        .select(
+            "doc_id",
+            "source",
+            "toks",
+            F.expr(f"CAST(ceil(size(toks) / {_PASSAGE}.0) AS INT)").alias("np"),
+        )
+    )
+    p = qd.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, np - 1),"
+                f" i -> array_join(slice(toks, i * {_PASSAGE} + 1, {_PASSAGE}), ' '))"
+            )
+        ).alias("pos", "passage"),
+    )
+    wp = Window.partitionBy(F.md5("passage")).orderBy("doc_id", "pos")
+    reasm = (
+        p.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, passage))), s -> s.passage)"
+                ),
+                " ",
+            ).alias("dt")
+        )
+    )
+    we = Window.partitionBy(F.md5("dt")).orderBy("doc_id")
+    final = (
+        qd.select("doc_id", "source")
+        .join(reasm, "doc_id", "left")
+        .withColumn("dt", F.coalesce("dt", F.lit("")))
+        .withColumn("e_keep", F.row_number().over(we) == 1)
+        .withColumn(
+            "sampled",
+            F.col("e_keep")
+            & (
+                F.expr(
+                    "CAST("
+                    + _h60_spark("CAST(doc_id AS STRING) || ':' || source")
+                    + " % 1000000 AS DOUBLE) / 1000000"
+                )
+                < F.expr(f"CAST(({_h60_spark('source')} % 100) + 1 AS DOUBLE) / 100")
+            ),
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(final.select("doc_id", "dt", "e_keep", "sampled"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("dt").isNotNull(), 1).otherwise(0)).alias("n_quality"),
+            F.sum(F.when(F.col("e_keep"), 1).otherwise(0)).alias("n_exact"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
+            F.sum(
+                F.when(
+                    F.col("sampled") & (F.col("dt") != ""),
+                    F.size(F.split("dt", " ")),
+                ).otherwise(0)
+            ).alias("tokens_out"),
+        )
+    )
