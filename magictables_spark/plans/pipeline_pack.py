@@ -240,6 +240,41 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+@q(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_i
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="ORC sink + scan: write a lineitem projection as ORC (the other "
+    "columnar format big clusters standardize on), read it back, run a "
+    "Q1-shape aggregate. The oracle runs the same aggregate straight "
+    "off parquet in DuckDB, so the hash match proves the ORC round "
+    "trip is lossless for date/decimal-scaled/int/string columns. "
+    "Predicate and column pruning reach the ORC scan exactly as they "
+    "do parquet (asserted in tests/test_pipeline_pack.py).",
+    tags=("sources", "formats"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _roundtrip_dir("orc")
+    _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"
+    ).write.mode("overwrite").orc(out)
+    li = spark.read.orc(out)
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.expr("CAST(ROUND(l_quantity * 100) AS BIGINT)")).alias("qty_i"),
+        )
+    )
+
 @q(
     "freq_items_approx",
     oracle=None,  # sketch output; gated against exact counts in tests

@@ -56,3 +56,12 @@ def test_chain_payload_join_broadcasts(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_orc_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """The ORC round-trip's read side must push the shipdate predicate
+    into the ORC scan and read only the 4 projected columns — format
+    parity with the parquet pushdown guarantees."""
+    plan = _plan(spark, sf_dir, "scan_orc_roundtrip")
+    assert "Scan orc" in plan or "FileScan orc" in plan, plan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200], plan
