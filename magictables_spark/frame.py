@@ -304,3 +304,13 @@ class MagicFrame:
         NotSoMagicTable pandas view (notsomagictable.py:6-51), which
         materialized everything in driver memory."""
         return self.df.pandas_api()
+
+    def audit(self):
+        """Scale pre-flight: lint this frame's PHYSICAL plan for the
+        anti-patterns that kill cluster-scale runs (cartesian products,
+        row-at-a-time Python UDFs, single-partition exchanges, nested-
+        loop joins). Returns a ``PlanAudit``; never executes the query.
+        No reference analogue (eager Polars has no plan to audit)."""
+        from magictables_spark.plans.audit import audit_plan
+
+        return audit_plan(self.df)

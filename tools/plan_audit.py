@@ -38,30 +38,16 @@ def main() -> int:
     n_flagged = 0
     for slug in slugs:
         try:
-            import contextlib
-            import io
-
             df = REGISTRY[slug].fn(spark, sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain(mode="formatted")
-            plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001
             print(f"{slug}: PLAN ERROR {type(e).__name__}: {str(e)[:120]}")
             n_flagged += 1
             continue
-        flags = []
-        if "CartesianProduct" in plan:
-            flags.append("CARTESIAN")
-        if "BatchEvalPython" in plan:
-            flags.append("ROW_PYTHON_UDF")
-        if re.search(r"Exchange SinglePartition", plan) and "TakeOrderedAndProject" not in plan:
-            flags.append("SINGLE_PARTITION_EXCHANGE")
-        # \bExchange\b already excludes BroadcastExchange ("tE" has no
-        # word boundary), so this counts shuffle exchanges alone
-        n_ex = len(re.findall(r"\bExchange\b", plan))
-        n_bc = len(re.findall(r"BroadcastExchange", plan))
-        n_py = len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
+        from magictables_spark.plans.audit import audit_plan
+
+        res = audit_plan(df)
+        flags = [f.code for f in res.findings]
+        n_ex, n_bc, n_py = res.shuffles, res.broadcasts, res.arrow_python
         status = "FLAG " + ",".join(flags) if flags else "ok"
         if flags:
             n_flagged += 1
