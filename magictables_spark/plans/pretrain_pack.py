@@ -229,9 +229,12 @@ _TAU = 0.9  # Jaccard threshold for the exact similarity join
     "rarest-first by document frequency, each doc exposes only its "
     "first m - ceil(tau*m) + 1 ranked tokens, and any qualifying pair "
     "provably shares a prefix token — zero false negatives, unlike "
-    "minhash banding. Candidates then verify with an integer "
-    "intersection. The oracle is the brute-force all-pairs join: "
-    "identical result set by the prefix-filter theorem. The token-rank "
+    "minhash banding. The PPJoin length filter rides in the join "
+    "condition (tau <= min(m)/max(m), exact 9/10 integer arithmetic), "
+    "pruning size-incompatible pairs before they exist. Candidates "
+    "then verify with an integer intersection. The oracle is the "
+    "brute-force all-pairs join: identical result set by the "
+    "prefix-filter theorem. The token-rank "
     "dim is vocab-sized (small even at 100 TB corpora), broadcast to "
     "the explode; the candidate join shuffles only (prefix-token, "
     "doc_id) pairs. This synthetic corpus is adversarial for the "
@@ -263,12 +266,19 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"slice(ranks, 1, m - CAST(ceil({_TAU} * m) AS INT) + 1)"),
         )
     )
+    # PPJoin length filter: jacc >= tau implies |A n B| <= min(m) and
+    # |A u B| >= max(m), so tau <= min(m)/max(m) — size-incompatible
+    # pairs are pruned INSIDE the join condition (exact arithmetic,
+    # tau = 9/10; no result change, just fewer verify candidates)
+    pref = ranked.select("doc_id", "m", F.explode("prefix").alias("r"))
     cand = (
-        ranked.select("doc_id", F.explode("prefix").alias("r"))
-        .alias("a")
+        pref.alias("a")
         .join(
-            ranked.select("doc_id", F.explode("prefix").alias("r")).alias("b"),
-            (F.col("a.r") == F.col("b.r")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            pref.alias("b"),
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.m") * 10 >= F.col("a.m") * 9)
+            & (F.col("a.m") * 10 >= F.col("b.m") * 9),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates()
