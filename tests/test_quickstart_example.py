@@ -24,3 +24,16 @@ def test_quickstart_runs_end_to_end(spark, capsys):
     assert "transform cache: second run used 0 LLM calls" in out
     for slug in ("dedup_exact", "sim_cosine_topk", "funnel_conversion"):
         assert f"{slug}:" in out
+
+def test_pretrain_curation_example_runs(spark, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    try:
+        import pretrain_curation
+    finally:
+        sys.path.pop(0)
+
+    pretrain_curation.main()
+    out = capsys.readouterr().out
+    assert "pass the repetition gate" in out
+    assert "pairs" in out and "PlanAudit: ok" in out
+    assert out.strip().endswith("OK")
