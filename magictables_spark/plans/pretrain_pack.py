@@ -628,3 +628,146 @@ def pretrain_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_out"),
         )
     )
+
+
+@q(
+    "unigram_surprisal_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), cnt AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt
+    ), bits AS (
+      -- floor(log2(N / c)) computed EXACTLY as binary-digit count of the
+      -- integer quotient: no libm, no cross-engine ulp drift (cf. tfidf)
+      SELECT token, length(bin(n // c)) - 1 AS surprisal_bits
+      FROM cnt CROSS JOIN tot
+    ), per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(b.surprisal_bits) AS BIGINT) AS sum_bits
+      FROM tok t JOIN bits b USING (token)
+      GROUP BY t.doc_id
+    ), corpus AS (
+      SELECT CAST(SUM(sum_bits) AS BIGINT) AS all_bits,
+             CAST(SUM(n_tokens) AS BIGINT) AS all_toks
+      FROM per_doc
+    )
+    SELECT d.doc_id, d.n_tokens,
+           CAST(d.sum_bits AS DOUBLE) / d.n_tokens AS mean_bits,
+           CASE
+             WHEN CAST(d.sum_bits AS DOUBLE) / d.n_tokens
+                  < CAST(c.all_bits AS DOUBLE) / c.all_toks - 1.0 THEN 'head'
+             WHEN CAST(d.sum_bits AS DOUBLE) / d.n_tokens
+                  > CAST(c.all_bits AS DOUBLE) / c.all_toks + 1.0 THEN 'tail'
+             ELSE 'middle'
+           END AS lm_bucket
+    FROM per_doc d CROSS JOIN corpus c
+    """,
+    doc="CCNet-style unigram-LM quality scoring in exact integer bits: "
+    "each token's surprisal is floor(log2(N_tokens / count(token))), "
+    "computed as the binary-digit count of the integer quotient "
+    "(length(bin(q)) - 1) — no libm log, so unlike tfidf the score is "
+    "bit-identical across engines and the WHOLE pipeline is "
+    "hash-oracled. Docs bucket head/middle/tail around the corpus mean "
+    "surprisal (+-1 bit), the split CCNet uses to keep fluent text and "
+    "drop gibberish. Plan shape at 100 TB: the token-count dim is "
+    "VOCAB-sized, so it is localCheckpointed once and every corpus "
+    "scalar (total tokens, token-weighted mean surprisal) collects "
+    "from that tiny dim as a bounded driver roundtrip (the LSH/kmeans "
+    "precedent) and re-enters the plan as literals — no scalar-agg "
+    "cross join, no single-partition exchange; the main plan is one "
+    "explode, a broadcast dim join, and a doc_id partial agg. The "
+    "Python-side mean/threshold arithmetic is the same IEEE double op "
+    "sequence the oracle runs in SQL, so literals stay bit-identical.",
+    tags=("text", "quality", "pretrain", "scale"),
+)
+def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    # vocab-sized dim, materialized once: both the corpus scalars and
+    # the per-token surprisal broadcast derive from it
+    cnt = tok.groupBy("token").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    n_total = cnt.agg(F.sum("c").cast("bigint").alias("n")).collect()[0]["n"]
+    bits = cnt.select(
+        "token",
+        "c",
+        (F.length(F.bin(F.expr(f"CAST({n_total} AS BIGINT) div c"))) - 1).alias(
+            "surprisal_bits"
+        ),
+    )
+    # token-weighted corpus mean == sum over docs of sum_bits / n_tokens
+    # totals (every token occurrence contributes once on both routes)
+    stats = bits.agg(
+        F.sum(F.col("c") * F.col("surprisal_bits")).cast("bigint").alias("all_bits"),
+    ).collect()[0]
+    corpus_mean = stats["all_bits"] / n_total  # exact-int IEEE division
+    per_doc = (
+        tok.join(F.broadcast(bits.select("token", "surprisal_bits")), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("surprisal_bits").cast("bigint").alias("sum_bits"),
+        )
+    )
+    mean_bits = F.col("sum_bits").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        mean_bits.alias("mean_bits"),
+        F.when(mean_bits < F.lit(corpus_mean) - 1.0, "head")
+        .when(mean_bits > F.lit(corpus_mean) + 1.0, "tail")
+        .otherwise("middle")
+        .alias("lm_bucket"),
+    )
+
+
+_SHARDS = 64
+
+
+@q(
+    "reproducible_shard_shuffle",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_h60_duck("CAST(doc_id AS VARCHAR)")} % {_SHARDS} AS shard,
+             {_h60_duck("'ord:' || CAST(doc_id AS VARCHAR)")} AS okey
+      FROM documents
+    ), r AS (
+      SELECT doc_id, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id) - 1
+               AS shard_rank
+      FROM s
+    )
+    SELECT doc_id, shard, shard_rank,
+           shard_rank * {_SHARDS} + shard AS global_pos
+    FROM r
+    """,
+    doc="Reproducible global training-order shuffle WITHOUT a global "
+    f"sort: md5(doc_id) assigns each doc to one of {_SHARDS} shards, an "
+    "independent md5 key orders docs WITHIN each shard (per-shard "
+    "row_number windows — 64-way parallel, never a single-"
+    "partition sort), and global_pos = shard_rank * n_shards + shard "
+    "interleaves the shards round-robin into one deterministic "
+    "permutation. This is how training pipelines shuffle 100 TB: "
+    "shard-then-shuffle-within-shard is reproducible on any cluster "
+    "size, restart-stable (pure hash arithmetic, no RNG state), and "
+    "every shard streams independently to the data loader. The oracle "
+    "reproduces the identical permutation from the same md5 math.",
+    tags=("pretrain", "sampling", "scale"),
+)
+def reproducible_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"{_h60_spark('CAST(doc_id AS STRING)')} % {_SHARDS}").alias("shard"),
+        F.expr(_h60_spark("'ord:' || CAST(doc_id AS STRING)")).alias("okey"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return s.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).alias("shard_rank"),
+    ).withColumn("global_pos", F.col("shard_rank") * _SHARDS + F.col("shard"))

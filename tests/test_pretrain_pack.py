@@ -143,3 +143,36 @@ def test_pretrain_pack_no_python_udfs(spark, sf_dir, slug):
     """Hot paths stay JVM-side: no BatchEvalPython / ArrowEvalPython."""
     plan = REGISTRY[slug].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_surprisal_invariants(spark, sf_dir):
+    """Surprisal sanity: rare tokens carry more bits than common ones;
+    per-doc means live in [0, 60]; buckets are the three labels and the
+    middle band contains the corpus mean."""
+    out = REGISTRY["unigram_surprisal_quality"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert {r.lm_bucket for r in rows} <= {"head", "middle", "tail"}
+    for r in rows:
+        assert 0.0 <= r.mean_bits <= 60.0
+        assert r.n_tokens > 0
+    # token-weighted corpus mean must land in the middle bucket band
+    tot_bits = sum(r.mean_bits * r.n_tokens for r in rows)
+    tot_toks = sum(r.n_tokens for r in rows)
+    mean = tot_bits / tot_toks
+    mids = [r for r in rows if r.lm_bucket == "middle"]
+    assert any(abs(r.mean_bits - mean) <= 1.0 for r in mids)
+
+
+def test_reproducible_shard_shuffle_is_permutation(spark, sf_dir):
+    """global_pos is injective, shards are balanced-ish, and the order
+    is stable across invocations (pure hash arithmetic, no RNG)."""
+    fn = REGISTRY["reproducible_shard_shuffle"].fn
+    a = {r.doc_id: r.global_pos for r in fn(spark, sf_dir).collect()}
+    b = {r.doc_id: r.global_pos for r in fn(spark, sf_dir).collect()}
+    assert a == b  # restart-stable
+    assert len(set(a.values())) == len(a)  # injective: a true ordering
+    shards = [r.shard for r in fn(spark, sf_dir).collect()]
+    assert 0 <= min(shards) and max(shards) < 64
+    # no empty-shard pathology at fixture scale: >= 1/4 of shards hit
+    assert len(set(shards)) >= 16

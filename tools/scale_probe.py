@@ -6,7 +6,7 @@ sf0.1 fixture size into /tmp, runs the scale-path slugs at each size,
 and reports per-size wall time + the fitted power-law exponent
 (time ~ n^k). A linear operator shows k ~= 1; a quadratic one k ~= 2.
 
-Usage: python tools/scale_probe.py [--sizes 5000,20000,80000]
+Usage: python tools/scale_probe.py [--sizes=5000,20000,80000] [--ops=a,b]
 Prints one JSON line per op and a summary table.
 """
 
@@ -32,11 +32,13 @@ SCALE_OPS = [
     "corpus_curation_pipeline",
     "text_quality",
     "contamination_check",
-    # round-3 pretraining pack (this corpus's 800-word Zipf-ish vocab is
-    # the realistic regime for the prefix filter, unlike the 31-word
-    # fixture where every pair collides)
+    # round-3 pretraining pack (the head/tail vocab is the realistic
+    # regime for the prefix filter, unlike the 31-word fixture where
+    # every pair collides)
     "gopher_quality_filters",
     "passage_dedup",
+    "unigram_surprisal_quality",
+    "reproducible_shard_shuffle",
     "simjoin_prefix_filter",
 ]
 
@@ -44,19 +46,30 @@ SCALE_OPS = [
 def gen_tables(spark, out_dir: str, n_docs: int) -> None:
     """Deterministic synthetic corpus shaped like the fixtures: ~10% of
     docs are near-duplicates of a smaller base set (dup clusters for the
-    dedup paths), 64-dim embeddings for the ANN path."""
+    dedup paths), 64-dim embeddings for the ANN path.
+
+    Vocabulary models real text (Zipf head + Heaps tail): half of the
+    token mass comes from an 800-word head, half from a rare tail whose
+    size scales 8x the doc count — so token document-frequency has the
+    common-word/rare-word split every corpus-level text algorithm sees
+    in production. A fixed uniform vocab (the round-3 first cut) is
+    adversarial-and-unrealistic for prefix/rarity-based filters: with
+    no rare tokens, simjoin_prefix_filter's candidate set is
+    near-quadratic NO MATTER the filter, which measures the corpus, not
+    the operator."""
     from pyspark.sql import functions as F
 
     if os.path.exists(os.path.join(out_dir, "_done")):
         return
     os.makedirs(out_dir, exist_ok=True)
+    tail_vocab = max(800, 8 * n_docs)
     langs = ["en", "en", "en", "de", "fr", "es", "pt"]
     docs = (
         spark.range(n_docs)
         .select(
             F.col("id").alias("doc_id"),
             # 90% unique text seeded by own id, 10% copy text of id%97
-            # (dup clusters); 40-120 words from an 800-word vocab
+            # (dup clusters); 40-120 words, half head / half tail
             F.when(F.col("id") % 10 == 0, F.col("id") % 97)
             .otherwise(F.col("id"))
             .alias("seed"),
@@ -65,8 +78,11 @@ def gen_tables(spark, out_dir: str, n_docs: int) -> None:
             "doc_id",
             F.expr(
                 "array_join(transform(sequence(1, 40 + CAST(xxhash64(seed) % 81 AS INT) % 81), "
-                f"i -> element_at(array({','.join(repr(w) for w in VOCAB)}), "
-                "1 + CAST(abs(xxhash64(seed, i)) % 800 AS INT))), ' ')"
+                "i -> CASE WHEN xxhash64(seed, i, 7) % 2 = 0 "
+                f"THEN element_at(array({','.join(repr(w) for w in VOCAB)}), "
+                "1 + CAST(abs(xxhash64(seed, i)) % 800 AS INT)) "
+                f"ELSE concat('t', CAST(abs(xxhash64(seed, i)) % {tail_vocab} AS STRING)) "
+                "END), ' ')"
             ).alias("text"),
             F.element_at(
                 F.array(*[F.lit(x) for x in langs]),
@@ -94,9 +110,12 @@ def gen_tables(spark, out_dir: str, n_docs: int) -> None:
 
 def main() -> None:
     sizes = [5000, 20000, 80000]
+    ops = SCALE_OPS
     for a in sys.argv[1:]:
         if a.startswith("--sizes"):
             sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--ops"):
+            ops = a.split("=", 1)[1].split(",")
 
     from magictables_spark.plans.queries import REGISTRY
     from magictables_spark.session import get_spark
@@ -106,12 +125,12 @@ def main() -> None:
 
     dirs = {}
     for n in sizes:
-        d = f"/tmp/mts_scale_{n}"
+        d = f"/tmp/mts_scale_v2_{n}"  # v2: Zipf-head + Heaps-tail vocab
         gen_tables(spark, d, n)
         dirs[n] = d
 
     results = {}
-    for slug in SCALE_OPS:
+    for slug in ops:
         fn = REGISTRY[slug].fn
         per_size = {}
         for n, d in dirs.items():
