@@ -64,6 +64,8 @@ def decode_png(data: bytes) -> dict:
         chunk = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if len(chunk) != 13:  # fuzz-found: truncated IHDR -> struct.error
+                raise UnsupportedMediaError(f"PNG IHDR truncated ({len(chunk)} bytes)")
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
@@ -79,6 +81,8 @@ def decode_png(data: bytes) -> dict:
         raise UnsupportedMediaError("interlaced PNG unsupported")
     if color_type not in _CHANNELS_BY_COLOR_TYPE:
         raise UnsupportedMediaError(f"unsupported PNG color type {color_type}")
+    if width == 0 or height == 0:  # zero-dim "image": stats are undefined
+        raise UnsupportedMediaError(f"degenerate PNG geometry {width}x{height}")
     channels = _CHANNELS_BY_COLOR_TYPE[color_type]
 
     try:
@@ -172,15 +176,20 @@ def decode_wav(data: bytes) -> dict:
     import wave
 
     try:
+        # fuzz-found: corrupt RIFF headers escape wave.open as bare
+        # RuntimeError / struct.error / ValueError, not just wave.Error —
+        # any of them must become the per-file skip, not a task failure
         with wave.open(io.BytesIO(data), "rb") as w:
             channels = w.getnchannels()
             rate = w.getframerate()
             n_frames = w.getnframes()
             width = w.getsampwidth()
             frames = w.readframes(n_frames)
-    except (wave.Error, EOFError) as exc:
+    except (wave.Error, EOFError, struct.error, RuntimeError, ValueError, IndexError) as exc:
         raise UnsupportedMediaError(f"not a decodable WAV: {exc}") from exc
     if width == 2:
+        if len(frames) % 2:  # fuzz-found: odd PCM byte count -> frombuffer ValueError
+            raise UnsupportedMediaError("WAV 16-bit frame data has odd byte length")
         samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:
         samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
@@ -190,7 +199,13 @@ def decode_wav(data: bytes) -> dict:
     if samples.size:
         rms = float(np.sqrt(np.mean(samples**2)))
         peak = float(np.max(np.abs(samples)))
-        zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+        # diff of a 1-sample stream is empty -> NaN mean; a single
+        # sample has no crossings by definition
+        zcr = (
+            float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+            if samples.size > 1
+            else 0.0
+        )
     else:
         rms = peak = zcr = 0.0
     return {

@@ -142,7 +142,9 @@ def _string_value(body: bytes, key: bytes) -> bytes:
         s, _ = _literal_string(body, i)
         return s
     if body[i : i + 1] == b"<":
-        j = body.index(b">", i)
+        j = body.find(b">", i)
+        if j < 0:
+            raise UnsupportedPdfError(f"unterminated hex string for /{key.decode()}")
         return _hex_bytes(re.sub(rb"\s", b"", body[i + 1 : j]))
     raise UnsupportedPdfError(f"/{key.decode()} is not a string")
 
@@ -162,6 +164,11 @@ def _parse_encrypt(enc_body: bytes, data: bytes) -> dict:
     length = (
         int(m.group(1)) if (m := re.search(rb"/Length\s+(\d+)", enc_body)) else 40
     )
+    # §7.6.3.2: 40-128 bits, multiple of 8. Out-of-range values (seen in
+    # corrupted files) would derive an empty/oversized RC4 key — the
+    # empty case crashes key scheduling (i % 0) instead of refusing.
+    if not (40 <= length <= 128 and length % 8 == 0):
+        raise UnsupportedPdfError(f"invalid /Length {length} (spec: 40-128, mult of 8)")
     o = _string_value(enc_body, b"O")
     u = _string_value(enc_body, b"U")
     if len(o) != 32 or len(u) != 32:

@@ -179,3 +179,55 @@ def test_png_corrupt_idat_is_unsupported_not_zlib_error():
     )
     with pytest.raises(UnsupportedMediaError, match="inflate"):
         decode_png(bad)
+
+
+def test_truncated_ihdr_refuses():
+    """Fuzz-found: an IHDR chunk shorter than 13 bytes crashed
+    struct.unpack instead of raising the skip-contract error."""
+    import struct
+    import zlib
+
+    from magictables_spark.operators.media_codecs import PNG_SIG
+
+    short_ihdr = struct.pack(">IIB", 4, 4, 8)  # 9 bytes, not 13
+    crc = zlib.crc32(b"IHDR" + short_ihdr) & 0xFFFFFFFF
+    data = (
+        PNG_SIG
+        + struct.pack(">I", len(short_ihdr))
+        + b"IHDR"
+        + short_ihdr
+        + struct.pack(">I", crc)
+    )
+    with pytest.raises(UnsupportedMediaError, match="IHDR"):
+        decode_png(data)
+
+
+def test_corrupt_riff_header_refuses():
+    """Fuzz-found: wave.open escapes with bare RuntimeError/struct.error
+    on mangled RIFF sizes; odd 16-bit PCM byte counts crashed
+    np.frombuffer. Both must be the per-file skip."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import encode_wav
+
+    good = encode_wav(np.zeros(64), rate=8000)
+    # chop mid-sample so the data chunk has an odd byte length
+    odd = good[:-1]
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav(odd)
+    # stomp the fmt chunk size field with garbage
+    mangled = good[:16] + b"\xff\xff\xff\x7f" + good[20:]
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav(mangled)
+
+
+def test_one_sample_wav_has_zero_zcr():
+    """A single-sample stream has no crossings — zcr must be 0.0, not
+    the NaN a diff-of-empty mean produces."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import encode_wav
+
+    m = decode_wav(encode_wav(np.array([0.5]), rate=8000))
+    assert m["n_frames"] == 1
+    assert m["zero_crossing_rate"] == 0.0

@@ -196,3 +196,24 @@ def test_aes_crypt_filter_raises():
     pdf = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4")
     with pytest.raises(UnsupportedPdfError, match="AES"):
         extract_pdf_pages(pdf)
+
+
+def test_invalid_key_length_refuses():
+    """Fuzz-found: a corrupted /Length below 40 bits derives an empty
+    RC4 key, which crashed key scheduling (i % 0) instead of refusing."""
+    from magictables_spark.sources.pdf_text import build_rc4_pdf
+
+    pdf = build_rc4_pdf(["x"], r=3, key_bits=128)
+    pdf = pdf.replace(b"/Length 128", b"/Length 4")
+    with pytest.raises(UnsupportedPdfError, match="Length"):
+        extract_pdf_pages(pdf)
+
+
+def test_unterminated_hex_string_in_encrypt_dict_refuses():
+    """Fuzz-found: a /U hex string with NO closing '>' anywhere after it
+    escaped as a bare ValueError from bytes.index instead of the
+    UnsupportedPdfError contract."""
+    from magictables_spark.sources.pdf_text import _string_value
+
+    with pytest.raises(UnsupportedPdfError, match="unterminated"):
+        _string_value(b"/Filter /Standard /U <25d51e56a778", b"U")
