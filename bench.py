@@ -57,6 +57,10 @@ HEADLINE = [
     "skew_salted_join",
     "zorder_cluster_key",
     "pretrain_corpus_funnel",
+    # round-3 late additions: integer-exact LM quality buckets and the
+    # shard-interleaved reproducible training order
+    "unigram_surprisal_quality",
+    "reproducible_shard_shuffle",
 ]
 
 
