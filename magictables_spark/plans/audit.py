@@ -10,8 +10,12 @@ harmless at fixture scale but fatal at cluster scale:
 - ``ROW_PYTHON_UDF``   — BatchEvalPython: row-at-a-time Python in the
   hot path (10-100x slower than Arrow-batched or JVM expressions).
 - ``SINGLE_PARTITION_EXCHANGE`` — a global sort/window serializing the
-  whole dataset through one task (TakeOrderedAndProject top-k is
-  exempt: it reduces before the exchange).
+  whole dataset through one task. Two reducing shapes are exempt
+  because their exchange carries (at most) one row per upstream task,
+  not the dataset: TakeOrderedAndProject top-k, and the
+  partial->Exchange->final global-aggregate pattern
+  (``HashAggregate(keys=[], ...)`` directly consuming the exchange) —
+  the textbook distributed tree-reduce for scalar results.
 
 The same checks back ``tools/plan_audit.py`` (the per-round registry
 sweep) and ``MagicFrame.audit()`` (the user-facing pre-flight), so the
@@ -72,6 +76,38 @@ def _physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _has_unreduced_single_partition_exchange(plan: str) -> bool:
+    """True iff some ``Exchange SinglePartition`` funnels REAL data
+    volume through one task. Exempt occurrences whose direct consumer
+    (the nearest plan node printed above, i.e. the exchange's parent in
+    the tree string) is a global final aggregate — ``*Aggregate`` with
+    ``keys=[]`` — because that exchange ships one partial-agg row per
+    upstream task, which is the correct distributed scalar reduce, not
+    a serialization point. TakeOrderedAndProject plans reduce before
+    exchanging and never print ``Exchange SinglePartition`` at all."""
+    def depth(ln: str) -> int:
+        # tree-connector prefix is spaces/':'/'+-'; the node text starts
+        # after it (a WholeStageCodegen '*(n) ' star counts as node text,
+        # so codegen'd and plain nodes at one level share a depth)
+        m = re.search(r"[^\s:+\-]", ln)
+        return m.start() if m else 10**9
+
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # parent = nearest line above printed shallower in the tree
+        parent = ""
+        for j in range(i - 1, -1, -1):
+            if depth(lines[j]) < depth(line):
+                parent = lines[j]
+                break
+        if re.search(r"Aggregate(\(\d+\))?\(keys?=\[\]", parent):
+            continue  # partial -> 1-row-per-task exchange -> final agg
+        return True
+    return False
+
+
 def audit_plan(df: DataFrame) -> PlanAudit:
     """Lint ``df``'s physical plan for scale anti-patterns. Pure
     plan-text analysis — never executes the query."""
@@ -105,10 +141,7 @@ def audit_plan(df: DataFrame) -> PlanAudit:
                 "use pyspark.sql.functions, or a pandas_udf (Arrow-batched)",
             )
         )
-    if (
-        re.search(r"Exchange SinglePartition", plan)
-        and "TakeOrderedAndProject" not in plan
-    ):
+    if _has_unreduced_single_partition_exchange(plan):
         out.findings.append(
             Finding(
                 "SINGLE_PARTITION_EXCHANGE",

@@ -305,8 +305,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # size the bucket space to the corpus: one bounded count job on the
     # driver (same class of roundtrip as kmeans' k-row collect), then
-    # log2(n/32) sign bits per table so bucket occupancy stays constant
-    n_vec = norms.count()
+    # log2(n/32) sign bits per table so bucket occupancy stays constant.
+    # Count the RAW table, not the quantized+repartitioned plan: same
+    # row count, but Spark answers it from parquet footer statistics
+    # instead of executing the projection pipeline — metadata-speed at
+    # any corpus size
+    n_vec = _t(spark, sf_dir, "embeddings").count()
     n_bits = _lsh_bits_for(n_vec)
     # The whole (table, bucket) computation is assembled as ONE SQL
     # string and parsed JVM-side: building it with F.lit/F.array would
@@ -682,7 +686,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket space). stride ~ sqrt(n) keeps |centroids| ~ sqrt(n) and
     # assignment O(n^1.5); the 500-vector fixture still gets stride 31
     # (max clause), so recall gates and driver rows are unchanged.
-    n_vecs = norms.count()
+    # raw-table count: parquet footer statistics, not the quantize plan
+    n_vecs = _t(spark, sf_dir, "embeddings").count()
     stride = max(31, round(math.sqrt(max(1, n_vecs))))
     cents = norms.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
@@ -791,8 +796,9 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = e.withColumn("nrm", _dot("q", "q"))
     # probe set bounded ~sqrt(n) (bounded count job, FLOOR matches the
     # oracle's CTE): with the old fixed %20 stride the probe count grew
-    # linearly, turning the broadcast probe-x-corpus join quadratic
-    stride = max(20, math.floor(math.sqrt(max(1, norms.count()))))
+    # linearly, turning the broadcast probe-x-corpus join quadratic.
+    # Raw-table count -> parquet footer statistics, not the dot pipeline
+    stride = max(20, math.floor(math.sqrt(max(1, _t(spark, sf_dir, "embeddings").count()))))
     probes = norms.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
     )

@@ -57,3 +57,46 @@ def test_magicframe_audit_wires_through(spark, sf_dir):
     mf = MagicFrame(spark.read.parquet(f"{sf_dir}/customer.parquet"), sources=["t"])
     res = mf.audit()
     assert res.ok and "PlanAudit" in str(res)
+
+
+def test_scalar_agg_exchange_is_exempt():
+    """The partial -> Exchange SinglePartition -> final global aggregate
+    pattern ships one row per upstream task, not the dataset — it must
+    NOT flag; a true global sort/window must."""
+    from magictables_spark.plans.audit import _has_unreduced_single_partition_exchange
+
+    scalar_agg = (
+        "AdaptiveSparkPlan isFinalPlan=false\n"
+        "+- *(2) HashAggregate(keys=[], functions=[sum(x)])\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=15]\n"
+        "      +- *(1) HashAggregate(keys=[], functions=[partial_sum(x)])\n"
+        "         +- FileScan parquet\n"
+    )
+    global_window = (
+        "AdaptiveSparkPlan isFinalPlan=false\n"
+        "+- Window [row_number() windowspecdefinition(ts ASC)], [ts ASC]\n"
+        "   +- *(1) Sort [ts ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]\n"
+        "         +- FileScan parquet\n"
+    )
+    assert not _has_unreduced_single_partition_exchange(scalar_agg)
+    assert _has_unreduced_single_partition_exchange(global_window)
+    # one exempt + one real occurrence in the same plan still flags
+    assert _has_unreduced_single_partition_exchange(scalar_agg + global_window)
+
+
+def test_scalar_agg_exemption_on_live_plan(spark, sf_dir):
+    """A real single-row global aggregate audits clean; a real global
+    row_number window audits flagged."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from magictables_spark.plans.audit import audit_plan
+    from magictables_spark.plans.registry import _t
+
+    scalar = _t(spark, sf_dir, "orders").agg(F.sum("o_totalprice").alias("s"))
+    assert "SINGLE_PARTITION_EXCHANGE" not in [f.code for f in audit_plan(scalar).findings]
+
+    w = Window.orderBy("o_orderkey")
+    glob = _t(spark, sf_dir, "orders").withColumn("rn", F.row_number().over(w))
+    assert "SINGLE_PARTITION_EXCHANGE" in [f.code for f in audit_plan(glob).findings]

@@ -11,6 +11,12 @@ Red flags:
 Informational counts: Exchange (shuffles), BroadcastExchange,
 WholeStageCodegen spans, ArrowEvalPython/MapInPandas (vectorized
 Python, expected for the UDF/chain slugs).
+
+Waivers: a flag on a slug listed in WAIVERS with a matching code is a
+REVIEWED intentional pattern (tiny-broadcast nested loop, vocab-sized
+global window, declared single-series semantics); it prints as
+``ok (waived: ...)`` and counts clean. Any unwaived flag still fails
+the sweep, so new regressions can't hide behind old justifications.
 """
 
 from __future__ import annotations
@@ -21,6 +27,36 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+NLJ = "NESTED_LOOP_JOIN"
+SPE = "SINGLE_PARTITION_EXCHANGE"
+
+# slug -> {flag-code: one-line justification}. Every entry names WHY the
+# pattern is safe (what bounds the broadcast side / the exchanged rows).
+WAIVERS: dict[str, dict[str, str]] = {
+    "ann_ivf_topk": {NLJ: "broadcast side is the ~sqrt(n) centroid table"},
+    "contamination_check": {NLJ: "broadcast side is the bounded held-out shingle set"},
+    "embed_neardup": {NLJ: "declared exact quadratic baseline, guarded >50k rows; ann_lsh_topk is the scale path"},
+    "interpolate_linear": {NLJ: "range join against the bounded per-series gap calendar"},
+    "locf_fill": {NLJ: "range join against the bounded per-series gap calendar"},
+    "resample_gapfill": {NLJ: "range join against the bounded resample calendar"},
+    "join_cross": {NLJ: "the op IS a cross join; registered on tiny dims by contract"},
+    "kmeans_assign": {NLJ: "broadcast side is the 8-row centroid table"},
+    "knn_label_vote": {NLJ: "broadcast side is the ~sqrt(n) probe set"},
+    "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
+    "q11_important_parts": {NLJ: "broadcast side is the 1-row scalar-subquery threshold"},
+    "q22_dormant_customers": {NLJ: "broadcast side is the 1-row average-balance scalar"},
+    "range_join": {NLJ: "the residual band predicate after bucket-equi blocking"},
+    "target_encoding": {NLJ: "broadcast side is the 1-row global-prior scalar"},
+    "value_counts_share": {NLJ: "broadcast side is the 1-row total-count scalar"},
+    "triangle_count": {NLJ: "broadcast side is the bounded oriented-edge set of the demo graph; production pagerank/components paths are equi-join only"},
+    "cumulative_distinct": {SPE: "global running-distinct IS a total-order op; keyed twin: window_rolling/lag_features"},
+    "pct_change": {SPE: "single-series semantics by contract; keyed twin partitions by series id"},
+    "period_over_period": {SPE: "single-series semantics by contract; keyed twin partitions by series id"},
+    "sequence_packing": {SPE: "exact-parity baseline; sequence_packing_sharded is the registered scale path"},
+    "simjoin_prefix_filter": {SPE: "global rank window runs over the VOCAB-sized token dim, not the corpus"},
+    "window_ntile": {SPE: "global ntile demo by contract; production form partitions by key"},
+}
 
 
 def main() -> int:
@@ -46,11 +82,17 @@ def main() -> int:
         from magictables_spark.plans.audit import audit_plan
 
         res = audit_plan(df)
-        flags = [f.code for f in res.findings]
+        waived = WAIVERS.get(slug, {})
+        hard = [f.code for f in res.findings if f.code not in waived]
+        soft = [f.code for f in res.findings if f.code in waived]
         n_ex, n_bc, n_py = res.shuffles, res.broadcasts, res.arrow_python
-        status = "FLAG " + ",".join(flags) if flags else "ok"
-        if flags:
+        if hard:
+            status = "FLAG " + ",".join(hard)
             n_flagged += 1
+        elif soft:
+            status = "ok (waived: " + "; ".join(f"{c} — {waived[c]}" for c in soft) + ")"
+        else:
+            status = "ok"
         print(f"{slug}: {status}  shuffles={n_ex} broadcasts={n_bc} arrow_python={n_py}")
     print(f"\n{len(slugs) - n_flagged}/{len(slugs)} clean")
     return 1 if n_flagged else 0
