@@ -57,10 +57,12 @@ HEADLINE = [
     "skew_salted_join",
     "zorder_cluster_key",
     "pretrain_corpus_funnel",
-    # round-3 late additions: integer-exact LM quality buckets and the
-    # shard-interleaved reproducible training order
+    # round-3 late additions: integer-exact LM quality buckets, the
+    # shard-interleaved reproducible training order, and winnowing-
+    # anchored cross-doc substring duplication coverage
     "unigram_surprisal_quality",
     "reproducible_shard_shuffle",
+    "substring_dupe_coverage",
 ]
 
 

@@ -771,3 +771,144 @@ def reproducible_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         (F.row_number().over(w) - 1).alias("shard_rank"),
     ).withColumn("global_pos", F.col("shard_rank") * _SHARDS + F.col("shard"))
+
+
+_WIN, _STRIDE = 16, 8  # window length; expected anchor spacing (1/8 density)
+
+
+@q(
+    "substring_dupe_coverage",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), w AS (
+      -- content-defined anchors (winnowing): a window starts wherever
+      -- the TOKEN's hash = 0 mod {_STRIDE}, so identical text anchors at
+      -- identical tokens no matter where it sits in the document
+      SELECT doc_id, n_tokens, p.s AS s, p.whash AS whash
+      FROM d, unnest(list_transform(
+               list_filter(range(1, n_tokens - {_WIN} + 2),
+                           s -> {_h60_duck('toks[s]')} % {_STRIDE} = 0),
+               s -> {{'s': s,
+                      'whash': md5(array_to_string(toks[s : s + {_WIN} - 1], ' '))}}))
+             AS u(p)
+      WHERE n_tokens >= {_WIN}
+    ), dup AS (
+      SELECT whash FROM w GROUP BY whash HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT w.doc_id, w.n_tokens, w.s
+      FROM w SEMI JOIN dup ON w.whash = dup.whash
+    ), isl AS (
+      SELECT doc_id, n_tokens, s,
+             CASE WHEN s > COALESCE(MAX(s + {_WIN} - 1) OVER (
+                      PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM hits
+    ), grp AS (
+      SELECT doc_id, n_tokens, s,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ), cov AS (
+      SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+             CAST(SUM(ilen) AS BIGINT) AS dup_tokens
+      FROM (
+        SELECT doc_id, island, ANY_VALUE(n_tokens) AS n_tokens,
+               MAX(s + {_WIN} - 1) - MIN(s) + 1 AS ilen
+        FROM grp GROUP BY doc_id, island
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_tokens,
+           COALESCE(c.dup_tokens, 0) AS dup_tokens,
+           CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / d.n_tokens AS dup_frac
+    FROM d LEFT JOIN cov c ON d.doc_id = c.doc_id
+    WHERE d.n_tokens > 0
+    """,
+    doc=f"Cross-document substring-duplication coverage (the exact-"
+    f"substring dedup metric of Lee et al. 2022): {_WIN}-token windows "
+    "start at CONTENT-DEFINED anchors — positions whose token hashes to "
+    f"0 mod {_STRIDE} (winnowing-style fingerprint selection) — so a "
+    "duplicated span anchors at the same tokens in every document it "
+    "appears in, independent of its offset; a fixed-stride grid would "
+    "only match spans whose phases happen to agree mod stride. Window "
+    "hashes in >= 2 distinct docs are duplicated spans; each doc "
+    "reports the token count covered by the MERGED union of its "
+    "duplicated windows (gaps-islands interval merge) and the "
+    "fraction. Catches unaligned duplication that aligned-chunk "
+    "passage_dedup structurally cannot. Plan: the anchor scan and "
+    "window hashing are ONE array expression per document (no token "
+    "explode), ~n/stride (s, whash) rows enter the one whash exchange "
+    "for the cross-doc test, then doc-keyed windows merge intervals — "
+    "linear, partition-parallel, no global state.",
+    tags=("text", "dedup", "pretrain", "scale"),
+)
+def substring_dupe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    # anchors + window hashes as one array expression: the (s, whash)
+    # pair list is built per row and exploded WITHOUT carrying the
+    # token array into the exploded rows
+    pair_expr = (
+        f"transform("
+        f"  filter(sequence(1, n_tokens - {_WIN} + 1),"
+        f"         s -> {_h60_spark('element_at(toks, s)')} % {_STRIDE} = 0),"
+        f"  s -> struct(s AS s, md5(array_join(slice(toks, s, {_WIN}), ' ')) AS whash))"
+    )
+    w = (
+        d.filter(F.col("n_tokens") >= _WIN)
+        .select("doc_id", "n_tokens", F.explode(F.expr(pair_expr)).alias("p"))
+        .select("doc_id", "n_tokens", F.col("p.s").alias("s"), F.col("p.whash").alias("whash"))
+    )
+    dup = (
+        w.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("whash")
+    )
+    hits = w.join(dup, "whash", "left_semi").select("doc_id", "n_tokens", "s")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = (
+        hits.withColumn(
+            "new_isl",
+            (
+                F.col("s")
+                > F.coalesce(F.max(F.col("s") + _WIN - 1).over(w_prev), F.lit(0))
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("new_isl").over(w_run))
+    )
+    cov = (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            (F.max(F.col("s") + _WIN - 1) - F.min("s") + 1).alias("ilen"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("ilen").cast("bigint").alias("dup_tokens"))
+    )
+    return (
+        d.filter(F.col("n_tokens") > 0)
+        .select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            (F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens")).alias(
+                "dup_frac"
+            ),
+        )
+    )

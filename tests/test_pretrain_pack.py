@@ -176,3 +176,35 @@ def test_reproducible_shard_shuffle_is_permutation(spark, sf_dir):
     assert 0 <= min(shards) and max(shards) < 64
     # no empty-shard pathology at fixture scale: >= 1/4 of shards hit
     assert len(set(shards)) >= 16
+
+
+def test_substring_dupe_coverage_semantics(spark, sf_dir, tmp_path):
+    """Constructed corpus: doc B embeds a 24-token span of doc A at an
+    UNALIGNED offset; doc C is unrelated. A and B must report overlap
+    coverage >= the shared-window span, C exactly 0."""
+    import os
+
+    # 40 shared tokens; token 's20' hashes to 0 mod 8 (precomputed), so
+    # BOTH docs anchor a full window at it wherever the span sits —
+    # phase-independence is exactly what content-defined anchoring buys
+    shared = " ".join(f"s{i}" for i in range(40))
+    rows = [
+        (0, "a0 a1 a2 " + shared + " a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13"),
+        (1, "b0 " + shared + " b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 b13 b14"),
+        (2, " ".join(f"c{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    ).withColumn("source", F.lit("t")).withColumn("n_chars", F.length("text"))
+    d = os.path.join(tmp_path, "corpus")
+    df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in REGISTRY["substring_dupe_coverage"].fn(spark, d).collect()
+    }
+    assert out[2].dup_tokens == 0 and out[2].dup_frac == 0.0
+    # the 24-token shared span contains at least one aligned 16-window
+    # pair in both docs regardless of offset (stride 8 < 24 - 16)
+    assert out[0].dup_tokens >= 16
+    assert out[1].dup_tokens >= 16
+    assert 0 < out[0].dup_frac < 1 and 0 < out[1].dup_frac < 1

@@ -39,6 +39,7 @@ SCALE_OPS = [
     "passage_dedup",
     "unigram_surprisal_quality",
     "reproducible_shard_shuffle",
+    "substring_dupe_coverage",
     "simjoin_prefix_filter",
 ]
 
