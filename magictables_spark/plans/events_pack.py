@@ -209,3 +209,69 @@ def gaps_islands_streaks(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_days", "streak_start")
     )
+
+
+@q(
+    "stream_tumbling_availablenow",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({VAL_I}) AS DOUBLE) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="A REAL Structured Streaming execution inside the oracle gate: "
+    "the events fixture is consumed via readStream (file source), "
+    "aggregated with the same window(ts, '1 hour') x event_type "
+    "expression as the batch twin `window_tumbling`, and driven to "
+    "completion with Trigger.AvailableNow into a complete-mode memory "
+    "sink; the returned DataFrame is the sink table. Because "
+    "event-time windowing is deterministic and complete mode holds "
+    "every window, the streaming result is bit-identical to the batch "
+    "query — so the DuckDB oracle hash-checks an actual streaming "
+    "job, not just a batch twin (the streaming/ module's unit parity "
+    "asserts the same equivalence shape on synthetic micro-batches). "
+    "At scale this is the backfill pattern: AvailableNow chews a "
+    "bounded backlog with streaming semantics, then stops.",
+    tags=("events", "window", "streaming"),
+)
+def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    name = "mts_stream_tumbling_sink"
+    for active in spark.streams.active:  # idempotent re-invocation
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    # the fixture is one flat file and the file stream source wants a
+    # directory: stream the fixture DIR with a glob pinning this table
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(f"CAST(SUM({VAL_I}) AS DOUBLE) / 100.0").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -356,3 +356,16 @@ def test_stream_late_data_dropped_by_watermark(spark, tmp_path):
     assert rows["2024-01-01T00:00:00"] == 2
     # the 02:10 event's window finalized normally
     assert rows["2024-01-01T02:00:00"] == 1
+
+
+def test_stream_tumbling_availablenow_reinvokes(spark, sf_dir):
+    """The registered streaming query is idempotent across invocations
+    in one session (driver runs a query more than once) and matches
+    the batch twin exactly."""
+    from magictables_spark.plans.queries import REGISTRY
+
+    fn = REGISTRY["stream_tumbling_availablenow"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    batch = sorted(map(tuple, REGISTRY["window_tumbling"].fn(spark, sf_dir).collect()))
+    assert a == b == batch and len(a) > 0
