@@ -120,16 +120,25 @@ class APISource(BaseSource):
 
 class WebSource(BaseSource):
     """GET url -> single {"content": html} row (sources.py:96-119 — the
-    reference does no HTML parsing; bs4 is declared but unused)."""
+    reference does no HTML parsing; bs4 is declared but unused).
+    ``extract_text=True`` adds the visible text + <title> via the
+    pure-stdlib extractor (html_text.py) — the real implementation of
+    the reference's unused-bs4 gesture."""
 
-    def __init__(self, url: str, fetcher: Fetcher | None = None):
+    def __init__(self, url: str, fetcher: Fetcher | None = None, *, extract_text: bool = False):
         self.url = url
         self.fetcher = fetcher or default_fetcher
+        self.extract_text = extract_text
 
     def fetch_data(self) -> list[dict]:
         payload = self.fetcher(self.url, None)
         content = payload if isinstance(payload, str) else json.dumps(payload)
-        return [{"url": self.url, "content": content}]
+        row = {"url": self.url, "content": content}
+        if self.extract_text:
+            from magictables_spark.sources.html_text import html_to_text
+
+            row.update(html_to_text(content))
+        return [row]
 
     def get_identifier(self) -> str:
         return self.url
