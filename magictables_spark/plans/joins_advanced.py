@@ -209,9 +209,9 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COUNT(*) AS n,
              SUM({QTY_I}) AS sx,
              SUM({PRICE_I}) AS sy,
-             SUM({QTY_I} * {QTY_I}) AS sxx,
-             SUM({PRICE_I} * {PRICE_I}) AS syy,
-             SUM({QTY_I} * {PRICE_I}) AS sxy
+             SUM(CAST({QTY_I} * {QTY_I} AS DECIMAL(38, 0))) AS sxx,
+             SUM(CAST({PRICE_I} * {PRICE_I} AS DECIMAL(38, 0))) AS syy,
+             SUM(CAST({QTY_I} * {PRICE_I} AS DECIMAL(38, 0))) AS sxy
       FROM lineitem
     )
     SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -221,22 +221,29 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n AS n_rows
     FROM s
     """,
-    doc="Pearson correlation of quantity vs price from exact int64 "
-    "moment sums (n*Sxy - Sx*Sy over the sqrt product) — engine-native "
+    doc="Pearson correlation of quantity vs price from exact moment "
+    "sums (n*Sxy - Sx*Sy over the sqrt product) — engine-native "
     "corr() aggregates in floating point with engine-specific update "
-    "order and is NOT hash-comparable; this formulation is. Single "
-    "scan, partial+final agg of 6 integer sums.",
+    "order and is NOT hash-comparable; this formulation is. The "
+    "second moments accumulate in DECIMAL(38): the per-row products "
+    "fit int64 but their SUM passes 2^63 already at sf0.1 (~6e19 — "
+    "found by the full-registry sf0.1 sweep; DuckDB hides the bug by "
+    "silently promoting to HUGEINT, Spark raises ARITHMETIC_OVERFLOW), "
+    "and DECIMAL(38) carries the 100 TB case (~1e23) with room to "
+    "spare — same fix summary_stats/feat_zscore already use. Single "
+    "scan, partial+final agg of 6 sums.",
     tags=("agg", "stats"),
 )
 def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     qi, pi = F.expr(QTY_I), F.expr(PRICE_I)
+    dec = "DECIMAL(38, 0)"
     s = _t(spark, sf_dir, "lineitem").agg(
         F.count("*").alias("n"),
         F.sum(qi).alias("sx"),
         F.sum(pi).alias("sy"),
-        F.sum(qi * qi).alias("sxx"),
-        F.sum(pi * pi).alias("syy"),
-        F.sum(qi * pi).alias("sxy"),
+        F.sum((qi * qi).cast(dec)).alias("sxx"),
+        F.sum((pi * pi).cast(dec)).alias("syy"),
+        F.sum((qi * pi).cast(dec)).alias("sxy"),
     )
     # moment sums are exact int64; the combination happens in double
     # (identical cast-then-multiply sequence in the oracle) because the

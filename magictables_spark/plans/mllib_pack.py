@@ -107,7 +107,13 @@ def ann_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sparse vectors per document — the feature-extraction path that "
     "feeds MLlib models. Rows-only (hash-bucketed terms aren't "
     "comparable to the exact term_freq table); vector norms sanity-"
-    "checked in tests.",
+    "checked in tests. numFeatures is 2^12: the scalar projection for "
+    "the rows-only gate densifies via vector_to_array, so its cost is "
+    "rows x numFeatures regardless of sparsity — the sf0.1 sweep "
+    "measured the 2^16 config at 36 s of pure HOF element-walking "
+    "(5k docs x 65k slots) vs ~2 s at 2^12, and a 31-word fixture "
+    "vocabulary doesn't need 65k hash buckets. A model pipeline that "
+    "keeps vectors SPARSE end-to-end would use 2^18+ at corpus scale.",
     tags=("text", "tfidf", "mllib"),
 )
 def tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,7 +122,7 @@ def tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("tokens")
     )
-    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 16).transform(docs)
+    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12).transform(docs)
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     out = idf_model.transform(tf)
     # project to a stable scalar schema for the rows-only gate
