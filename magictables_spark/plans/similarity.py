@@ -142,6 +142,11 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = norms.select(
         F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("nrm").alias("nb")
     )
+    # HOF dot on purpose: the cosine filter pushes into the
+    # BroadcastNestedLoopJoin condition, where expressions evaluate
+    # interpreted and without CSE — the unrolled 64-term GetArrayItem
+    # chain was MEASURED 3x slower here (86 s vs 28 s at sf0.1), the
+    # opposite of the codegen'd re-rank stages where unrolling wins
     cos = _dot("qa", "qb").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
