@@ -1,6 +1,6 @@
 """Pure-stdlib media codecs for the multimodal column pipeline.
 
-Real decoders for the two formats that need no external library:
+Real decoders for the three formats that need no external library:
 
 - **WAV** (RIFF PCM) via the stdlib ``wave`` module + numpy: channel
   count, sample rate, duration, RMS/peak amplitude, zero-crossing rate.
@@ -10,10 +10,14 @@ Real decoders for the two formats that need no external library:
   4 (gray+alpha) and 6 (RGBA) — the overwhelming majority of real PNGs;
   anything else raises ``UnsupportedMediaError`` which the feature
   kernel converts to ``ok=False`` (a 100 TB job must skip, not die).
+- **BMP** (uncompressed BITMAPINFOHEADER, 24/32 bpp BI_RGB) via
+  ``struct`` + numpy: geometry, bottom-up/top-down row order, 4-byte
+  row alignment, per-image pixel mean/std; palettized/compressed
+  variants refuse with ``UnsupportedMediaError``.
 
 Matching deterministic **encoders** exist so fixtures can be generated
-without any media library: ``encode_png`` (filter 0 scanlines) and
-``encode_wav`` (16-bit PCM). ``ensure_media_fixture_dir`` materializes
+without any media library: ``encode_png`` (filter 0 scanlines),
+``encode_wav`` (16-bit PCM) and ``encode_bmp`` (24-bpp BI_RGB). ``ensure_media_fixture_dir`` materializes
 a small deterministic corpus of both — used by the ``multimodal_features``
 query and the unit tests.
 
@@ -256,6 +260,17 @@ def media_features(content: bytes, mime: str, dim: int) -> list[float]:
             m["pixel_std"] / 255.0,
             float(m["bit_depth"]),
         ]
+    elif mime in ("image/bmp", "image/x-ms-bmp"):
+        m = decode_bmp(content)
+        vec = [
+            1.0,  # modality tag: image
+            float(m["width"]),
+            float(m["height"]),
+            float(m["channels"]),
+            m["pixel_mean"] / 255.0,
+            m["pixel_std"] / 255.0,
+            float(m["bit_depth"]),
+        ]
     elif mime in ("audio/wav", "audio/x-wav"):
         m = decode_wav(content)
         vec = [
@@ -275,7 +290,9 @@ def media_features(content: bytes, mime: str, dim: int) -> list[float]:
     return vec + [0.0] * (dim - len(vec))
 
 
-def ensure_media_fixture_dir(media_dir: str, n_png: int = 8, n_wav: int = 8) -> str:
+def ensure_media_fixture_dir(
+    media_dir: str, n_png: int = 8, n_wav: int = 8, n_bmp: int = 4
+) -> str:
     """Materialize a deterministic media corpus (idempotent: skipped if
     already present). PNGs are seeded gradient/checker patterns, WAVs
     are seeded sine mixtures, plus one deliberately corrupt file per
@@ -293,6 +310,14 @@ def ensure_media_fixture_dir(media_dir: str, n_png: int = 8, n_wav: int = 8) -> 
         arr = np.stack([r, g, b], axis=-1).astype(np.uint8)
         with open(os.path.join(media_dir, f"img_{i:03d}.png"), "wb") as f:
             f.write(encode_png(arr))
+    for i in range(n_bmp):
+        w, h = 10 + 3 * i, 8 + 2 * i
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = np.stack(
+            [(xx * 7 + i) % 256, (yy * 11 + i) % 256, ((xx ^ yy) + i) % 256], axis=-1
+        ).astype(np.uint8)
+        with open(os.path.join(media_dir, f"img_{i:03d}.bmp"), "wb") as f:
+            f.write(encode_bmp(arr))
     for i in range(n_wav):
         rate = 8000
         t = np.arange(0, rate // 4) / rate  # 250 ms
@@ -309,3 +334,70 @@ def ensure_media_fixture_dir(media_dir: str, n_png: int = 8, n_wav: int = 8) -> 
     with open(marker, "w") as f:
         f.write("ok")
     return media_dir
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+_BMP_MAX_PIXELS = 1 << 26  # 64M px: refuse header-driven memory bombs
+
+
+def decode_bmp(data: bytes) -> dict:
+    """Parse an uncompressed Windows BMP (BITMAPINFOHEADER, 24/32 bpp,
+    BI_RGB): geometry from the DIB header, per-image pixel mean/std
+    over the BGR(A) rows (4-byte-aligned, bottom-up unless height is
+    negative). Palettized/compressed/OS2 variants raise
+    UnsupportedMediaError — skip, not die."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP (bad signature or truncated)")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    (dib_size,) = struct.unpack_from("<I", data, 14)
+    if dib_size < 40:
+        raise UnsupportedMediaError(f"unsupported BMP DIB header size {dib_size}")
+    width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0:
+        raise UnsupportedMediaError(f"compressed BMP unsupported (method {compression})")
+    if bpp not in (24, 32):
+        raise UnsupportedMediaError(f"unsupported BMP bit depth {bpp}")
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0 or width * height > _BMP_MAX_PIXELS:
+        raise UnsupportedMediaError(f"degenerate BMP geometry {width}x{height}")
+    channels = bpp // 8
+    stride = ((width * channels + 3) // 4) * 4
+    need = offset + stride * height
+    if need > len(data):
+        raise UnsupportedMediaError("BMP pixel data truncated")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * height, offset=offset)
+    rows = rows.reshape(height, stride)[:, : width * channels]
+    pixels = rows.reshape(height, width, channels).astype(np.float64)
+    if not top_down:
+        pixels = pixels[::-1]
+    return {
+        "kind": "image",
+        "width": int(width),
+        "height": int(height),
+        "bit_depth": 8,
+        "channels": int(channels),
+        "pixel_mean": float(pixels.mean()),
+        "pixel_std": float(pixels.std()),
+    }
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Minimal BMP encoder: 8-bit RGB (H, W, 3) -> 24-bpp BI_RGB,
+    bottom-up rows padded to 4 bytes (stored BGR per the format)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    height, width, _ = arr.shape
+    bgr = arr[:, :, ::-1]
+    stride = ((width * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - width * 3)
+    body = b"".join(bgr[y].tobytes() + pad for y in range(height - 1, -1, -1))
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return file_header + dib + body

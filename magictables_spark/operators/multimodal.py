@@ -31,6 +31,7 @@ FEATURE_SCHEMA = "path string, mime string, n_bytes bigint, feature array<float>
 
 _EXT_MIME = {
     ".png": "image/png",
+    ".bmp": "image/bmp",
     ".jpg": "image/jpeg",
     ".jpeg": "image/jpeg",
     ".wav": "audio/wav",

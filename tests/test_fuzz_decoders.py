@@ -18,8 +18,10 @@ import pytest
 
 from magictables_spark.operators.media_codecs import (
     UnsupportedMediaError,
+    decode_bmp,
     decode_png,
     decode_wav,
+    encode_bmp,
     encode_png,
     encode_wav,
     media_features,
@@ -78,10 +80,13 @@ def test_media_mutations_never_escape(seed):
         encode_wav((np_rng.standard_normal(n) * 0.3).astype(np.float64), rate=8000)
         for n in (100, 1000)
     ]
+    bmps = [encode_bmp(np_rng.integers(0, 255, (6, 10, 3), dtype=np.uint8))]
     for trial in range(800):
         kind = rng.random()
-        if kind < 0.4:
+        if kind < 0.3:
             data, dec, mime = bytearray(rng.choice(pngs)), decode_png, "image/png"
+        elif kind < 0.55:
+            data, dec, mime = bytearray(rng.choice(bmps)), decode_bmp, "image/bmp"
         elif kind < 0.8:
             data, dec, mime = bytearray(rng.choice(wavs)), decode_wav, "audio/wav"
         else:

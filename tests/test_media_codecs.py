@@ -147,12 +147,14 @@ def test_multimodal_features_query_real_decode(spark, sf_dir):
     from magictables_spark.plans.queries import REGISTRY
 
     rows = {r["mime"]: r for r in REGISTRY["multimodal_features"].fn(spark, sf_dir).collect()}
-    png, wav = rows["image/png"], rows["audio/wav"]
+    png, bmp, wav = rows["image/png"], rows["image/bmp"], rows["audio/wav"]
     assert png["n_files"] == 9 and png["n_decoded"] == 8  # 1 corrupt skipped
+    assert bmp["n_files"] == 4 and bmp["n_decoded"] == 4
     assert wav["n_files"] == 9 and wav["n_decoded"] == 8
-    assert png["feature_dim"] == 8 and wav["feature_dim"] == 8
+    assert png["feature_dim"] == 8 and bmp["feature_dim"] == 8 and wav["feature_dim"] == 8
     # decoded stats are real: mean pixel (index 4) in (0, 1), audio rms > 0
     assert 0.0 < png["mean_stat"] < 1.0
+    assert 0.0 < bmp["mean_stat"] < 1.0
     assert wav["mean_stat"] > 0.0
 
 def test_png_corrupt_idat_is_unsupported_not_zlib_error():
@@ -231,3 +233,38 @@ def test_one_sample_wav_has_zero_zcr():
     m = decode_wav(encode_wav(np.array([0.5]), rate=8000))
     assert m["n_frames"] == 1
     assert m["zero_crossing_rate"] == 0.0
+
+
+def test_bmp_roundtrip_exact_stats():
+    from magictables_spark.operators.media_codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    # width 10 forces row padding (30 bytes -> 32-byte stride)
+    arr = rng.integers(0, 255, (6, 10, 3), dtype=np.uint8)
+    m = decode_bmp(encode_bmp(arr))
+    assert (m["width"], m["height"], m["channels"], m["bit_depth"]) == (10, 6, 3, 8)
+    assert m["pixel_mean"] == pytest.approx(float(arr.mean()), abs=1e-9)
+    assert m["pixel_std"] == pytest.approx(float(arr.std()), abs=1e-9)
+
+
+def test_bmp_rejects_garbage_and_unsupported():
+    from magictables_spark.operators.media_codecs import decode_bmp, encode_bmp
+
+    with pytest.raises(UnsupportedMediaError):
+        decode_bmp(b"not a bmp at all")
+    good = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    # flip compression field to BI_RLE8
+    bad = good[:30] + b"\x01\x00\x00\x00" + good[34:]
+    with pytest.raises(UnsupportedMediaError, match="compressed"):
+        decode_bmp(bad)
+    # truncate the pixel data
+    with pytest.raises(UnsupportedMediaError, match="truncated"):
+        decode_bmp(good[:-8])
+
+
+def test_bmp_media_features_dispatch():
+    from magictables_spark.operators.media_codecs import encode_bmp
+
+    vec = media_features(encode_bmp(np.full((3, 5, 3), 128, dtype=np.uint8)), "image/bmp", 8)
+    assert vec[0] == 1.0 and vec[1] == 5.0 and vec[2] == 3.0
+    assert vec[4] == pytest.approx(128.0 / 255.0)
