@@ -937,3 +937,83 @@ def substring_dupe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "curriculum_order",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), cnt AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt
+    ), bits AS (
+      SELECT token, length(bin(n // c)) - 1 AS surprisal_bits
+      FROM cnt CROSS JOIN tot
+    ), per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(b.surprisal_bits) AS BIGINT) AS sum_bits
+      FROM tok t JOIN bits b USING (token)
+      GROUP BY t.doc_id
+    ), corpus AS (
+      SELECT CAST(SUM(sum_bits) AS BIGINT) AS all_bits,
+             CAST(SUM(n_tokens) AS BIGINT) AS all_toks
+      FROM per_doc
+    ), bucketed AS (
+      SELECT d.doc_id,
+             CASE
+               WHEN CAST(d.sum_bits AS DOUBLE) / d.n_tokens
+                    < CAST(c.all_bits AS DOUBLE) / c.all_toks - 1.0 THEN 'head'
+               WHEN CAST(d.sum_bits AS DOUBLE) / d.n_tokens
+                    > CAST(c.all_bits AS DOUBLE) / c.all_toks + 1.0 THEN 'tail'
+               ELSE 'middle'
+             END AS lm_bucket
+      FROM per_doc d CROSS JOIN corpus c
+    ), sh AS (
+      SELECT doc_id,
+             {_h60_duck("CAST(doc_id AS VARCHAR)")} % {_SHARDS} AS shard,
+             {_h60_duck("'ord:' || CAST(doc_id AS VARCHAR)")} AS okey
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id) - 1
+               AS shard_rank
+      FROM sh
+    )
+    SELECT b.doc_id, b.lm_bucket,
+           CASE b.lm_bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END
+             AS bucket_order,
+           r.shard, r.shard_rank,
+           r.shard_rank * {_SHARDS} + r.shard AS within_pos
+    FROM bucketed b JOIN ranked r ON b.doc_id = r.doc_id
+    """,
+    doc="Curriculum data ordering: the LM-surprisal quality buckets "
+    "(head = most fluent first) composed with the reproducible shard "
+    "shuffle — train order is (bucket_order, within_pos), i.e. easy-"
+    "to-hard curriculum with a deterministic, restart-stable shuffle "
+    "INSIDE each bucket. Deliberately emits the (bucket, shard, rank) "
+    "coordinates instead of one dense global position: dense numbering "
+    "needs a per-bucket global window (3 near-single partitions), "
+    "while these coordinates stream shard-parallel at any scale and "
+    "define the identical total order. Built by composing the two "
+    "registered primitives' plans; the oracle composes their CTEs.",
+    tags=("pretrain", "sampling", "scale", "pipeline"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = unigram_surprisal_quality(spark, sf_dir).select("doc_id", "lm_bucket")
+    order = reproducible_shard_shuffle(spark, sf_dir).select(
+        "doc_id", "shard", "shard_rank", F.col("global_pos").alias("within_pos")
+    )
+    return buckets.join(order, "doc_id").select(
+        "doc_id",
+        "lm_bucket",
+        F.when(F.col("lm_bucket") == "head", 0)
+        .when(F.col("lm_bucket") == "middle", 1)
+        .otherwise(2)
+        .alias("bucket_order"),
+        "shard",
+        "shard_rank",
+        "within_pos",
+    )

@@ -208,3 +208,18 @@ def test_substring_dupe_coverage_semantics(spark, sf_dir, tmp_path):
     assert out[0].dup_tokens >= 16
     assert out[1].dup_tokens >= 16
     assert 0 < out[0].dup_frac < 1 and 0 < out[1].dup_frac < 1
+
+
+def test_curriculum_order_total_and_deterministic(spark, sf_dir):
+    """(bucket_order, within_pos) is a total order (injective within
+    each bucket via the shuffle's injective within_pos), heads precede
+    tails, and the order is restart-stable."""
+    fn = REGISTRY["curriculum_order"].fn
+    rows = fn(spark, sf_dir).collect()
+    again = fn(spark, sf_dir).collect()
+    key = lambda r: (r.bucket_order, r.within_pos)  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    assert len({key(r) for r in rows}) == len(rows)  # total order
+    by_bucket = {r.lm_bucket: r.bucket_order for r in rows}
+    assert by_bucket.get("head", 0) == 0 and by_bucket.get("tail", 2) == 2
+    assert {r.lm_bucket for r in rows} <= {"head", "middle", "tail"}
