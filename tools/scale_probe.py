@@ -40,6 +40,7 @@ SCALE_OPS = [
     "unigram_surprisal_quality",
     "reproducible_shard_shuffle",
     "substring_dupe_coverage",
+    "curriculum_order",
     "simjoin_prefix_filter",
 ]
 
