@@ -489,3 +489,94 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs, src="doc_a", dst="doc_b", nodes=docs).select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster")
     )
+
+
+@q(
+    "lang_id_trigram",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, lower(substring(text, 1, 200)) AS t FROM documents
+    ), tg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                   i -> substring(t, i, 3))) AS g
+      FROM d WHERE len(t) >= 3
+    ), prof AS (
+      SELECT lang, g FROM (
+        SELECT lang, g, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rk
+        FROM tg GROUP BY lang, g
+      ) WHERE rk <= 25
+    ), doc_tg AS (
+      SELECT DISTINCT doc_id, g FROM tg
+    ), hits AS (
+      SELECT dt.doc_id, p.lang AS cand, COUNT(*) AS n_hits
+      FROM doc_tg dt JOIN prof p ON dt.g = p.g
+      GROUP BY dt.doc_id, p.lang
+    ), best AS (
+      SELECT doc_id, cand, n_hits FROM (
+        SELECT doc_id, cand, n_hits,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY n_hits DESC, cand) AS rb
+        FROM hits
+      ) WHERE rb = 1
+    )
+    SELECT d.doc_id, d.lang AS lang_true,
+           COALESCE(b.cand, 'und') AS lang_guess,
+           COALESCE(b.n_hits, 0) AS n_profile_hits
+    FROM d LEFT JOIN best b ON d.doc_id = b.doc_id
+    """,
+    doc="Profile-based language ID (Cavnar-Trenkle textcat shape): "
+    "char-trigram profiles — top 25 trigrams per language over the "
+    "labeled corpus — classify each document by profile-overlap count "
+    "(ties to the alphabetically first language; zero overlap -> "
+    "'und'). Upgrades the marker-word heuristic `lang_id` to the "
+    "published n-gram-profile algorithm; on real text the profiles "
+    "separate languages sharply, on this synthetic lang-independent "
+    "corpus the value is the verified mechanics. Plan shape at "
+    "100 TB: profile training is one trigram explode + a LANG-sized "
+    "window (7 x vocab rows); the per-doc classify joins the "
+    "BROADCAST 175-row profile dim and aggregates per doc — one "
+    "doc-keyed shuffle, no global state (in production the profile "
+    "dim is a fixed table, making classify a pure map-side pass).",
+    tags=("text", "langid", "scale"),
+)
+def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.substring("text", 1, 200)).alias("t")
+    )
+    tg = d.filter(F.length("t") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")
+        ).alias("g"),
+    )
+    wp = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    prof = (
+        tg.groupBy("lang", "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= 25)
+        .select("lang", "g")
+    )
+    doc_tg = tg.select("doc_id", "g").distinct()
+    hits = (
+        doc_tg.join(F.broadcast(prof.withColumnRenamed("lang", "cand")), "g")
+        .groupBy("doc_id", "cand")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("cand"))
+    best = hits.withColumn("rb", F.row_number().over(wb)).filter(F.col("rb") == 1)
+    return (
+        d.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(best.select("doc_id", "cand", "n_hits"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang_true",
+            F.coalesce("cand", F.lit("und")).alias("lang_guess"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_profile_hits"),
+        )
+    )
