@@ -275,3 +275,66 @@ def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+@q(
+    "stream_sliding_availablenow",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start, {VAL_I} AS v
+      FROM events
+      UNION ALL
+      SELECT strftime(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes'), '%Y-%m-%d %H:%M:%S') AS win_start, {VAL_I} AS v
+      FROM events
+      WHERE time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') <> time_bucket(INTERVAL '1 hour', ts)
+    )
+    SELECT win_start, COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) / 100.0 AS sum_value
+    FROM buckets GROUP BY 1
+    """,
+    doc="The OVERLAPPING-window streaming twin: sliding windows (1h "
+    "length, 30m slide) through readStream + Trigger.AvailableNow + "
+    "complete-mode memory sink — each event expands into 2 window "
+    "rows map-side inside the streaming aggregation, exactly as in "
+    "the batch twin `window_sliding`, and the sink table hash-checks "
+    "against the DuckDB two-phase-bucket oracle. Together with "
+    "stream_tumbling_availablenow this verifies both the aligned and "
+    "overlapping event-time window forms of Structured Streaming "
+    "cross-engine.",
+    tags=("events", "window", "streaming"),
+)
+def stream_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    name = "mts_stream_sliding_sink"
+    for active in spark.streams.active:  # idempotent re-invocation
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(f"CAST(SUM({VAL_I}) AS DOUBLE) / 100.0").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -963,3 +963,62 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_points"), F.sum("d2").alias("ssd"))
         .orderBy("centroid_id")
     )
+
+
+@q(
+    "vector_quantize_int8",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i]))
+                            AS BIGINT) AS DOUBLE)) AS nrm
+      FROM e
+    ), qv AS (
+      SELECT vec_id, q, nrm,
+             list_transform(q, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm) AS INT)) AS qi
+      FROM n WHERE nrm > 0
+    )
+    SELECT vec_id, nrm,
+           CAST(list_sum(list_transform(qi, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_max(list_transform(range(1, 65),
+             i -> abs(CAST(q[i] AS DOUBLE) / nrm - CAST(qi[i] AS DOUBLE) / 127.0)))
+             AS DOUBLE) AS max_abs_err,
+           list_sum(list_transform(range(1, 65),
+             i -> (CAST(q[i] AS DOUBLE) / nrm - CAST(qi[i] AS DOUBLE) / 127.0)
+                  * (CAST(q[i] AS DOUBLE) / nrm - CAST(qi[i] AS DOUBLE) / 127.0))) / 64.0
+             AS mse
+    FROM qv
+    """,
+    doc="Int8 scalar quantization of the embedding table — the "
+    "compression step every large-scale ANN index applies before "
+    "storage (4x smaller vectors, SIMD-friendly int8 dot products): "
+    "L2-normalize, scale to [-127, 127], round; per-vector report of "
+    "the norm, quantized L1 mass, and reconstruction error "
+    "(max-abs + MSE against the unit vector). Map-side only — zero "
+    "shuffles; every arithmetic step (int64 squares -> one sqrt -> "
+    "identical double divides/rounds) runs the same IEEE op sequence "
+    "in both engines, so even the error columns hash-match. At 100 TB "
+    "this is a pure projection you fuse into the index-build scan.",
+    tags=("similarity", "ann", "scale"),
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spark, sf_dir)
+    n = e.withColumn("nrm", F.sqrt(_dot("q", "q").cast("double"))).filter(F.col("nrm") > 0)
+    qv = n.withColumn(
+        "qi", F.expr("transform(q, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm) AS INT))")
+    )
+    err = "(CAST(q[i] AS DOUBLE) / nrm - CAST(qi[i] AS DOUBLE) / 127.0)"
+    return qv.select(
+        "vec_id",
+        "nrm",
+        F.expr("CAST(aggregate(qi, 0L, (a, x) -> a + abs(x)) AS BIGINT)").alias("q_l1"),
+        F.expr(
+            f"CAST(array_max(transform(sequence(0, 63), i -> abs({err}))) AS DOUBLE)"
+        ).alias("max_abs_err"),
+        F.expr(
+            f"aggregate(transform(sequence(0, 63), i -> {err} * {err}),"
+            f" CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 64.0"
+        ).alias("mse"),
+    )
