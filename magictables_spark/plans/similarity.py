@@ -1022,3 +1022,98 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" CAST(0.0 AS DOUBLE), (a, x) -> a + x) / 64.0"
         ).alias("mse"),
     )
+
+
+@q(
+    "ann_int8_rescore",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm2,
+             sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i]))
+                            AS BIGINT) AS DOUBLE)) AS nrm
+      FROM e
+    ), qv AS (
+      SELECT vec_id, q, nrm2,
+             list_transform(q, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm) AS BIGINT)) AS qi
+      FROM n WHERE nrm > 0
+    ), coarse AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> p.qi[i]*c.qi[i])) AS BIGINT)
+               AS i8score
+      FROM qv p JOIN qv c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, i8score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY i8score DESC, neighbor_id) AS rc
+        FROM coarse
+      ) WHERE rc <= 30
+    ), rescored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> a.q[i]*b.q[i])) AS BIGINT)
+               / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE))) AS cosine
+      FROM cand
+      JOIN qv a ON a.vec_id = cand.query_id
+      JOIN qv b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM rescored
+    ) WHERE rn <= 10
+    """,
+    doc="The quantize -> coarse-search -> exact-rescore ANN "
+    "architecture end to end: candidates score with INT8 dot products "
+    "over the vectors vector_quantize_int8 produces (the SIMD-cheap "
+    "path a production index runs over billions of vectors), the top "
+    "30 int8 candidates per query re-rank with the exact int64 "
+    "cosine, and the final top-10 emerges. Every stage is integer or "
+    "identical-IEEE arithmetic, so the WHOLE two-phase pipeline is "
+    "hash-oracled; recall vs the exact sim_cosine_topk is asserted in "
+    "tests/test_similarity.py. Plan shape: 5 broadcast probes x "
+    "map-side scan for the coarse pass (same as sim_cosine_topk but "
+    "8x less arithmetic per pair at width 8 bits), then a 150-row "
+    "re-rank — at scale the coarse pass is the only full-data stage.",
+    tags=("similarity", "ann", "scale"),
+)
+def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spark, sf_dir)
+    n = e.withColumn("nrm2", _dot("q", "q")).withColumn(
+        "nrm", F.sqrt(F.col("nrm2").cast("double"))
+    )
+    qv = n.filter(F.col("nrm") > 0).withColumn(
+        "qi", F.expr("transform(q, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm) AS BIGINT))")
+    )
+    probes = qv.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qi").alias("pi")
+    )
+    coarse = (
+        qv.select(F.col("vec_id").alias("neighbor_id"), "qi")
+        .join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("i8score", _dot("pi", "qi"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("i8score"), F.asc("neighbor_id"))
+    cand = (
+        coarse.withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") <= 30)
+        .select("query_id", "neighbor_id")
+    )
+    full = qv.select("vec_id", "q", "nrm2")
+    a = full.select(F.col("vec_id").alias("query_id"), F.col("q").alias("qa"), F.col("nrm2").alias("na"))
+    b = full.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qb"), F.col("nrm2").alias("nb"))
+    rescored = (
+        cand.join(F.broadcast(a), "query_id")
+        .join(b, "neighbor_id")
+        .withColumn(
+            "cosine",
+            _dot("qa", "qb").cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return rescored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).drop("rn")

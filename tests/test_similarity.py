@@ -106,3 +106,19 @@ def test_lsh_bucket_space_scales_with_corpus():
         b = _lsh_bits_for(n)
         assert b >= prev
         prev = b
+
+
+def test_ann_int8_rescore_recall(spark, sf_dir):
+    """Int8 coarse scoring + exact rescore must recover nearly all of
+    the exact top-10 (8-bit quantization loses little at top-30
+    candidate width)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_int8_rescore"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"int8-rescore recall {recall:.2f}"

@@ -44,6 +44,7 @@ WAIVERS: dict[str, dict[str, str]] = {
     "kmeans_assign": {NLJ: "broadcast side is the 8-row centroid table"},
     "knn_label_vote": {NLJ: "broadcast side is the ~sqrt(n) probe set"},
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
+    "ann_int8_rescore": {NLJ: "broadcast side is the 5-row int8 probe set"},
     "q11_important_parts": {NLJ: "broadcast side is the 1-row scalar-subquery threshold"},
     "q22_dormant_customers": {NLJ: "broadcast side is the 1-row average-balance scalar"},
     "range_join": {NLJ: "the residual band predicate after bucket-equi blocking"},
