@@ -358,3 +358,84 @@ def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).alias("cum_users"),
     ).orderBy("day")
+
+
+_FC_CUTOFF = "2024-01-24 00:00:00"
+
+
+@q(
+    "seasonal_naive_forecast",
+    oracle=f"""
+    WITH train AS (
+      SELECT isodow(ts) - 1 AS dow, hour(ts) AS hr, {VAL_I} AS v
+      FROM events WHERE ts < TIMESTAMP '{_FC_CUTOFF}'
+    ), model AS (
+      -- integer-cents forecast: floor(sum/n) keeps every later step
+      -- exact-integer (a double mean would make the MAE sum order-
+      -- dependent across engines)
+      SELECT dow, hr,
+             CAST(SUM(v) AS BIGINT) // COUNT(*) AS fc_cents,
+             COUNT(*) AS n_train
+      FROM train GROUP BY dow, hr
+    ), test AS (
+      SELECT isodow(ts) - 1 AS dow, hour(ts) AS hr, {VAL_I} AS v
+      FROM events WHERE ts >= TIMESTAMP '{_FC_CUTOFF}'
+    )
+    SELECT m.dow, m.hr,
+           m.n_train,
+           COUNT(t.v) AS n_test,
+           CAST(m.fc_cents AS DOUBLE) / 100.0 AS forecast,
+           CAST(SUM(abs(t.v - m.fc_cents)) AS BIGINT) AS abs_err_cents,
+           CAST(CAST(SUM(abs(t.v - m.fc_cents)) AS BIGINT) AS DOUBLE)
+             / 100.0 / COUNT(t.v) AS mae
+    FROM model m JOIN test t ON m.dow = t.dow AND m.hr = t.hr
+    GROUP BY m.dow, m.hr, m.n_train, m.fc_cents
+    """,
+    doc="Seasonal-naive forecasting over the event stream: train a "
+    "per-(day-of-week, hour) mean on history before a fixed cutoff, "
+    "score the held-out tail with per-cell MAE — the baseline every "
+    "demand/traffic forecast is measured against. The forecast is "
+    "floor(sum/n) in exact integer cents so the error summation stays "
+    "order-independent int64 (a double mean would reintroduce "
+    "engine-specific summation order); only the final /100/n division "
+    "is a double. Day-of-week is ISO Monday=0 on both engines (Spark "
+    "weekday(), DuckDB isodow-1). Plan: two scans of the partition-"
+    "pruned time ranges, a 168-cell model dim BROADCAST onto the test "
+    "side, one (dow, hr) partial agg — at 100 TB the model is "
+    "literally a 168-row table.",
+    tags=("events", "timeseries", "analytics", "scale"),
+)
+def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.weekday("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.expr(VAL_I).alias("v"),
+        F.col("ts"),
+    )
+    cutoff = F.lit(_FC_CUTOFF).cast("timestamp")
+    model = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("dow", "hr")
+        .agg(
+            F.expr("CAST(SUM(v) AS BIGINT) div COUNT(*)").alias("fc_cents"),
+            F.count("*").alias("n_train"),
+        )
+    )
+    test = ev.filter(F.col("ts") >= cutoff).select("dow", "hr", "v")
+    return (
+        test.join(F.broadcast(model), ["dow", "hr"])
+        .groupBy("dow", "hr", "n_train", "fc_cents")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.abs(F.col("v") - F.col("fc_cents"))).cast("bigint").alias("abs_err_cents"),
+        )
+        .select(
+            "dow",
+            "hr",
+            "n_train",
+            "n_test",
+            (F.col("fc_cents").cast("double") / 100.0).alias("forecast"),
+            "abs_err_cents",
+            (F.col("abs_err_cents").cast("double") / 100.0 / F.col("n_test")).alias("mae"),
+        )
+    )
