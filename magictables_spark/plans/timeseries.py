@@ -439,3 +439,86 @@ def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("abs_err_cents").cast("double") / 100.0 / F.col("n_test")).alias("mae"),
         )
     )
+
+
+@q(
+    "seasonal_anomaly_flags",
+    oracle=f"""
+    WITH train AS (
+      SELECT isodow(ts) - 1 AS dow, hour(ts) AS hr, {VAL_I} AS v
+      FROM events WHERE ts < TIMESTAMP '{_FC_CUTOFF}'
+    ), med AS (
+      SELECT dow, hr,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS med_cents
+      FROM train GROUP BY dow, hr
+    ), mad AS (
+      SELECT t.dow, t.hr, m.med_cents,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(t.v - m.med_cents))
+                  AS BIGINT) AS mad_cents
+      FROM train t JOIN med m ON t.dow = m.dow AND t.hr = m.hr
+      GROUP BY t.dow, t.hr, m.med_cents
+    ), test AS (
+      SELECT event_id, isodow(ts) - 1 AS dow, hour(ts) AS hr, {VAL_I} AS v
+      FROM events WHERE ts >= TIMESTAMP '{_FC_CUTOFF}'
+    )
+    SELECT t.event_id,
+           t.dow, t.hr,
+           CAST(t.v AS DOUBLE) / 100.0 AS value,
+           CAST(m.med_cents AS DOUBLE) / 100.0 AS cell_median,
+           abs(t.v - m.med_cents) > 3 * m.mad_cents AS is_anomaly
+    FROM test t JOIN mad m ON t.dow = m.dow AND t.hr = m.hr
+    WHERE abs(t.v - m.med_cents) > 3 * m.mad_cents
+    """,
+    doc="Seasonal anomaly detection on the event stream: per-(ISO-dow, "
+    "hour) robust center (exact PERCENTILE_DISC median in integer "
+    "cents) and MAD from history before the cutoff; held-out events "
+    "whose |value - median| exceeds 3 x MAD flag as anomalies — the "
+    "median/MAD rule that survives the outliers a mean/stddev gate is "
+    "blown up by. EVERY comparison is exact int64 (discrete medians "
+    "of integer cents), so the flag set is bit-identical across "
+    "engines. Plan: two train aggregations over the pruned history "
+    "scan, the 168-cell (median, MAD) model dim BROADCASTS onto the "
+    "test side — at 100 TB the expensive part is the one history "
+    "scan; the decision itself is a map-side predicate.",
+    tags=("events", "timeseries", "analytics", "quality", "scale"),
+)
+def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.weekday("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.expr(VAL_I).alias("v"),
+        F.col("ts"),
+    )
+    cutoff = F.lit(_FC_CUTOFF).cast("timestamp")
+    train = ev.filter(F.col("ts") < cutoff).select("dow", "hr", "v")
+    med = train.groupBy("dow", "hr").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)").alias(
+            "med_cents"
+        )
+    )
+    mad = (
+        train.join(med, ["dow", "hr"])
+        .groupBy("dow", "hr", "med_cents")
+        .agg(
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(v - med_cents))"
+                " AS BIGINT)"
+            ).alias("mad_cents")
+        )
+    )
+    test = ev.filter(F.col("ts") >= cutoff).select("event_id", "dow", "hr", "v")
+    return (
+        test.join(F.broadcast(mad), ["dow", "hr"])
+        .filter(F.abs(F.col("v") - F.col("med_cents")) > 3 * F.col("mad_cents"))
+        .select(
+            "event_id",
+            "dow",
+            "hr",
+            (F.col("v").cast("double") / 100.0).alias("value"),
+            (F.col("med_cents").cast("double") / 100.0).alias("cell_median"),
+            (F.abs(F.col("v") - F.col("med_cents")) > 3 * F.col("mad_cents")).alias(
+                "is_anomaly"
+            ),
+        )
+    )
