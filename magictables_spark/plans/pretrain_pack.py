@@ -383,7 +383,10 @@ _SALT = 8
     f"side salts each row with md5(o_orderkey) % {_SALT}, the dim side "
     f"explodes into {_SALT} salted replicas, the join key becomes "
     "(custkey, salt) — a single hot customer now spreads across "
-    f"{_SALT} reducers instead of one straggler. The oracle is the "
+    f"{_SALT} reducers instead of one straggler. The dim side carries a "
+    "SHUFFLE_HASH hint so the registered plan actually exchanges on the "
+    "salted key (a broadcast join has no reducer to spread — the plan "
+    "test asserts no BroadcastHashJoin). The oracle is the "
     "PLAIN unsalted join: salting provably does not change the result. "
     "Money sums in scaled int64 (registry rule 1). At 100 TB pair "
     "this with AQE skew detection; explicit salting is the manual "
@@ -403,7 +406,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(
-            F.broadcast(cust),
+            cust.hint("shuffle_hash"),
             (orders.o_custkey == cust.c_custkey) & (orders.salt == cust.salt),
         )
         .groupBy(F.col("c_mktsegment").alias("segment"))

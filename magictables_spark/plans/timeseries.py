@@ -417,7 +417,15 @@ def seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("ts") < cutoff)
         .groupBy("dow", "hr")
         .agg(
-            F.expr("CAST(SUM(v) AS BIGINT) div COUNT(*)").alias("fc_cents"),
+            # floor division in exact int64: Spark `div` truncates toward
+            # zero but DuckDB `//` floors, so correct the truncation when
+            # the sum is negative (count is always > 0) — keeps the two
+            # engines bit-identical even on negative value streams
+            F.expr(
+                "CAST(SUM(v) AS BIGINT) div COUNT(*) "
+                "- CASE WHEN SUM(v) % COUNT(*) != 0 AND SUM(v) < 0 "
+                "THEN 1 ELSE 0 END"
+            ).alias("fc_cents"),
             F.count("*").alias("n_train"),
         )
     )

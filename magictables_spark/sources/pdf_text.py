@@ -41,8 +41,11 @@ import hashlib
 import re
 import zlib
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_OPEN_RE = re.compile(rb"stream\r?\n")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+# a direct integer /Length (an indirect `/Length N G R` must NOT match)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 
@@ -51,8 +54,68 @@ class UnsupportedPdfError(ValueError):
     object streams, composite fonts)."""
 
 
+def _stream_payload_span(body: bytes) -> tuple[int, int] | None:
+    """(start, end) byte span of the stream payload inside one object
+    body, or None if the body has no stream. Prefers the dict's direct
+    integer ``/Length`` to delimit the payload — compressed or encrypted
+    payloads can legitimately contain the literal bytes ``endstream``,
+    so the regex delimiter is only the fallback (for writers that emit
+    an indirect /Length we can't resolve here)."""
+    sm = _STREAM_OPEN_RE.search(body)
+    if not sm:
+        return None
+    lm = _LENGTH_RE.search(body[: sm.start()])
+    start = sm.end()
+    if lm:
+        end = start + int(lm.group(1))
+        if end <= len(body) and re.match(rb"\s*endstream", body[end : end + 16]):
+            return (start, end)
+    m = _STREAM_RE.search(body)
+    return (m.start(1), m.end(1)) if m else None
+
+
+def _scan_objects(data: bytes) -> dict[int, tuple[int, bytes]]:
+    """Sequential ``N G obj ... endobj`` scan returning
+    {objnum: (gen, body)}. Stream payloads are skipped via the direct
+    integer ``/Length`` when available, so payload bytes that happen to
+    contain ``endstream``/``endobj``/another object header (routine in
+    Flate-compressed or RC4-encrypted payloads) cannot mis-split the
+    object table. Later duplicates win (incremental updates)."""
+    out: dict[int, tuple[int, bytes]] = {}
+    pos = 0
+    while True:
+        hm = _OBJ_HDR_RE.search(data, pos)
+        if not hm:
+            break
+        num, gen = int(hm.group(1)), int(hm.group(2))
+        body_start = hm.end()
+        sm = _STREAM_OPEN_RE.search(data, body_start)
+        em = data.find(b"endobj", body_start)
+        if sm is not None and (em == -1 or sm.start() < em):
+            # stream object: delimit the payload before trusting endobj
+            lm = _LENGTH_RE.search(data[body_start : sm.start()])
+            search_from = None
+            if lm:
+                pend = sm.end() + int(lm.group(1))
+                if pend <= len(data) and re.match(
+                    rb"\s*endstream", data[pend : pend + 16]
+                ):
+                    search_from = pend
+            if search_from is None:
+                es = data.find(b"endstream", sm.end())
+                search_from = es if es != -1 else sm.end()
+            em = data.find(b"endobj", search_from)
+        if em == -1:
+            # truncated trailing object: keep what's there and stop
+            out[num] = (gen, data[body_start:])
+            break
+        out[num] = (gen, data[body_start:em])
+        pos = em + len(b"endobj")
+    return out
+
+
 def _objects(data: bytes) -> dict[int, bytes]:
-    objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    objs = {num: body for num, (_, body) in _scan_objects(data).items()}
     _expand_object_streams(objs)
     return objs
 
@@ -71,10 +134,10 @@ def _expand_object_streams(objs: dict[int, bytes]) -> None:
         head = _dict_part(body)
         if not re.search(rb"/Type\s*/ObjStm\b", head):
             continue
-        sm = _STREAM_RE.search(body)
-        if not sm:
+        span = _stream_payload_span(body)
+        if span is None:
             raise UnsupportedPdfError("ObjStm object has no stream data")
-        raw = sm.group(1)
+        raw = body[span[0] : span[1]]
         if b"/FlateDecode" in head:
             try:
                 raw = zlib.decompress(raw)
@@ -219,12 +282,16 @@ def _object_key(key: bytes, num: int, gen: int) -> bytes:
 
 def _decrypt_body_streams(body: bytes, key: bytes, num: int, gen: int) -> bytes:
     """RC4-decrypt the stream payload of one object body in place
-    (strings outside streams aren't needed for text extraction)."""
-    m = _STREAM_RE.search(body)
-    if not m:
+    (strings outside streams aren't needed for text extraction). The
+    payload span comes from the dict's /Length when present — ciphertext
+    may contain the literal bytes ``endstream``, so the regex delimiter
+    alone could silently truncate the payload."""
+    span = _stream_payload_span(body)
+    if span is None:
         return body
-    raw = _rc4(_object_key(key, num, gen), m.group(1))
-    return body[: m.start(1)] + raw + body[m.end(1) :]
+    start, end = span
+    raw = _rc4(_object_key(key, num, gen), body[start:end])
+    return body[:start] + raw + body[end:]
 
 
 def _dict_part(body: bytes) -> bytes:
@@ -289,10 +356,10 @@ def _content_bytes(objs: dict[int, bytes], page_body: bytes) -> bytes:
     out = bytearray()
     for ref in refs:
         body = objs.get(ref, b"")
-        sm = _STREAM_RE.search(body)
-        if not sm:
+        span = _stream_payload_span(body)
+        if span is None:
             continue
-        raw = sm.group(1)
+        raw = body[span[0] : span[1]]
         head = _dict_part(body)
         if b"/FlateDecode" in head:
             try:
@@ -497,11 +564,10 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     if enc_ref:
         # RC4 standard security handler: decrypt every stream payload
         # with the per-object key, THEN expand ObjStm containers (the
-        # packed bodies inside are plaintext once the container is)
-        raw = {
-            int(m.group(1)): (int(m.group(2)), m.group(3))
-            for m in _OBJ_RE.finditer(data)
-        }
+        # packed bodies inside are plaintext once the container is).
+        # _scan_objects delimits payloads by /Length, so ciphertext
+        # containing `endobj`/`endstream` bytes cannot mis-split here.
+        raw = _scan_objects(data)
         enc_num = int(enc_ref.group(1))
         if enc_num not in raw:
             raise UnsupportedPdfError("unresolvable /Encrypt reference")

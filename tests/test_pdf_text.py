@@ -217,3 +217,64 @@ def test_unterminated_hex_string_in_encrypt_dict_refuses():
 
     with pytest.raises(UnsupportedPdfError, match="unterminated"):
         _string_value(b"/Filter /Standard /U <25d51e56a778", b"U")
+
+
+def test_stream_span_prefers_length_over_embedded_endstream():
+    """ADVICE r3: a payload whose BYTES contain '\\nendstream' (routine in
+    Flate or RC4 output) must be delimited by the dict's direct /Length,
+    not the first endstream match — otherwise the payload is silently
+    truncated, breaking the 'never silently wrong text' contract."""
+    from magictables_spark.sources.pdf_text import _stream_payload_span
+
+    payload = b"AAAA\nendstream\nBBBB"
+    body = (
+        b"<< /Length %d >>\nstream\n" % len(payload)
+        + payload
+        + b"\nendstream"
+    )
+    span = _stream_payload_span(body)
+    assert span is not None
+    assert body[span[0] : span[1]] == payload
+    # regex fallback still works when /Length is absent or indirect
+    body2 = b"<< /Length 7 0 R >>\nstream\nCCCC\nendstream"
+    span2 = _stream_payload_span(body2)
+    assert span2 is not None and body2[span2[0] : span2[1]] == b"CCCC"
+
+
+def test_scan_objects_survives_endobj_bytes_inside_stream():
+    """An object whose stream payload contains 'endobj'/'endstream' and
+    even a fake 'N G obj' header must not corrupt the object table when
+    /Length delimits it."""
+    from magictables_spark.sources.pdf_text import _scan_objects
+
+    payload = b"xx endobj yy\nendstream\n9 0 obj zz"
+    data = (
+        b"1 0 obj\n<< /Length %d >>\nstream\n" % len(payload)
+        + payload
+        + b"\nendstream\nendobj\n"
+        + b"2 0 obj\n<< /Type /Page >>\nendobj\n"
+    )
+    objs = _scan_objects(data)
+    assert set(objs) == {1, 2}
+    assert payload in objs[1][1]
+    assert b"/Type /Page" in objs[2][1]
+
+
+def test_extract_with_literal_endstream_text_in_content():
+    """End-to-end: a page whose VISIBLE TEXT is the word 'endstream'
+    round-trips — the content stream contains the literal bytes but the
+    correct /Length keeps extraction exact."""
+    text = "before endstream after\nendobj on line two"
+    pages = extract_pdf_pages(build_simple_pdf([text], compress_from=99))
+    assert pages[0] == text
+
+
+def test_rc4_encrypted_stream_with_length_delimiters():
+    """Encrypted path: build_rc4_pdf emits direct /Length dicts; the
+    decryptor must use them (ciphertext bytes are adversarially random —
+    at corpus scale some file WILL contain '\\nendstream')."""
+    from magictables_spark.sources.pdf_text import build_rc4_pdf
+
+    text = "secret endstream words"
+    pages = extract_pdf_pages(build_rc4_pdf([text], r=3, key_bits=128))
+    assert pages[0] == text

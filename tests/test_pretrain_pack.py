@@ -90,12 +90,16 @@ def test_mixture_rates_move_counts(spark, sf_dir):
 
 
 def test_skew_salted_join_plan_spreads_key(spark, sf_dir):
-    """The salted plan joins on (custkey, salt): the join keys in the
-    physical plan must include the salt column."""
+    """The salted plan joins on (custkey, salt) through a SHUFFLED join:
+    the join keys in the physical plan must include the salt column, and
+    the join must not be a broadcast (a broadcast hash join has no
+    reducer for the salt to spread work across)."""
     plan = (
         REGISTRY["skew_salted_join"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
     assert "salt" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
 
 
 def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
@@ -117,7 +121,9 @@ def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
         spark.read.parquet(dest)
         .groupBy(F.input_file_name().alias("f"))
         .agg(
-            (F.max("l_partkey") % 256 - F.min("l_partkey") % 256).alias("p_range"),
+            (F.max(F.col("l_partkey") % 256) - F.min(F.col("l_partkey") % 256)).alias(
+                "p_range"
+            ),
             (F.max("zkey") - F.min("zkey")).alias("z_range"),
         )
         .collect()
@@ -126,6 +132,12 @@ def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
     full_z = 256 * 256
     # every file covers a narrow slice of z-space vs the full curve
     assert all(r.z_range < full_z / 2 for r in per_file)
+    # ... and that z-slice constrains the FIRST underlying column too:
+    # most files must span well under the full 0-255 partkey%256 range
+    # (a file straddling a range boundary may be looser, so assert the
+    # median, not the max)
+    p_ranges = sorted(r.p_range for r in per_file)
+    assert p_ranges[len(p_ranges) // 2] < 255
 
 
 @pytest.mark.parametrize(
