@@ -211,6 +211,39 @@ def gaps_islands_streaks(spark, sf_dir):
     )
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream file source over the events fixture. The fixture is
+    one flat file and the file stream source wants a directory, so
+    stream the fixture DIR with a glob pinning this table."""
+    import os
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _run_available_now(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming aggregation to completion: complete-mode memory
+    sink + Trigger.AvailableNow; returns the sink table. Stops any prior
+    query with the same sink name first (idempotent re-invocation)."""
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 @q(
     "stream_tumbling_availablenow",
     oracle=f"""
@@ -237,22 +270,7 @@ def gaps_islands_streaks(spark, sf_dir):
     tags=("events", "window", "streaming"),
 )
 def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    name = "mts_stream_tumbling_sink"
-    for active in spark.streams.active:  # idempotent re-invocation
-        if active.name == name:
-            active.stop()
-            active.awaitTermination()
-    # the fixture is one flat file and the file stream source wants a
-    # directory: stream the fixture DIR with a glob pinning this table
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = _events_stream(spark, sf_dir)
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -266,15 +284,7 @@ def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(name)
+    return _run_available_now(spark, agg, "mts_stream_tumbling_sink")
 
 
 @q(
@@ -303,20 +313,7 @@ def stream_tumbling_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "streaming"),
 )
 def stream_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    name = "mts_stream_sliding_sink"
-    for active in spark.streams.active:  # idempotent re-invocation
-        if active.name == name:
-            active.stop()
-            active.awaitTermination()
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = _events_stream(spark, sf_dir)
     agg = (
         src.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
@@ -329,12 +326,55 @@ def stream_sliding_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    return _run_available_now(spark, agg, "mts_stream_sliding_sink")
+
+
+@q(
+    "stream_session_availablenow",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
     )
-    query.awaitTermination()
-    return spark.table(name)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, sid
+    """,
+    doc="SESSION windows as a REAL Structured Streaming job — the "
+    "hardest window semantics (dynamic extent, merge-on-overlap as "
+    "late rows bridge two open sessions) now in the cross-engine "
+    "oracle gate alongside the tumbling/sliding streaming twins: "
+    "readStream file source -> groupBy(session_window(ts, '5 min'), "
+    "user_id) -> Trigger.AvailableNow -> complete-mode memory sink, "
+    "hash-checked against the DuckDB gaps-and-islands construction "
+    "(same oracle as the batch twin `window_session`, and a test "
+    "asserts the sink table equals the batch plan row-for-row). "
+    "Complete mode keeps all session state so merges settle before "
+    "the sink is read; at scale the production form adds a watermark "
+    "to bound state, which only drops sessions older than the "
+    "allowed lateness — semantics verified here are the same.",
+    tags=("events", "window", "session", "streaming"),
+)
+def stream_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_available_now(spark, agg, "mts_stream_session_sink")

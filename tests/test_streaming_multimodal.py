@@ -369,3 +369,21 @@ def test_stream_tumbling_availablenow_reinvokes(spark, sf_dir):
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     batch = sorted(map(tuple, REGISTRY["window_tumbling"].fn(spark, sf_dir).collect()))
     assert a == b == batch and len(a) > 0
+
+
+def test_stream_session_availablenow_matches_batch_twin(spark, sf_dir):
+    """The streaming session-window job (complete mode, AvailableNow)
+    must equal the batch session_window plan row-for-row — session
+    merge state settles before the sink is read, so the dynamic-extent
+    semantics are identical to batch. Column order differs between the
+    twins (streaming selects user_id first), so compare as row sets of
+    named tuples projected to a common order."""
+    from magictables_spark.plans.queries import REGISTRY
+
+    stream = REGISTRY["stream_session_availablenow"].fn(spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events"]
+    a = sorted(map(tuple, stream.select(*cols).collect()))
+    batch = (
+        REGISTRY["window_session"].fn(spark, sf_dir).select(*cols).collect()
+    )
+    assert a == sorted(map(tuple, batch)) and len(a) > 0
