@@ -88,6 +88,49 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "period_over_period",
     oracle=f"""
     WITH monthly AS (
+      SELECT o_orderpriority AS series,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_i
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT series, month, CAST(rev_i AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_i - LAG(rev_i) OVER (PARTITION BY series ORDER BY month)
+                AS DOUBLE) / 100.0 AS mom_change
+    FROM monthly
+    """,
+    doc="Period-over-period change PER SERIES: monthly revenue per "
+    "order priority with month-over-month delta via LAG partitioned by "
+    "the series id — the registered default is the keyed form a user "
+    "should copy-paste (windows stay partition-parallel over any "
+    "number of series). Aggregate first, window second: the LAG runs "
+    "over the aggregated monthly grid, never the fact table. The "
+    "single-series corpus-total form is `period_over_period_global`.",
+    tags=("timeseries", "window"),
+)
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("rev_i"))
+    )
+    w = Window.partitionBy("series").orderBy("month")
+    return monthly.select(
+        "series",
+        "month",
+        (F.col("rev_i").cast("double") / 100.0).alias("revenue"),
+        ((F.col("rev_i") - F.lag("rev_i").over(w)).cast("double") / 100.0).alias(
+            "mom_change"
+        ),
+    )
+
+
+@q(
+    "period_over_period_global",
+    oracle=f"""
+    WITH monthly AS (
       SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
              SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_i
       FROM orders GROUP BY 1
@@ -97,14 +140,15 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mom_change
     FROM monthly
     """,
-    doc="Period-over-period change: monthly revenue with month-over-"
-    "month delta via LAG. The window runs over the *aggregated* "
-    "monthly series (dozens of rows), so the single-partition window "
-    "sort is trivial no matter how large the fact table — aggregate "
-    "first, window second is the scale rule this slug encodes.",
+    doc="Corpus-total period-over-period — the single-series GLOBAL "
+    "variant, demoted from the default. The un-partitioned LAG runs "
+    "over the *aggregated* monthly series (dozens of rows), so the "
+    "single-partition window sort is trivial no matter how large the "
+    "fact table: aggregate first, window second. For many series use "
+    "the keyed `period_over_period` default.",
     tags=("timeseries", "window"),
 )
-def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+def period_over_period_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
@@ -203,6 +247,51 @@ def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pct_change",
     oracle="""
     WITH monthly AS (
+      SELECT o_orderpriority AS series,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_i
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT series, month,
+           CAST(rev_i - LAG(rev_i) OVER w AS DOUBLE)
+             / CAST(LAG(rev_i) OVER w AS DOUBLE) AS pct_change
+    FROM monthly
+    WINDOW w AS (PARTITION BY series ORDER BY month)
+    """,
+    doc="Relative period-over-period change PER SERIES (Polars "
+    "pct_change parity): (cur - prev) / prev over each priority "
+    "class's aggregated monthly series, LAG partitioned by the series "
+    "id so any number of series stays partition-parallel — the keyed "
+    "registered default. Both operands are exact int64 sums, the "
+    "division is one IEEE double op — bit-identical across engines; "
+    "each series' first month is NULL on both. Single-series form: "
+    "`pct_change_global`.",
+    tags=("timeseries", "window"),
+)
+def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+        )
+        .agg(F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias("rev_i"))
+    )
+    w = Window.partitionBy("series").orderBy("month")
+    prev = F.lag("rev_i").over(w)
+    return monthly.select(
+        "series",
+        "month",
+        ((F.col("rev_i") - prev).cast("double") / prev.cast("double")).alias(
+            "pct_change"
+        ),
+    )
+
+
+@q(
+    "pct_change_global",
+    oracle="""
+    WITH monthly AS (
       SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
              SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_i
       FROM orders GROUP BY 1
@@ -212,15 +301,14 @@ def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(LAG(rev_i) OVER (ORDER BY month) AS DOUBLE) AS pct_change
     FROM monthly
     """,
-    doc="Relative period-over-period change (Polars pct_change "
-    "parity): (cur - prev) / prev over the aggregated monthly "
-    "series. Both operands are exact int64 sums, the division is one "
-    "IEEE double op — bit-identical across engines; the first month "
-    "is NULL on both. Same aggregate-first-window-second scale shape "
-    "as period_over_period.",
+    doc="Corpus-total relative change — the single-series GLOBAL "
+    "variant, demoted from the default: the un-partitioned LAG runs "
+    "over the aggregated monthly series (dozens of rows), so the "
+    "single-partition sort is trivial regardless of fact-table size. "
+    "For many series use the keyed `pct_change` default.",
     tags=("timeseries", "window"),
 )
-def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pct_change_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         _t(spark, sf_dir, "orders")
         .groupBy(

@@ -225,18 +225,46 @@ def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "window_ntile",
     oracle=f"""
+    SELECT o_orderpriority, o_orderkey,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY {TOTALPRICE_I} DESC, o_orderkey) AS quartile
+    FROM orders
+    WHERE o_orderkey % 10 = 0
+    """,
+    doc="NTILE quartiles by order value per priority class (Polars qcut "
+    "parity). The registered default PARTITIONS the window, so each "
+    "priority's quartiling runs partition-parallel — the form to "
+    "copy-paste at scale. The un-partitioned global form (one task "
+    "sorts everything) is the `window_ntile_global` variant.",
+    tags=("window",),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.expr(TOTALPRICE_I).desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderpriority", "o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    )
+
+
+@q(
+    "window_ntile_global",
+    oracle=f"""
     SELECT o_orderkey,
            NTILE(4) OVER (ORDER BY {TOTALPRICE_I} DESC, o_orderkey) AS quartile
     FROM orders
     WHERE o_orderkey % 10 = 0
     """,
-    doc="NTILE quartiles by order value (Polars qcut parity). NOTE: an "
-    "un-partitioned window serializes through one task — acceptable "
-    "only on the filtered subset here; at scale bucket via ntile per "
-    "partition key or approx quantiles.",
+    doc="Corpus-wide NTILE quartiles — the GLOBAL variant, demoted from "
+    "the default: an un-partitioned window serializes through one task, "
+    "acceptable only on the filtered subset here. At scale use the "
+    "keyed `window_ntile` default, or approx quantile cut-points "
+    "(`quantiles_cont`) joined back map-side.",
     tags=("window",),
 )
-def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.expr(TOTALPRICE_I).desc(), F.col("o_orderkey"))
     return (
         _t(spark, sf_dir, "orders")

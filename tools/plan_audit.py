@@ -52,11 +52,11 @@ WAIVERS: dict[str, dict[str, str]] = {
     "value_counts_share": {NLJ: "broadcast side is the 1-row total-count scalar"},
     "triangle_count": {NLJ: "broadcast side is the bounded oriented-edge set of the demo graph; production pagerank/components paths are equi-join only"},
     "cumulative_distinct": {SPE: "global running-distinct IS a total-order op; keyed twin: window_rolling/lag_features"},
-    "pct_change": {SPE: "single-series semantics by contract; keyed twin partitions by series id"},
-    "period_over_period": {SPE: "single-series semantics by contract; keyed twin partitions by series id"},
+    "pct_change_global": {SPE: "declared single-series variant; LAG runs over the aggregated ~24-row monthly series — the keyed `pct_change` is the registered default"},
+    "period_over_period_global": {SPE: "declared single-series variant; LAG runs over the aggregated ~24-row monthly series — the keyed `period_over_period` is the registered default"},
     "sequence_packing": {SPE: "exact-parity baseline; sequence_packing_sharded is the registered scale path"},
     "simjoin_prefix_filter": {SPE: "global rank window runs over the VOCAB-sized token dim, not the corpus"},
-    "window_ntile": {SPE: "global ntile demo by contract; production form partitions by key"},
+    "window_ntile_global": {SPE: "declared corpus-wide quartiling demo on a filtered subset; the keyed `window_ntile` is the registered default"},
 }
 
 
