@@ -209,7 +209,9 @@ _SIG_DUCK = ",\n               ".join(
     f"list_min(list_transform(hs, h -> ({a} * (h % {P31}) + {b}) % {P31}))" for a, b in _MH16
 )
 
-N_TABLES = 8  # LSH tables (OR-amplification: candidate if ANY table agrees)
+N_TABLES = 2  # LSH tables (OR-amplification: candidate if ANY table agrees)
+N_PROBES = 4  # directed single-bit-flip probes per (vector, table)
+TARGET_BUCKET = 32  # expected bucket occupancy the bit count aims for
 BITS_PER_TABLE = 4  # sign bits per table at fixture scale (AND within a table)
 
 
@@ -218,9 +220,12 @@ def _lsh_bits_for(n_vectors: int, target_bucket: int = 32) -> int:
     and within-bucket candidate pairs grow O(n^2/2^b) — the scale probe
     measured the 4-bit config going superlinear (t ~ n^1.8) by 80k
     vectors. Scaling b with log2(n/target) keeps expected bucket
-    occupancy ~constant, so candidate generation stays ~linear; at the
-    500-vector fixture this still yields the original 4 bits (recall
-    gates unchanged)."""
+    occupancy ~constant, so candidate generation stays ~linear. The
+    occupancy target stayed at 32 after the round-4 grid (smaller
+    buckets measured WORSE: tight dup-clusters land in one bucket
+    regardless of b, and the directed flip probes reunite whatever the
+    extra bits split — so fewer bits cost nothing in candidate mass but
+    buy cross-cluster recall)."""
     import math
 
     if n_vectors <= 0:
@@ -260,18 +265,44 @@ def _planes(table: int, bit: int) -> list[int]:
         CASE WHEN (CAST(('0x' || substring(md5(CAST(t AS VARCHAR) || ':' || CAST(b AS VARCHAR)
                                                || ':' || CAST(d AS VARCHAR)), 1, 2)) AS BIGINT) & 1) = 1
              THEN 1 ELSE -1 END) AS plane
-      FROM range(0, 8) tt(t), range(0, 18) bb(b), nb
+      FROM range(0, 2) tt(t), range(0, 18) bb(b), nb
       WHERE b < nb.n_bits
-    ), buckets AS (
+    ), tdots AS (
+      -- per (vector, table): the raw plane dots in bit order — signs
+      -- give the home bucket, magnitudes rank the flip probes
       SELECT n.vec_id, p.t AS tbl,
-             CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> n.q[i] * p.plane[i])) >= 0
-                           THEN (CAST(1 AS BIGINT) << p.b) ELSE 0 END) AS BIGINT) AS bucket
+             list(CAST(list_sum(list_transform(range(1, 65), i -> n.q[i] * p.plane[i]))
+                       AS BIGINT) ORDER BY p.b) AS dots
       FROM norms n CROSS JOIN planes p
       GROUP BY n.vec_id, p.t
+    ), buckets AS (
+      SELECT vec_id, tbl,
+             CAST(list_sum(list_transform(range(1, len(dots) + 1),
+               i -> CASE WHEN dots[i] >= 0 THEN CAST(1 AS BIGINT) << (i - 1)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket,
+             -- query-directed probes: the 4 lowest-|margin| bits, keyed
+             -- abs(dot)*64+bit so the ordering is pure-integer-identical
+             -- across engines
+             list_transform(
+               list_sort(list_transform(range(1, len(dots) + 1),
+                 i -> abs(dots[i]) * 64 + (i - 1)))[1:4],
+               k -> CAST(1 AS BIGINT) << CAST(k % 64 AS INT)) AS masks
+      FROM tdots
+    ), probes AS (
+      SELECT vec_id, tbl,
+             unnest(list_prepend(bucket,
+               list_transform(masks, m -> xor(bucket, m)))) AS pbucket
+      FROM buckets
+    ), cand AS (
+      SELECT a.vec_id AS x, b.vec_id AS y
+      FROM probes a JOIN buckets b
+        ON a.tbl = b.tbl AND a.pbucket = b.bucket AND a.vec_id <> b.vec_id
     ), pairs AS (
-      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-      FROM buckets a JOIN buckets b
-        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      SELECT DISTINCT query_id, neighbor_id FROM (
+        SELECT x AS query_id, y AS neighbor_id FROM cand
+        UNION ALL
+        SELECT y AS query_id, x AS neighbor_id FROM cand
+      )
     ), scored AS (
       SELECT p.query_id, p.neighbor_id,
              CAST(list_sum(list_transform(range(1, 65), i -> qa.q[i]*qb.q[i])) AS BIGINT)
@@ -286,16 +317,28 @@ def _planes(table: int, bit: int) -> list[int]:
       FROM scored
     ) WHERE rn <= 10
     """,
-    doc="Approximate k-NN via multi-table sign-random-projection LSH: "
-    "8 tables x log2(n/32) deterministic md5-seeded hyperplanes; a "
-    "vector lands in one bucket per table, candidates share ANY table's "
-    "bucket (OR-amplification), then exact int64-cosine re-rank with a "
-    "dropDuplicates on the pair. Shuffles: one exchange on (table, "
-    "bucket) + the dedup — linear in data size, replacing the O(n^2) "
-    "cross join; this is the 100 TB ANN path. The hyperplanes are "
-    "md5-seeded, so the DuckDB oracle rebuilds the identical index and "
-    "the whole approximate pipeline is hash-checked (was rows-only in "
-    "round 2); recall vs exact top-k is additionally asserted in "
+    doc="Approximate k-NN via QUERY-DIRECTED MULTIPROBE sign-random-"
+    "projection LSH (Lv et al., VLDB 2007): 2 tables x log2(n/32) "
+    "md5-seeded hyperplanes; a vector INDEXES under its home bucket "
+    "per table but PROBES the home bucket plus the 4 single-bit flips "
+    "with the smallest |plane dot| — exactly the hyperplanes a near "
+    "neighbor most plausibly sits across. Directed probing replaces "
+    "round 3's 8-table OR-amplification (the measured cost center) "
+    "with a QUARTER of the tables at a fixed 5-probe fan-out; config "
+    "chosen by grid measurement (tables x probes x occupancy at "
+    "sf0.01/sf0.1/80k): T2-P4-occ32 is a strict Pareto win over r3 — "
+    "recall 0.66/0.50 vs 0.64/0.38 at sf0.01/sf0.1, sf0.1 headline "
+    "2.13 s -> ~1.6 s, 80k probe 5.16 -> ~5.0 s (T4-P4 reaches "
+    "recall 0.92/0.70 but pays +40% at 80k; blind hamming-1 probing "
+    "fans out n_bits+1 ways and measured slower than r3). Directed "
+    "probing is asymmetric, so candidates canonicalize via least/"
+    "greatest before the pair dedup. Candidate generation stays "
+    "ID-only through one (table, bucket) exchange + a hash-agg pair "
+    "dedup — linear in data size; this is the 100 TB ANN path. Dots, "
+    "probe ranks (keyed abs(dot)*64+bit, pure int64) and planes are "
+    "engine-identical, so the DuckDB oracle rebuilds the identical "
+    "index+probes and the whole approximate pipeline is hash-checked; "
+    "recall vs exact top-k is additionally asserted in "
     "tests/test_similarity.py.",
     tags=("similarity", "ann", "scale"),
 )
@@ -316,7 +359,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of executing the projection pipeline — metadata-speed at
     # any corpus size
     n_vec = _t(spark, sf_dir, "embeddings").count()
-    n_bits = _lsh_bits_for(n_vec)
+    n_bits = _lsh_bits_for(n_vec, TARGET_BUCKET)
     # The whole (table, bucket) computation is assembled as ONE SQL
     # string and parsed JVM-side: building it with F.lit/F.array would
     # issue ~N_TABLES * n_bits * 64 py4j roundtrips (measured 3.6 s of
@@ -326,20 +369,40 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (48 x 64 = 3072 flat nodes) blows Spark's huge-method codegen
     # limit and degrades to per-node interpreted tree walking —
     # measured 6x SLOWER than the HOF loop on this stage.
-    structs = []
+    # stage 1: per table, the ARRAY of raw plane dots (each dot computed
+    # once — signs feed the bucket, magnitudes rank the probes; Catalyst
+    # keeps the two projections separate because HOF dots are non-cheap,
+    # so nothing recomputes)
+    dots_cols = []
     for t in range(N_TABLES):
-        bits = []
+        dot_exprs = []
         for bit in range(n_bits):
             plane = ",".join(str(v) for v in _planes(t, bit))
-            dot_p = (
+            dot_exprs.append(
                 f"aggregate(zip_with(q, array({plane}), (x, y) -> x * y),"
                 f" CAST(0 AS BIGINT), (a, x) -> a + x)"
             )
-            bits.append(
-                f"(CASE WHEN {dot_p} >= 0"
-                f" THEN CAST({1 << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-            )
-        structs.append(f"struct({t} AS table, ({' + '.join(bits)}) AS bucket)")
+        dots_cols.append(f"array({', '.join(dot_exprs)}) AS dots_{t}")
+    with_dots = norms.selectExpr("vec_id", *dots_cols)
+    # stage 2: home bucket from the signs; query-directed probe masks
+    # from the 4 lowest-|dot| bits (key = abs(dot)*64 + bit — pure
+    # int64, bit-identical to the DuckDB oracle's ranking)
+    n_probes = min(N_PROBES, n_bits)
+    structs = []
+    for t in range(N_TABLES):
+        bucket = " + ".join(
+            f"(CASE WHEN dots_{t}[{i}] >= 0 THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i in range(n_bits)
+        )
+        keys = (
+            f"slice(sort_array(transform(dots_{t}, (x, i) -> abs(x) * 64 + i)),"
+            f" 1, {n_probes})"
+        )
+        masks = f"transform({keys}, k -> shiftleft(CAST(1 AS BIGINT), CAST(k % 64 AS INT)))"
+        structs.append(
+            f"struct({t} AS table, ({bucket}) AS bucket, {masks} AS masks)"
+        )
     bucket_expr = f"explode(array({', '.join(structs)}))"
     # candidate generation is ID-ONLY: the vectors never enter the
     # bucket exchange (they'd be duplicated x n_tables there); the
@@ -348,21 +411,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame ONCE — without it both sides of the bucket self-join
     # recompute the whole index (measured as a 2x on this stage).
     bucketed = (
-        norms.select("vec_id", F.expr(bucket_expr).alias("tb"))
-        .select("vec_id", "tb.table", "tb.bucket")
+        with_dots.select("vec_id", F.expr(bucket_expr).alias("tb"))
+        .select("vec_id", "tb.table", "tb.bucket", "tb.masks")
         .localCheckpoint(eager=True)
     )
 
-    a = bucketed.select("table", "bucket", F.col("vec_id").alias("lo"))
+    # the probe side fans each home bucket out to itself plus its 4
+    # directed flip neighbors (map-side xor explode over the
+    # checkpointed ID-only index — no vector data moves); the index
+    # side keeps only home buckets.
+    a = bucketed.select(
+        "table",
+        F.explode(
+            F.expr("concat(array(bucket), transform(masks, m -> bucket ^ m))")
+        ).alias("bucket"),
+        F.col("vec_id").alias("lo"),
+    )
     b = bucketed.select("table", "bucket", F.col("vec_id").alias("hi"))
-    # Candidate pairs are UNORDERED (bucket sharing is symmetric) and
-    # cosine is symmetric, so generate each pair once with lo < hi —
-    # half the raw candidate volume and half the exact re-ranks — then
-    # mirror both directions map-side just before the ranking window.
+    # Candidate pairs are UNORDERED and cosine is symmetric, but
+    # DIRECTED probing is not (x may probe toward y without y probing
+    # toward x), so canonicalize each candidate to (min, max) instead
+    # of filtering one orientation — the pair dedup collapses the
+    # doubly-found ones — then mirror both directions map-side just
+    # before the ranking window.
     pairs = (
         a.join(b, ["table", "bucket"])
-        .filter(F.col("lo") < F.col("hi"))
-        .select("lo", "hi")
+        .filter(F.col("lo") != F.col("hi"))
+        .select(
+            F.least(F.col("lo"), F.col("hi")).alias("lo"),
+            F.greatest(F.col("lo"), F.col("hi")).alias("hi"),
+        )
     )
     # Physical shape, tuned at 27k clustered vectors / 38M raw
     # canonical candidates (round-2 plan: 16s; this one: ~7s):
