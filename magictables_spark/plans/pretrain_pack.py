@@ -713,7 +713,13 @@ def pretrain_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "pretrain", "scale"),
 )
 def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _t(spark, sf_dir, "documents").select(
+    return _surprisal_quality(_t(spark, sf_dir, "documents"))
+
+
+def _surprisal_quality(docs: DataFrame) -> DataFrame:
+    """Surprisal-bucket plan over a (doc_id, text, ...) frame — split
+    out so curriculum_order can feed a shared checkpointed scan."""
+    tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     # vocab-sized dim, materialized once: both the corpus scalars and
@@ -788,7 +794,13 @@ _SHARDS = 64
     tags=("pretrain", "sampling", "scale"),
 )
 def reproducible_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _t(spark, sf_dir, "documents").select(
+    return _shard_shuffle(_t(spark, sf_dir, "documents"))
+
+
+def _shard_shuffle(docs: DataFrame) -> DataFrame:
+    """Shard-shuffle plan over a (doc_id, ...) frame — split out so
+    curriculum_order can feed a shared checkpointed scan."""
+    s = docs.select(
         "doc_id",
         F.expr(f"{_h60_spark('CAST(doc_id AS STRING)')} % {_SHARDS}").alias("shard"),
         F.expr(_h60_spark("'ord:' || CAST(doc_id AS STRING)")).alias("okey"),
@@ -1005,8 +1017,17 @@ def substring_dupe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pretrain", "sampling", "scale", "pipeline"),
 )
 def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    buckets = unigram_surprisal_quality(spark, sf_dir).select("doc_id", "lm_bucket")
-    order = reproducible_shard_shuffle(spark, sf_dir).select(
+    # one checkpointed scan feeds BOTH composed pipelines: the surprisal
+    # pass re-reads the tokenized docs twice (vocab dim + per-doc agg)
+    # and the shard shuffle once more — materializing (doc_id, text)
+    # once replaces three parquet scans with in-memory reads
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    buckets = _surprisal_quality(docs).select("doc_id", "lm_bucket")
+    order = _shard_shuffle(docs).select(
         "doc_id", "shard", "shard_rank", F.col("global_pos").alias("within_pos")
     )
     return buckets.join(order, "doc_id").select(
