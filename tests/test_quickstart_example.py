@@ -37,3 +37,38 @@ def test_pretrain_curation_example_runs(spark, capsys):
     assert "pass the repetition gate" in out
     assert "pairs" in out and "PlanAudit: ok" in out
     assert out.strip().endswith("OK")
+
+
+def test_warehouse_cache_survives_across_sessions(tmp_path):
+    """The reference's headline caching behavior (README.md:246-248)
+    cross-SESSION: run examples/warehouse_sessions.py twice as separate
+    python processes (separate JVMs + SparkSessions) sharing one
+    warehouse dir. The second session must perform ZERO API fetches and
+    produce identical rows — the cache is the on-disk warehouse, not
+    process state."""
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    script = os.path.join(repo, "examples", "warehouse_sessions.py")
+    wh = str(tmp_path / "wh")
+    outs = []
+    for _ in range(2):
+        r = subprocess.run(
+            [sys.executable, script, wh],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=repo,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(r.stdout)
+    assert "fetches: 1" in outs[0]
+    assert "fetches: 0" in outs[1]
+    rows = [
+        next(ln for ln in o.splitlines() if ln.startswith("rows:")) for o in outs
+    ]
+    assert rows[0] == rows[1]
+    tables = [
+        next(ln for ln in o.splitlines() if ln.startswith("table:")) for o in outs
+    ]
+    assert tables[0] == tables[1]
