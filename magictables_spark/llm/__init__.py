@@ -74,23 +74,39 @@ class MockLLM:
         return self.responses.pop(0)
 
 
+class LiteLLMClient:
+    """Live chat-completion client (reference utils.py:83-164). The
+    ``completion`` callable is injectable so committed cassettes
+    (tests/fixtures/llm_cassettes/) can replay a recorded completion
+    through the REAL client path — message assembly, response
+    unwrapping, then downstream fence extraction and SQL/JSON
+    validation — without network or litellm installed. Record new
+    cassettes from live calls with ``tools/record_llm_cassettes.py``."""
+
+    def __init__(self, model: str = "gpt-4o-mini", completion=None):
+        if completion is None:
+            try:
+                import litellm
+            except ImportError as exc:  # pragma: no cover
+                raise NotImplementedError(
+                    "litellm not installed; inject a client instead"
+                ) from exc
+            completion = litellm.completion
+        self.model = model
+        self._completion = completion
+
+    def complete(self, prompt: str, system: str | None = None) -> str:
+        messages = ([{"role": "system", "content": system}] if system else []) + [
+            {"role": "user", "content": prompt}
+        ]
+        resp = self._completion(model=self.model, messages=messages)
+        return resp.choices[0].message.content
+
+
 def litellm_client(model: str = "gpt-4o-mini"):
-    """Live client via litellm (reference utils.py:83-164) — only
-    constructed on demand; absent in CI."""
-    try:
-        import litellm
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("litellm not installed; inject a client instead") from exc
-
-    class _Client:
-        def complete(self, prompt: str, system: str | None = None) -> str:
-            messages = ([{"role": "system", "content": system}] if system else []) + [
-                {"role": "user", "content": prompt}
-            ]
-            resp = litellm.completion(model=model, messages=messages)
-            return resp.choices[0].message.content
-
-    return _Client()
+    """Live client via litellm — only constructed on demand; the
+    network-free cassette twin is ``LiteLLMClient(completion=...)``."""
+    return LiteLLMClient(model)
 
 
 # ---------------------------------------------------------------------------
