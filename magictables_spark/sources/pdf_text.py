@@ -26,13 +26,21 @@ parser for the common case rather than an import stub:
   empty user password — the classic "owner-locked" files PyPDF2
   decrypts transparently) ARE decrypted: Algorithms 2/3/4/5 of the
   spec (ISO 32000-1 §7.6.3) in pure stdlib (hashlib.md5 + a 15-line
-  RC4). Password-protected files (non-empty user password) and
-  AES/crypt-filter encryption (/V 4-5) raise ``UnsupportedPdfError``.
+  RC4).
 
-This intentionally does NOT cover AES-encrypted PDFs or CID/Type0
-composite fonts — those genuinely need a real PDF library; such files
-raise ``UnsupportedPdfError`` so callers can fall back or skip, never
-silently return wrong text.
+- AES-128 crypt-filter PDFs (/V 4 /R 4, /CFM /AESV2 — what Acrobat 7+
+  writes by default) ARE decrypted too: same Algorithm 2 key (plus the
+  R4 /EncryptMetadata step), per-object key salted with 'sAlT', then
+  AES-128-CBC with the leading 16 payload bytes as IV and a STRICT
+  PKCS#7 strip (wrong key -> refusal, never wrong text). The AES core
+  is pure stdlib (sources/aes.py, pinned by FIPS-197 vectors).
+  Password-protected files (non-empty user password) and /V 5 AES-256
+  (R 5-6, SHA-256 key derivation) raise ``UnsupportedPdfError``.
+
+This intentionally does NOT cover AES-256 PDFs or CID/Type0 composite
+fonts — those genuinely need a real PDF library (or a later round);
+such files raise ``UnsupportedPdfError`` so callers can fall back or
+skip, never silently return wrong text.
 """
 
 from __future__ import annotations
@@ -214,19 +222,35 @@ def _string_value(body: bytes, key: bytes) -> bytes:
 
 def _parse_encrypt(enc_body: bytes, data: bytes) -> dict:
     """Parse the /Encrypt dictionary + the trailer /ID first element.
-    Only the standard handler with RC4 (/V 1-2, /R 2-3) is supported."""
+    Standard handler only: RC4 (/V 1-2, /R 2-3) and AES-128 crypt
+    filters (/V 4 /R 4 with /CFM /AESV2 or /V2). /V 5 (AES-256, R 5-6)
+    still refuses — different key derivation (SHA-256 based)."""
     if not re.search(rb"/Filter\s*/Standard\b", enc_body):
         raise UnsupportedPdfError("non-standard security handler")
     v = int(m.group(1)) if (m := re.search(rb"/V\s+(\d+)", enc_body)) else 0
     r = int(m.group(1)) if (m := re.search(rb"/R\s+(\d+)", enc_body)) else 2
+    cfm = "rc4"
     if v > 2 or r > 3:
-        raise UnsupportedPdfError(
-            f"AES/crypt-filter encryption unsupported (/V {v} /R {r})"
-        )
+        if v == 4 and r == 4:
+            # crypt filters: the stream filter (/StmF, default /StdCF)
+            # names a /CF entry whose /CFM picks the cipher
+            if re.search(rb"/StmF\s*/Identity\b", enc_body):
+                cfm = "identity"
+            elif re.search(rb"/CFM\s*/AESV2\b", enc_body):
+                cfm = "aesv2"
+            elif re.search(rb"/CFM\s*/V2\b", enc_body):
+                cfm = "rc4"
+            else:
+                raise UnsupportedPdfError("unsupported /V 4 crypt filter (no AESV2/V2 /CFM)")
+        else:
+            raise UnsupportedPdfError(
+                f"AES-256/unknown encryption unsupported (/V {v} /R {r})"
+            )
     p = int(m.group(1)) if (m := re.search(rb"/P\s+(-?\d+)", enc_body)) else -1
     length = (
         int(m.group(1)) if (m := re.search(rb"/Length\s+(\d+)", enc_body)) else 40
     )
+    encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false\b", enc_body)
     # §7.6.3.2: 40-128 bits, multiple of 8. Out-of-range values (seen in
     # corrupted files) would derive an empty/oversized RC4 key — the
     # empty case crashes key scheduling (i % 0) instead of refusing.
@@ -238,7 +262,17 @@ def _parse_encrypt(enc_body: bytes, data: bytes) -> dict:
         raise UnsupportedPdfError("malformed /O or /U entry")
     idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
     id0 = _hex_bytes(re.sub(rb"\s", b"", idm.group(1))) if idm else b""
-    return {"v": v, "r": r, "p": p, "n": length // 8, "o": o, "u": u, "id0": id0}
+    return {
+        "v": v,
+        "r": r,
+        "p": p,
+        "n": length // 8,
+        "o": o,
+        "u": u,
+        "id0": id0,
+        "cfm": cfm,
+        "encrypt_metadata": encrypt_metadata,
+    }
 
 
 def _encryption_key(enc: dict, password: bytes = b"") -> bytes:
@@ -246,12 +280,15 @@ def _encryption_key(enc: dict, password: bytes = b"") -> bytes:
     verify ``password`` as the user password (empty = the common
     owner-locked case). A failed check raises — never wrong text."""
     padded = (password + _PAD)[:32]
-    h = hashlib.md5(
+    seed = (
         padded
         + enc["o"]
         + (enc["p"] & 0xFFFFFFFF).to_bytes(4, "little")
         + enc["id0"]
-    ).digest()
+    )
+    if enc["r"] >= 4 and not enc.get("encrypt_metadata", True):
+        seed += b"\xff\xff\xff\xff"  # Algorithm 2 step f (R4, plaintext metadata)
+    h = hashlib.md5(seed).digest()
     n = enc["n"] if enc["r"] >= 3 else 5
     if enc["r"] >= 3:
         for _ in range(50):
@@ -272,25 +309,53 @@ def _encryption_key(enc: dict, password: bytes = b"") -> bytes:
     return key
 
 
-def _object_key(key: bytes, num: int, gen: int) -> bytes:
-    """§7.6.2 Algorithm 1: per-object RC4 key."""
+def _object_key(key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """§7.6.2 Algorithm 1: per-object key. AESV2 appends the spec's
+    'sAlT' salt bytes before hashing."""
     h = hashlib.md5(
-        key + (num & 0xFFFFFF).to_bytes(3, "little") + (gen & 0xFFFF).to_bytes(2, "little")
+        key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(key) + 5, 16)]
 
 
-def _decrypt_body_streams(body: bytes, key: bytes, num: int, gen: int) -> bytes:
-    """RC4-decrypt the stream payload of one object body in place
-    (strings outside streams aren't needed for text extraction). The
-    payload span comes from the dict's /Length when present — ciphertext
-    may contain the literal bytes ``endstream``, so the regex delimiter
-    alone could silently truncate the payload."""
+def _decrypt_body_streams(
+    body: bytes, key: bytes, num: int, gen: int, cfm: str = "rc4"
+) -> bytes:
+    """Decrypt the stream payload of one object body in place (strings
+    outside streams aren't needed for text extraction): RC4 for /V 1-2
+    and /V 4 /CFM /V2; AES-128-CBC (first 16 payload bytes = IV, strict
+    PKCS#7 strip) for /CFM /AESV2. The payload span comes from the
+    dict's /Length when present — ciphertext may contain the literal
+    bytes ``endstream``, so the regex delimiter alone could silently
+    truncate the payload."""
+    if cfm == "identity":
+        return body
     span = _stream_payload_span(body)
     if span is None:
         return body
     start, end = span
-    raw = _rc4(_object_key(key, num, gen), body[start:end])
+    payload = body[start:end]
+    if cfm == "aesv2":
+        from magictables_spark.sources import aes as _aes
+
+        if len(payload) < 16 or (len(payload) - 16) % 16 != 0:
+            raise UnsupportedPdfError("malformed AES stream (bad length)")
+        try:
+            raw = _aes.pkcs7_unpad(
+                _aes.cbc_decrypt(_object_key(key, num, gen, aes=True), payload[:16], payload[16:])
+            )
+        except ValueError as exc:
+            # wrong key / corrupt ciphertext: refuse, never wrong text
+            raise UnsupportedPdfError(f"AES stream decryption failed: {exc}") from exc
+        # plaintext is shorter than ciphertext (IV + padding): update the
+        # dict's /Length so later span lookups on the decrypted body stay
+        # exact instead of falling back to the endstream regex
+        head = _LENGTH_RE.sub(b"/Length %d" % len(raw), body[:start], count=1)
+        return head + raw + body[end:]
+    raw = _rc4(_object_key(key, num, gen), payload)
     return body[:start] + raw + body[end:]
 
 
@@ -574,7 +639,11 @@ def extract_pdf_pages(data: bytes) -> list[str]:
         enc = _parse_encrypt(_dict_part(raw[enc_num][1]), data)
         key = _encryption_key(enc)
         objs = {
-            num: (body if num == enc_num else _decrypt_body_streams(body, key, num, gen))
+            num: (
+                body
+                if num == enc_num
+                else _decrypt_body_streams(body, key, num, gen, cfm=enc["cfm"])
+            )
             for num, (gen, body) in raw.items()
         }
         _expand_object_streams(objs)
@@ -723,13 +792,17 @@ def build_rc4_pdf(
     owner_pw: bytes = b"owner",
     r: int = 3,
     key_bits: int = 40,
+    cipher: str = "rc4",
 ) -> bytes:
-    """Deterministic RC4-encrypted fixture (standard security handler,
-    /R 2 or 3): same page tree as build_simple_pdf, with every content
-    stream RC4-encrypted under the per-object key and a spec-computed
-    /Encrypt dict (Algorithms 2 and 3) + /ID in the trailer. Written
-    independently from the reader against ISO 32000-1 §7.6.3 so the
-    round-trip test exercises both directions of the spec."""
+    """Deterministic encrypted fixture (standard security handler):
+    same page tree as build_simple_pdf, with every content stream
+    encrypted under the per-object key and a spec-computed /Encrypt
+    dict (Algorithms 2 and 3) + /ID in the trailer. ``cipher='rc4'``
+    covers /R 2-3; ``cipher='aes'`` (use r=4, key_bits=128, or call
+    ``build_aes_pdf``) emits the /V 4 crypt-filter form with AESV2
+    streams (deterministic per-object IV = md5 of the object number).
+    Written independently from the reader against ISO 32000-1 §7.6.3
+    so the round-trip test exercises both directions of the spec."""
 
     def esc(s: str) -> bytes:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)").encode("latin-1")
@@ -792,19 +865,37 @@ def build_rc4_pdf(
         # alternate raw/Flate so decrypt-then-inflate is exercised
         plain = zlib.compress(bytes(ops)) if i % 2 else bytes(ops)
         filt = b" /Filter /FlateDecode" if i % 2 else b""
-        data = _rc4(_object_key(key, content_num, 0), plain)
+        if cipher == "aes":
+            from magictables_spark.sources import aes as _aes
+
+            iv = hashlib.md5(b"fixture-iv:%d" % content_num).digest()
+            data = iv + _aes.cbc_encrypt(
+                _object_key(key, content_num, 0, aes=True), iv, _aes.pkcs7_pad(plain)
+            )
+        else:
+            data = _rc4(_object_key(key, content_num, 0), plain)
         objects.append(
             f"<< /Length {len(data)}".encode() + filt + b" >>\nstream\n" + data + b"\nendstream"
         )
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     enc_num = len(objects) + 1
-    objects.append(
-        (
-            f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
-            f"/Length {key_bits} /P {p} "
-        ).encode()
-        + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
-    )
+    if cipher == "aes":
+        objects.append(
+            (
+                f"<< /Filter /Standard /V 4 /R 4 /Length {key_bits} /P {p} "
+                "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                "/StmF /StdCF /StrF /StdCF "
+            ).encode()
+            + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
+        )
+    else:
+        objects.append(
+            (
+                f"<< /Filter /Standard /V {1 if r == 2 else 2} /R {r} "
+                f"/Length {key_bits} /P {p} "
+            ).encode()
+            + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> >>"
+        )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -826,3 +917,12 @@ def build_rc4_pdf(
         + f"startxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return bytes(out)
+
+
+def build_aes_pdf(
+    pages: list[str], user_pw: bytes = b"", owner_pw: bytes = b"owner"
+) -> bytes:
+    """AES-128 /V 4 /R 4 crypt-filter fixture (see build_rc4_pdf)."""
+    return build_rc4_pdf(
+        pages, user_pw=user_pw, owner_pw=owner_pw, r=4, key_bits=128, cipher="aes"
+    )

@@ -28,6 +28,7 @@ from magictables_spark.operators.media_codecs import (
 )
 from magictables_spark.sources.pdf_text import (
     UnsupportedPdfError,
+    build_aes_pdf,
     build_objstm_pdf,
     build_rc4_pdf,
     build_simple_pdf,
@@ -56,6 +57,7 @@ def test_pdf_mutations_never_escape(seed):
         build_simple_pdf(["Hello page one", "Second (with) \\ escapes"]),
         build_objstm_pdf(["A b c", "B"]),
         build_rc4_pdf(["enc page"]),
+        build_aes_pdf(["aes enc page"]),
     ]
     for trial in range(800):
         if trial % 4 == 3:

@@ -278,3 +278,91 @@ def test_rc4_encrypted_stream_with_length_delimiters():
     text = "secret endstream words"
     pages = extract_pdf_pages(build_rc4_pdf([text], r=3, key_bits=128))
     assert pages[0] == text
+
+
+# ---------------------------------------------------------------------------
+# AES-128 /V 4 crypt filters (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_aes_core_fips_197_vectors():
+    """Pin the pure-stdlib AES core to the public FIPS-197 vectors
+    (Appendix C.1 + Appendix B) and an SP 800-38A CBC block."""
+    from magictables_spark.sources import aes
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = aes.encrypt_block(key, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert aes.decrypt_block(key, ct) == pt
+    key2 = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    pt2 = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    assert aes.encrypt_block(key2, pt2).hex() == "3925841d02dc09fbdc118597196a0b32"
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    p1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    c1 = aes.cbc_encrypt(key2, iv, p1)
+    assert c1.hex() == "7649abac8119b246cee98e9b12e9197d"
+    assert aes.cbc_decrypt(key2, iv, c1) == p1
+
+
+def test_aes_pkcs7_strictness():
+    from magictables_spark.sources import aes
+
+    assert aes.pkcs7_unpad(aes.pkcs7_pad(b"abc")) == b"abc"
+    assert aes.pkcs7_unpad(aes.pkcs7_pad(b"x" * 16)) == b"x" * 16
+    with pytest.raises(ValueError):
+        aes.pkcs7_unpad(b"A" * 15 + b"\x00")  # pad byte 0 invalid
+    with pytest.raises(ValueError):
+        aes.pkcs7_unpad(b"A" * 14 + b"\x03\x02")  # inconsistent run
+
+
+def test_aes_encrypted_pdf_roundtrip():
+    """/V 4 /R 4 AESV2 fixture (raw + FlateDecode pages) decrypts to the
+    exact text — the PyPDF2+pycryptodome capability of the reference
+    (sources.py:122-150) in pure stdlib."""
+    from magictables_spark.sources.pdf_text import build_aes_pdf
+
+    pages = ["Hello AES world", "page two\nsecond line", "third (page) 50%"]
+    got = extract_pdf_pages(build_aes_pdf(pages))
+    assert got == pages
+
+
+def test_aes_pdf_user_password_refuses():
+    from magictables_spark.sources.pdf_text import build_aes_pdf
+
+    pdf = build_aes_pdf(["secret"], user_pw=b"hunter2")
+    with pytest.raises(UnsupportedPdfError, match="password"):
+        extract_pdf_pages(pdf)
+
+
+def test_aes_corrupt_ciphertext_refuses_not_garbage():
+    """Flipping ciphertext bytes must surface as a refusal (strict
+    PKCS#7 / length checks), never as silently-wrong extracted text."""
+    from magictables_spark.sources.pdf_text import build_aes_pdf
+
+    pdf = bytearray(build_aes_pdf(["only page"]))
+    # truncate one byte off the first AES stream payload: breaks the
+    # 16-byte alignment the spec guarantees
+    i = pdf.find(b"stream\n")
+    j = pdf.find(b"\nendstream", i)
+    del pdf[j - 1]
+    with pytest.raises(UnsupportedPdfError):
+        extract_pdf_pages(bytes(pdf))
+
+
+def test_aes256_v5_still_refuses():
+    from magictables_spark.sources.pdf_text import build_aes_pdf
+
+    pdf = build_aes_pdf(["x"]).replace(b"/V 4 /R 4", b"/V 5 /R 6")
+    with pytest.raises(UnsupportedPdfError, match="AES-256|unknown"):
+        extract_pdf_pages(pdf)
+
+
+def test_aes_pdf_source_rows(spark):
+    """PDFSource over an AES-encrypted PDF: one row per page."""
+    from magictables_spark.sources.pdf_text import build_aes_pdf
+
+    data = build_aes_pdf(["alpha", "beta"])
+    src = PDFSource("http://x/enc.pdf", fetcher=lambda url, params=None: data)
+    rows = src.fetch_data()
+    assert [r["page_content"] for r in rows] == ["alpha", "beta"]
