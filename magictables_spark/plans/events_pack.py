@@ -112,7 +112,12 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stateful-streaming primitive, in batch mode. DuckDB oracle uses the "
     "classic gaps-and-islands construction; session_start = first event "
     "ts in both. Second-granularity timestamps make the comparison "
-    "exact.",
+    "exact. Boundary pinned (tests/test_session_boundary.py): Spark "
+    "MERGES touching session windows — an event at exactly prev_ts + "
+    "5 min extends the session (sessions merge when next.start <= "
+    "prev.end), so the oracle marks new_session only on gap > 5 "
+    "minutes, verified by experiment on a synthetic exact-300s-gap "
+    "fixture.",
     tags=("events", "window", "session"),
 )
 def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:

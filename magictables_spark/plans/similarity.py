@@ -211,6 +211,11 @@ _SIG_DUCK = ",\n               ".join(
 
 N_TABLES = 2  # LSH tables (OR-amplification: candidate if ANY table agrees)
 N_PROBES = 4  # directed single-bit-flip probes per (vector, table)
+# high-recall grid point from the round-4 measurement (T4-P4: recall
+# 0.92/0.70 at sf0.01/sf0.1) — registered as ann_lsh_topk_hi, the config
+# a production pipeline that needs >0.7 recall would run
+N_TABLES_HI = 4
+N_PROBES_HI = 4
 TARGET_BUCKET = 32  # expected bucket occupancy the bit count aims for
 BITS_PER_TABLE = 4  # sign bits per table at fixture scale (AND within a table)
 
@@ -245,9 +250,13 @@ def _planes(table: int, bit: int) -> list[int]:
     return out
 
 
-@q(
-    "ann_lsh_topk",
-    oracle=f"""
+def _ann_lsh_oracle(n_tables: int, n_probes: int) -> str:
+    """DuckDB twin of _ann_lsh_impl for one (tables, probes) config.
+    The constants are interpolated from the SAME module-level values the
+    Spark side reads, so changing N_TABLES/N_PROBES can never
+    desynchronize the twins (round-4 advisory: the literals were
+    hardcoded in the f-string before)."""
+    return f"""
     WITH e AS (
       SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
     ), norms AS (
@@ -265,7 +274,7 @@ def _planes(table: int, bit: int) -> list[int]:
         CASE WHEN (CAST(('0x' || substring(md5(CAST(t AS VARCHAR) || ':' || CAST(b AS VARCHAR)
                                                || ':' || CAST(d AS VARCHAR)), 1, 2)) AS BIGINT) & 1) = 1
              THEN 1 ELSE -1 END) AS plane
-      FROM range(0, 2) tt(t), range(0, 18) bb(b), nb
+      FROM range(0, {n_tables}) tt(t), range(0, 18) bb(b), nb
       WHERE b < nb.n_bits
     ), tdots AS (
       -- per (vector, table): the raw plane dots in bit order — signs
@@ -285,7 +294,7 @@ def _planes(table: int, bit: int) -> list[int]:
              -- across engines
              list_transform(
                list_sort(list_transform(range(1, len(dots) + 1),
-                 i -> abs(dots[i]) * 64 + (i - 1)))[1:4],
+                 i -> abs(dots[i]) * 64 + (i - 1)))[1:{n_probes}],
                k -> CAST(1 AS BIGINT) << CAST(k % 64 AS INT)) AS masks
       FROM tdots
     ), probes AS (
@@ -316,8 +325,11 @@ def _planes(table: int, bit: int) -> list[int]:
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
       FROM scored
     ) WHERE rn <= 10
-    """,
-    doc="Approximate k-NN via QUERY-DIRECTED MULTIPROBE sign-random-"
+    """
+
+
+_ANN_LSH_DOC = (
+    "Approximate k-NN via QUERY-DIRECTED MULTIPROBE sign-random-"
     "projection LSH (Lv et al., VLDB 2007): 2 tables x log2(n/32) "
     "md5-seeded hyperplanes; a vector INDEXES under its home bucket "
     "per table but PROBES the home bucket plus the 4 single-bit flips "
@@ -339,10 +351,13 @@ def _planes(table: int, bit: int) -> list[int]:
     "engine-identical, so the DuckDB oracle rebuilds the identical "
     "index+probes and the whole approximate pipeline is hash-checked; "
     "recall vs exact top-k is additionally asserted in "
-    "tests/test_similarity.py.",
-    tags=("similarity", "ann", "scale"),
+    "tests/test_similarity.py."
 )
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _ann_lsh_impl(
+    spark: SparkSession, sf_dir: str, n_tables: int, n_probes_cfg: int
+) -> DataFrame:
     e = _quantized(spark, sf_dir)
     # round-robin spread BEFORE the per-vector index work — the same
     # stage geometry as dedup_minhash: a small corpus arrives as one
@@ -374,7 +389,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the two projections separate because HOF dots are non-cheap,
     # so nothing recomputes)
     dots_cols = []
-    for t in range(N_TABLES):
+    for t in range(n_tables):
         dot_exprs = []
         for bit in range(n_bits):
             plane = ",".join(str(v) for v in _planes(t, bit))
@@ -387,9 +402,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 2: home bucket from the signs; query-directed probe masks
     # from the 4 lowest-|dot| bits (key = abs(dot)*64 + bit — pure
     # int64, bit-identical to the DuckDB oracle's ranking)
-    n_probes = min(N_PROBES, n_bits)
+    n_probes = min(n_probes_cfg, n_bits)
     structs = []
-    for t in range(N_TABLES):
+    for t in range(n_tables):
         bucket = " + ".join(
             f"(CASE WHEN dots_{t}[{i}] >= 0 THEN CAST({1 << i} AS BIGINT)"
             f" ELSE CAST(0 AS BIGINT) END)"
@@ -482,6 +497,34 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("r.query_id", "r.neighbor_id", "r.cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).drop("rn")
+
+
+@q(
+    "ann_lsh_topk",
+    oracle=_ann_lsh_oracle(N_TABLES, N_PROBES),
+    doc=_ANN_LSH_DOC,
+    tags=("similarity", "ann", "scale"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_lsh_impl(spark, sf_dir, N_TABLES, N_PROBES)
+
+
+@q(
+    "ann_lsh_topk_hi",
+    oracle=_ann_lsh_oracle(N_TABLES_HI, N_PROBES_HI),
+    doc="High-recall grid point of the multiprobe LSH (T4-P4 from the "
+    "round-4 tables x probes x occupancy measurement): 4 tables x 4 "
+    "directed flip probes reaches recall 0.92/0.70 at sf0.01/sf0.1 "
+    "vs the default T2-P4's 0.66/0.50, paying ~2x candidate mass — "
+    "the config a production pipeline that needs >=0.7 recall runs. "
+    "Same _ann_lsh_impl and oracle builder as ann_lsh_topk, so the "
+    "entire approximate pipeline stays hash-checked cross-engine; "
+    "recall gates: >=0.7 here, >=0.45 for the default "
+    "(tests/test_similarity.py).",
+    tags=("similarity", "ann", "scale"),
+)
+def ann_lsh_topk_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_lsh_impl(spark, sf_dir, N_TABLES_HI, N_PROBES_HI)
 
 
 @q(

@@ -247,9 +247,32 @@ def _parse_encrypt(enc_body: bytes, data: bytes) -> dict:
                 f"AES-256/unknown encryption unsupported (/V {v} /R {r})"
             )
     p = int(m.group(1)) if (m := re.search(rb"/P\s+(-?\d+)", enc_body)) else -1
-    length = (
-        int(m.group(1)) if (m := re.search(rb"/Length\s+(\d+)", enc_body)) else 40
-    )
+    # The TOP-LEVEL /Length is the key length in BITS. For /V 4 the nested
+    # /CF <</StdCF <<...>>>> subdictionary may carry its own '/Length 16'
+    # (key length in BYTES, ISO 32000-1 Table 25) — and common Acrobat
+    # layouts put the CF dict before the top-level /Length or omit the
+    # top-level entry entirely. Strip the CF subdictionary before
+    # searching, and default AESV2 to 128 bits (its only legal length).
+    length_src = enc_body
+    if v == 4:
+        cfm_start = re.search(rb"/CF\s*<<", length_src)
+        if cfm_start:
+            i, depth = cfm_start.end(), 1
+            while depth and i < len(length_src):
+                if length_src[i : i + 2] == b"<<":
+                    depth, i = depth + 1, i + 2
+                elif length_src[i : i + 2] == b">>":
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+            length_src = length_src[: cfm_start.start()] + length_src[i:]
+    lm = re.search(rb"/Length\s+(\d+)", length_src)
+    if lm:
+        length = int(lm.group(1))
+    elif v == 4 and cfm == "aesv2":
+        length = 128
+    else:
+        length = 40
     encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false\b", enc_body)
     # §7.6.3.2: 40-128 bits, multiple of 8. Out-of-range values (seen in
     # corrupted files) would derive an empty/oversized RC4 key — the
@@ -341,6 +364,11 @@ def _decrypt_body_streams(
     if cfm == "aesv2":
         from magictables_spark.sources import aes as _aes
 
+        if len(payload) == 0:
+            # Some writers emit genuinely empty streams even in encrypted
+            # files (RC4 of empty is empty; AES has no ciphertext at all).
+            # Empty plaintext, not a malformed-stream refusal.
+            return body
         if len(payload) < 16 or (len(payload) - 16) % 16 != 0:
             raise UnsupportedPdfError("malformed AES stream (bad length)")
         try:

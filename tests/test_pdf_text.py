@@ -366,3 +366,51 @@ def test_aes_pdf_source_rows(spark):
     src = PDFSource("http://x/enc.pdf", fetcher=lambda url, params=None: data)
     rows = src.fetch_data()
     assert [r["page_content"] for r in rows] == ["alpha", "beta"]
+
+
+def test_aes_cf_dict_before_toplevel_length():
+    """Acrobat layout: the /CF <</StdCF <</CFM /AESV2 /Length 16>>>>
+    subdictionary precedes the top-level /Length 128. The CF /Length is
+    in BYTES (ISO 32000-1 Table 25); naively taking the first /Length
+    match reads 16 and refuses a perfectly valid file (round-4
+    advisory, verified by experiment)."""
+    from magictables_spark.sources.pdf_text import build_aes_pdf
+
+    pages = ["cf-first layout page"]
+    pdf = build_aes_pdf(pages)
+    old = (
+        b"/V 4 /R 4 /Length 128 /P -44 "
+        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+    )
+    new = (
+        b"/V 4 /R 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        b"/Length 128 /P -44 "
+    )
+    assert old in pdf, "fixture layout changed; update this test"
+    assert extract_pdf_pages(pdf.replace(old, new)) == pages
+
+
+def test_aes_no_toplevel_length_defaults_128():
+    """Legal per ISO 32000-1 for /V 4: the top-level /Length may be
+    omitted entirely (the CF subdict carries the key length). AESV2's
+    only legal key length is 128 bits — default to it."""
+    from magictables_spark.sources.pdf_text import build_aes_pdf
+
+    pages = ["no top-level length"]
+    pdf = build_aes_pdf(pages)
+    old = b"/V 4 /R 4 /Length 128 /P -44 "
+    new = b"/V 4 /R 4 /P -44 "
+    assert old in pdf, "fixture layout changed; update this test"
+    assert extract_pdf_pages(pdf.replace(old, new)) == pages
+
+
+def test_aes_zero_length_stream_is_empty_not_refusal():
+    """Some writers emit genuinely empty streams inside encrypted files;
+    a 0-byte AES payload is empty plaintext (there is no ciphertext),
+    not a malformed-stream refusal that aborts the whole document
+    (round-4 advisory)."""
+    from magictables_spark.sources.pdf_text import _decrypt_body_streams
+
+    body = b"<< /Length 0 >>\nstream\n\nendstream"
+    out = _decrypt_body_streams(body, b"k" * 16, 7, 0, cfm="aesv2")
+    assert out == body

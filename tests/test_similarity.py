@@ -12,15 +12,12 @@ from pyspark.sql import functions as F
 from magictables_spark.plans.queries import REGISTRY
 
 
-def test_ann_lsh_recall_against_exact(spark, sf_dir):
-    """LSH top-10 for the 5 probe vectors must recall a healthy fraction
-    of the exact cosine top-10 (sign-LSH with 16 planes on clustered
-    synthetic data; exact recall varies, demand >= 40% overall)."""
+def _lsh_recall(spark, sf_dir, slug: str) -> float:
     exact = (
         REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).select("query_id", "neighbor_id").collect()
     )
     approx = (
-        REGISTRY["ann_lsh_topk"]
+        REGISTRY[slug]
         .fn(spark, sf_dir)
         .filter(F.col("query_id") < 5)
         .select("query_id", "neighbor_id")
@@ -29,8 +26,24 @@ def test_ann_lsh_recall_against_exact(spark, sf_dir):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     assert exact_set, "exact top-k produced nothing"
-    recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.4, f"LSH recall too low: {recall:.2f}"
+    return len(exact_set & approx_set) / len(exact_set)
+
+
+def test_ann_lsh_recall_against_exact(spark, sf_dir):
+    """Default multiprobe config (T2-P4, measured 0.66/0.50 at
+    sf0.01/sf0.1): gate at >= 0.45 — close enough under the measured
+    recall that a regression to near-chance probing fails, per the
+    round-4 verdict (the old >= 0.4 gate left no margin against the
+    design's real performance)."""
+    recall = _lsh_recall(spark, sf_dir, "ann_lsh_topk")
+    assert recall >= 0.45, f"LSH recall too low: {recall:.2f}"
+
+
+def test_ann_lsh_hi_recall_against_exact(spark, sf_dir):
+    """High-recall grid point (T4-P4, measured 0.92/0.70 at
+    sf0.01/sf0.1): gate at >= 0.7."""
+    recall = _lsh_recall(spark, sf_dir, "ann_lsh_topk_hi")
+    assert recall >= 0.7, f"hi-config LSH recall too low: {recall:.2f}"
 
 
 def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
