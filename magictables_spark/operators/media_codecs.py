@@ -21,9 +21,21 @@ without any media library: ``encode_png`` (filter 0 scanlines),
 a small deterministic corpus of both — used by the ``multimodal_features``
 query and the unit tests.
 
-Formats that genuinely require a codec library (JPEG, MP3, MP4) are
-rejected with ``UnsupportedMediaError``; the Arrow-batched kernel in
-``multimodal.py`` is the boundary where PIL/ffmpeg would plug in.
+- **JPEG** (baseline sequential DCT, ITU-T T.81) via ``struct`` +
+  numpy: segment parse, canonical Huffman entropy decode, dequantize,
+  zig-zag de-scan, float IDCT, chroma upsampling (4:4:4/4:2:2/4:2:0),
+  DRI/RSTn restart resync, YCbCr->RGB, per-image pixel mean/std.
+  Progressive (SOF2) / arithmetic / 12-bit files refuse with
+  ``UnsupportedMediaError``. A matching baseline ENCODER
+  (``encode_jpeg``: FDCT + Annex K tables + 4:4:4 or 4:2:0) generates
+  fixtures; decoder reads all tables from the file, never Annex K.
+
+Formats that genuinely require a codec library (MP3, MP4 full decode)
+are rejected with ``UnsupportedMediaError``; the Arrow-batched kernel
+in ``multimodal.py`` is the boundary where ffmpeg would plug in. The
+pure-Python JPEG entropy loop favors correctness over throughput — at
+production scale the same kernel boundary is where libjpeg-turbo/PIL
+slots in with identical semantics.
 
 Reference parity: the reference repo has NO media handling at all —
 this whole module is part of the mandated large-scale-pipeline
@@ -271,6 +283,17 @@ def media_features(content: bytes, mime: str, dim: int) -> list[float]:
             m["pixel_std"] / 255.0,
             float(m["bit_depth"]),
         ]
+    elif mime == "image/jpeg":
+        m = decode_jpeg(content)
+        vec = [
+            1.0,  # modality tag: image
+            float(m["width"]),
+            float(m["height"]),
+            float(m["channels"]),
+            m["pixel_mean"] / 255.0,
+            m["pixel_std"] / 255.0,
+            float(m["bit_depth"]),
+        ]
     elif mime in ("audio/wav", "audio/x-wav"):
         m = decode_wav(content)
         vec = [
@@ -283,19 +306,21 @@ def media_features(content: bytes, mime: str, dim: int) -> list[float]:
             m["zero_crossing_rate"],
         ]
     else:
-        # JPEG/MP3/MP4 need PIL/ffmpeg — the mapInPandas kernel in
-        # multimodal.py is where those decoders would plug in
+        # MP3/MP4 full decode needs ffmpeg — the mapInPandas kernel in
+        # multimodal.py is where it would plug in (frame-header/box
+        # METADATA for them is pure-stdlib: media_metadata below)
         raise UnsupportedMediaError(f"no pure-stdlib decoder for {mime}")
     vec = vec[:dim]
     return vec + [0.0] * (dim - len(vec))
 
 
 def ensure_media_fixture_dir(
-    media_dir: str, n_png: int = 8, n_wav: int = 8, n_bmp: int = 4
+    media_dir: str, n_png: int = 8, n_wav: int = 8, n_bmp: int = 4, n_jpg: int = 6
 ) -> str:
     """Materialize a deterministic media corpus (idempotent: skipped if
     already present). PNGs are seeded gradient/checker patterns, WAVs
-    are seeded sine mixtures, plus one deliberately corrupt file per
+    are seeded sine mixtures, JPEGs rotate through gray/4:4:4/4:2:0 and
+    a restart-interval variant, plus one deliberately corrupt file per
     modality to exercise the ok=False path."""
     marker = os.path.join(media_dir, ".complete")
     if os.path.exists(marker):
@@ -327,10 +352,30 @@ def ensure_media_fixture_dir(
         )
         with open(os.path.join(media_dir, f"snd_{i:03d}.wav"), "wb") as f:
             f.write(encode_wav(samples, rate=rate))
+    for i in range(n_jpg):
+        w, h = 21 + 5 * i, 15 + 3 * i  # deliberately non-multiple-of-8
+        yy, xx = np.mgrid[0:h, 0:w]
+        if i % 3 == 0:  # grayscale
+            arr = ((xx * 9 + yy * 5 + i * 17) % 256).astype(np.uint8)
+        else:
+            arr = np.stack(
+                [(xx * 7 + i) % 256, (yy * 13 + 2 * i) % 256, ((xx + yy) * 3 + i) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+        data = encode_jpeg(
+            arr,
+            quality=80 + 3 * i,
+            subsample="420" if i % 3 == 2 else "444",
+            restart_interval=3 if i == 4 else 0,
+        )
+        with open(os.path.join(media_dir, f"img_{i:03d}.jpg"), "wb") as f:
+            f.write(data)
     with open(os.path.join(media_dir, "broken_000.png"), "wb") as f:
         f.write(b"\x89PNG\r\n\x1a\nnot really a png")
     with open(os.path.join(media_dir, "broken_001.wav"), "wb") as f:
         f.write(b"RIFFxxxxWAVE")
+    with open(os.path.join(media_dir, "broken_002.jpg"), "wb") as f:
+        f.write(b"\xff\xd8\xff\xdbnot really a jpeg")
     with open(marker, "w") as f:
         f.write("ok")
     return media_dir
@@ -401,3 +446,628 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
     return file_header + dib + body
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81)
+# ---------------------------------------------------------------------------
+# Decoder: SOI/APPn/DQT/SOF0+SOF1/DHT/DRI/SOS segment parse, canonical
+# Huffman entropy decode (spec F.2.2.3 DECODE), dequantize, zig-zag
+# de-scan, float IDCT via the orthonormal 8-point DCT-II basis, chroma
+# upsample, YCbCr->RGB. Progressive (SOF2) / arithmetic / 12-bit /
+# hierarchical files refuse with UnsupportedMediaError — skip, not die.
+# The decoder reads ALL tables from the file (DQT/DHT segments); the
+# spec Annex K tables below are used only by the fixture ENCODER.
+
+_JPEG_MAX_PIXELS = 1 << 26  # 64M px: refuse header-driven memory bombs
+
+
+def _zigzag_order() -> list[int]:
+    """Zig-zag scan order derived from the diagonal walk (T.81 Fig. 5)
+    rather than pasted: entry i = raster index of the i-th coefficient."""
+    pts: list[tuple[int, int]] = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(s + 1) if r < 8 and s - r < 8]
+        if s % 2 == 0:
+            diag.reverse()
+        pts.extend(diag)
+    return [r * 8 + c for r, c in pts]
+
+
+_ZZ = _zigzag_order()
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: forward F = A @ f @ A.T,
+    inverse f = A.T @ F @ A."""
+    n = np.arange(8)
+    a = np.sqrt(2.0 / 8.0) * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16.0)
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+_DCT_A = _dct_basis()
+
+
+class _ScanReader:
+    """MSB-first bit reader over the entropy-coded segment, undoing the
+    0xFF00 byte stuffing; any bare marker inside the scan is corruption
+    (restarts are consumed explicitly via expect_rst)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise UnsupportedMediaError("JPEG scan truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise UnsupportedMediaError(
+                        f"unexpected marker 0xFF{-1 if nxt is None else nxt:02X} inside scan"
+                    )
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def expect_rst(self, m: int) -> None:
+        self.nbits = 0  # restart markers are byte-aligned
+        if self.data[self.pos : self.pos + 2] != bytes((0xFF, 0xD0 + (m & 7))):
+            raise UnsupportedMediaError("missing/garbled JPEG restart marker")
+        self.pos += 2
+
+
+def _huff_decode_table(bits: list[int], vals: bytes):
+    """Canonical-code decode tables (T.81 F.2.2.3): per code length l,
+    mincode/maxcode and the index of its first symbol."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        mincode[length] = code
+        valptr[length] = k
+        if bits[length - 1]:
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, vals
+
+
+def _huff_decode(r: _ScanReader, table) -> int:
+    mincode, maxcode, valptr, vals = table
+    code = r.bit()
+    length = 1
+    while code > maxcode[length]:
+        length += 1
+        if length > 16:
+            raise UnsupportedMediaError("invalid Huffman code in JPEG scan")
+        code = (code << 1) | r.bit()
+    return vals[valptr[length] + code - mincode[length]]
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s-bit magnitude to a signed value."""
+    if s and v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+def _decode_block(r: _ScanReader, dc_tab, ac_tab, pred: int):
+    """One 8x8 block -> (zigzag-order int coefficients, new DC pred)."""
+    s = _huff_decode(r, dc_tab)
+    if s > 15:
+        raise UnsupportedMediaError("invalid JPEG DC category")
+    dc = pred + (_extend(r.receive(s), s) if s else 0)
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _huff_decode(r, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise UnsupportedMediaError("JPEG AC run past block end")
+        zz[k] = _extend(r.receive(size), size)
+        k += 1
+    return zz, dc
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Decode a baseline (SOF0/SOF1, Huffman) JPEG: geometry + per-image
+    pixel mean/std on the 0-255 RGB (or gray) scale, same contract as
+    decode_png/decode_bmp. Handles 4:4:4 / 4:2:2 / 4:2:0 chroma
+    subsampling, 16-bit DQT precision, and DRI/RSTn restart intervals."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}  # id -> 64 values, ZIGZAG order
+    huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> decode table
+    frame = None
+    restart_interval = 0
+    result = None
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise UnsupportedMediaError("lost JPEG marker sync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(data):
+            raise UnsupportedMediaError("JPEG segment header truncated")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(data):
+            raise UnsupportedMediaError("JPEG segment length out of range")
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    if i + 64 > len(seg):
+                        raise UnsupportedMediaError("JPEG DQT truncated")
+                    qt[tq] = np.frombuffer(seg, np.uint8, 64, i).astype(np.int64)
+                    i += 64
+                elif pq == 1:
+                    if i + 128 > len(seg):
+                        raise UnsupportedMediaError("JPEG DQT truncated")
+                    qt[tq] = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
+                    i += 128
+                else:
+                    raise UnsupportedMediaError(f"invalid JPEG DQT precision {pq}")
+        elif marker in (0xC0, 0xC1):  # baseline / extended-sequential Huffman
+            if len(seg) < 6:
+                raise UnsupportedMediaError("JPEG SOF truncated")
+            precision = seg[0]
+            if precision != 8:
+                raise UnsupportedMediaError(f"unsupported JPEG precision {precision}")
+            height, width = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise UnsupportedMediaError(f"unsupported JPEG component count {nc}")
+            if width == 0 or height == 0 or width * height > _JPEG_MAX_PIXELS:
+                raise UnsupportedMediaError(f"degenerate JPEG geometry {width}x{height}")
+            if len(seg) < 6 + 3 * nc:
+                raise UnsupportedMediaError("JPEG SOF truncated")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise UnsupportedMediaError(f"invalid JPEG sampling {h}x{v}")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+            frame = {"width": width, "height": height, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"progressive/arithmetic/hierarchical JPEG unsupported (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                if i + 17 > len(seg):
+                    raise UnsupportedMediaError("JPEG DHT truncated")
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                if i + 17 + n > len(seg):
+                    raise UnsupportedMediaError("JPEG DHT truncated")
+                huff[(tc, th)] = _huff_decode_table(bits, seg[i + 17 : i + 17 + n])
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise UnsupportedMediaError("JPEG DRI truncated")
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise UnsupportedMediaError("JPEG SOS before SOF")
+            ns = seg[0] if seg else 0
+            if ns != len(frame["comps"]) or len(seg) < 1 + 2 * ns + 3:
+                raise UnsupportedMediaError("JPEG SOS malformed (expect one interleaved scan)")
+            scan = []
+            for i in range(ns):
+                cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next((c for c in frame["comps"] if c["id"] == cs), None)
+                if comp is None:
+                    raise UnsupportedMediaError("JPEG SOS names unknown component")
+                scan.append((comp, (0, tda >> 4), (1, tda & 0x0F)))
+            result = _decode_scan(data, pos + seglen, frame, scan, qt, huff, restart_interval)
+            break
+        pos += seglen
+    if result is None:
+        raise UnsupportedMediaError("JPEG has no decodable scan")
+    return result
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    width, height = frame["width"], frame["height"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = {}
+    qtabs = {}
+    dtabs = {}
+    for comp, dc_key, ac_key in scan:
+        planes[comp["id"]] = np.zeros((mcuy * comp["v"] * 8, mcux * comp["h"] * 8))
+        if comp["tq"] not in qt:
+            raise UnsupportedMediaError(f"JPEG references missing DQT {comp['tq']}")
+        if dc_key not in huff or ac_key not in huff:
+            raise UnsupportedMediaError("JPEG references missing DHT")
+        qtabs[comp["id"]] = qt[comp["tq"]]
+        dtabs[comp["id"]] = (huff[dc_key], huff[ac_key])
+    reader = _ScanReader(data, pos)
+    preds = {c["id"]: 0 for c, _, _ in scan}
+    a_t = _DCT_A.T
+    rst = 0
+    n_mcu = 0
+    raster = np.empty(64)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.expect_rst(rst)
+                rst = (rst + 1) & 7
+                preds = {k: 0 for k in preds}
+            for comp, _dc, _ac in scan:
+                cid = comp["id"]
+                q = qtabs[cid]
+                dc_tab, ac_tab = dtabs[cid]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz, preds[cid] = _decode_block(reader, dc_tab, ac_tab, preds[cid])
+                        raster[_ZZ] = zz * q  # dequant + de-zigzag
+                        spatial = a_t @ raster.reshape(8, 8) @ _DCT_A + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            n_mcu += 1
+    # per-component crop to its true dims, integer-upsample to full res
+    full = []
+    for comp, _dc, _ac in scan:
+        cw = -(-width * comp["h"] // hmax)
+        ch = -(-height * comp["v"] // vmax)
+        p = planes[comp["id"]][:ch, :cw]
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry * comp["v"] != vmax or rx * comp["h"] != hmax:
+            raise UnsupportedMediaError("non-integer JPEG chroma upsampling ratio")
+        p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)[:height, :width]
+        if p.shape != (height, width):  # pad the last row/col if short
+            pad = np.zeros((height, width))
+            pad[: p.shape[0], : p.shape[1]] = p
+            pad[p.shape[0] :, :] = pad[max(p.shape[0] - 1, 0), :]
+            pad[:, p.shape[1] :] = pad[:, max(p.shape[1] - 1, 0)][:, None]
+            p = pad
+        full.append(np.clip(p, 0.0, 255.0))
+    if len(full) == 3:  # JFIF YCbCr -> RGB
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        pixels = np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
+        channels = 3
+    else:
+        pixels = full[0][:, :, None]
+        channels = 1
+    return {
+        "kind": "image",
+        "width": int(width),
+        "height": int(height),
+        "bit_depth": 8,
+        "channels": channels,
+        "pixel_mean": float(pixels.mean()),
+        "pixel_std": float(pixels.std()),
+    }
+
+
+# --- JPEG fixture encoder (baseline, spec Annex K tables) ------------------
+# The decoder never uses these: it reads tables from the file. They exist
+# so fixtures can be generated without any media library, mirroring
+# encode_png/encode_wav/encode_bmp. Tables K.1-K.6 are public ITU-T T.81
+# constants.
+
+_K1_LUM_QUANT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)  # raster order
+
+_K2_CHR_QUANT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# (BITS counts per code length 1..16, HUFFVAL symbol list)
+_K3_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_K4_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_K5_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_K6_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 = the Annex K table verbatim."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _huff_encode_table(spec) -> dict[int, tuple[int, int]]:
+    """symbol -> (canonical code, length) from a (BITS, HUFFVAL) pair."""
+    bits, vals = spec
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, category-bit value) for a signed DC diff / AC coeff."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    s, bits = _magnitude(int(zz[0]) - pred)
+    code, length = dc_codes[s]
+    w.write(code, length)
+    if s:
+        w.write(bits, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | s]
+        w.write(code, length)
+        w.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return int(zz[0])
+
+
+def _block_zz(plane: np.ndarray, y0: int, x0: int, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize + zigzag one 8x8 block of a level-shifted plane."""
+    f = _DCT_A @ plane[y0 : y0 + 8, x0 : x0 + 8] @ _DCT_A.T
+    quantized = np.round(f.reshape(64) / q).astype(np.int64)
+    return quantized[_ZZ]
+
+
+def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult_y
+    pw = (-w) % mult_x
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge") if ph or pw else plane
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder for fixtures: 8-bit gray (H, W) or RGB
+    (H, W, 3), Annex K quant (IJG quality-scaled) + Huffman tables,
+    4:4:4 or 4:2:0 chroma, optional DRI/RSTn restart markers. Written
+    independently from the decoder against T.81 so the round-trip test
+    exercises both directions of the spec."""
+    arr = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
+    gray = arr.ndim == 2
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsample mode {subsample}")
+    lq = _scaled_quant(_K1_LUM_QUANT, quality).astype(np.float64)
+    cq = _scaled_quant(_K2_CHR_QUANT, quality).astype(np.float64)
+    if gray:
+        height, width = arr.shape
+        planes = [arr - 128.0]
+        samp = [(1, 1)]
+        quants = [lq]
+    else:
+        height, width, _ = arr.shape
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            # 2x2 mean chroma downsample over the edge-padded plane
+            cb2 = _pad_to(cb, 2, 2)
+            cr2 = _pad_to(cr, 2, 2)
+            cb = (cb2[0::2, 0::2] + cb2[1::2, 0::2] + cb2[0::2, 1::2] + cb2[1::2, 1::2]) / 4.0
+            cr = (cr2[0::2, 0::2] + cr2[1::2, 0::2] + cr2[0::2, 1::2] + cr2[1::2, 1::2]) / 4.0
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        quants = [lq, cq, cq]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    planes = [_pad_to(p, 8 * v, 8 * h) for p, (h, v) in zip(planes, samp)]
+    # every component plane must cover the same MCU grid
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = [
+        _pad_to(p, mcuy * v * 8, mcux * h * 8) for p, (h, v) in zip(planes, samp)
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in ((0, lq), (1, cq)) if not gray else ((0, lq),):
+        zz = q.astype(np.int64)[_ZZ]
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([tq]) + bytes(int(v) for v in zz)
+    nc = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    for i in range(nc):
+        h, v = samp[i]
+        out += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
+    huff_specs = [(0x00, _K3_DC_LUM), (0x10, _K5_AC_LUM)]
+    if not gray:
+        huff_specs += [(0x01, _K4_DC_CHR), (0x11, _K6_AC_CHR)]
+    for tcth, (bits, vals) in huff_specs:
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 3 + 16 + len(vals))
+            + bytes([tcth])
+            + bytes(bits)
+            + bytes(vals)
+        )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for i in range(nc):
+        out += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+
+    dc_lum = _huff_encode_table(_K3_DC_LUM)
+    ac_lum = _huff_encode_table(_K5_AC_LUM)
+    dc_chr = _huff_encode_table(_K4_DC_CHR)
+    ac_chr = _huff_encode_table(_K6_AC_CHR)
+    tables = [(dc_lum, ac_lum)] + [(dc_chr, ac_chr)] * (nc - 1)
+    w = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                w.flush()
+                out += w.out
+                w = _BitWriter()
+                out += bytes((0xFF, 0xD0 + rst))
+                rst = (rst + 1) & 7
+                preds = [0] * nc
+            for ci in range(nc):
+                h, v = samp[ci]
+                dc_codes, ac_codes = tables[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        zz = _block_zz(
+                            planes[ci], (my * v + by) * 8, (mx * h + bx) * 8, quants[ci]
+                        )
+                        preds[ci] = _encode_block(w, zz, preds[ci], dc_codes, ac_codes)
+            n_mcu += 1
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -9,12 +9,13 @@ feature-extract / resize / frame-sample run as Arrow-batched
 a cluster: one Python worker per partition, binary batches cross via
 Arrow, no per-row pickling.
 
-Decode is REAL for PNG and WAV via pure-stdlib codecs
-(``media_codecs.py``: struct/zlib PNG unfiltering + ``wave``-module PCM
-parsing — no external media library needed); formats that genuinely
-require a codec library (JPEG/MP3/MP4, where PIL/ffmpeg would plug into
-the kernel) yield ``ok=False``. ``decode_stub=True`` switches to a
-deterministic md5-seeded fake embedding for plumbing-only tests.
+Decode is REAL for PNG, BMP, WAV and baseline JPEG via pure-stdlib
+codecs (``media_codecs.py``: struct/zlib PNG unfiltering, ``wave``
+PCM parsing, T.81 Huffman+IDCT JPEG — no external media library
+needed); formats that genuinely require a codec library (MP3/MP4 full
+decode, where ffmpeg would plug into the kernel) yield ``ok=False``.
+``decode_stub=True`` switches to a deterministic md5-seeded fake
+embedding for plumbing-only tests.
 """
 
 from __future__ import annotations
@@ -83,10 +84,10 @@ def _feature_kernel(decode_stub: bool, dim: int):
                     feats.append([((h[i % 16] / 255.0) - 0.5) for i in range(dim)])
                     oks.append(True)
                     continue
-                # real decode: pure-stdlib PNG/WAV codecs
+                # real decode: pure-stdlib PNG/BMP/WAV/JPEG codecs
                 # (media_codecs.py); corrupt bytes or formats needing a
-                # codec library (JPEG/MP3/MP4 -> PIL/ffmpeg plug in HERE)
-                # must yield ok=False, never a task failure — at 100 TB a
+                # codec library (MP3/MP4 -> ffmpeg plugs in HERE) must
+                # yield ok=False, never a task failure — at 100 TB a
                 # bad file cannot kill the job
                 try:
                     feats.append(media_features(bytes(content), mime, dim))

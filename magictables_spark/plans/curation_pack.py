@@ -202,7 +202,7 @@ def _media_fixture_dir() -> str:
     committed = os.path.join(repo_root, "tests", "fixtures", "media")
     if os.path.exists(os.path.join(committed, ".complete")):
         return committed
-    return ensure_media_fixture_dir(os.path.join(tempfile.gettempdir(), "mts_media_fixture_v3"))
+    return ensure_media_fixture_dir(os.path.join(tempfile.gettempdir(), "mts_media_fixture_v4"))
 
 
 @q(
@@ -210,10 +210,11 @@ def _media_fixture_dir() -> str:
     oracle=None,  # binary plumbing; schema/batch shape gated in unit tests
     doc="Multimodal column pipeline as a query: the COMMITTED "
     "deterministic media corpus (tests/fixtures/media: 8 PNGs + 4 BMPs "
-    "+ 8 WAVs + 1 corrupt file per PNG/WAV modality) is ingested via "
-    "the binaryFile source with mime "
-    "tagging, REAL-decoded with the pure-stdlib PNG/BMP/WAV codecs "
-    "(struct/zlib scanline unfiltering, wave-module PCM stats — "
+    "+ 6 JPEGs + 8 WAVs + 1 corrupt file per PNG/WAV/JPEG modality) is "
+    "ingested via the binaryFile source with mime "
+    "tagging, REAL-decoded with the pure-stdlib PNG/BMP/WAV/JPEG "
+    "codecs (struct/zlib scanline unfiltering, wave-module PCM stats, "
+    "T.81 baseline Huffman+IDCT JPEG — "
     "operators/media_codecs.py) inside the Arrow-batched mapInPandas "
     "kernel, and aggregated to per-mime file counts, decode successes "
     "and mean amplitude/pixel statistics. The query body is a pure "

@@ -19,9 +19,11 @@ import pytest
 from magictables_spark.operators.media_codecs import (
     UnsupportedMediaError,
     decode_bmp,
+    decode_jpeg,
     decode_png,
     decode_wav,
     encode_bmp,
+    encode_jpeg,
     encode_png,
     encode_wav,
     media_features,
@@ -83,14 +85,22 @@ def test_media_mutations_never_escape(seed):
         for n in (100, 1000)
     ]
     bmps = [encode_bmp(np_rng.integers(0, 255, (6, 10, 3), dtype=np.uint8))]
+    jpgs = [
+        encode_jpeg(np_rng.integers(0, 255, (11, 14, 3), dtype=np.uint8), quality=85),
+        encode_jpeg(np_rng.integers(0, 255, (9, 17), dtype=np.uint8), quality=70,
+                    subsample="444", restart_interval=2),
+        encode_jpeg(np_rng.integers(0, 255, (18, 21, 3), dtype=np.uint8), subsample="420"),
+    ]
     for trial in range(800):
         kind = rng.random()
-        if kind < 0.3:
+        if kind < 0.25:
             data, dec, mime = bytearray(rng.choice(pngs)), decode_png, "image/png"
-        elif kind < 0.55:
+        elif kind < 0.45:
             data, dec, mime = bytearray(rng.choice(bmps)), decode_bmp, "image/bmp"
-        elif kind < 0.8:
+        elif kind < 0.65:
             data, dec, mime = bytearray(rng.choice(wavs)), decode_wav, "audio/wav"
+        elif kind < 0.85:
+            data, dec, mime = bytearray(rng.choice(jpgs)), decode_jpeg, "image/jpeg"
         else:
             data = bytearray(rng.randbytes(rng.randint(0, 200)))
             dec, mime = (

@@ -148,13 +148,17 @@ def test_multimodal_features_query_real_decode(spark, sf_dir):
 
     rows = {r["mime"]: r for r in REGISTRY["multimodal_features"].fn(spark, sf_dir).collect()}
     png, bmp, wav = rows["image/png"], rows["image/bmp"], rows["audio/wav"]
+    jpg = rows["image/jpeg"]
     assert png["n_files"] == 9 and png["n_decoded"] == 8  # 1 corrupt skipped
     assert bmp["n_files"] == 4 and bmp["n_decoded"] == 4
     assert wav["n_files"] == 9 and wav["n_decoded"] == 8
+    assert jpg["n_files"] == 7 and jpg["n_decoded"] == 6  # 1 corrupt skipped
     assert png["feature_dim"] == 8 and bmp["feature_dim"] == 8 and wav["feature_dim"] == 8
+    assert jpg["feature_dim"] == 8
     # decoded stats are real: mean pixel (index 4) in (0, 1), audio rms > 0
     assert 0.0 < png["mean_stat"] < 1.0
     assert 0.0 < bmp["mean_stat"] < 1.0
+    assert 0.0 < jpg["mean_stat"] < 1.0
     assert wav["mean_stat"] > 0.0
 
 def test_png_corrupt_idat_is_unsupported_not_zlib_error():
@@ -268,3 +272,103 @@ def test_bmp_media_features_dispatch():
     vec = media_features(encode_bmp(np.full((3, 5, 3), 128, dtype=np.uint8)), "image/bmp", 8)
     assert vec[0] == 1.0 and vec[1] == 5.0 and vec[2] == 3.0
     assert vec[4] == pytest.approx(128.0 / 255.0)
+
+
+# --- JPEG (baseline T.81) --------------------------------------------------
+
+
+def _grad_rgb(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(xx * 7 + seed) % 256, (yy * 11 + seed) % 256, ((xx + yy) * 3 + seed) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_gray():
+    from magictables_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    arr = (np.arange(24 * 32).reshape(24, 32) % 256).astype(np.uint8)
+    m = decode_jpeg(encode_jpeg(arr, quality=90))
+    assert (m["width"], m["height"], m["channels"]) == (32, 24, 1)
+    assert m["pixel_mean"] == pytest.approx(arr.mean(), abs=1.0)
+    assert m["pixel_std"] == pytest.approx(arr.std(), rel=0.05)
+
+
+def test_jpeg_roundtrip_rgb_444_and_420():
+    from magictables_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    arr = _grad_rgb(20, 30)
+    for mode in ("444", "420"):
+        m = decode_jpeg(encode_jpeg(arr, quality=92, subsample=mode))
+        assert (m["width"], m["height"], m["channels"]) == (30, 20, 3), mode
+        assert m["pixel_mean"] == pytest.approx(arr.mean(), abs=2.0), mode
+        assert m["pixel_std"] == pytest.approx(arr.std(), rel=0.1), mode
+
+
+def test_jpeg_odd_dimensions_and_restart_markers():
+    """Non-multiple-of-8 geometry exercises the edge-padded MCU grid +
+    crop; restart_interval exercises DRI/RSTn byte-aligned resync and
+    DC predictor resets."""
+    from magictables_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    arr = _grad_rgb(17, 23, seed=5)
+    data = encode_jpeg(arr, quality=85, subsample="420", restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI present
+    m = decode_jpeg(data)
+    assert (m["width"], m["height"]) == (23, 17)
+    assert m["pixel_mean"] == pytest.approx(arr.mean(), abs=2.5)
+
+
+def test_jpeg_quality_monotone_size():
+    from magictables_spark.operators.media_codecs import encode_jpeg
+
+    arr = _grad_rgb(32, 32, seed=9)
+    sizes = [len(encode_jpeg(arr, quality=q)) for q in (10, 50, 95)]
+    assert sizes[0] < sizes[1] < sizes[2]
+
+
+def test_jpeg_refuses_progressive_and_garbage():
+    from magictables_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(b"not a jpeg")
+    data = bytearray(encode_jpeg(_grad_rgb(8, 8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(UnsupportedMediaError, match="progressive"):
+        decode_jpeg(bytes(data))
+    # truncated scan must refuse, not hang or return wrong stats
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(bytes(bytearray(encode_jpeg(_grad_rgb(16, 16)))[:-20]))
+
+
+def test_jpeg_decoder_reads_tables_from_file():
+    """The decoder must use the DQT shipped in the file, not any
+    built-in table: doubling every luminance quant entry in the file
+    (same scan bytes!) must ~double the dequantized signal amplitude
+    around the 128 level-shift."""
+    import struct as _struct
+
+    from magictables_spark.operators.media_codecs import decode_jpeg, encode_jpeg
+
+    # low-contrast gray image centered at 128 so 2x amplitude can't clip
+    yy, xx = np.mgrid[0:16, 0:16]
+    arr = (128 + 10 * np.sin(xx / 2.0) * np.cos(yy / 3.0)).astype(np.uint8)
+    data = bytearray(encode_jpeg(arr, quality=95))
+    base = decode_jpeg(bytes(data))
+    i = data.find(b"\xff\xdb")
+    (seglen,) = _struct.unpack(">H", data[i + 2 : i + 4])
+    for k in range(i + 5, i + 2 + seglen):  # skip len + pq/tq byte
+        data[k] = min(255, data[k] * 2)
+    doubled = decode_jpeg(bytes(data))
+    assert doubled["pixel_std"] == pytest.approx(2 * base["pixel_std"], rel=0.05)
+
+
+def test_jpeg_media_features_wired():
+    from magictables_spark.operators.media_codecs import encode_jpeg
+
+    arr = _grad_rgb(12, 18, seed=2)
+    v = media_features(encode_jpeg(arr), "image/jpeg", 8)
+    assert v[0] == 1.0 and v[1] == 18.0 and v[2] == 12.0 and v[3] == 3.0
+    assert 0.0 < v[4] < 1.0
