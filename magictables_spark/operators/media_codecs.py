@@ -60,6 +60,12 @@ class UnsupportedMediaError(ValueError):
     """Raised for media the pure-stdlib decoders cannot handle."""
 
 
+# mimes whose featurization is container METADATA (header/box parse),
+# not sample decode — the multimodal kernel surfaces this as
+# decoded=False so downstream knows the stats' provenance
+METADATA_ONLY_MIMES = frozenset({"audio/mpeg", "video/mp4"})
+
+
 # ---------------------------------------------------------------------------
 # PNG
 # ---------------------------------------------------------------------------
@@ -305,17 +311,39 @@ def media_features(content: bytes, mime: str, dim: int) -> list[float]:
             m["peak"],
             m["zero_crossing_rate"],
         ]
+    elif mime == "audio/mpeg":
+        # metadata-only (decoded=False): frame-header walk, no PCM
+        m = decode_mp3_meta(content)
+        vec = [
+            2.0,  # modality tag: audio
+            float(m["channels"]),
+            float(m["sample_rate"]) / 48000.0,
+            m["duration_sec"],
+            m["bitrate_kbps"] / 320.0,
+            float(m["n_frames"]),
+            float(m["layer"]),
+        ]
+    elif mime == "video/mp4":
+        # metadata-only (decoded=False): ISO-BMFF box walk, no frames
+        m = decode_mp4_meta(content)
+        vec = [
+            3.0,  # modality tag: video
+            float(m["n_tracks"]),
+            m["duration_sec"],
+            m["width"],
+            m["height"],
+            1.0 if m["has_video"] else 0.0,
+            1.0 if m["has_audio"] else 0.0,
+        ]
     else:
-        # MP3/MP4 full decode needs ffmpeg — the mapInPandas kernel in
-        # multimodal.py is where it would plug in (frame-header/box
-        # METADATA for them is pure-stdlib: media_metadata below)
         raise UnsupportedMediaError(f"no pure-stdlib decoder for {mime}")
     vec = vec[:dim]
     return vec + [0.0] * (dim - len(vec))
 
 
 def ensure_media_fixture_dir(
-    media_dir: str, n_png: int = 8, n_wav: int = 8, n_bmp: int = 4, n_jpg: int = 6
+    media_dir: str, n_png: int = 8, n_wav: int = 8, n_bmp: int = 4, n_jpg: int = 6,
+    n_mp3: int = 3, n_mp4: int = 2,
 ) -> str:
     """Materialize a deterministic media corpus (idempotent: skipped if
     already present). PNGs are seeded gradient/checker patterns, WAVs
@@ -370,6 +398,28 @@ def ensure_media_fixture_dir(
         )
         with open(os.path.join(media_dir, f"img_{i:03d}.jpg"), "wb") as f:
             f.write(data)
+    for i in range(n_mp3):
+        data = encode_mp3_fixture(
+            n_frames=20 + 9 * i,
+            kbps=[128, 192, 64][i % 3],
+            sample_rate=[44100, 48000, 32000][i % 3],
+            channels=2 if i % 2 == 0 else 1,
+            id3=i % 2 == 0,
+        )
+        with open(os.path.join(media_dir, f"clip_{i:03d}.mp3"), "wb") as f:
+            f.write(data)
+    for i in range(n_mp4):
+        data = encode_mp4_fixture(
+            duration_sec=3.5 + 2 * i,
+            video=(320 * (i + 1), 180 * (i + 1), b"avc1") if i % 2 == 0 else None,
+            audio=b"mp4a",
+        )
+        with open(os.path.join(media_dir, f"clip_{i:03d}.mp4"), "wb") as f:
+            f.write(data)
+    with open(os.path.join(media_dir, "broken_003.mp3"), "wb") as f:
+        f.write(b"ID3\x04\x00\x00\x00\x00\x00\x05nope")
+    with open(os.path.join(media_dir, "broken_004.mp4"), "wb") as f:
+        f.write(b"\x00\x00\x00\x08ftypcorrupt")
     with open(os.path.join(media_dir, "broken_000.png"), "wb") as f:
         f.write(b"\x89PNG\r\n\x1a\nnot really a png")
     with open(os.path.join(media_dir, "broken_001.wav"), "wb") as f:
@@ -1071,3 +1121,264 @@ def encode_jpeg(
     out += w.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP3 / MP4 metadata (pure-stdlib header/box parse — NOT full decode)
+# ---------------------------------------------------------------------------
+# A curation pipeline filters on duration/bitrate/sample-rate/codec-id
+# long before it decodes samples; those fields live in frame headers
+# (MP3) and ISO-BMFF boxes (MP4) and need no codec library. Full PCM /
+# pixel decode for these formats genuinely requires ffmpeg — rows carry
+# decoded=False so downstream knows the stats are container metadata.
+
+_MP3_BITRATE_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATE_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_BITRATE_V1_L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448]
+_MP3_BITRATE_V1_L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+_MP3_SR = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def decode_mp3_meta(data: bytes) -> dict:
+    """Walk MPEG audio frame headers (ID3v2 tag skipped): channel mode,
+    sample rate, per-frame bitrate, frame count, duration. Layer I/II/
+    III, MPEG 1/2/2.5. Requires >= 2 coherent frames so random bytes
+    that happen to contain one 11-bit sync pattern don't parse."""
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise UnsupportedMediaError("truncated ID3v2 header")
+        pos = 10 + (
+            ((data[6] & 0x7F) << 21)
+            | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7)
+            | (data[9] & 0x7F)
+        )
+    # tolerate junk before the first frame, but only a bounded amount
+    first = -1
+    for i in range(pos, min(len(data) - 4, pos + 4096)):
+        if data[i] == 0xFF and (data[i + 1] & 0xE0) == 0xE0:
+            first = i
+            break
+    if first < 0:
+        raise UnsupportedMediaError("no MPEG audio frame sync found")
+    pos = first
+    n_frames = 0
+    total_samples = 0
+    kbps_sum = 0
+    sample_rate = channels = version = layer = None
+    while pos + 4 <= len(data):
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        ver = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        lay = (b1 >> 1) & 3  # 3=I, 2=II, 1=III
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        mode = (b3 >> 6) & 3
+        if ver == 1 or lay == 0 or br_idx in (0, 15) or sr_idx == 3:
+            break  # reserved / free-format / invalid
+        sr = _MP3_SR[ver][sr_idx]
+        if lay == 1:  # Layer III
+            kbps = (_MP3_BITRATE_V1_L3 if ver == 3 else _MP3_BITRATE_V2_L3)[br_idx]
+            spf = 1152 if ver == 3 else 576
+            flen = (144 if ver == 3 else 72) * kbps * 1000 // sr + padding
+        elif lay == 2:  # Layer II
+            kbps = (_MP3_BITRATE_V1_L2 if ver == 3 else _MP3_BITRATE_V2_L3)[br_idx]
+            spf = 1152
+            flen = 144 * kbps * 1000 // sr + padding
+        else:  # Layer I
+            kbps = (_MP3_BITRATE_V1_L1 if ver == 3 else _MP3_BITRATE_V2_L3)[br_idx]
+            spf = 384
+            flen = (12 * kbps * 1000 // sr + padding) * 4
+        if flen <= 4:
+            break
+        if sample_rate is None:
+            sample_rate, channels = sr, 1 if mode == 3 else 2
+            version, layer = ver, lay
+        elif sr != sample_rate or lay != layer:
+            break  # incoherent stream: stop at the last consistent frame
+        n_frames += 1
+        total_samples += spf
+        kbps_sum += kbps
+        pos += flen
+    if n_frames < 2:
+        raise UnsupportedMediaError("fewer than 2 coherent MPEG audio frames")
+    return {
+        "kind": "audio",
+        "decoded": False,
+        "channels": int(channels),
+        "sample_rate": int(sample_rate),
+        "n_frames": int(n_frames),
+        "duration_sec": float(total_samples / sample_rate),
+        "bitrate_kbps": float(kbps_sum / n_frames),
+        "mpeg_version": {3: 1, 2: 2, 0: 25}[version],
+        "layer": {3: 1, 2: 2, 1: 3}[layer],
+    }
+
+
+def encode_mp3_fixture(
+    n_frames: int = 20, kbps: int = 128, sample_rate: int = 44100, channels: int = 2,
+    id3: bool = True,
+) -> bytes:
+    """Deterministic MPEG1 Layer III fixture: valid frame headers with
+    zeroed payloads (header-parseable, not playable audio)."""
+    br_idx = _MP3_BITRATE_V1_L3.index(kbps)
+    sr_idx = _MP3_SR[3].index(sample_rate)
+    mode = 3 if channels == 1 else 0
+    out = bytearray()
+    if id3:
+        out += b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10  # 10-byte tag body
+    flen = 144 * kbps * 1000 // sample_rate
+    hdr = bytes((0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6))
+    for _ in range(n_frames):
+        out += hdr + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_children(data: bytes, start: int, end: int, depth: int = 0):
+    """Iterate (type, body_start, body_end) over the boxes in a span."""
+    if depth > 8:
+        raise UnsupportedMediaError("MP4 box nesting too deep")
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise UnsupportedMediaError("MP4 largesize truncated")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise UnsupportedMediaError("MP4 box size out of range")
+        yield btype, body, pos + size
+        pos += size
+
+
+def decode_mp4_meta(data: bytes) -> dict:
+    """Parse ISO-BMFF (MP4) container metadata: brand, movie duration
+    from mvhd, per-track handler types + sample-entry codec fourccs
+    from trak/mdia/hdlr + stbl/stsd, video geometry from tkhd."""
+    if len(data) < 16:
+        raise UnsupportedMediaError("not an MP4 (too short)")
+    brand = None
+    moov_span = None
+    for btype, b0, b1 in _mp4_children(data, 0, len(data)):
+        if btype == b"ftyp" and b0 + 4 <= b1:
+            brand = data[b0 : b0 + 4].decode("latin-1", "replace")
+        elif btype == b"moov":
+            moov_span = (b0, b1)
+    if brand is None or moov_span is None:
+        raise UnsupportedMediaError("MP4 missing ftyp/moov")
+    duration_sec = 0.0
+    tracks = []  # (handler, codec, width, height)
+    for btype, b0, b1 in _mp4_children(data, *moov_span, depth=1):
+        if btype == b"mvhd":
+            ver = data[b0]
+            if ver == 1:
+                timescale, dur = struct.unpack_from(">IQ", data, b0 + 20)
+            else:
+                timescale, dur = struct.unpack_from(">II", data, b0 + 12)
+            if timescale:
+                duration_sec = dur / timescale
+        elif btype == b"trak":
+            handler = codec = None
+            width = height = 0.0
+            for t, t0, t1 in _mp4_children(data, b0, b1, depth=2):
+                if t == b"tkhd":
+                    ver = data[t0]
+                    off = t1 - 8  # width/height: last 8 payload bytes (16.16)
+                    w16, h16 = struct.unpack_from(">II", data, off)
+                    width, height = w16 / 65536.0, h16 / 65536.0
+                elif t == b"mdia":
+                    for m, m0, m1 in _mp4_children(data, t0, t1, depth=3):
+                        if m == b"hdlr":
+                            handler = data[m0 + 8 : m0 + 12].decode("latin-1", "replace")
+                        elif m == b"minf":
+                            for s, s0, s1 in _mp4_children(data, m0, m1, depth=4):
+                                if s == b"stbl":
+                                    for x, x0, x1 in _mp4_children(data, s0, s1, depth=5):
+                                        if x == b"stsd" and x0 + 16 <= x1:
+                                            codec = data[x0 + 12 : x0 + 16].decode(
+                                                "latin-1", "replace"
+                                            )
+            tracks.append((handler, codec, width, height))
+    vids = [t for t in tracks if t[0] == "vide"]
+    return {
+        "kind": "video",
+        "decoded": False,
+        "major_brand": brand,
+        "duration_sec": float(duration_sec),
+        "n_tracks": len(tracks),
+        "has_video": any(t[0] == "vide" for t in tracks),
+        "has_audio": any(t[0] == "soun" for t in tracks),
+        "codecs": sorted({t[1] for t in tracks if t[1]}),
+        "width": float(vids[0][2]) if vids else 0.0,
+        "height": float(vids[0][3]) if vids else 0.0,
+    }
+
+
+def encode_mp4_fixture(
+    duration_sec: float = 5.0,
+    video: tuple | None = (640, 360, b"avc1"),
+    audio: bytes | None = b"mp4a",
+) -> bytes:
+    """Deterministic minimal ISO-BMFF fixture: ftyp + moov(mvhd, one
+    trak per modality with tkhd/mdia/mdhd/hdlr/minf/stbl/stsd) + empty
+    mdat. Header-parseable, not playable."""
+    timescale = 1000
+    dur = int(duration_sec * timescale)
+
+    def full(btype: bytes, payload: bytes, version: int = 0) -> bytes:
+        return _mp4_box(btype, bytes([version, 0, 0, 0]) + payload)
+
+    def trak(handler: bytes, codec: bytes, track_id: int, w: int = 0, h: int = 0) -> bytes:
+        tkhd = full(
+            b"tkhd",
+            struct.pack(">IIII", 0, 0, track_id, 0)
+            + struct.pack(">I", dur)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0x0100 if handler == b"soun" else 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = full(
+            b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0)
+        )
+        hdlr = full(b"hdlr", struct.pack(">I", 0) + handler + b"\x00" * 12 + b"h\x00")
+        entry = _mp4_box(codec, b"\x00" * 70)  # minimal sample entry body
+        stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        return _mp4_box(b"trak", tkhd + mdia)
+
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">Ihhii", 0x00010000, 0x0100, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 99),
+    )
+    traks = b""
+    tid = 1
+    if video is not None:
+        w, h, codec = video
+        traks += trak(b"vide", codec, tid, w, h)
+        tid += 1
+    if audio is not None:
+        traks += trak(b"soun", audio, tid)
+    return (
+        _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        + _mp4_box(b"moov", mvhd + traks)
+        + _mp4_box(b"mdat", b"")
+    )

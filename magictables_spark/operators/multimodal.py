@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 MEDIA_SCHEMA = (
     "path string, length bigint, content binary, mime string"
 )
-FEATURE_SCHEMA = "path string, mime string, n_bytes bigint, feature array<float>, ok boolean"
+FEATURE_SCHEMA = (
+    "path string, mime string, n_bytes bigint, feature array<float>, "
+    "ok boolean, decoded boolean"
+)
 
 _EXT_MIME = {
     ".png": "image/png",
@@ -65,16 +68,18 @@ def _feature_kernel(decode_stub: bool, dim: int):
         import hashlib
 
         from magictables_spark.operators.media_codecs import (
+            METADATA_ONLY_MIMES,
             UnsupportedMediaError,
             media_features,
         )
 
         for pdf in batches:
-            feats, oks = [], []
+            feats, oks, decs = [], [], []
             for content, mime in zip(pdf["content"], pdf["mime"]):
                 if content is None:
                     feats.append(None)
                     oks.append(False)
+                    decs.append(False)
                     continue
                 if decode_stub:
                     # deterministic fake embedding: md5-seeded floats from
@@ -83,6 +88,7 @@ def _feature_kernel(decode_stub: bool, dim: int):
                     h = hashlib.md5(bytes(content)).digest()
                     feats.append([((h[i % 16] / 255.0) - 0.5) for i in range(dim)])
                     oks.append(True)
+                    decs.append(False)
                     continue
                 # real decode: pure-stdlib PNG/BMP/WAV/JPEG codecs
                 # (media_codecs.py); corrupt bytes or formats needing a
@@ -92,9 +98,13 @@ def _feature_kernel(decode_stub: bool, dim: int):
                 try:
                     feats.append(media_features(bytes(content), mime, dim))
                     oks.append(True)
+                    # MP3/MP4 rows are container metadata, not sample
+                    # decode — surface the provenance
+                    decs.append(mime not in METADATA_ONLY_MIMES)
                 except UnsupportedMediaError:
                     feats.append(None)
                     oks.append(False)
+                    decs.append(False)
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
@@ -102,6 +112,7 @@ def _feature_kernel(decode_stub: bool, dim: int):
                     "n_bytes": pdf["content"].map(lambda c: 0 if c is None else len(c)),
                     "feature": feats,
                     "ok": oks,
+                    "decoded": decs,
                 }
             )
 

@@ -234,6 +234,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_files"),
             F.sum(F.col("ok").cast("long")).alias("n_decoded"),
+            # ok but decoded=False = container-metadata rows (MP3/MP4)
+            F.sum(F.col("decoded").cast("long")).alias("n_full_decoded"),
             F.min(F.when(F.col("ok"), F.size("feature"))).alias("feature_dim"),
             F.round(F.avg(F.when(F.col("ok"), F.col("feature")[4])), 6).alias("mean_stat"),
         )

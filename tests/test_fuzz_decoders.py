@@ -20,10 +20,14 @@ from magictables_spark.operators.media_codecs import (
     UnsupportedMediaError,
     decode_bmp,
     decode_jpeg,
+    decode_mp3_meta,
+    decode_mp4_meta,
     decode_png,
     decode_wav,
     encode_bmp,
     encode_jpeg,
+    encode_mp3_fixture,
+    encode_mp4_fixture,
     encode_png,
     encode_wav,
     media_features,
@@ -91,16 +95,22 @@ def test_media_mutations_never_escape(seed):
                     subsample="444", restart_interval=2),
         encode_jpeg(np_rng.integers(0, 255, (18, 21, 3), dtype=np.uint8), subsample="420"),
     ]
+    mp3s = [encode_mp3_fixture(12), encode_mp3_fixture(4, kbps=64, sample_rate=32000, id3=False)]
+    mp4s = [encode_mp4_fixture(5.0), encode_mp4_fixture(2.0, video=None)]
     for trial in range(800):
         kind = rng.random()
-        if kind < 0.25:
+        if kind < 0.2:
             data, dec, mime = bytearray(rng.choice(pngs)), decode_png, "image/png"
-        elif kind < 0.45:
+        elif kind < 0.36:
             data, dec, mime = bytearray(rng.choice(bmps)), decode_bmp, "image/bmp"
-        elif kind < 0.65:
+        elif kind < 0.52:
             data, dec, mime = bytearray(rng.choice(wavs)), decode_wav, "audio/wav"
-        elif kind < 0.85:
+        elif kind < 0.68:
             data, dec, mime = bytearray(rng.choice(jpgs)), decode_jpeg, "image/jpeg"
+        elif kind < 0.78:
+            data, dec, mime = bytearray(rng.choice(mp3s)), decode_mp3_meta, "audio/mpeg"
+        elif kind < 0.88:
+            data, dec, mime = bytearray(rng.choice(mp4s)), decode_mp4_meta, "video/mp4"
         else:
             data = bytearray(rng.randbytes(rng.randint(0, 200)))
             dec, mime = (

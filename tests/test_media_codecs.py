@@ -148,18 +148,25 @@ def test_multimodal_features_query_real_decode(spark, sf_dir):
 
     rows = {r["mime"]: r for r in REGISTRY["multimodal_features"].fn(spark, sf_dir).collect()}
     png, bmp, wav = rows["image/png"], rows["image/bmp"], rows["audio/wav"]
-    jpg = rows["image/jpeg"]
+    jpg, mp3, mp4 = rows["image/jpeg"], rows["audio/mpeg"], rows["video/mp4"]
     assert png["n_files"] == 9 and png["n_decoded"] == 8  # 1 corrupt skipped
     assert bmp["n_files"] == 4 and bmp["n_decoded"] == 4
     assert wav["n_files"] == 9 and wav["n_decoded"] == 8
     assert jpg["n_files"] == 7 and jpg["n_decoded"] == 6  # 1 corrupt skipped
     assert png["feature_dim"] == 8 and bmp["feature_dim"] == 8 and wav["feature_dim"] == 8
     assert jpg["feature_dim"] == 8
+    # sample-decoded modalities: decoded == ok
+    assert png["n_full_decoded"] == 8 and jpg["n_full_decoded"] == 6
+    # MP3/MP4: ok METADATA rows (frame-header/box parse), decoded=False
+    assert mp3["n_files"] == 4 and mp3["n_decoded"] == 3 and mp3["n_full_decoded"] == 0
+    assert mp4["n_files"] == 3 and mp4["n_decoded"] == 2 and mp4["n_full_decoded"] == 0
+    assert mp3["feature_dim"] == 8 and mp4["feature_dim"] == 8
     # decoded stats are real: mean pixel (index 4) in (0, 1), audio rms > 0
     assert 0.0 < png["mean_stat"] < 1.0
     assert 0.0 < bmp["mean_stat"] < 1.0
     assert 0.0 < jpg["mean_stat"] < 1.0
     assert wav["mean_stat"] > 0.0
+    assert mp3["mean_stat"] > 0.0  # index 4 = bitrate_kbps / 320
 
 def test_png_corrupt_idat_is_unsupported_not_zlib_error():
     """Valid signature + IHDR but garbage IDAT must raise
@@ -372,3 +379,75 @@ def test_jpeg_media_features_wired():
     v = media_features(encode_jpeg(arr), "image/jpeg", 8)
     assert v[0] == 1.0 and v[1] == 18.0 and v[2] == 12.0 and v[3] == 3.0
     assert 0.0 < v[4] < 1.0
+
+
+# --- MP3 / MP4 container metadata ------------------------------------------
+
+
+def test_mp3_meta_roundtrip():
+    from magictables_spark.operators.media_codecs import decode_mp3_meta, encode_mp3_fixture
+
+    m = decode_mp3_meta(encode_mp3_fixture(n_frames=38, kbps=192, sample_rate=44100))
+    assert m["decoded"] is False and m["kind"] == "audio"
+    assert m["channels"] == 2 and m["sample_rate"] == 44100
+    assert m["n_frames"] == 38 and m["bitrate_kbps"] == 192.0
+    # 38 frames x 1152 samples at 44100 Hz
+    assert m["duration_sec"] == pytest.approx(38 * 1152 / 44100)
+    assert m["mpeg_version"] == 1 and m["layer"] == 3
+    mono = decode_mp3_meta(
+        encode_mp3_fixture(n_frames=5, kbps=64, sample_rate=32000, channels=1, id3=False)
+    )
+    assert mono["channels"] == 1 and mono["sample_rate"] == 32000
+
+
+def test_mp3_meta_refuses_garbage_and_single_frame():
+    from magictables_spark.operators.media_codecs import decode_mp3_meta, encode_mp3_fixture
+
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp3_meta(b"not audio at all")
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp3_meta(b"ID3\x04\x00\x00\x00\x00\x00\x05nope")
+    # one lone sync pattern in noise must NOT parse (>= 2 coherent frames)
+    one = encode_mp3_fixture(n_frames=1, id3=False)
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp3_meta(one)
+
+
+def test_mp4_meta_roundtrip():
+    from magictables_spark.operators.media_codecs import decode_mp4_meta, encode_mp4_fixture
+
+    m = decode_mp4_meta(encode_mp4_fixture(duration_sec=7.25))
+    assert m["decoded"] is False and m["kind"] == "video"
+    assert m["major_brand"] == "isom"
+    assert m["duration_sec"] == pytest.approx(7.25)
+    assert m["n_tracks"] == 2 and m["has_video"] and m["has_audio"]
+    assert m["codecs"] == ["avc1", "mp4a"]
+    assert (m["width"], m["height"]) == (640.0, 360.0)
+    audio_only = decode_mp4_meta(encode_mp4_fixture(duration_sec=2.0, video=None))
+    assert audio_only["n_tracks"] == 1 and not audio_only["has_video"]
+    assert audio_only["width"] == 0.0
+
+
+def test_mp4_meta_refuses_garbage():
+    from magictables_spark.operators.media_codecs import decode_mp4_meta
+
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp4_meta(b"\x00" * 32)  # no ftyp/moov
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp4_meta(b"\x00\x00\x00\x08ftypcorrupt")  # truncated, no moov
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp4_meta(b"tiny")
+
+
+def test_mp3_mp4_media_features_metadata_rows():
+    from magictables_spark.operators.media_codecs import (
+        encode_mp3_fixture,
+        encode_mp4_fixture,
+    )
+
+    v = media_features(encode_mp3_fixture(n_frames=10, kbps=128), "audio/mpeg", 8)
+    assert v[0] == 2.0 and v[1] == 2.0  # audio tag, stereo
+    assert v[4] == pytest.approx(128.0 / 320.0)  # bitrate stat
+    v = media_features(encode_mp4_fixture(duration_sec=3.0), "video/mp4", 8)
+    assert v[0] == 3.0 and v[1] == 2.0 and v[2] == pytest.approx(3.0)
+    assert v[3] == 640.0 and v[5] == 1.0 and v[6] == 1.0
