@@ -1,8 +1,9 @@
-"""Pure-stdlib AES-128 (FIPS-197) with CBC mode + PKCS#7 padding.
+"""Pure-stdlib AES-128/192/256 (FIPS-197) with CBC mode + PKCS#7 padding.
 
-Used only by the PDF standard-security handler (/V 4 crypt filters with
-/CFM /AESV2, sources/pdf_text.py) — the reference reaches the same
-capability through PyPDF2+pycryptodome (reference sources.py:122-150).
+Used only by the PDF standard-security handler (/V 4 AESV2 crypt
+filters and /V 5 AESV3 AES-256, sources/pdf_text.py) — the reference
+reaches the same capability through PyPDF2+pycryptodome (reference
+sources.py:122-150).
 Deliberately table-light and slow: PDFs decrypt kilobytes per stream,
 not gigabytes, and every table is DERIVED at import (GF(2^8) inverses +
 the affine map) rather than pasted, so the implementation is auditable
@@ -65,21 +66,38 @@ def _build_sbox() -> tuple[list[int], list[int]]:
 
 _SBOX, _INV_SBOX = _build_sbox()
 _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+# GF(2^8) multiplication tables for the MixColumns constants, derived
+# at import like the S-box. The PDF 2.0 /R 6 hardened hash (Algorithm
+# 2.B) runs >= 64 AES-CBC rounds over ~6 KB per invocation — per-call
+# _mul loops made that minutes; tables + a cached key schedule make it
+# sub-second while staying derived-not-pasted.
+_MUL = {c: [_mul(c, b) for b in range(256)] for c in (2, 3, 9, 11, 13, 14)}
+_MUL[1] = list(range(256))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _expand_key(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule: 11 round keys of 16 bytes each."""
-    if len(key) != 16:
-        raise ValueError("AES-128 requires a 16-byte key")
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """AES key schedule (FIPS-197 §5.2) for 128/192/256-bit keys:
+    Nr+1 round keys of 16 bytes (Nr = 10/12/14). The Nk > 6 branch adds
+    AES-256's extra SubWord at i % Nk == 4."""
+    if len(key) not in (16, 24, 32):
+        raise ValueError("AES requires a 16-, 24- or 32-byte key")
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]  # RotWord
             t = [_SBOX[b] for b in t]  # SubWord
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]  # SubWord only (AES-256)
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
 
 
 def _shift_rows(s: list[int], inverse: bool) -> list[int]:
@@ -93,38 +111,41 @@ def _shift_rows(s: list[int], inverse: bool) -> list[int]:
 
 
 def _mix_columns(s: list[int], inverse: bool) -> list[int]:
-    m = (14, 11, 13, 9) if inverse else (2, 3, 1, 1)
+    m0, m1, m2, m3 = (
+        (_MUL[14], _MUL[11], _MUL[13], _MUL[9])
+        if inverse
+        else (_MUL[2], _MUL[3], _MUL[1], _MUL[1])
+    )
     out = [0] * 16
     for c in range(4):
         col = s[4 * c : 4 * c + 4]
         for r in range(4):
             out[r + 4 * c] = (
-                _mul(m[0], col[r])
-                ^ _mul(m[1], col[(r + 1) % 4])
-                ^ _mul(m[2], col[(r + 2) % 4])
-                ^ _mul(m[3], col[(r + 3) % 4])
+                m0[col[r]] ^ m1[col[(r + 1) % 4]] ^ m2[col[(r + 2) % 4]] ^ m3[col[(r + 3) % 4]]
             )
     return out
 
 
 def encrypt_block(key: bytes, block: bytes) -> bytes:
     rk = _expand_key(key)
+    nr = len(rk) - 1
     s = [b ^ k for b, k in zip(block, rk[0])]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [_SBOX[b] for b in s]
         s = _shift_rows(s, inverse=False)
         s = _mix_columns(s, inverse=False)
         s = [b ^ k for b, k in zip(s, rk[rnd])]
     s = [_SBOX[b] for b in s]
     s = _shift_rows(s, inverse=False)
-    s = [b ^ k for b, k in zip(s, rk[10])]
+    s = [b ^ k for b, k in zip(s, rk[nr])]
     return bytes(s)
 
 
 def decrypt_block(key: bytes, block: bytes) -> bytes:
     rk = _expand_key(key)
-    s = [b ^ k for b, k in zip(block, rk[10])]
-    for rnd in range(9, 0, -1):
+    nr = len(rk) - 1
+    s = [b ^ k for b, k in zip(block, rk[nr])]
+    for rnd in range(nr - 1, 0, -1):
         s = _shift_rows(s, inverse=True)
         s = [_INV_SBOX[b] for b in s]
         s = [b ^ k for b, k in zip(s, rk[rnd])]
@@ -136,7 +157,7 @@ def decrypt_block(key: bytes, block: bytes) -> bytes:
 
 
 def cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES-128-CBC decrypt WITHOUT padding removal (caller strips)."""
+    """AES-CBC decrypt WITHOUT padding removal (caller strips)."""
     if len(iv) != 16 or len(data) % 16 != 0:
         raise ValueError("CBC ciphertext must be 16-byte aligned with a 16-byte IV")
     out = bytearray()
@@ -149,7 +170,7 @@ def cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 
 def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES-128-CBC encrypt WITHOUT padding (caller pads)."""
+    """AES-CBC encrypt WITHOUT padding (caller pads)."""
     if len(iv) != 16 or len(data) % 16 != 0:
         raise ValueError("CBC plaintext must be 16-byte aligned with a 16-byte IV")
     out = bytearray()

@@ -222,9 +222,10 @@ def _string_value(body: bytes, key: bytes) -> bytes:
 
 def _parse_encrypt(enc_body: bytes, data: bytes) -> dict:
     """Parse the /Encrypt dictionary + the trailer /ID first element.
-    Standard handler only: RC4 (/V 1-2, /R 2-3) and AES-128 crypt
-    filters (/V 4 /R 4 with /CFM /AESV2 or /V2). /V 5 (AES-256, R 5-6)
-    still refuses — different key derivation (SHA-256 based)."""
+    Standard handler only: RC4 (/V 1-2, /R 2-3), AES-128 crypt filters
+    (/V 4 /R 4 with /CFM /AESV2 or /V2) and AES-256 (/V 5 /R 5-6 with
+    /CFM /AESV3, the 2008+ handler: SHA-2 key derivation, 48-byte /O
+    and /U, /OE /UE encrypted file keys)."""
     if not re.search(rb"/Filter\s*/Standard\b", enc_body):
         raise UnsupportedPdfError("non-standard security handler")
     v = int(m.group(1)) if (m := re.search(rb"/V\s+(\d+)", enc_body)) else 0
@@ -242,9 +243,16 @@ def _parse_encrypt(enc_body: bytes, data: bytes) -> dict:
                 cfm = "rc4"
             else:
                 raise UnsupportedPdfError("unsupported /V 4 crypt filter (no AESV2/V2 /CFM)")
+        elif v == 5 and r in (5, 6):
+            if re.search(rb"/StmF\s*/Identity\b", enc_body):
+                cfm = "identity"
+            elif re.search(rb"/CFM\s*/AESV3\b", enc_body):
+                cfm = "aesv3"
+            else:
+                raise UnsupportedPdfError("unsupported /V 5 crypt filter (no AESV3 /CFM)")
         else:
             raise UnsupportedPdfError(
-                f"AES-256/unknown encryption unsupported (/V {v} /R {r})"
+                f"unknown encryption unsupported (/V {v} /R {r})"
             )
     p = int(m.group(1)) if (m := re.search(rb"/P\s+(-?\d+)", enc_body)) else -1
     # The TOP-LEVEL /Length is the key length in BITS. For /V 4 the nested
@@ -274,15 +282,30 @@ def _parse_encrypt(enc_body: bytes, data: bytes) -> dict:
     else:
         length = 40
     encrypt_metadata = not re.search(rb"/EncryptMetadata\s+false\b", enc_body)
-    # §7.6.3.2: 40-128 bits, multiple of 8. Out-of-range values (seen in
-    # corrupted files) would derive an empty/oversized RC4 key — the
-    # empty case crashes key scheduling (i % 0) instead of refusing.
-    if not (40 <= length <= 128 and length % 8 == 0):
-        raise UnsupportedPdfError(f"invalid /Length {length} (spec: 40-128, mult of 8)")
     o = _string_value(enc_body, b"O")
     u = _string_value(enc_body, b"U")
-    if len(o) != 32 or len(u) != 32:
-        raise UnsupportedPdfError("malformed /O or /U entry")
+    oe = ue = None
+    if v == 5:
+        # /Length is fixed at 256 bits for AESV3; /O and /U are 48 bytes
+        # (32-byte verification hash + 8-byte validation salt + 8-byte
+        # key salt), /OE and /UE hold the AES-256-CBC-wrapped file key
+        length = 256
+        if len(o) < 48 or len(u) < 48:
+            raise UnsupportedPdfError("malformed /O or /U entry (V5 needs 48 bytes)")
+        o, u = o[:48], u[:48]
+        oe = _string_value(enc_body, b"OE")
+        ue = _string_value(enc_body, b"UE")
+        if len(oe) != 32 or len(ue) != 32:
+            raise UnsupportedPdfError("malformed /OE or /UE entry")
+    else:
+        # §7.6.3.2: 40-128 bits, multiple of 8. Out-of-range values
+        # (seen in corrupted files) would derive an empty/oversized RC4
+        # key — the empty case crashes key scheduling (i % 0) instead
+        # of refusing.
+        if not (40 <= length <= 128 and length % 8 == 0):
+            raise UnsupportedPdfError(f"invalid /Length {length} (spec: 40-128, mult of 8)")
+        if len(o) != 32 or len(u) != 32:
+            raise UnsupportedPdfError("malformed /O or /U entry")
     idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
     id0 = _hex_bytes(re.sub(rb"\s", b"", idm.group(1))) if idm else b""
     return {
@@ -292,16 +315,64 @@ def _parse_encrypt(enc_body: bytes, data: bytes) -> dict:
         "n": length // 8,
         "o": o,
         "u": u,
+        "oe": oe,
+        "ue": ue,
         "id0": id0,
         "cfm": cfm,
         "encrypt_metadata": encrypt_metadata,
     }
 
 
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (/R 6 hardened hash): iterated
+    SHA-256/384/512 interleaved with AES-128-CBC, at least 64 rounds,
+    terminating when the last byte of the AES output <= rounds - 32."""
+    from magictables_spark.sources import aes as _aes
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    rounds = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes.cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        rounds += 1
+        if rounds >= 64 and e[-1] <= rounds - 32:
+            return k[:32]
+
+
+def _hash_v5(r: int, password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """/R 5 (AESV3, 2008 extension): single SHA-256; /R 6 (PDF 2.0):
+    the hardened Algorithm 2.B."""
+    if r == 5:
+        return hashlib.sha256(password + salt + udata).digest()
+    return _hash_2b(password, salt, udata)
+
+
+def _encryption_key_v5(enc: dict, password: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.A: verify ``password`` as the user
+    password (hash against /U) or the owner password (hash over /O with
+    the full /U string), then unwrap the 32-byte file key from /UE or
+    /OE with AES-256-CBC (zero IV, no padding). A failed check raises —
+    never wrong text."""
+    from magictables_spark.sources import aes as _aes
+
+    pwd = password[:127]  # spec: UTF-8, truncated to 127 bytes
+    r, o, u = enc["r"], enc["o"], enc["u"]
+    if _hash_v5(r, pwd, u[32:40]) == u[:32]:  # user password
+        inter = _hash_v5(r, pwd, u[40:48])
+        return _aes.cbc_decrypt(inter, b"\x00" * 16, enc["ue"])
+    if _hash_v5(r, pwd, o[32:40], u) == o[:32]:  # owner password
+        inter = _hash_v5(r, pwd, o[40:48], u)
+        return _aes.cbc_decrypt(inter, b"\x00" * 16, enc["oe"])
+    raise UnsupportedPdfError("password-protected PDF (user password required)")
+
+
 def _encryption_key(enc: dict, password: bytes = b"") -> bytes:
     """Algorithm 2: the file encryption key; then Algorithm 4/5 to
     verify ``password`` as the user password (empty = the common
     owner-locked case). A failed check raises — never wrong text."""
+    if enc["v"] == 5:
+        return _encryption_key_v5(enc, password)
     padded = (password + _PAD)[:32]
     seed = (
         padded
@@ -361,7 +432,7 @@ def _decrypt_body_streams(
         return body
     start, end = span
     payload = body[start:end]
-    if cfm == "aesv2":
+    if cfm in ("aesv2", "aesv3"):
         from magictables_spark.sources import aes as _aes
 
         if len(payload) == 0:
@@ -371,9 +442,12 @@ def _decrypt_body_streams(
             return body
         if len(payload) < 16 or (len(payload) - 16) % 16 != 0:
             raise UnsupportedPdfError("malformed AES stream (bad length)")
+        # AESV3 (/V 5) uses the 32-byte FILE key for every stream — the
+        # per-object md5 derivation (Algorithm 1) is V1-V4 only
+        stream_key = key if cfm == "aesv3" else _object_key(key, num, gen, aes=True)
         try:
             raw = _aes.pkcs7_unpad(
-                _aes.cbc_decrypt(_object_key(key, num, gen, aes=True), payload[:16], payload[16:])
+                _aes.cbc_decrypt(stream_key, payload[:16], payload[16:])
             )
         except ValueError as exc:
             # wrong key / corrupt ciphertext: refuse, never wrong text
@@ -954,3 +1028,99 @@ def build_aes_pdf(
     return build_rc4_pdf(
         pages, user_pw=user_pw, owner_pw=owner_pw, r=4, key_bits=128, cipher="aes"
     )
+
+
+def build_aes256_pdf(
+    pages: list[str],
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+    r: int = 6,
+) -> bytes:
+    """AES-256 /V 5 fixture (/R 5 AESV3 or /R 6 PDF-2.0): deterministic
+    file key, spec-computed 48-byte /O and /U (verification hash +
+    validation salt + key salt) and /OE /UE wrapped keys per ISO
+    32000-2 Algorithms 8/9, every content stream AES-256-CBC under the
+    FILE key (V5 has no per-object derivation). Written independently
+    from the reader so the round-trip test exercises both directions."""
+    from magictables_spark.sources import aes as _aes
+
+    def esc(s: str) -> bytes:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)").encode("latin-1")
+
+    seed = b"fixture-v5:" + str(pages).encode()
+    file_key = hashlib.sha256(b"filekey:" + seed).digest()  # 32 bytes
+    u_vsalt = hashlib.md5(b"uv:" + seed).digest()[:8]
+    u_ksalt = hashlib.md5(b"uk:" + seed).digest()[:8]
+    o_vsalt = hashlib.md5(b"ov:" + seed).digest()[:8]
+    o_ksalt = hashlib.md5(b"ok:" + seed).digest()[:8]
+    upwd, opwd = user_pw[:127], owner_pw[:127]
+    # Algorithm 8: /U and /UE from the user password
+    u = _hash_v5(r, upwd, u_vsalt) + u_vsalt + u_ksalt
+    ue = _aes.cbc_encrypt(_hash_v5(r, upwd, u_ksalt), b"\x00" * 16, file_key)
+    # Algorithm 9: /O and /OE from the owner password over the full /U
+    o = _hash_v5(r, opwd, o_vsalt, u) + o_vsalt + o_ksalt
+    oe = _aes.cbc_encrypt(_hash_v5(r, opwd, o_ksalt, u), b"\x00" * 16, file_key)
+    p = -44
+    id0 = hashlib.md5(b"fixture-id:" + seed).digest()
+
+    objects: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objects.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())  # 2
+    font_obj = 3 + 2 * n_pages
+    for i, page in enumerate(pages):
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj} 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode()
+        )
+        ops = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(page.split("\n")):
+            if j:
+                ops += b"0 -14 Td\n"
+            ops += b"(" + esc(line) + b") Tj\n"
+        ops += b"ET"
+        plain = zlib.compress(bytes(ops)) if i % 2 else bytes(ops)
+        filt = b" /Filter /FlateDecode" if i % 2 else b""
+        iv = hashlib.md5(b"fixture-iv:%d" % content_num).digest()
+        data = iv + _aes.cbc_encrypt(file_key, iv, _aes.pkcs7_pad(plain))
+        objects.append(
+            f"<< /Length {len(data)}".encode() + filt + b" >>\nstream\n" + data + b"\nendstream"
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    enc_num = len(objects) + 1
+    objects.append(
+        (
+            f"<< /Filter /Standard /V 5 /R {r} /Length 256 /P {p} "
+            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            "/StmF /StdCF /StrF /StdCF "
+        ).encode()
+        + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> "
+        + b"/OE <" + oe.hex().encode() + b"> /UE <" + ue.hex().encode() + b"> >>"
+    )
+
+    out = bytearray(b"%PDF-2.0\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R "
+        f"/Encrypt {enc_num} 0 R /ID [<".encode()
+        + id0.hex().encode()
+        + b"> <"
+        + id0.hex().encode()
+        + b">] >>\n"
+        + f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return bytes(out)

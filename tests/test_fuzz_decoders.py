@@ -34,6 +34,7 @@ from magictables_spark.operators.media_codecs import (
 )
 from magictables_spark.sources.pdf_text import (
     UnsupportedPdfError,
+    build_aes256_pdf,
     build_aes_pdf,
     build_objstm_pdf,
     build_rc4_pdf,
@@ -64,6 +65,9 @@ def test_pdf_mutations_never_escape(seed):
         build_objstm_pdf(["A b c", "B"]),
         build_rc4_pdf(["enc page"]),
         build_aes_pdf(["aes enc page"]),
+        # R5 only: the R6 hardened hash costs ~1 s per password check,
+        # which a mutated /U forces on every trial
+        build_aes256_pdf(["v5 enc page"], r=5),
     ]
     for trial in range(800):
         if trial % 4 == 3:

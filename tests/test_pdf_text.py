@@ -350,12 +350,83 @@ def test_aes_corrupt_ciphertext_refuses_not_garbage():
         extract_pdf_pages(bytes(pdf))
 
 
-def test_aes256_v5_still_refuses():
-    from magictables_spark.sources.pdf_text import build_aes_pdf
+def test_aes256_v5_r5_roundtrip():
+    """/V 5 /R 5 (AESV3) fixture decrypts to the exact text: SHA-256
+    key derivation + /UE unwrap + file-key AES-256-CBC streams —
+    completing PyPDF2+pycryptodome parity (reference sources.py:122-150)."""
+    from magictables_spark.sources.pdf_text import build_aes256_pdf
 
-    pdf = build_aes_pdf(["x"]).replace(b"/V 4 /R 4", b"/V 5 /R 6")
-    with pytest.raises(UnsupportedPdfError, match="AES-256|unknown"):
+    pages = ["Hello AES-256 world", "page two\nsecond line", "third (page) 50%"]
+    assert extract_pdf_pages(build_aes256_pdf(pages, r=5)) == pages
+
+
+def test_aes256_v5_r6_hardened_hash_roundtrip():
+    """/R 6 (PDF 2.0) uses the iterated Algorithm 2.B hash — one page
+    keeps the >=64-round AES-heavy derivation affordable in CI."""
+    from magictables_spark.sources.pdf_text import build_aes256_pdf
+
+    pages = ["R6 hardened (hash) page"]
+    assert extract_pdf_pages(build_aes256_pdf(pages, r=6)) == pages
+
+
+def test_aes256_user_password_refuses():
+    from magictables_spark.sources.pdf_text import build_aes256_pdf
+
+    pdf = build_aes256_pdf(["secret"], user_pw=b"hunter2", r=5)
+    with pytest.raises(UnsupportedPdfError, match="password"):
         extract_pdf_pages(pdf)
+
+
+def test_aes256_owner_password_unwraps_same_key():
+    """Algorithm 2.A owner branch: hashing over /O with the full /U
+    string unwraps the SAME 32-byte file key as the user branch."""
+    import re
+
+    from magictables_spark.sources.pdf_text import (
+        _dict_part,
+        _encryption_key,
+        _parse_encrypt,
+        _scan_objects,
+        build_aes256_pdf,
+    )
+
+    data = build_aes256_pdf(["owner test"], user_pw=b"userpw", owner_pw=b"bosspw", r=5)
+    raw = _scan_objects(data)
+    enc_num = int(re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data).group(1))
+    enc = _parse_encrypt(_dict_part(raw[enc_num][1]), data)
+    k_user = _encryption_key(enc, b"userpw")
+    k_owner = _encryption_key(enc, b"bosspw")
+    assert k_user == k_owner and len(k_user) == 32
+    with pytest.raises(UnsupportedPdfError, match="password"):
+        _encryption_key(enc, b"wrong")
+
+
+def test_aes256_corrupt_ue_refuses_not_garbage():
+    """A tampered /UE yields a wrong file key; the strict PKCS#7 strip
+    must surface that as a refusal, never silently-wrong text."""
+    from magictables_spark.sources.pdf_text import build_aes256_pdf
+
+    pdf = bytearray(build_aes256_pdf(["only page"], r=5))
+    i = pdf.find(b"/UE <")
+    pdf[i + 5] = ord("f") if pdf[i + 5] != ord("f") else ord("0")
+    pdf[i + 6] = ord("f") if pdf[i + 6] != ord("f") else ord("0")
+    with pytest.raises(UnsupportedPdfError):
+        extract_pdf_pages(bytes(pdf))
+
+
+def test_aes_192_256_block_vectors():
+    """FIPS-197 Appendix C.2 / C.3 pin the widened key schedule."""
+    from magictables_spark.sources import aes
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k192 = bytes.fromhex("000102030405060708090a0b0c0d0e0f1011121314151617")
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    assert aes.encrypt_block(k192, pt).hex() == "dda97ca4864cdfe06eaf70a0ec0d7191"
+    assert aes.encrypt_block(k256, pt).hex() == "8ea2b7ca516745bfeafc49904b496089"
+    for k in (k192, k256):
+        assert aes.decrypt_block(k, aes.encrypt_block(k, pt)) == pt
 
 
 def test_aes_pdf_source_rows(spark):
