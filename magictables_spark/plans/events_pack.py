@@ -230,10 +230,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_available_now(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
-    """Drive a streaming aggregation to completion: complete-mode memory
-    sink + Trigger.AvailableNow; returns the sink table. Stops any prior
-    query with the same sink name first (idempotent re-invocation)."""
+def _run_available_now(
+    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming aggregation to completion: memory sink +
+    Trigger.AvailableNow; returns the sink table. Stops any prior query
+    with the same sink name first (idempotent re-invocation). Append
+    mode relies on the trailing no-data micro-batch (on by default) to
+    advance the watermark past the last data batch and flush closed
+    windows."""
     for active in spark.streams.active:
         if active.name == name:
             active.stop()
@@ -241,7 +246,7 @@ def _run_available_now(spark: SparkSession, agg: DataFrame, name: str) -> DataFr
     query = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -383,3 +388,77 @@ def stream_session_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_available_now(spark, agg, "mts_stream_session_sink")
+
+
+@q(
+    "stream_session_watermarked",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '5 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    ), sess AS (
+      SELECT user_id,
+             MIN(ts) AS start_ts,
+             MAX(ts) AS last_ts,
+             COUNT(*) AS n_events
+      FROM islands
+      GROUP BY user_id, sid
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL '10 minutes' AS w FROM events
+    )
+    SELECT user_id,
+           strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+           n_events
+    FROM sess, wm
+    WHERE last_ts + INTERVAL '5 minutes' <= w
+    """,
+    doc="The PRODUCTION session-window shape: watermark + APPEND mode, "
+    "bounded state — unlike stream_session_availablenow's complete "
+    "mode, the state store only holds OPEN sessions; closed ones are "
+    "emitted exactly once and evicted. readStream -> withWatermark(ts, "
+    "'10 minutes') -> session_window(ts, '5 min') x user -> append "
+    "memory sink via Trigger.AvailableNow (the trailing no-data "
+    "micro-batch advances the watermark to max(ts) - 10 min and "
+    "flushes every closed session). Emission boundary pinned by "
+    "experiment: a session is emitted iff its END (last event + 5 min "
+    "gap) <= watermark — end == watermark EMITS — so the DuckDB "
+    "oracle takes the gaps-and-islands sessions and keeps exactly "
+    "those with last_ts + 5 min <= max(ts) - 10 min. Late rows behind "
+    "the watermark are provably dropped — with Spark's one-batch lag "
+    "on the late-event filter (eviction uses the current watermark, "
+    "filtering the PREVIOUS batch's; pinned by experiment) — "
+    "tests/test_stream_watermark.py feeds a 3-batch stream and "
+    "asserts both the drop and numRowsDroppedByWatermark. At 100 TB "
+    "this is the only viable session shape: state is O(open "
+    "sessions), not O(all sessions).",
+    tags=("events", "window", "session", "streaming"),
+)
+def stream_session_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream(spark, sf_dir)
+    # the fixture's ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). The cast reads
+    # the wall clock in the session tz, and date_format emits the same
+    # wall clock back, so the emitted strings are tz-independent.
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+    return _run_available_now(
+        spark, agg, "mts_stream_session_wm_sink", output_mode="append"
+    )
