@@ -351,3 +351,46 @@ def arrays_zip_explode(spark, sf_dir):
             F.col("z.l").cast("bigint").alias("token_len"),
         )
     )
+
+
+@q(
+    "chain_enrich_local",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           n_nationkey AS api_id,
+           CAST(('0x' || substring(md5(CAST(n_nationkey AS VARCHAR)), 1, 6)) AS BIGINT)
+             % 1000 AS api_score,
+           substring(md5(CAST(n_nationkey AS VARCHAR)), 1, 8) AS api_tag
+    FROM nation
+    """,
+    doc="The reference's SIGNATURE operator (chain/join_with_query, "
+    "magictable.py:349-391) run end to end at the driver surface: "
+    "url_template -> per-row URL column -> distinct-URL dedup -> "
+    "Arrow-batched mapInPandas thread-pool fetch -> JSON payload parse "
+    "-> api_-prefixed unnest -> left join back. The fetcher is "
+    "INJECTED and deterministic (payload fields derived from md5 of "
+    "the URL key, no network), which upgrades the whole distributed "
+    "fetch-join from rows-only to a FULL hash-checked oracle: DuckDB "
+    "recomputes the same md5-derived payload columns relationally. "
+    "Exactly the production plan shape — only default_fetcher (real "
+    "HTTP, covered by localhost-server unit tests) is swapped out. "
+    "Scale: one distinct on URLs, fetch cost proportional to UNIQUE "
+    "urls not rows, payload join broadcast-or-shuffle by size.",
+    tags=("pipeline", "chain", "api"),
+)
+def chain_enrich_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.operators.chain import chain_enrich
+
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def fetcher(url, params=None):  # deterministic offline "API"
+        import hashlib
+
+        key = url.rsplit("/", 1)[-1]
+        h = hashlib.md5(key.encode()).hexdigest()
+        return {"id": int(key), "score": int(h[:6], 16) % 1000, "tag": h[:8]}
+
+    out = chain_enrich(
+        nation, "https://api.example.com/nations/{n_nationkey}", fetcher=fetcher
+    )
+    return out.select("n_nationkey", "n_name", "api_id", "api_score", "api_tag")
