@@ -351,7 +351,18 @@ _ANN_LSH_DOC = (
     "engine-identical, so the DuckDB oracle rebuilds the identical "
     "index+probes and the whole approximate pipeline is hash-checked; "
     "recall vs exact top-k is additionally asserted in "
-    "tests/test_similarity.py."
+    "tests/test_similarity.py. Round-5 measurement note: routing the "
+    "candidate re-score through the int8 coarse path (as "
+    "ann_int8_rescore does) was evaluated and rejected — at sf0.1 the "
+    "exact-dot arithmetic is ~0.1 s of a ~1.9 s query (384k candidate "
+    "pairs; index build ~0.6 s, candidate join+dedup ~0.55 s, the "
+    "rest is plan/stage fixed cost), so an int8 prune would ADD a "
+    "window pass for a <5% arithmetic saving; on the JVM an int-typed "
+    "dot costs the same as the int64 dot (no SIMD width win to "
+    "harvest, unlike the production index ann_int8_rescore models). "
+    "The attach sides instead read the quantized scan directly, "
+    "dropping two round-robin exchanges the index-build path needed "
+    "but the re-score never did."
 )
 
 
@@ -471,8 +482,14 @@ def _ann_lsh_impl(
     #    rows per query BEFORE the final exchange — the last exchange
     #    and sort see ~10 rows per (query, task), not 21.7M.
     pairs = pairs.dropDuplicates(["lo", "hi"])
-    qa = norms.select(F.col("vec_id").alias("lo"), F.col("q").alias("qa"), F.col("nrm").alias("na"))
-    qb = norms.select(F.col("vec_id").alias("hi"), "q", "nrm")
+    # the attach sides read the quantized scan DIRECTLY (not `norms`):
+    # norms carries the round-robin repartition that exists purely to
+    # spread the per-vector index work — inheriting it here would add
+    # two round-robin exchanges in front of the broadcasts for nothing
+    # (measured ~0.2 s of stage overhead at sf0.1)
+    side = _quantized(spark, sf_dir).withColumn("nrm", _dot("q", "q"))
+    qa = side.select(F.col("vec_id").alias("lo"), F.col("q").alias("qa"), F.col("nrm").alias("na"))
+    qb = side.select(F.col("vec_id").alias("hi"), "q", "nrm")
     if n_vec <= 250_000:  # ~130 MB of 64-dim int64 vectors — broadcastable
         qa, qb = F.broadcast(qa), F.broadcast(qb)
     pairs = pairs.join(qa, "lo").join(qb, "hi")
