@@ -6,8 +6,16 @@ sf0.1 fixture size into /tmp, runs the scale-path slugs at each size,
 and reports per-size wall time + the fitted power-law exponent
 (time ~ n^k). A linear operator shows k ~= 1; a quadratic one k ~= 2.
 
-Usage: python tools/scale_probe.py [--sizes=5000,20000,80000] [--ops=a,b]
-Prints one JSON line per op and a summary table.
+Corpus (v3): Zipf-head + Heaps-tail vocabulary AND power-law document
+lengths (~Pareto, alpha ~ 1.25: median ~75 words, mean ~140, 1-2% of
+docs 10-40x the median, capped at 3000) — 100 TB stress is exactly
+straggler partitions from skewed docs (minhash band occupancy, LSH
+bucket fill, prefix-filter block sizes), which a uniform 40-120-word
+corpus never exercises.
+
+Usage: python tools/scale_probe.py [--sizes=5000,20000,80000,320000] [--ops=a,b]
+Prints one JSON line per op (per-size times, per-segment exponents,
+overall exponent) and a summary table.
 """
 
 from __future__ import annotations
@@ -58,7 +66,12 @@ def gen_tables(spark, out_dir: str, n_docs: int) -> None:
     adversarial-and-unrealistic for prefix/rarity-based filters: with
     no rare tokens, simjoin_prefix_filter's candidate set is
     near-quadratic NO MATTER the filter, which measures the corpus, not
-    the operator."""
+    the operator.
+
+    Document LENGTHS are power-law (v3): u uniform in (0, 1],
+    words = 40 + min(2960, 20 * u^-0.8) — median ~75, mean ~140, a
+    1-2% tail 10-40x the median. Uniform 40-120 (the round-3/4 corpus)
+    cannot produce the straggler partitions that dominate 100 TB runs."""
     from pyspark.sql import functions as F
 
     if os.path.exists(os.path.join(out_dir, "_done")):
@@ -79,7 +92,8 @@ def gen_tables(spark, out_dir: str, n_docs: int) -> None:
         .select(
             "doc_id",
             F.expr(
-                "array_join(transform(sequence(1, 40 + CAST(xxhash64(seed) % 81 AS INT) % 81), "
+                "array_join(transform(sequence(1, 40 + LEAST(2960, CAST(20.0 * POW("
+                "CAST(1 + abs(xxhash64(seed, 99)) % 9999 AS DOUBLE) / 10000.0, -0.8) AS INT))), "
                 "i -> CASE WHEN xxhash64(seed, i, 7) % 2 = 0 "
                 f"THEN element_at(array({','.join(repr(w) for w in VOCAB)}), "
                 "1 + CAST(abs(xxhash64(seed, i)) % 800 AS INT)) "
@@ -111,7 +125,7 @@ def gen_tables(spark, out_dir: str, n_docs: int) -> None:
 
 
 def main() -> None:
-    sizes = [5000, 20000, 80000]
+    sizes = [5000, 20000, 80000, 320000]
     ops = SCALE_OPS
     for a in sys.argv[1:]:
         if a.startswith("--sizes"):
@@ -127,7 +141,7 @@ def main() -> None:
 
     dirs = {}
     for n in sizes:
-        d = f"/tmp/mts_scale_v2_{n}"  # v2: Zipf-head + Heaps-tail vocab
+        d = f"/tmp/mts_scale_v3_{n}"  # v3: power-law doc lengths + Zipf/Heaps vocab
         gen_tables(spark, d, n)
         dirs[n] = d
 
@@ -144,14 +158,27 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t)
             per_size[n] = round(best, 3)
         lo, hi = min(sizes), max(sizes)
+        if hi == lo:  # single-size smoke run: no exponent to fit
+            results[slug] = {"times": per_size, "exponent": None, "segments": []}
+            print(json.dumps({"op": slug, **results[slug]}), flush=True)
+            continue
         k = math.log(per_size[hi] / per_size[lo]) / math.log(hi / lo)
-        results[slug] = {"times": per_size, "exponent": round(k, 2)}
+        # per-segment exponents expose a knee the overall fit averages
+        # away (the whole point of the 4th size)
+        segs = [
+            round(
+                math.log(per_size[b] / per_size[a]) / math.log(b / a), 2
+            )
+            for a, b in zip(sizes, sizes[1:])
+        ]
+        results[slug] = {"times": per_size, "exponent": round(k, 2), "segments": segs}
         print(json.dumps({"op": slug, **results[slug]}), flush=True)
 
-    print("\nop                          " + "".join(f"{n:>10}" for n in sizes) + "   n^k")
+    print("\nop                          " + "".join(f"{n:>10}" for n in sizes) + "   n^k   segments")
     for slug, r in results.items():
         row = "".join(f"{r['times'][n]:>10.2f}" for n in sizes)
-        print(f"{slug:<28}{row}   {r['exponent']:.2f}")
+        ek = "  n/a" if r["exponent"] is None else f"{r['exponent']:.2f}"
+        print(f"{slug:<28}{row}   {ek}   {r['segments']}")
 
 
 if __name__ == "__main__":
