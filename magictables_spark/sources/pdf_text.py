@@ -1030,6 +1030,98 @@ def build_aes_pdf(
     )
 
 
+def build_aes256_objstm_pdf(pages: list[str], r: int = 5) -> bytes:
+    """AES-256 /V 5 fixture with the page tree PACKED in an encrypted
+    FlateDecode /ObjStm (the modern-writer layout): container payload
+    is compress-then-encrypt (filters apply to plaintext per ISO
+    32000), content streams are top-level AES-256-CBC under the file
+    key. Exercises decrypt -> inflate -> object-stream expansion as
+    one path."""
+    from magictables_spark.sources import aes as _aes
+
+    def esc(s: str) -> bytes:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)").encode("latin-1")
+
+    seed = b"fixture-v5-objstm:" + str(pages).encode()
+    file_key = hashlib.sha256(b"filekey:" + seed).digest()
+    u_vsalt = hashlib.md5(b"uv:" + seed).digest()[:8]
+    u_ksalt = hashlib.md5(b"uk:" + seed).digest()[:8]
+    o_vsalt = hashlib.md5(b"ov:" + seed).digest()[:8]
+    o_ksalt = hashlib.md5(b"ok:" + seed).digest()[:8]
+    u = _hash_v5(r, b"", u_vsalt) + u_vsalt + u_ksalt
+    ue = _aes.cbc_encrypt(_hash_v5(r, b"", u_ksalt), b"\x00" * 16, file_key)
+    o = _hash_v5(r, b"owner", o_vsalt, u) + o_vsalt + o_ksalt
+    oe = _aes.cbc_encrypt(_hash_v5(r, b"owner", o_ksalt, u), b"\x00" * 16, file_key)
+    id0 = hashlib.md5(b"fixture-id:" + seed).digest()
+
+    n_pages = len(pages)
+    packed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            (
+                "<< /Type /Pages /Kids ["
+                + " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+                + f"] /Count {n_pages} >>"
+            ).encode(),
+        ),
+    ]
+    for i in range(n_pages):
+        packed.append(
+            (
+                3 + i,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    f"/Contents {10 + i} 0 R >>"
+                ).encode(),
+            )
+        )
+    bodies = b""
+    header_parts = []
+    for num, body in packed:
+        header_parts.append(f"{num} {len(bodies)}".encode())
+        bodies += body + b"\n"
+    header = b" ".join(header_parts) + b"\n"
+    iv = hashlib.md5(b"fixture-iv:30").digest()
+    payload = iv + _aes.cbc_encrypt(
+        file_key, iv, _aes.pkcs7_pad(zlib.compress(header + bodies))
+    )
+
+    out = bytearray(b"%PDF-2.0\n")
+    for i, page in enumerate(pages):
+        ops = b"BT /F1 12 Tf 72 720 Td\n(" + esc(page) + b") Tj\nET"
+        civ = hashlib.md5(b"fixture-iv:%d" % (10 + i)).digest()
+        data = civ + _aes.cbc_encrypt(file_key, civ, _aes.pkcs7_pad(ops))
+        out += (
+            f"{10 + i} 0 obj\n<< /Length {len(data)} >>\nstream\n".encode()
+            + data
+            + b"\nendstream\nendobj\n"
+        )
+    out += (
+        f"30 0 obj\n<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Length {len(payload)} /Filter /FlateDecode >>\nstream\n".encode()
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    out += (
+        (
+            f"31 0 obj\n<< /Filter /Standard /V 5 /R {r} /Length 256 /P -44 "
+            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            "/StmF /StdCF /StrF /StdCF "
+        ).encode()
+        + b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> "
+        + b"/OE <" + oe.hex().encode() + b"> /UE <" + ue.hex().encode() + b"> >>\nendobj\n"
+    )
+    out += (
+        b"trailer\n<< /Size 32 /Root 1 0 R /Encrypt 31 0 R /ID [<"
+        + id0.hex().encode()
+        + b"> <"
+        + id0.hex().encode()
+        + b">] >>\n%%EOF\n"
+    )
+    return bytes(out)
+
+
 def build_aes256_pdf(
     pages: list[str],
     user_pw: bytes = b"",

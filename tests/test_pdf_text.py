@@ -485,3 +485,14 @@ def test_aes_zero_length_stream_is_empty_not_refusal():
     body = b"<< /Length 0 >>\nstream\n\nendstream"
     out = _decrypt_body_streams(body, b"k" * 16, 7, 0, cfm="aesv2")
     assert out == body
+
+
+def test_aes256_objstm_combination_roundtrip():
+    """/V 5 encryption + /ObjStm page tree in one file: decrypt ->
+    inflate -> object-stream expansion as a single path (the modern
+    encrypted-writer layout; closes the COVERAGE.md 'untested combo'
+    row)."""
+    from magictables_spark.sources.pdf_text import build_aes256_objstm_pdf
+
+    pages = ["encrypted objstm page one", "and (page) two", "third\nmultiline"]
+    assert extract_pdf_pages(build_aes256_objstm_pdf(pages)) == pages
