@@ -216,6 +216,20 @@ N_PROBES = 4  # directed single-bit-flip probes per (vector, table)
 # a production pipeline that needs >0.7 recall would run
 N_TABLES_HI = 4
 N_PROBES_HI = 4
+# Hot-bucket cap (round-5 scale probe): heavily-clustered corpora put
+# thousands of near-identical vectors in ONE bucket (more bits cannot
+# split a tight cluster — the signs agree), and uncapped buckets made
+# candidate generation quadratic at 320k docs (segment exponent 2.16,
+# 116 s). The INDEX side of the bucket join keeps only the first
+# HOT_BUCKET_CAP members per (table, bucket), elected by md5(vec_id) —
+# deterministic and engine-identical, so the oracle mirrors it. Every
+# vector still PROBES (appears on the query side), so everyone gets
+# top-k; inside a tight cluster any CAP members are interchangeable
+# near-neighbors, so recall is unaffected where the cap binds. At the
+# design occupancy (TARGET_BUCKET=32) the cap never binds — it is
+# purely the skew guard, bounding candidates at n * tables * probes *
+# CAP = linear.
+HOT_BUCKET_CAP = 64
 TARGET_BUCKET = 32  # expected bucket occupancy the bit count aims for
 BITS_PER_TABLE = 4  # sign bits per table at fixture scale (AND within a table)
 
@@ -302,9 +316,19 @@ def _ann_lsh_oracle(n_tables: int, n_probes: int) -> str:
              unnest(list_prepend(bucket,
                list_transform(masks, m -> xor(bucket, m)))) AS pbucket
       FROM buckets
+    ), capped AS (
+      -- hot-bucket cap (round-5 scale probe): index side keeps the
+      -- first {HOT_BUCKET_CAP} members per (table, bucket) in md5
+      -- order — identical deterministic election in both engines
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT vec_id, tbl, bucket,
+               ROW_NUMBER() OVER (PARTITION BY tbl, bucket
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rb
+        FROM buckets
+      ) WHERE rb <= {HOT_BUCKET_CAP}
     ), cand AS (
       SELECT a.vec_id AS x, b.vec_id AS y
-      FROM probes a JOIN buckets b
+      FROM probes a JOIN capped b
         ON a.tbl = b.tbl AND a.pbucket = b.bucket AND a.vec_id <> b.vec_id
     ), pairs AS (
       SELECT DISTINCT query_id, neighbor_id FROM (
@@ -453,7 +477,17 @@ def _ann_lsh_impl(
         ).alias("bucket"),
         F.col("vec_id").alias("lo"),
     )
-    b = bucketed.select("table", "bucket", F.col("vec_id").alias("hi"))
+    # INDEX side: hot-bucket cap (see HOT_BUCKET_CAP) — a window keyed
+    # on the same (table, bucket) the join shuffles on, so the cap
+    # rides the exchange the join needs anyway
+    wb = Window.partitionBy("table", "bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    b = (
+        bucketed.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= HOT_BUCKET_CAP)
+        .select("table", "bucket", F.col("vec_id").alias("hi"))
+    )
     # Candidate pairs are UNORDERED and cosine is symmetric, but
     # DIRECTED probing is not (x may probe toward y without y probing
     # toward x), so canonicalize each candidate to (min, max) instead
