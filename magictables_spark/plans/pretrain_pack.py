@@ -1041,3 +1041,136 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_rank",
         "within_pos",
     )
+
+
+_DSIR_B = 256  # hashed-feature buckets (the "hashed n-gram" dimension)
+
+
+@q(
+    "dsir_importance",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM d WHERE len(toks) >= 2
+    ), b AS (
+      SELECT doc_id, {_h60_duck('gram')} % {_DSIR_B} AS bucket,
+             (lang = 'en') AS is_tgt
+      FROM g
+    ), cnt AS (
+      SELECT bucket, COUNT(*) AS cr,
+             COUNT(*) FILTER (WHERE is_tgt) AS ct
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt
+      FROM cnt
+    ), spine AS (
+      SELECT unnest(range(0, {_DSIR_B})) AS bucket
+    ), w AS (
+      SELECT spine.bucket,
+             (length(bin((nr + {_DSIR_B}) // (COALESCE(cr, 0) + 1))) - 1)
+           - (length(bin((nt + {_DSIR_B}) // (COALESCE(ct, 0) + 1))) - 1)
+               AS w_bits
+      FROM spine LEFT JOIN cnt ON spine.bucket = cnt.bucket CROSS JOIN tot
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(w_bits) AS BIGINT) AS weight_bits,
+           CAST(SUM(w_bits) AS BIGINT) > 0 AS selected
+    FROM b JOIN w ON b.bucket = w.bucket
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    doc="DSIR-style importance weighting (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling'): score "
+    "every raw document by how target-like its hashed-bigram "
+    "distribution is, where the target corpus is the lang='en' slice "
+    "and raw is the whole crawl. Features are whitespace bigrams "
+    "hashed to 256 buckets via the shared md5-60-bit fragment; the "
+    "per-bucket importance weight is the floored-log2 likelihood "
+    "ratio bits_raw - bits_target = floor(log2((N_r+B)/(c_r+1))) - "
+    "floor(log2((N_t+B)/(c_t+1))) (add-1 smoothing), kept in exact "
+    "BIGINT bits like unigram_surprisal_quality so both engines agree "
+    "bit-for-bit. A document's weight is the sum over its bigram "
+    "occurrences; selected = weight > 0 (more probable under target "
+    "than raw), the resampling acceptance rule with a fixed "
+    "threshold instead of a Gumbel draw so it stays deterministic "
+    "and oracle-able. 100 TB shape: ONE conditional-agg pass builds "
+    "both count dims (256 groups, partial-agg shuffle), the 256-row "
+    "weight table broadcasts back, and the per-doc score is a "
+    "doc_id-keyed partial agg -- no global state beyond two scalar "
+    "totals, tokens never shuffle raw text.",
+    tags=("pretrain", "sampling", "quality", "scale"),
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = _DSIR_B
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    grams = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_tgt"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    b = grams.select(
+        "doc_id", "is_tgt", F.expr(f"{_h60_spark('gram')} % {B}").alias("bucket")
+    )
+    cnt = b.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
+        F.count_if(F.col("is_tgt")).alias("ct"),
+    )
+    tot = cnt.agg(
+        F.sum("cr").cast("bigint").alias("nr"), F.sum("ct").cast("bigint").alias("nt")
+    ).collect()[0]
+    nr, nt = tot["nr"], tot["nt"]
+    spine = spark.range(B).select(F.col("id").cast("bigint").alias("bucket"))
+    w = spine.join(cnt, "bucket", "left").select(
+        "bucket",
+        (
+            (
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"CAST({nr} + {B} AS BIGINT) div (coalesce(cr, 0) + 1)"
+                        )
+                    )
+                )
+                - 1
+            )
+            - (
+                F.length(
+                    F.bin(
+                        F.expr(
+                            f"CAST({nt} + {B} AS BIGINT) div (coalesce(ct, 0) + 1)"
+                        )
+                    )
+                )
+                - 1
+            )
+        ).alias("w_bits"),
+    )
+    return (
+        b.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("w_bits").cast("bigint").alias("weight_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "weight_bits",
+            (F.col("weight_bits") > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

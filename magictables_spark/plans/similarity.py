@@ -1289,3 +1289,126 @@ def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return rescored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup at scale = cluster the
+# embedding space first, then run exact pairwise cosine ONLY within each
+# cluster. The cluster id becomes the join key, so the all-pairs
+# quadratic of embed_neardup collapses to sum-of-cluster^2 — with
+# k ~ sqrt(n) centroids that is O(n^1.5) worst-case and near-linear on
+# balanced clusters, and the vectors shuffle exactly once (on cid).
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35  # same threshold as embed_neardup so the containment
+#                      test (semdedup drops ⊆ exact neardup drops) is exact
+
+
+@q(
+    "semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, q AS cq FROM e
+      WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 8
+    ), dists AS (
+      SELECT e.vec_id, e.q, cent.cid,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (e.q[i] - cent.cq[i]) * (e.q[i] - cent.cq[i]))) AS BIGINT) AS d2
+      FROM e CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, q, cid FROM (
+        SELECT vec_id, q, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), norms AS (
+      SELECT vec_id, cid, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
+      FROM assign
+    ), dup AS (
+      SELECT b.vec_id
+      FROM norms a JOIN norms b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(range(1, 65), i -> a.q[i]*b.q[i])) AS BIGINT)
+              / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+            > {SEMDEDUP_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT n.vec_id, n.cid AS centroid_id, (d.vec_id IS NULL) AS kept
+    FROM norms n LEFT JOIN dup d ON n.vec_id = d.vec_id
+    ORDER BY n.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023, 'Semantic deduplication: removing "
+    "semantic duplicates from web-scale data'): assign every embedding "
+    "to its nearest centroid (the same deterministic vec_id%37-stride "
+    "seeds and exact int64 squared-L2 as kmeans_assign), then find "
+    "cosine-near-duplicate pairs ONLY within a cluster and drop the "
+    "higher vec_id of each pair. Unlike embed_neardup's all-pairs "
+    "baseline, the pair join here is an EQUI-join on centroid_id — the "
+    "100 TB shape: one broadcast of k centroids for assignment, one "
+    "shuffle of the vectors keyed on cid, quadratic work bounded by "
+    "the largest cluster (k ~ sqrt(n) keeps that near-linear; a hot "
+    "cluster would take the same md5-elected cap as ann_lsh_topk's "
+    "index side). Same 1e6-quantized int64 cosine and tau=0.35 as "
+    "embed_neardup, so every within-cluster drop is also an exact "
+    "neardup drop (containment asserted in tests).",
+    tags=("similarity", "dedup", "scale"),
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dists = e.crossJoin(F.broadcast(cent)).select("vec_id", "q", "cid", d2.alias("d2"))
+    # argmin via min-struct: (d2, cid) is unique per vec_id (cid distinct
+    # per row), so the trailing q never participates in the comparison —
+    # carrying it through the agg avoids a join-back shuffle on vec_id
+    assign = (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid", "q")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.q").alias("q"))
+    )
+    norms = assign.withColumn("nrm", _dot("q", "q")).localCheckpoint(eager=True)
+    a = norms.select(
+        F.col("cid").alias("cid_a"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    b = norms.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot("qa", "qb").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    dup = (
+        a.join(
+            b,
+            (F.col("cid_a") == F.col("cid_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") > SEMDEDUP_TAU)
+        .select("vec_b")
+        .distinct()
+    )
+    return (
+        norms.join(dup, norms["vec_id"] == dup["vec_b"], "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("centroid_id"),
+            F.col("vec_b").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -235,3 +235,23 @@ def test_curriculum_order_total_and_deterministic(spark, sf_dir):
     by_bucket = {r.lm_bucket: r.bucket_order for r in rows}
     assert by_bucket.get("head", 0) == 0 and by_bucket.get("tail", 2) == 2
     assert {r.lm_bucket for r in rows} <= {"head", "middle", "tail"}
+
+
+def test_dsir_selected_enriches_target_language(spark, sf_dir, duck):
+    """The DSIR acceptance rule (weight_bits > 0) must enrich the
+    target distribution: selected docs are majority-English and the
+    selected share of English exceeds the selected share of
+    non-English — the monotonicity DSIR exists to provide."""
+    from magictables_spark.plans.queries import REGISTRY
+
+    out = REGISTRY["dsir_importance"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    joined = out.join(docs, "doc_id").collect()
+    en_sel = sum(1 for r in joined if r.lang == "en" and r.selected)
+    en_all = sum(1 for r in joined if r.lang == "en")
+    other_sel = sum(1 for r in joined if r.lang != "en" and r.selected)
+    other_all = sum(1 for r in joined if r.lang != "en")
+    assert en_all and other_all
+    assert en_sel / en_all > other_sel / other_all, (
+        f"selected rate en={en_sel}/{en_all} vs other={other_sel}/{other_all}"
+    )

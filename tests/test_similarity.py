@@ -135,3 +135,26 @@ def test_ann_int8_rescore_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"int8-rescore recall {recall:.2f}"
+
+
+def test_semdedup_drops_are_exact_neardup_drops(spark, sf_dir):
+    """Every vector semdedup drops must also be droppable under the
+    exact all-pairs rule (same tau, same quantized cosine): a dropped
+    vec has a lower-id exact-neardup partner. The converse (recall of
+    the exact drop set) is reported, not gated — clustering trades
+    cross-cluster pairs for the equi-join scale shape by design."""
+    sem = REGISTRY["semdedup"].fn(spark, sf_dir).collect()
+    pairs = REGISTRY["embed_neardup"].fn(spark, sf_dir).collect()
+    dropped = {r.vec_id for r in sem if not r.kept}
+    exact_droppable = {r.vec_b for r in pairs}
+    assert dropped, "semdedup dropped nothing — threshold or fixture drifted"
+    assert dropped <= exact_droppable, (
+        f"semdedup dropped vectors with no exact near-dup partner: "
+        f"{sorted(dropped - exact_droppable)[:5]}"
+    )
+    recall = len(dropped) / len(exact_droppable)
+    # measured 0.39 at sf0.001 (tau=0.35 pairs are loose, so many span
+    # clusters); gate with margin below the measurement so a regression
+    # to near-zero clustering quality fails without pinning the exact
+    # cross-cluster trade
+    assert recall >= 0.3, f"semdedup drop recall vs exact: {recall:.2f}"
