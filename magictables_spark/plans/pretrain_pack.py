@@ -1174,3 +1174,142 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "vocab_growth_curve",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), mx AS (
+      SELECT MAX(doc_id) AS m FROM documents
+    ), fs AS (
+      SELECT token, MIN(doc_id) AS first_seen FROM t GROUP BY token
+    ), vocab_d AS (
+      SELECT CAST(LEAST(first_seen * 10 // (m + 1), 9) AS BIGINT) AS decile,
+             COUNT(*) AS new_vocab
+      FROM fs CROSS JOIN mx GROUP BY 1
+    ), tok_d AS (
+      SELECT CAST(LEAST(doc_id * 10 // (m + 1), 9) AS BIGINT) AS decile,
+             COUNT(*) AS n_tokens
+      FROM t CROSS JOIN mx GROUP BY 1
+    ), spine AS (
+      SELECT unnest(range(0, 10)) AS decile
+    )
+    SELECT spine.decile,
+           CAST(SUM(COALESCE(n_tokens, 0)) OVER (ORDER BY spine.decile) AS BIGINT)
+             AS cum_tokens,
+           CAST(SUM(COALESCE(new_vocab, 0)) OVER (ORDER BY spine.decile) AS BIGINT)
+             AS cum_vocab
+    FROM spine
+    LEFT JOIN vocab_d ON spine.decile = vocab_d.decile
+    LEFT JOIN tok_d ON spine.decile = tok_d.decile
+    ORDER BY spine.decile
+    """,
+    doc="Heaps-law vocabulary-growth curve: cumulative distinct "
+    "vocabulary vs cumulative token count at 10 corpus checkpoints "
+    "(doc_id deciles). The curve is THE capacity-planning artifact for "
+    "tokenizer training and dedup sizing — sublinear growth confirms a "
+    "natural-language corpus, linear growth flags ID/hash pollution. "
+    "Exact and engine-agnostic: first-occurrence is min(doc_id) per "
+    "token (one token-keyed partial-agg shuffle — the only data-sized "
+    "exchange), each token/doc maps to its decile map-side, and the "
+    "cumulative sums run over a 10-row frame. 100 TB shape: the heavy "
+    "aggregation is distributed; only the 10-row decile frame is "
+    "single-partition, by construction bounded.",
+    tags=("pretrain", "text", "analytics", "scale"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    def decile_of(c: str):
+        return F.least(
+            F.expr(f"CAST({c} * 10 div ({m} + 1) AS BIGINT)"),
+            F.lit(9).cast("bigint"),
+        )
+    fs = tok.groupBy("token").agg(F.min("doc_id").alias("first_seen"))
+    vocab_d = fs.groupBy(decile_of("first_seen").alias("decile")).agg(
+        F.count("*").alias("new_vocab")
+    )
+    tok_d = tok.groupBy(decile_of("doc_id").alias("decile")).agg(
+        F.count("*").alias("n_tokens")
+    )
+    spine = spark.range(10).select(F.col("id").cast("bigint").alias("decile"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(vocab_d, "decile", "left")
+        .join(tok_d, "decile", "left")
+        .select(
+            "decile",
+            F.sum(F.coalesce(F.col("n_tokens"), F.lit(0))).over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_vocab"), F.lit(0))).over(w).cast("bigint").alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )
+
+
+@q(
+    "doc_entropy_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), c AS (
+      SELECT doc_id, token, COUNT(*) AS ct FROM t GROUP BY doc_id, token
+    ), cn AS (
+      SELECT doc_id, ct,
+             CAST(SUM(ct) OVER (PARTITION BY doc_id) AS BIGINT) AS n_doc
+      FROM c
+    ), d AS (
+      SELECT doc_id, MAX(n_doc) AS n_tokens,
+             CAST(SUM(ct * (length(bin(n_doc // ct)) - 1)) AS BIGINT) AS sum_bits
+      FROM cn GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, sum_bits,
+           CAST(sum_bits AS DOUBLE) / n_tokens AS mean_bits,
+           (CAST(sum_bits AS DOUBLE) / n_tokens) >= 2.0 AS keep
+    FROM d ORDER BY doc_id
+    """,
+    doc="Within-document token-distribution entropy in exact integer "
+    "bits: each token occurrence contributes floor(log2(n_doc / "
+    "c_token)) — the self-surprisal of the doc's own unigram "
+    "distribution — and the doc-level mean flags degenerate text "
+    "(keyword stuffing, boilerplate loops, single-phrase spam) that "
+    "corpus-level surprisal misses because its TOKENS are common even "
+    "when their repetition is pathological. keep = mean >= 2 bits. "
+    "Complements gopher_quality_filters (2-gram repetition) with a "
+    "whole-distribution statistic. 100 TB shape: one groupBy(doc_id, "
+    "token) partial agg and one groupBy(doc_id) reduce — "
+    "embarrassingly parallel, no global state at all; the only double "
+    "is the final int/int division, bit-identical cross-engine.",
+    tags=("pretrain", "quality", "text", "scale"),
+)
+def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    c = tok.groupBy("doc_id", "token").agg(F.count("*").alias("ct"))
+    wdoc = Window.partitionBy("doc_id")
+    per = c.withColumn("n_doc", F.sum("ct").over(wdoc).cast("bigint")).select(
+        "doc_id",
+        "ct",
+        "n_doc",
+        (
+            F.col("ct")
+            * (F.length(F.bin(F.expr("n_doc div ct"))) - 1)
+        ).alias("bits"),
+    )
+    d = per.groupBy("doc_id").agg(
+        F.max("n_doc").alias("n_tokens"),
+        F.sum("bits").cast("bigint").alias("sum_bits"),
+    )
+    mean_bits = F.col("sum_bits").cast("double") / F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "sum_bits",
+        mean_bits.alias("mean_bits"),
+        (mean_bits >= 2.0).alias("keep"),
+    ).orderBy("doc_id")

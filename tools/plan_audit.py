@@ -35,6 +35,7 @@ SPE = "SINGLE_PARTITION_EXCHANGE"
 # pattern is safe (what bounds the broadcast side / the exchanged rows).
 WAIVERS: dict[str, dict[str, str]] = {
     "ann_ivf_topk": {NLJ: "broadcast side is the ~sqrt(n) centroid table"},
+    "vocab_growth_curve": {SPE: "cumulative sum over the 10-row decile spine; the data-sized aggs are distributed upstream"},
     "contamination_check": {NLJ: "broadcast side is the bounded held-out shingle set"},
     "embed_neardup": {NLJ: "declared exact quadratic baseline, guarded >50k rows; ann_lsh_topk is the scale path"},
     "interpolate_linear": {NLJ: "range join against the bounded per-series gap calendar"},
