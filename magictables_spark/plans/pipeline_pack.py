@@ -394,3 +394,57 @@ def chain_enrich_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation, "https://api.example.com/nations/{n_nationkey}", fetcher=fetcher
     )
     return out.select("n_nationkey", "n_name", "api_id", "api_score", "api_tag")
+
+
+@q(
+    "bucketed_join_colocated",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Bucketed-table co-located join: write orders and customer as "
+    "bucketed+sorted tables on the join key (8 buckets here; a real "
+    "warehouse sizes buckets to executor memory), then join the "
+    "bucketed reads. Because both sides are hash-bucketed identically "
+    "on the key, the sort-merge join consumes the bucket layout "
+    "directly -- ZERO shuffle for the join, the single most expensive "
+    "exchange in any 100 TB star join, paid once at write time and "
+    "amortized over every subsequent join (the Spark bucketing "
+    "contract; asserted in tests/test_physical_plans.py with "
+    "broadcast disabled). The result is provably identical to the "
+    "plain parquet join -- the oracle IS the plain join; o_totalprice "
+    "sums in exact integer cents so both engines agree bit-for-bit.",
+    tags=("scale", "joins", "formats"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh = os.path.join(tempfile.gettempdir(), "mts_bucketed")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    for name, df, key in (
+        ("bkt_orders", orders, "o_custkey"),
+        ("bkt_customer", cust, "c_custkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(wh, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o2, c2 = spark.table("bkt_orders"), spark.table("bkt_customer")
+    cents = (
+        F.sum(F.expr("CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return (
+        o2.join(c2, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), cents)
+        .orderBy("c_mktsegment")
+    )

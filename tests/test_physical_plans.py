@@ -65,3 +65,19 @@ def test_orc_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "scan_orc_roundtrip")
     assert "Scan orc" in plan or "FileScan orc" in plan, plan
     assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200], plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """The point of bucketed_join_colocated: with broadcast disabled,
+    the sort-merge join over the two bucketed tables must consume the
+    bucket layout directly — no Exchange feeds the join; the only
+    hash exchange in the whole plan is the 5-group mktsegment agg."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, sf_dir, "bucketed_join_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Bucketed: true" in plan, plan
