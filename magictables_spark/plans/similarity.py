@@ -1310,8 +1310,17 @@ SEMDEDUP_TAU = 0.35  # same threshold as embed_neardup so the containment
     WITH e AS (
       SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
     ), cent AS (
-      SELECT vec_id AS cid, q AS cq FROM e
-      WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 8
+      -- k = max(8, floor(sqrt(n))) md5-elected centroids: scales the
+      -- cluster count with the corpus so within-cluster pair work
+      -- stays ~n^1.5 worst-case (IEEE sqrt of a BIGINT is correctly
+      -- rounded in both engines, so floor(sqrt(n)) agrees exactly)
+      SELECT vec_id AS cid, q AS cq FROM (
+        SELECT vec_id, q,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+               COUNT(*) OVER () AS cnt
+        FROM e
+      ) WHERE rn <= GREATEST(8, CAST(FLOOR(SQRT(cnt)) AS BIGINT))
     ), dists AS (
       SELECT e.vec_id, e.q, cent.cid,
              CAST(list_sum(list_transform(range(1, 65),
@@ -1341,8 +1350,9 @@ SEMDEDUP_TAU = 0.35  # same threshold as embed_neardup so the containment
     """,
     doc="SemDeDup (Abbas et al. 2023, 'Semantic deduplication: removing "
     "semantic duplicates from web-scale data'): assign every embedding "
-    "to its nearest centroid (the same deterministic vec_id%37-stride "
-    "seeds and exact int64 squared-L2 as kmeans_assign), then find "
+    "to its nearest of k = max(8, floor(sqrt(n))) md5-elected "
+    "centroids (exact int64 squared-L2, same arithmetic as "
+    "kmeans_assign), then find "
     "cosine-near-duplicate pairs ONLY within a cluster and drop the "
     "higher vec_id of each pair. Unlike embed_neardup's all-pairs "
     "baseline, the pair join here is an EQUI-join on centroid_id — the "
@@ -1356,11 +1366,15 @@ SEMDEDUP_TAU = 0.35  # same threshold as embed_neardup so the containment
     tags=("similarity", "dedup", "scale"),
 )
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     e = _quantized(spark, sf_dir)
+    # parquet-footer count, like ann_lsh's bit sizing — metadata-speed
+    n_vec = _t(spark, sf_dir, "embeddings").count()
+    k = max(8, math.isqrt(n_vec))
     cent = (
-        e.filter(F.col("vec_id") % 37 == 0)
-        .orderBy("vec_id")
-        .limit(8)
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
     )
     d2 = F.aggregate(

@@ -153,8 +153,9 @@ def test_semdedup_drops_are_exact_neardup_drops(spark, sf_dir):
         f"{sorted(dropped - exact_droppable)[:5]}"
     )
     recall = len(dropped) / len(exact_droppable)
-    # measured 0.39 at sf0.001 (tau=0.35 pairs are loose, so many span
-    # clusters); gate with margin below the measurement so a regression
-    # to near-zero clustering quality fails without pinning the exact
-    # cross-cluster trade
-    assert recall >= 0.3, f"semdedup drop recall vs exact: {recall:.2f}"
+    # measured 0.30 at sf0.001 with k = max(8, sqrt(n)) = 22 clusters
+    # (tau=0.35 pairs are loose, so many span clusters — the designed
+    # trade); gate with margin below the measurement so a regression to
+    # near-zero clustering quality fails without pinning the exact
+    # cross-cluster split
+    assert recall >= 0.25, f"semdedup drop recall vs exact: {recall:.2f}"

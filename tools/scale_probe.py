@@ -50,6 +50,13 @@ SCALE_OPS = [
     "substring_dupe_coverage",
     "curriculum_order",
     "simjoin_prefix_filter",
+    # round-5 additions: semdedup's whole claim is that the equi-join
+    # on centroid_id stays sub-quadratic where embed_neardup blows up;
+    # dsir/doc-entropy/vocab-growth are the linear-scan quality family
+    "semdedup",
+    "dsir_importance",
+    "doc_entropy_filter",
+    "vocab_growth_curve",
 ]
 
 
