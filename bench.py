@@ -63,6 +63,12 @@ HEADLINE = [
     "unigram_surprisal_quality",
     "reproducible_shard_shuffle",
     "substring_dupe_coverage",
+    # round-5 additions: clustered semantic dedup (equi-join on
+    # centroid_id), DSIR hashed-bigram importance weighting, and the
+    # shuffle-free bucketed-layout join
+    "semdedup",
+    "dsir_importance",
+    "bucketed_join_colocated",
 ]
 
 

@@ -1122,9 +1122,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # one checkpointed (doc_id, is_tgt, bucket) scan feeds BOTH the
+    # count-dim pass (forced by the scalar-totals collect) and the
+    # per-doc scoring pass — without it the explode + md5 hashing of
+    # every bigram runs twice (measured ~40% of the query at sf0.1)
     b = grams.select(
         "doc_id", "is_tgt", F.expr(f"{_h60_spark('gram')} % {B}").alias("bucket")
-    )
+    ).localCheckpoint(eager=True)
     cnt = b.groupBy("bucket").agg(
         F.count("*").alias("cr"),
         F.count_if(F.col("is_tgt")).alias("ct"),

@@ -1377,11 +1377,12 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(k)
         .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    # unrolled L2: the distance is a post-crossJoin PROJECTION (not a
+    # BNLJ condition), so it participates in whole-stage codegen where
+    # the flat GetArrayItem chain beats the interpreted HOF lambda
+    d2 = F.expr(
+        "(" + " + ".join(f"(q[{i}] - cq[{i}]) * (q[{i}] - cq[{i}])" for i in range(64)) + ")"
+    ).cast("bigint")
     dists = e.crossJoin(F.broadcast(cent)).select("vec_id", "q", "cid", d2.alias("d2"))
     # argmin via min-struct: (d2, cid) is unique per vec_id (cid distinct
     # per row), so the trailing q never participates in the comparison —
@@ -1404,7 +1405,11 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qb"),
         F.col("nrm").alias("nb"),
     )
-    cos = _dot("qa", "qb").cast("double") / (
+    # unrolled dot on purpose: the cosine evaluates as a post-join
+    # PROJECTION here (equi-join on cid), inside whole-stage codegen —
+    # the opposite regime from embed_neardup's BNLJ condition where the
+    # HOF form wins (see the note there)
+    cos = _dot_unrolled("qa", "qb").cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     dup = (
