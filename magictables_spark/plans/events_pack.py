@@ -462,3 +462,33 @@ def stream_session_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_available_now(
         spark, agg, "mts_stream_session_wm_sink", output_mode="append"
     )
+
+
+@q(
+    "stream_dedup_availablenow",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+    doc="Streaming stateful dedup as a REAL streaming job: readStream "
+    "over the events fixture -> project to the dedup key (user_id, "
+    "event_type) -> dropDuplicates -> Trigger.AvailableNow -> memory "
+    "sink, hash-checked against SELECT DISTINCT. Projecting to the "
+    "key BEFORE dedup makes the kept row deterministic (any kept row "
+    "IS the key), so the streaming result is value-hash-comparable "
+    "even though dropDuplicates keeps an arbitrary first-seen row "
+    "under parallelism; the state store holds one entry per distinct "
+    "key -- the fourth stateful-streaming family verified cross-engine "
+    "(after tumbling/sliding/session windows). The watermarked "
+    "TTL-eviction variant of the same operator is unit-tested in "
+    "streaming/ (state cannot grow unboundedly in production; here "
+    "AvailableNow bounds the run).",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream(spark, sf_dir)
+    deduped = src.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = _run_available_now(spark, deduped, "mts_stream_dedup", output_mode="append")
+    return out.orderBy("user_id", "event_type")

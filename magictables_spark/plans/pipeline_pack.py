@@ -448,3 +448,91 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), cents)
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "partitioned_prune",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Hive-partitioned write + partition-pruned scan: write events "
+    "partitioned by event_date, then read one day back. The filter "
+    "binds to the PARTITION column, so Spark prunes directories at "
+    "planning time -- the scan never opens the other 29 days' files. "
+    "At 100 TB this is THE primary scan primitive: partition pruning "
+    "turns a full-table scan into a per-partition listing, before any "
+    "row is read (PartitionFilters plan-asserted in "
+    "tests/test_physical_plans.py). Result provably equals the same "
+    "filter over the unpartitioned parquet (the oracle); value sums "
+    "in exact integer cents.",
+    tags=("scale", "formats", "sources"),
+)
+def partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.gettempdir(), "mts_partitioned_events")
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("event_date") == F.to_date(F.lit("2024-01-15"))
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+             AS n_with_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Schema evolution across parquet batches: an early batch "
+    "(even orderkeys) lands WITHOUT o_orderpriority, a later batch "
+    "(odd orderkeys) adds the column; mergeSchema=true reads both as "
+    "one table with NULLs where the old files lack the column -- the "
+    "append-only schema-widening every long-lived 100 TB table "
+    "undergoes (mergeSchema costs a footer read per file at planning "
+    "time, which is why it is opt-in; data files are never "
+    "rewritten). The aggregate counts non-null priorities per status, "
+    "proving NULL-fill lands exactly on the old batch; the oracle "
+    "reproduces the split arithmetically from the single table.",
+    tags=("formats", "sources", "scale"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.gettempdir(), "mts_schema_evolution")
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(f"{out}/batch=1")
+    new.write.mode("overwrite").parquet(f"{out}/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -81,3 +81,15 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    """partitioned_prune's filter must bind to the partition column:
+    the scan lists only the matching day's directory (PartitionFilters
+    carries the predicate; no row-level filter remains for it)."""
+    plan = _plan(spark, sf_dir, "partitioned_prune")
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "event_date" in pf.group(1), plan
