@@ -492,3 +492,114 @@ def stream_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_available_now(spark, deduped, "mts_stream_dedup", output_mode="append")
     return out.orderBy("user_id", "event_type")
+
+
+@q(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pair AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ), tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM pair
+      GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n AS n_transitions,
+           CAST(p.n AS DOUBLE) / t.n_from AS prob
+    FROM pair p JOIN tot t ON p.from_type = t.from_type
+    ORDER BY p.from_type, p.to_type
+    """,
+    doc="First-order event-transition matrix: P(next event type | "
+    "current) per user timeline -- the Markov-chain view of behavioral "
+    "sequences (drop-off detection, anomalous-flow flags, synthetic "
+    "session generation priors). One LEAD window partitioned by "
+    "user_id (the exchange is user-keyed and reusable by every other "
+    "per-user window in the pack), one pair count, one 25-row "
+    "from-type total joined back broadcast. (ts, event_id) ordering "
+    "makes the successor deterministic under timestamp ties; prob is "
+    "one int/int division on identical integers, bit-identical "
+    "cross-engine.",
+    tags=("events", "analytics", "scale"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pair = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n_transitions"))
+    tot = pair.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("n_from")
+    )
+    return (
+        pair.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            (F.col("n_transitions").cast("double") / F.col("n_from")).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@q(
+    "top_event_paths",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5
+      GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY path
+    HAVING COUNT(*) >= 2
+    ORDER BY n_users DESC, path
+    """,
+    doc="Top onboarding paths: each user's first 5 events (by ts, "
+    "event_id -- deterministic under ties) concatenated into a path "
+    "string, then path frequencies with a >= 2 users support floor. "
+    "The product-analytics 'common journeys' query and the prior for "
+    "synthetic-session curricula. One user-keyed window (shared "
+    "exchange geometry with the rest of the pack), the rank filter "
+    "prunes to <= 5 rows per user BEFORE the path aggregation, and "
+    "path counting is an ordinary partial-agg groupBy on the "
+    "bounded-length string key.",
+    tags=("events", "analytics", "scale"),
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") >= 2)
+        .orderBy(F.desc("n_users"), "path")
+    )
