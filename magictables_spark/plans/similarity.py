@@ -228,8 +228,13 @@ N_PROBES_HI = 4
 # near-neighbors, so recall is unaffected where the cap binds. At the
 # design occupancy (TARGET_BUCKET=32) the cap never binds — it is
 # purely the skew guard, bounding candidates at n * tables * probes *
-# CAP = linear.
+# CAP = linear. Size-gated: below CAP_MIN_N vectors the cap window is
+# skipped entirely (a bucket CAN'T be pathologically hot when the
+# whole corpus is small vs the bucket space, and the window's
+# per-bucket sort is measurable at bench scale); the oracle mirrors
+# the gate with a CASE on COUNT(*), so both engines flip together.
 HOT_BUCKET_CAP = 64
+CAP_MIN_N = 50_000
 TARGET_BUCKET = 32  # expected bucket occupancy the bit count aims for
 BITS_PER_TABLE = 4  # sign bits per table at fixture scale (AND within a table)
 
@@ -325,7 +330,8 @@ def _ann_lsh_oracle(n_tables: int, n_probes: int) -> str:
                ROW_NUMBER() OVER (PARTITION BY tbl, bucket
                                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rb
         FROM buckets
-      ) WHERE rb <= {HOT_BUCKET_CAP}
+      ) WHERE rb <= CASE WHEN (SELECT COUNT(*) FROM embeddings) > {CAP_MIN_N}
+                         THEN {HOT_BUCKET_CAP} ELSE 9223372036854775807 END
     ), cand AS (
       SELECT a.vec_id AS x, b.vec_id AS y
       FROM probes a JOIN capped b
@@ -479,15 +485,20 @@ def _ann_lsh_impl(
     )
     # INDEX side: hot-bucket cap (see HOT_BUCKET_CAP) — a window keyed
     # on the same (table, bucket) the join shuffles on, so the cap
-    # rides the exchange the join needs anyway
-    wb = Window.partitionBy("table", "bucket").orderBy(
-        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-    )
-    b = (
-        bucketed.withColumn("rb", F.row_number().over(wb))
-        .filter(F.col("rb") <= HOT_BUCKET_CAP)
-        .select("table", "bucket", F.col("vec_id").alias("hi"))
-    )
+    # rides the exchange the join needs anyway. Size-gated (CAP_MIN_N):
+    # small corpora skip the window node — the oracle's CASE on
+    # COUNT(*) makes the gate identical in both engines.
+    if n_vec > CAP_MIN_N:
+        wb = Window.partitionBy("table", "bucket").orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+        b = (
+            bucketed.withColumn("rb", F.row_number().over(wb))
+            .filter(F.col("rb") <= HOT_BUCKET_CAP)
+            .select("table", "bucket", F.col("vec_id").alias("hi"))
+        )
+    else:
+        b = bucketed.select("table", "bucket", F.col("vec_id").alias("hi"))
     # Candidate pairs are UNORDERED and cosine is symmetric, but
     # DIRECTED probing is not (x may probe toward y without y probing
     # toward x), so canonicalize each candidate to (min, max) instead
