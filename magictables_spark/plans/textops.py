@@ -580,3 +580,118 @@ def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).alias("n_profile_hits"),
         )
     )
+
+
+@q(
+    "inverted_index",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT token, doc_id, COUNT(*) AS tf FROM t GROUP BY token, doc_id
+    ), ranked AS (
+      SELECT token, doc_id, tf,
+             COUNT(*) OVER (PARTITION BY token) AS df,
+             ROW_NUMBER() OVER (
+               PARTITION BY token ORDER BY tf DESC, doc_id) AS rnk
+      FROM tf
+    )
+    SELECT token, CAST(df AS BIGINT) AS df, doc_id, tf, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY token, rnk
+    """,
+    doc="Inverted-index head: for every token, its document frequency "
+    "and the top-3 postings by term frequency (ties to lowest doc_id) "
+    "-- the retrieval-side primitive behind BM25/keyword search and "
+    "the audit view for stopword/boilerplate discovery. One explode, "
+    "one (token, doc_id) partial-agg shuffle, then a token-keyed "
+    "window where Spark's partial WindowGroupLimit prunes each map "
+    "task to 3 rows per token BEFORE the final exchange -- hot tokens "
+    "(stopwords) never ship their full posting lists. df rides the "
+    "same window exchange as the rank.",
+    tags=("text", "analytics", "scale"),
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = t.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    wt = Window.partitionBy("token")
+    wr = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        tf.withColumn("df", F.count("*").over(wt).cast("bigint"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("token", "df", "doc_id", "tf", "rnk")
+        .orderBy("token", "rnk")
+    )
+
+
+_QUERY_TERMS = ("dup", "window", "merge")  # fixed retrieval query
+
+
+@q(
+    "tfidf_bits_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM t
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM t
+      WHERE token IN {_QUERY_TERMS!r}
+      GROUP BY token
+    ), idf AS (
+      SELECT token, length(bin(n_docs // df)) - 1 AS idf_bits
+      FROM df CROSS JOIN n
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM t
+      WHERE token IN {_QUERY_TERMS!r}
+      GROUP BY doc_id, token
+    )
+    SELECT doc_id,
+           CAST(SUM(tf * idf_bits) AS BIGINT) AS score_bits,
+           CAST(SUM(tf) AS BIGINT) AS n_matches
+    FROM tf JOIN idf USING (token)
+    GROUP BY doc_id
+    ORDER BY score_bits DESC, doc_id LIMIT 20
+    """,
+    doc="Keyword-relevance top-k in exact integer bits: score(d) = "
+    "sum over query terms of tf(t, d) * floor(log2(N_docs / df(t))) "
+    "-- the tf-idf ranking shape with the floored-log2 idf of "
+    "unigram_surprisal_quality, so (unlike the libm-log `tfidf` slug, "
+    "rows-only by construction) the full retrieval ranking is "
+    "hash-checked cross-engine. The rare-term dominance the integer "
+    "idf preserves is exactly BM25's behavior at its core. Scale "
+    "shape: the term filter pushes into the scan (a 3-term IN list), "
+    "the df/idf dim is query-term-sized and broadcasts, per-doc "
+    "scores are one doc-keyed partial agg, and the top-20 is a "
+    "TakeOrdered -- no global sort.",
+    tags=("text", "analytics", "scale"),
+)
+def tfidf_bits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token").isin(*_QUERY_TERMS))
+    n_docs = docs.select("doc_id").distinct().count()
+    df = t.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf = df.select(
+        "token",
+        (F.length(F.bin(F.expr(f"CAST({n_docs} AS BIGINT) div df"))) - 1).alias(
+            "idf_bits"
+        ),
+    )
+    tf = t.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    return (
+        tf.join(F.broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf_bits")).cast("bigint").alias("score_bits"),
+            F.sum("tf").cast("bigint").alias("n_matches"),
+        )
+        .orderBy(F.desc("score_bits"), "doc_id")
+        .limit(20)
+    )
