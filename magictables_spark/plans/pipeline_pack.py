@@ -536,3 +536,56 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@q(
+    "python_datasource_scan",
+    oracle="""
+    WITH src AS (
+      SELECT i AS id, md5(CAST(i AS VARCHAR)) AS payload,
+             (i * i) % 9973 AS value
+      FROM range(0, 1000) t(i)
+    )
+    SELECT CAST(value % 10 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(value) AS BIGINT) AS sum_value,
+           MIN(payload) AS min_payload
+    FROM src GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Spark 4 Python DataSource connector verified end to end: "
+    "spark.read.format('mts_fixture') goes through the first-class "
+    "pyspark.sql.datasource extension point -- the reader declares 8 "
+    "partitions and Spark schedules each partition's read() on an "
+    "executor, so a paged connector ingests cluster-parallel with "
+    "ordinary task retry, no driver bottleneck (the reference's "
+    "fetch-then-DataFrame pattern runs everything on one machine; "
+    "reference sources.py:60-104). The fixture source synthesizes "
+    "deterministic rows (id, md5(id), id^2 mod 9973), so the DuckDB "
+    "oracle reproduces the whole scan arithmetically from range() -- "
+    "a value-hash-checked CONNECTOR, which a network source can never "
+    "be; the same reader shape with an injected fetcher is "
+    "sources/pyds.py PagedAPIDataSource, unit-tested.",
+    tags=("sources", "scale", "formats"),
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.sources.pyds import FixtureDataSource
+
+    try:
+        spark.dataSource.register(FixtureDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("mts_fixture")
+        .option("n_rows", 1000)
+        .option("n_parts", 8)
+        .load()
+    )
+    return (
+        df.groupBy((F.col("value") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("value").cast("bigint").alias("sum_value"),
+            F.min("payload").alias("min_payload"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,133 @@
+"""Spark 4 Python DataSource connector: the reference's paged-API
+ingestion concept (reference sources.py:60-104 fetches a REST endpoint
+into rows) rebuilt on Spark's FIRST-CLASS extension point for Python
+connectors — ``pyspark.sql.datasource.DataSource`` — instead of a
+driver-side fetch-then-parallelize.
+
+Why this shape matters at 100 TB: the reader declares PARTITIONS (one
+per page range), and Spark schedules each partition's ``read`` on an
+executor — so a paginated API/export with millions of pages ingests
+cluster-parallel with no driver bottleneck and ordinary task retry
+semantics, exactly like a parquet scan. The driver never sees a row.
+
+Two sources:
+
+- ``mts_fixture`` — a deterministic arithmetic source (id, md5 payload,
+  value) used to verify the connector END TO END against a DuckDB
+  oracle computing the same rows from ``range()``: the scan itself is
+  value-hash-checked, which a network source can never be.
+- ``PagedAPIDataSource`` (format ``mts_api``) — the same reader shape
+  over an injectable fetcher (tests use the local fixture server /
+  MockFetcher); one partition per page window, rows yielded straight
+  from the decoded JSON.
+
+Arrow note: ``read`` may yield plain tuples or pyarrow RecordBatches;
+the fixture source yields tuples (the rows are synthesized in Python
+either way), a production connector with columnar payloads should
+yield RecordBatches to skip per-row pickling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class FixtureDataSource(DataSource):
+    """Deterministic rows: id, md5(id) payload, value = id*id % 9973.
+
+    Options: n_rows (default 1000), n_parts (default 8).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "mts_fixture"
+
+    def schema(self) -> str:
+        return "id BIGINT, payload STRING, value BIGINT"
+
+    def reader(self, schema) -> "FixtureReader":
+        return FixtureReader(
+            int(self.options.get("n_rows", 1000)),
+            int(self.options.get("n_parts", 8)),
+        )
+
+
+class FixtureReader(DataSourceReader):
+    def __init__(self, n_rows: int, n_parts: int):
+        self.n_rows = n_rows
+        self.n_parts = n_parts
+
+    def partitions(self):
+        step = max(1, (self.n_rows + self.n_parts - 1) // self.n_parts)
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            payload = hashlib.md5(str(i).encode()).hexdigest()
+            yield (i, payload, (i * i) % 9973)
+
+
+class PagedAPIDataSource(DataSource):
+    """Paged-API reader: one partition per page window; each executor
+    task fetches its own pages through the supplied fetcher module
+    (options: fetcher_module + fetcher_attr naming an importable
+    zero-arg factory returning ``fetch(url) -> dict``, url_template
+    with a ``{page}`` slot, n_pages, pages_per_task). Kept import-based
+    so the fetcher resolves ON THE WORKER — no driver-pickled sockets."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mts_api"
+
+    def schema(self) -> str:
+        return "page INT, body STRING"
+
+    def reader(self, schema) -> "PagedAPIReader":
+        return PagedAPIReader(dict(self.options))
+
+
+class PagedAPIReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = options
+
+    def partitions(self):
+        n_pages = int(self.options.get("n_pages", 1))
+        per_task = int(self.options.get("pages_per_task", 1))
+        return [
+            _RangePartition(lo, min(lo + per_task, n_pages))
+            for lo in range(0, n_pages, per_task)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        import importlib
+
+        mod = importlib.import_module(self.options["fetcher_module"])
+        fetch = getattr(mod, self.options["fetcher_attr"])()
+        template = self.options["url_template"]
+        for page in range(partition.start, partition.end):
+            body = fetch(template.format(page=page))
+            yield (page, json.dumps(body, sort_keys=True))
+
+
+def md5_echo_fetcher():
+    """Importable zero-arg fetcher factory for tests/demos: 'fetches'
+    a URL by answering with its md5 — deterministic, offline, and
+    resolvable on any executor (it lives in this installed module)."""
+
+    def fetch(url: str) -> dict:
+        return {"url_md5": hashlib.md5(url.encode()).hexdigest()}
+
+    return fetch
