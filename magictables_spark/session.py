@@ -74,6 +74,10 @@ def get_spark(app_name: str = "magictables_spark", master: str | None = None) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # Python DataSource connectors (sources/pyds.py) implement
+        # pushFilters; Spark refuses to initialize such readers unless
+        # connector-side pushdown is explicitly enabled
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as raw nanos (bigint) and convert in the
         # catalog (truncation ns->us, documented divergence SURVEY §7.3)

@@ -66,12 +66,53 @@ class FixtureReader(DataSourceReader):
     def __init__(self, n_rows: int, n_parts: int):
         self.n_rows = n_rows
         self.n_parts = n_parts
+        self.lo = 0  # id-range bounds, narrowed by pushed filters
+        self.hi = n_rows
+
+    def pushFilters(self, filters):
+        """Connector-side predicate pushdown (Spark 4.1): range
+        comparisons on the monotone ``id`` column narrow the generation
+        range BEFORE ``partitions()`` runs, so filtered scans schedule
+        fewer partitions and synthesize fewer rows — the Python-
+        connector analogue of parquet min/max pruning. Everything else
+        is returned for Spark to evaluate post-scan."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            if col == ("id",) and isinstance(getattr(f, "value", None), int):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            yield f
 
     def partitions(self):
-        step = max(1, (self.n_rows + self.n_parts - 1) // self.n_parts)
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = hi - lo
+        if n == 0:
+            return [_RangePartition(lo, lo)]
+        step = max(1, (n + self.n_parts - 1) // self.n_parts)
         return [
-            _RangePartition(lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
+            _RangePartition(p, min(p + step, hi)) for p in range(lo, hi, step)
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
