@@ -7,7 +7,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from magictables_spark.plans.registry import PRICE_I, QTY_I, TOTALPRICE_I, _t, q
+from magictables_spark.plans.registry import (
+    DISC_I,
+    PRICE_I,
+    QTY_I,
+    TAX_I,
+    TOTALPRICE_I,
+    _t,
+    q,
+)
 
 
 @q(
@@ -214,9 +222,9 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST({QTY_I} * {PRICE_I} AS DECIMAL(38, 0))) AS sxy
       FROM lineitem
     )
-    SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    SELECT (CAST(n AS DOUBLE) * (CAST(CAST(sxy AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(sxy AS HUGEINT) % 4294967296 AS DOUBLE)) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * (CAST(CAST(sxx AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(sxx AS HUGEINT) % 4294967296 AS DOUBLE)) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * (CAST(CAST(syy AS HUGEINT) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(CAST(syy AS HUGEINT) % 4294967296 AS DOUBLE)) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
              AS corr_qty_price,
         n AS n_rows
     FROM s
@@ -245,14 +253,17 @@ def corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((pi * pi).cast(dec)).alias("syy"),
         F.sum((qi * pi).cast(dec)).alias("sxy"),
     )
-    # moment sums are exact int64; the combination happens in double
-    # (identical cast-then-multiply sequence in the oracle) because the
-    # integer products n*sxy etc. overflow int64 at this scale
+    # moment sums are exact; the combination happens in double with the
+    # identical op sequence in the oracle. The DECIMAL sums cross into
+    # double via the deterministic 2^32 hi/lo split (_dec_dbl_spark) —
+    # DuckDB's direct decimal cast is off by 1 ulp past 2^53, found
+    # when corr_matrix landed (corr_exact had the same latent drift at
+    # sf0.1, outside the sf0.01 gate)
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy, sxy = (
-        F.col("sxx").cast("double"),
-        F.col("syy").cast("double"),
-        F.col("sxy").cast("double"),
+        F.expr(_dec_dbl_spark("sxx")),
+        F.expr(_dec_dbl_spark("syy")),
+        F.expr(_dec_dbl_spark("sxy")),
     )
     num = n * sxy - sx * sy
     den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
@@ -391,4 +402,125 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("purch_right").alias("purchase_right"),
         dist.cast("bigint").alias("dist_us"),
+    )
+
+
+# DECIMAL(38) -> double, deterministically: DuckDB's direct decimal/
+# hugeint -> double cast is NOT correctly rounded past 2^53 (measured:
+# 22240711483861231690 converts to ...b7fe vs the correct ...b7ff that
+# Spark/Java produce), so a straight CAST drifts by 1 ulp at sf0.1+.
+# Both engines instead run the IDENTICAL two-step: exact integer split
+# at 2^32 (hi fits 2^53 exactly, lo < 2^32 exactly), then
+# hi * 2^32 + lo in double — two correctly-rounded IEEE ops in the
+# same order, bit-identical by construction at ANY magnitude. DuckDB
+# needs the HUGEINT cast first because `//` on DECIMAL performs float
+# division (measured: returns 5178319170.107...).
+_B32 = 4294967296
+
+
+def _dec_dbl_spark(c: str) -> str:
+    return (
+        f"(CAST({c} div {_B32} AS DOUBLE) * {_B32}.0"
+        f" + CAST({c} % {_B32} AS DOUBLE))"
+    )
+
+
+def _dec_dbl_duck(c: str) -> str:
+    return (
+        f"(CAST(CAST({c} AS HUGEINT) // {_B32} AS DOUBLE) * {_B32}.0"
+        f" + CAST(CAST({c} AS HUGEINT) % {_B32} AS DOUBLE))"
+    )
+
+
+_CORR_COLS = (("qty", QTY_I), ("price", PRICE_I), ("disc", DISC_I), ("tax", TAX_I))
+
+
+def _corr_matrix_oracle() -> str:
+    sums = ["COUNT(*) AS n"]
+    for name, frag in _CORR_COLS:
+        sums.append(f"SUM({frag}) AS s_{name}")
+        sums.append(f"SUM(CAST({frag} * {frag} AS DECIMAL(38, 0))) AS s_{name}_{name}")
+    import itertools
+
+    names = [n for n, _ in _CORR_COLS]
+    frags = dict(_CORR_COLS)
+    pairs = list(itertools.combinations(names, 2))
+    for a, b in pairs:
+        sums.append(
+            f"SUM(CAST({frags[a]} * {frags[b]} AS DECIMAL(38, 0))) AS s_{a}_{b}"
+        )
+    selects = []
+    for a, b in pairs:
+        num = (
+            f"CAST(n AS DOUBLE) * {_dec_dbl_duck(f's_{a}_{b}')}"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+        )
+        den = (
+            f"sqrt(CAST(n AS DOUBLE) * {_dec_dbl_duck(f's_{a}_{a}')}"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * {_dec_dbl_duck(f's_{b}_{b}')}"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, ({num}) / ({den}) AS corr FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY col_a, col_b"
+    )
+
+
+@q(
+    "corr_matrix",
+    oracle=_corr_matrix_oracle(),
+    doc="Full pairwise Pearson correlation matrix over the four "
+    "lineitem measures (qty, price, discount, tax) from exact moment "
+    "sums: ONE scan accumulates all 15 sums (4 firsts, 4 squares, 6 "
+    "cross-products, count) in a single partial+final aggregate, then "
+    "the 6 pair rows explode out of the 1-row frame -- no per-pair "
+    "rescan, no melt-self-join (which would shuffle n x k rows to "
+    "recompute what one agg already holds). Second moments accumulate "
+    "in DECIMAL(38) (int64 overflows at sf0.1 already -- see "
+    "corr_exact); the double combination is the identical "
+    "cast-then-multiply sequence in both engines, so the matrix is "
+    "bit-identical cross-engine. The feature-correlation audit every "
+    "training pipeline runs before feature selection.",
+    tags=("agg", "stats", "scale"),
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import itertools
+
+    dec = "DECIMAL(38, 0)"
+    frags = {n: F.expr(f) for n, f in _CORR_COLS}
+    names = [n for n, _ in _CORR_COLS]
+    aggs = [F.count("*").alias("n")]
+    for n in names:
+        aggs.append(F.sum(frags[n]).alias(f"s_{n}"))
+        aggs.append(F.sum((frags[n] * frags[n]).cast(dec)).alias(f"s_{n}_{n}"))
+    pairs = list(itertools.combinations(names, 2))
+    for a, b in pairs:
+        aggs.append(F.sum((frags[a] * frags[b]).cast(dec)).alias(f"s_{a}_{b}"))
+    s = _t(spark, sf_dir, "lineitem").agg(*aggs)
+
+    def corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        saa = F.expr(_dec_dbl_spark(f"s_{a}_{a}"))
+        sbb = F.expr(_dec_dbl_spark(f"s_{b}_{b}"))
+        sab = F.expr(_dec_dbl_spark(f"s_{a}_{b}"))
+        num = n * sab - sa * sb
+        den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        return num / den
+
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr(a, b).alias("corr")
+        )
+        for a, b in pairs
+    ]
+    return (
+        s.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.col_a", "r.col_b", "r.corr")
+        .orderBy("col_a", "col_b")
     )
