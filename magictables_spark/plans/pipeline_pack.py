@@ -589,3 +589,116 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@q(
+    "python_datasource_stream_scan",
+    oracle="""
+    WITH src AS (
+      SELECT i AS id, md5(CAST(i AS VARCHAR)) AS payload,
+             (i * i) % 9973 AS value
+      FROM range(0, 100) t(i)
+    )
+    SELECT CAST(value % 10 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(value) AS BIGINT) AS sum_value,
+           MIN(payload) AS min_payload
+    FROM src GROUP BY bucket ORDER BY bucket
+    """,
+    doc="STREAMING Python DataSource connector verified end to end: "
+    "readStream over mts_fixture_stream (a SimpleDataSourceStreamReader "
+    "whose dict offsets advance 25 ids per micro-batch and whose "
+    "readBetweenOffsets regenerates any committed range exactly -- the "
+    "replay contract exactly-once ingestion needs), drained through a "
+    "memory sink until the offset stops advancing, then aggregated. "
+    "The DuckDB oracle reproduces the union of all micro-batches "
+    "arithmetically from range(), so offset bookkeeping errors "
+    "(dropped batch, double-read, partial replay) show up as a hash "
+    "mismatch, not just a row count.",
+    tags=("sources", "streaming", "scale"),
+)
+def python_datasource_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The streaming-source runner is a separate Python process that
+    # unpickles the DataSource CLASS; a module-level class pickles by
+    # reference and only resolves when the runner can import the
+    # package (cwd-dependent — the known kernel gotcha, and unlike the
+    # batch reader path the runner does not inherit the driver's
+    # sys.path). Defining the classes HERE makes cloudpickle ship them
+    # by value, so the registered query runs under any cwd; the
+    # module-level FixtureStreamDataSource (sources/pyds.py) stays the
+    # import-your-own-session library surface, unit-tested.
+    import hashlib as _hashlib
+
+    from pyspark.sql.datasource import (
+        DataSource as _DS,
+        SimpleDataSourceStreamReader as _SR,
+    )
+
+    n_rows_total, batch_rows = 100, 25
+
+    def _rows(lo: int, hi: int) -> list:
+        return [
+            (i, _hashlib.md5(str(i).encode()).hexdigest(), (i * i) % 9973)
+            for i in range(lo, hi)
+        ]
+
+    class _Reader(_SR):
+        def initialOffset(self) -> dict:
+            return {"next": 0}
+
+        def read(self, start: dict):
+            lo = int(start["next"])
+            hi = min(lo + batch_rows, n_rows_total)
+            return iter(_rows(lo, hi)), {"next": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(_rows(int(start["next"]), int(end["next"])))
+
+    class _Src(_DS):
+        @classmethod
+        def name(cls) -> str:
+            return "mts_fixture_stream"
+
+        def schema(self) -> str:
+            return "id BIGINT, payload STRING, value BIGINT"
+
+        def simpleStreamReader(self, schema) -> "_Reader":
+            return _Reader()
+
+    try:
+        spark.dataSource.register(_Src)
+    except Exception:
+        pass
+    for active in spark.streams.active:
+        if active.name == "mts_pyds_stream_q":
+            active.stop()
+            active.awaitTermination()
+    ckpt = os.path.join(tempfile.gettempdir(), "mts_pyds_stream_ckpt")
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    df = (
+        spark.readStream.format("mts_fixture_stream")
+        .option("n_rows", 100)
+        .option("batch_rows", 25)
+        .load()
+    )
+    q_ = (
+        df.writeStream.format("memory")
+        .queryName("mts_pyds_stream_q")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q_.processAllAvailable()
+    q_.stop()
+    q_.awaitTermination()
+    rows = spark.table("mts_pyds_stream_q")
+    return (
+        rows.groupBy((F.col("value") % 10).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("value").cast("bigint").alias("sum_value"),
+            F.min("payload").alias("min_payload"),
+        )
+        .orderBy("bucket")
+    )

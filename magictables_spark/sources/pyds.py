@@ -33,7 +33,12 @@ import hashlib
 import json
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _RangePartition(InputPartition):
@@ -172,3 +177,54 @@ def md5_echo_fetcher():
         return {"url_md5": hashlib.md5(url.encode()).hexdigest()}
 
     return fetch
+
+
+class FixtureStreamDataSource(DataSource):
+    """Streaming twin of the fixture source: each micro-batch emits the
+    next ``batch_rows`` ids (deterministic payloads), up to ``n_rows``
+    total, then idles. Offsets are plain dicts ({"next": i}) checkpoint-
+    able by Spark; ``readBetweenOffsets`` regenerates any committed
+    range exactly, so recovery/replay is deterministic end to end —
+    the contract a paged-API poller needs for exactly-once ingestion.
+
+    Options: n_rows (default 100), batch_rows (default 25).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "mts_fixture_stream"
+
+    def schema(self) -> str:
+        return "id BIGINT, payload STRING, value BIGINT"
+
+    def simpleStreamReader(self, schema) -> "FixtureStreamReader":
+        return FixtureStreamReader(
+            int(self.options.get("n_rows", 100)),
+            int(self.options.get("batch_rows", 25)),
+        )
+
+
+def _fixture_rows(start: int, end: int) -> Iterator[tuple]:
+    for i in range(start, end):
+        yield (i, hashlib.md5(str(i).encode()).hexdigest(), (i * i) % 9973)
+
+
+class FixtureStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, n_rows: int, batch_rows: int):
+        self.n_rows = n_rows
+        self.batch_rows = batch_rows
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_rows, self.n_rows)
+        # iter(list), not a generator: Spark's runner calls next() on
+        # the returned object (so it must be an iterator, not a bare
+        # list) and its prefetch cache copy.copy()s it (so it must be
+        # copyable — list_iterator pickles, generators do not)
+        return iter(list(_fixture_rows(lo, hi))), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_fixture_rows(int(start["next"]), int(end["next"]))))

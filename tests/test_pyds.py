@@ -73,3 +73,34 @@ def test_fixture_source_pushes_range_filters(spark):
     # 100-row slice splits across the configured parallelism instead
     # of scanning 100k rows
     assert "PushedFilters" in plan or sliced.rdd.getNumPartitions() <= 8
+
+
+def test_fixture_stream_source_exactly_once(spark, tmp_path):
+    """The streaming connector delivers every id exactly once across
+    micro-batches: readStream over mts_fixture_stream with
+    availableNow-style drain (processAllAvailable until the offset
+    stops advancing), rows collected through a memory sink."""
+    from magictables_spark.sources.pyds import FixtureStreamDataSource
+
+    _register(spark, FixtureStreamDataSource)
+    df = (
+        spark.readStream.format("mts_fixture_stream")
+        .option("n_rows", 100)
+        .option("batch_rows", 25)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("mts_pyds_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # drain until the offset stops advancing (the source idles at
+    # n_rows); AvailableNow would stop after ONE simple-reader batch
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    rows = spark.table("mts_pyds_stream").collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == list(range(100)), f"got {len(ids)} rows"
+    assert {r.id: r.payload for r in rows}[42] == hashlib.md5(b"42").hexdigest()
