@@ -603,3 +603,74 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_users") >= 2)
         .orderBy(F.desc("n_users"), "path")
     )
+
+
+_AB_Z = (
+    "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+)
+
+
+@q(
+    "ab_test_zscore",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 95 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT
+        COUNT(*) FILTER (WHERE variant = 0) AS n1,
+        SUM(converted) FILTER (WHERE variant = 0) AS c1,
+        COUNT(*) FILTER (WHERE variant = 1) AS n2,
+        SUM(converted) FILTER (WHERE variant = 1) AS c2
+      FROM per_user
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_control, CAST(c1 AS BIGINT) AS conv_control,
+           CAST(n2 AS BIGINT) AS n_treat, CAST(c2 AS BIGINT) AS conv_treat,
+           CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_control,
+           CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS rate_treat,
+           {_AB_Z} AS z,
+           ABS({_AB_Z}) > 1.959963984540054 AS significant_95
+    FROM s
+    """,
+    doc="Two-proportion z-test over a deterministic experiment split "
+    "(variant = user_id %% 2, conversion = user ever made a large "
+    "purchase, value > 95): the "
+    "A/B readout every event pipeline ends in. Counts are exact "
+    "integers from one user-keyed agg + one 1-row conditional agg; "
+    "the z statistic touches doubles only through a FIXED chain of "
+    "correctly-rounded IEEE ops (div/mul/add/sqrt -- the identical "
+    "expression text in both engines, shared via one fragment), so "
+    "even the test statistic and the 1.96 significance verdict are "
+    "value-hash-checked. The critical value is the double literal of "
+    "Phi^-1(0.975). Scale shape: per-user conversion flags partial-"
+    "aggregate map-side; the final frame is 1 row.",
+    tags=("events", "analytics", "stats"),
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 95), 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    s = per_user.agg(
+        F.count_if(F.col("variant") == 0).alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted"))).alias("c1"),
+        F.count_if(F.col("variant") == 1).alias("n2"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted"))).alias("c2"),
+    )
+    return s.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_control",
+        "CAST(c1 AS BIGINT) AS conv_control",
+        "CAST(n2 AS BIGINT) AS n_treat",
+        "CAST(c2 AS BIGINT) AS conv_treat",
+        "CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate_control",
+        "CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS rate_treat",
+        f"{_AB_Z} AS z",
+        f"ABS({_AB_Z}) > 1.959963984540054 AS significant_95",
+    )
