@@ -36,8 +36,10 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -228,3 +230,75 @@ class FixtureStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(list(_fixture_rows(int(start["next"]), int(end["next"]))))
+
+
+class JsonLinesDataSource(DataSource):
+    """Writable connector (format ``mts_jsonl``): each task writes its
+    partition to a staging file named by task id + a random suffix,
+    returns the staged path as its commit message, and the DRIVER-side
+    ``commit`` atomically renames all staged files into the target
+    directory only after every task succeeded (``abort`` deletes the
+    strays). This is the two-phase commit contract every distributed
+    sink needs: a lost/retried/speculative task leaves only unreferenced
+    staging files, never a half-visible result — the same protocol
+    parquet's OutputCommitter runs, here in ~40 lines of Python.
+
+    Options: path (required).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "mts_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
+        return JsonLinesWriter(self.options["path"], [f.name for f in schema], overwrite)
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, staged: str):
+        self.staged = staged
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, path: str, columns: list, overwrite: bool):
+        self.path = path
+        self.columns = columns
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> "_StagedFile":
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(
+            staging, f"part-{tc.partitionId():05d}-{uuid.uuid4().hex}.jsonl"
+        )
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.columns, row)), sort_keys=True))
+                f.write("\n")
+        return _StagedFile(staged)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
+        for m in messages:
+            if m is not None:
+                os.replace(
+                    m.staged, os.path.join(self.path, os.path.basename(m.staged))
+                )
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

@@ -104,3 +104,33 @@ def test_fixture_stream_source_exactly_once(spark, tmp_path):
     ids = sorted(r.id for r in rows)
     assert ids == list(range(100)), f"got {len(ids)} rows"
     assert {r.id: r.payload for r in rows}[42] == hashlib.md5(b"42").hexdigest()
+
+
+def test_jsonl_writer_two_phase_commit(spark, tmp_path):
+    """format('mts_jsonl') writes per-task staging files and the
+    driver-side commit renames them into place atomically: after a
+    successful write the target holds only committed .jsonl parts (no
+    _staging), and the rows round-trip exactly; a second overwrite
+    write replaces the visible files."""
+    import os
+
+    from magictables_spark.sources.pyds import JsonLinesDataSource
+
+    _register(spark, JsonLinesDataSource)
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    df = spark.range(100).selectExpr("id", "CAST(id * 3 AS BIGINT) AS tripled")
+    df.repartition(4).write.format("mts_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    parts = [n for n in os.listdir(out) if n.endswith(".jsonl")]
+    assert len(parts) == 4
+    back = spark.read.json(out)
+    got = {r.id: r.tripled for r in back.collect()}
+    assert got == {i: i * 3 for i in range(100)}
+    # overwrite replaces visible files
+    spark.range(10).selectExpr("id", "CAST(id AS BIGINT) AS tripled").repartition(
+        2
+    ).write.format("mts_jsonl").option("path", out).mode("overwrite").save()
+    assert spark.read.json(out).count() == 10
