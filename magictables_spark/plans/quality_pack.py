@@ -548,3 +548,128 @@ def crosstab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "dq_expectations",
+    oracle="""
+    WITH o AS (SELECT * FROM orders), l AS (SELECT * FROM lineitem)
+    SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS pass
+    FROM (
+      SELECT 'orders.o_orderkey unique' AS rule,
+             (SELECT COUNT(*) FROM o) AS n_checked,
+             (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM o) AS violations
+      UNION ALL
+      SELECT 'orders.o_custkey not null',
+             (SELECT COUNT(*) FROM o),
+             (SELECT COUNT(*) FILTER (WHERE o_custkey IS NULL) FROM o)
+      UNION ALL
+      SELECT 'orders.o_totalprice positive',
+             (SELECT COUNT(*) FROM o),
+             (SELECT COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0) FROM o)
+      UNION ALL
+      SELECT 'orders.o_orderdate in 1995-2002',
+             (SELECT COUNT(*) FROM o),
+             (SELECT COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01'
+                                         OR o_orderdate >= TIMESTAMP '2002-01-01') FROM o)
+      UNION ALL
+      SELECT 'orders.o_orderpriority in domain',
+             (SELECT COUNT(*) FROM o),
+             (SELECT COUNT(*) FILTER (WHERE o_orderpriority NOT IN
+               ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')) FROM o)
+      UNION ALL
+      SELECT 'lineitem.l_orderkey references orders',
+             (SELECT COUNT(*) FROM l),
+             (SELECT COUNT(*) FROM l WHERE NOT EXISTS
+               (SELECT 1 FROM o WHERE o.o_orderkey = l.l_orderkey))
+    )
+    ORDER BY rule
+    """,
+    doc="Deequ-style data-quality expectation suite as one registered "
+    "query: uniqueness (key-cardinality delta), completeness (null "
+    "counts), range checks (positive amounts, date window), domain "
+    "membership (priority enum), and referential integrity (lineitem "
+    "orphans via anti-join) -- each rule one row with its violation "
+    "count and pass flag, the gate a production pipeline evaluates "
+    "before publishing a batch. Scale shape: the five orders rules "
+    "fold into ONE conditional-agg scan (count/count-distinct/"
+    "filtered counts share the pass), the referential rule is a "
+    "broadcast-or-shuffle LEFT ANTI join counted map-side; nothing "
+    "collects more than the 6-row report.",
+    tags=("quality", "analytics", "scale"),
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    prio = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    orders_report = o.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("v_unique"),
+        F.count_if(F.col("o_custkey").isNull()).alias("v_null"),
+        F.count_if(
+            F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+        ).alias("v_price"),
+        F.count_if(
+            (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp"))
+        ).alias("v_date"),
+        F.count_if(~F.col("o_orderpriority").isin(*prio)).alias("v_domain"),
+    )
+    rules = orders_report.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders.o_orderkey unique").alias("rule"),
+                    F.col("n").cast("bigint").alias("n_checked"),
+                    F.col("v_unique").cast("bigint").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("orders.o_custkey not null").alias("rule"),
+                    F.col("n").cast("bigint").alias("n_checked"),
+                    F.col("v_null").cast("bigint").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("orders.o_totalprice positive").alias("rule"),
+                    F.col("n").cast("bigint").alias("n_checked"),
+                    F.col("v_price").cast("bigint").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("orders.o_orderdate in 1995-2002").alias("rule"),
+                    F.col("n").cast("bigint").alias("n_checked"),
+                    F.col("v_date").cast("bigint").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("orders.o_orderpriority in domain").alias("rule"),
+                    F.col("n").cast("bigint").alias("n_checked"),
+                    F.col("v_domain").cast("bigint").alias("violations"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    # one LEFT join + one agg yields total and orphan counts together
+    # (an anti-join count would need a second scan or a 1-row cross
+    # join for the denominator)
+    orphans = (
+        li.select("l_orderkey")
+        .join(
+            o.select(F.col("o_orderkey").alias("__ok")).distinct(),
+            F.col("l_orderkey") == F.col("__ok"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_checked"),
+            F.count_if(F.col("__ok").isNull()).alias("violations"),
+        )
+        .select(
+            F.lit("lineitem.l_orderkey references orders").alias("rule"),
+            F.col("n_checked").cast("bigint"),
+            F.col("violations").cast("bigint"),
+        )
+    )
+    return (
+        rules.unionByName(orphans)
+        .withColumn("pass", F.col("violations") == 0)
+        .orderBy("rule")
+    )
