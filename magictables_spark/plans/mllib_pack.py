@@ -82,10 +82,18 @@ def ann_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("raw"))
     )
     emb = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(emb).select("vec_id", "features")
+    if emb.isEmpty():  # .fit refuses zero rows; so would the probe loop
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, euclidean double"
+        )
     model = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=6, seed=42
     ).fit(emb)
     probes = emb.filter(F.col("vec_id") < 3).collect()
+    if not probes:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, euclidean double"
+        )
     out = None
     for p in probes:
         nn = model.approxNearestNeighbors(emb, p.features, 11).filter(
@@ -123,6 +131,10 @@ def tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.col("text"), " ").alias("tokens")
     )
     tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12).transform(docs)
+    if tf.isEmpty():  # IDF.fit refuses zero rows
+        return spark.createDataFrame(
+            [], "doc_id bigint, tfidf_sq_norm double, n_terms int"
+        )
     idf_model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
     out = idf_model.transform(tf)
     # project to a stable scalar schema for the rows-only gate

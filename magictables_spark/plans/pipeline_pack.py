@@ -393,6 +393,12 @@ def chain_enrich_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = chain_enrich(
         nation, "https://api.example.com/nations/{n_nationkey}", fetcher=fetcher
     )
+    # zero-row input: no payloads were fetched, so payload schema
+    # inference produced no api_ columns — surface them as typed nulls
+    # to keep the declared output schema stable
+    for col, typ in (("api_id", "bigint"), ("api_score", "bigint"), ("api_tag", "string")):
+        if col not in out.columns:
+            out = out.withColumn(col, F.lit(None).cast(typ))
     return out.select("n_nationkey", "n_name", "api_id", "api_score", "api_tag")
 
 
@@ -478,7 +484,10 @@ def partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), "mts_partitioned_events")
     ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
-    back = spark.read.parquet(out).filter(
+    # explicit schema on the read-back: the op's own doc preaches it
+    # (inference = extra footer reads at scale), and an empty write
+    # leaves no files to infer from
+    back = spark.read.schema(ev.schema).parquet(out).filter(
         F.col("event_date") == F.to_date(F.lit("2024-01-15"))
     )
     return (

@@ -725,7 +725,7 @@ def _surprisal_quality(docs: DataFrame) -> DataFrame:
     # vocab-sized dim, materialized once: both the corpus scalars and
     # the per-token surprisal broadcast derive from it
     cnt = tok.groupBy("token").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
-    n_total = cnt.agg(F.sum("c").cast("bigint").alias("n")).collect()[0]["n"]
+    n_total = cnt.agg(F.sum("c").cast("bigint").alias("n")).collect()[0]["n"] or 1  # empty corpus: keep div well-formed, all frames flow empty
     bits = cnt.select(
         "token",
         "c",
@@ -738,7 +738,7 @@ def _surprisal_quality(docs: DataFrame) -> DataFrame:
     stats = bits.agg(
         F.sum(F.col("c") * F.col("surprisal_bits")).cast("bigint").alias("all_bits"),
     ).collect()[0]
-    corpus_mean = stats["all_bits"] / n_total  # exact-int IEEE division
+    corpus_mean = (stats["all_bits"] or 0) / n_total  # exact-int IEEE division
     per_doc = (
         tok.join(F.broadcast(bits.select("token", "surprisal_bits")), "token")
         .groupBy("doc_id")
@@ -1136,7 +1136,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cnt.agg(
         F.sum("cr").cast("bigint").alias("nr"), F.sum("ct").cast("bigint").alias("nt")
     ).collect()[0]
-    nr, nt = tot["nr"], tot["nt"]
+    nr, nt = tot["nr"] or 0, tot["nt"] or 0  # empty corpus: bits exprs stay well-formed
     spine = spark.range(B).select(F.col("id").cast("bigint").alias("bucket"))
     w = spine.join(cnt, "bucket", "left").select(
         "bucket",
@@ -1225,7 +1225,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    m = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    m = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"] or 0  # empty: decile div uses m+1
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )

@@ -324,7 +324,7 @@ def _pagerank_ranks(
         )
         ranks = new_ranks
         rounds_used += 1
-        if delta < tol:
+        if delta is None or delta < tol:  # None = empty graph: converged
             break
     return ranks, rounds_used
 

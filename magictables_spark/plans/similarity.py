@@ -1038,6 +1038,16 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     centroids = [[float(x) for x in r.q] for r in seeds]
+    if not centroids:
+        # empty table: no seeds — return the empty report with the
+        # output schema (centroid_id, n_points, ssd_scaled)
+        return (
+            e.select(
+                F.lit(0).alias("centroid_id"),
+                F.lit(0).cast("bigint").alias("n_points"),
+                F.lit(0).cast("bigint").alias("ssd_scaled"),
+            ).limit(0)
+        )
 
     def dist_to(c: list[float]) -> str:
         # one parsed SQL fragment per centroid: k * dim * rounds F.lit
