@@ -711,3 +711,108 @@ def python_datasource_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket")
     )
+
+
+@q(
+    "python_datasource_write_roundtrip",
+    oracle="""
+    SELECT n_nationkey % 5 AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_checksum
+    FROM nation
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Python DataSource WRITE path verified end to end: nation "
+    "writes through format('mts_jsonl') -- per-task staging files, "
+    "driver-side two-phase commit renaming them into place -- then "
+    "reads back with an explicit schema and aggregates. The oracle "
+    "aggregates the source table directly, so a commit-protocol bug "
+    "(lost partition, double-committed file, half-visible overwrite) "
+    "breaks the checksum, not just a count. The writer classes ship "
+    "by value (closure, like the streaming reader) so the query runs "
+    "under any cwd.",
+    tags=("sources", "formats", "scale"),
+)
+def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.datasource import (
+        DataSource as _DS,
+        DataSourceWriter as _DW,
+        WriterCommitMessage as _CM,
+    )
+
+    class _Staged(_CM):
+        def __init__(self, staged: str):
+            self.staged = staged
+
+    class _Writer(_DW):
+        def __init__(self, path: str, columns: list):
+            self.path = path
+            self.columns = columns
+
+        def write(self, iterator) -> "_Staged":
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            staging = _os.path.join(self.path, "_staging")
+            _os.makedirs(staging, exist_ok=True)
+            staged = _os.path.join(
+                staging, f"part-{tc.partitionId():05d}-{_uuid.uuid4().hex}.jsonl"
+            )
+            with open(staged, "w") as fh:
+                for row in iterator:
+                    fh.write(_json.dumps(dict(zip(self.columns, row)), sort_keys=True))
+                    fh.write("\n")
+            return _Staged(staged)
+
+        def commit(self, messages) -> None:
+            import os as _os
+            import shutil as _shutil
+
+            for name in _os.listdir(self.path):
+                if name.endswith(".jsonl"):
+                    _os.remove(_os.path.join(self.path, name))
+            for m in messages:
+                if m is not None:
+                    _os.replace(
+                        m.staged, _os.path.join(self.path, _os.path.basename(m.staged))
+                    )
+            _shutil.rmtree(_os.path.join(self.path, "_staging"), ignore_errors=True)
+
+        def abort(self, messages) -> None:
+            import os as _os
+            import shutil as _shutil
+
+            _shutil.rmtree(_os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    class _Sink(_DS):
+        @classmethod
+        def name(cls) -> str:
+            return "mts_jsonl_q"
+
+        def writer(self, schema, overwrite: bool) -> "_Writer":
+            return _Writer(self.options["path"], [f.name for f in schema])
+
+    try:
+        spark.dataSource.register(_Sink)
+    except Exception:
+        pass
+    out = os.path.join(tempfile.gettempdir(), "mts_jsonl_roundtrip")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.write.format("mts_jsonl_q").option("path", out).mode("append").save()
+    back = spark.read.schema("n_nationkey INT, n_name STRING").json(out)
+    return (
+        back.groupBy((F.col("n_nationkey") % 5).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_nationkey").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("bucket")
+    )
