@@ -674,3 +674,71 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_AB_Z} AS z",
         f"ABS({_AB_Z}) > 1.959963984540054 AS significant_95",
     )
+
+
+@q(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Arbitrary-stateful streaming verified cross-engine: readStream "
+    "-> groupBy(user_id) -> applyInPandasWithState maintaining an "
+    "explicit (count, integer-cents total) state per user -> update-"
+    "mode memory sink, hash-checked against the batch GROUP BY. The "
+    "fifth stateful-streaming family (after 3 window kinds + dedup), "
+    "and the one that proves the ESCAPE HATCH -- custom Python state "
+    "logic windowed aggs can't express -- still lands bit-identical: "
+    "values accumulate as int64 cents inside the state handler, so "
+    "the result is order-independent where a float accumulator would "
+    "drift with batch order. Single AvailableNow batch here; the "
+    "watermark+EventTimeTimeout eviction variant of the same handler "
+    "is unit-tested in streaming/ (state boundedness). Handler is a "
+    "closure (ships by value, any-cwd safe).",
+    tags=("streaming", "events", "scale"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+        )
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.expr("CAST(ROUND(CAST(value AS DOUBLE) * 100) AS BIGINT)").alias("cents"),
+    )
+    totals = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, value_cents bigint",
+        stateStructType="n bigint, cents bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_available_now(
+        spark, totals, "mts_stream_stateful", output_mode="update"
+    )
+    # the memory sink APPENDS update-mode emissions; if AvailableNow
+    # ever splits the source into multiple batches a key emits once per
+    # batch — keep the FINAL (largest-count) emission per key so the
+    # query is correct under any batch split
+    return (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "value_cents")).alias("b"))
+        .select("user_id", F.col("b.n_events"), F.col("b.value_cents"))
+        .orderBy("user_id")
+    )
