@@ -605,12 +605,16 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NULLIF on the denominator: when the pooled rate is exactly 0 or 1
+# the variance is zero and the statistic is undefined — emit NULL in
+# both engines instead of tripping ANSI division-by-zero (happens on
+# corpora where every user converts, e.g. the scale-probe events)
 _AB_Z = (
     "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
     " - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
-    " / sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    " / NULLIF(sqrt((CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
     " * (1.0 - CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
-    " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+    " * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 0.0)"
 )
 
 

@@ -57,6 +57,14 @@ SCALE_OPS = [
     "dsir_importance",
     "doc_entropy_filter",
     "vocab_growth_curve",
+    # events family (probe corpus gained an events table late round 5):
+    # user-keyed windows, event-time windows, sequence analytics
+    "window_tumbling",
+    "window_session",
+    "event_transition_matrix",
+    "top_event_paths",
+    "funnel_conversion",
+    "ab_test_zscore",
 ]
 
 
@@ -82,6 +90,7 @@ def gen_tables(spark, out_dir: str, n_docs: int) -> None:
     from pyspark.sql import functions as F
 
     if os.path.exists(os.path.join(out_dir, "_done")):
+        _gen_events(spark, out_dir, n_docs)  # backfill on cached v3 dirs
         return
     os.makedirs(out_dir, exist_ok=True)
     tail_vocab = max(800, 8 * n_docs)
@@ -128,7 +137,39 @@ def gen_tables(spark, out_dir: str, n_docs: int) -> None:
         (F.col("id") % 7).cast("int").alias("label"),
     )
     emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    _gen_events(spark, out_dir, n_docs)
     open(os.path.join(out_dir, "_done"), "w").write("ok")
+
+
+def _gen_events(spark, out_dir: str, n_docs: int) -> None:
+    """Events table (added round 5): 5 rows per doc, users scale at
+    n/100 (realistic key cardinality for user-keyed exchanges),
+    event-time hash-spread over 30 days; all columns xxhash64-derived
+    (RNG-free). Generated separately so cached v3 corpora gain it
+    without regenerating the expensive documents table."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(out_dir, "events.parquet")):
+        return
+    n_events = n_docs * 5
+    n_users = max(50, n_docs // 100)
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, "
+            f"CAST(pmod(xxhash64(id, 1), {30 * 24 * 3600}) AS INT))"
+        ).alias("ts"),
+        F.expr(f"pmod(xxhash64(id, 2), {n_users})").alias("user_id"),
+        F.expr(
+            "element_at(array('view','click','purchase','signup','error'), "
+            "CAST(pmod(xxhash64(id, 3), 5) AS INT) + 1)"
+        ).alias("event_type"),
+        F.expr(
+            "CAST(CAST(pmod(xxhash64(id, 4), 40000) AS DOUBLE) / 100.0 AS DOUBLE)"
+        ).alias("value"),
+        F.lit('{}').alias("props"),
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
 
 def main() -> None:
