@@ -21,14 +21,19 @@ without any media library: ``encode_png`` (filter 0 scanlines),
 a small deterministic corpus of both — used by the ``multimodal_features``
 query and the unit tests.
 
-- **JPEG** (baseline sequential DCT, ITU-T T.81) via ``struct`` +
-  numpy: segment parse, canonical Huffman entropy decode, dequantize,
-  zig-zag de-scan, float IDCT, chroma upsampling (4:4:4/4:2:2/4:2:0),
-  DRI/RSTn restart resync, YCbCr->RGB, per-image pixel mean/std.
-  Progressive (SOF2) / arithmetic / 12-bit files refuse with
-  ``UnsupportedMediaError``. A matching baseline ENCODER
-  (``encode_jpeg``: FDCT + Annex K tables + 4:4:4 or 4:2:0) generates
-  fixtures; decoder reads all tables from the file, never Annex K.
+- **JPEG** (baseline sequential DCT **and** progressive, ITU-T T.81)
+  via ``struct`` + numpy: segment parse, canonical Huffman entropy
+  decode, dequantize, zig-zag de-scan, float IDCT, chroma upsampling
+  (4:4:4/4:2:2/4:2:0), DRI/RSTn restart resync, YCbCr->RGB, per-image
+  pixel mean/std. Progressive (SOF2, Annex G) decodes the full scan
+  script — spectral selection, successive approximation (DC and AC
+  first + refinement scans), EOB runs — through the same
+  coefficient-domain path as baseline. Arithmetic / 12-bit /
+  lossless / hierarchical files refuse with ``UnsupportedMediaError``.
+  Matching ENCODERS (``encode_jpeg``: FDCT + Annex K tables;
+  ``encode_jpeg_progressive``: the libjpeg-style 10-scan script with
+  per-scan flat Huffman tables) generate fixtures; the decoder reads
+  all tables from the file, never Annex K.
 
 Formats that genuinely require a codec library (MP3, MP4 full decode)
 are rejected with ``UnsupportedMediaError``; the Arrow-batched kernel
@@ -347,9 +352,10 @@ def ensure_media_fixture_dir(
 ) -> str:
     """Materialize a deterministic media corpus (idempotent: skipped if
     already present). PNGs are seeded gradient/checker patterns, WAVs
-    are seeded sine mixtures, JPEGs rotate through gray/4:4:4/4:2:0 and
-    a restart-interval variant, plus one deliberately corrupt file per
-    modality to exercise the ok=False path."""
+    are seeded sine mixtures, JPEGs rotate through gray/4:4:4/4:2:0, a
+    restart-interval variant, and two progressive (SOF2) variants, plus
+    one deliberately corrupt file per modality to exercise the ok=False
+    path."""
     marker = os.path.join(media_dir, ".complete")
     if os.path.exists(marker):
         return media_dir
@@ -390,12 +396,17 @@ def ensure_media_fixture_dir(
                 [(xx * 7 + i) % 256, (yy * 13 + 2 * i) % 256, ((xx + yy) * 3 + i) % 256],
                 axis=-1,
             ).astype(np.uint8)
-        data = encode_jpeg(
-            arr,
-            quality=80 + 3 * i,
-            subsample="420" if i % 3 == 2 else "444",
-            restart_interval=3 if i == 4 else 0,
-        )
+        if i in (1, 3):  # progressive variants (SOF2): one RGB, one gray
+            data = encode_jpeg_progressive(
+                arr, quality=80 + 3 * i, subsample="444" if arr.ndim == 2 else "420"
+            )
+        else:
+            data = encode_jpeg(
+                arr,
+                quality=80 + 3 * i,
+                subsample="420" if i % 3 == 2 else "444",
+                restart_interval=3 if i == 4 else 0,
+            )
         with open(os.path.join(media_dir, f"img_{i:03d}.jpg"), "wb") as f:
             f.write(data)
     for i in range(n_mp3):
@@ -504,10 +515,15 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 # Decoder: SOI/APPn/DQT/SOF0+SOF1/DHT/DRI/SOS segment parse, canonical
 # Huffman entropy decode (spec F.2.2.3 DECODE), dequantize, zig-zag
 # de-scan, float IDCT via the orthonormal 8-point DCT-II basis, chroma
-# upsample, YCbCr->RGB. Progressive (SOF2) / arithmetic / 12-bit /
-# hierarchical files refuse with UnsupportedMediaError — skip, not die.
-# The decoder reads ALL tables from the file (DQT/DHT segments); the
-# spec Annex K tables below are used only by the fixture ENCODER.
+# upsample, YCbCr->RGB. Baseline (SOF0/SOF1) and progressive (SOF2,
+# T.81 Annex G: spectral selection + successive approximation, DC/AC
+# first and refinement scans, EOB runs) both decode through one
+# coefficient-domain path: scans accumulate into per-component
+# coefficient arrays, then one shared render step dequantizes + IDCTs.
+# Arithmetic / 12-bit / hierarchical files refuse with
+# UnsupportedMediaError — skip, not die. The decoder reads ALL tables
+# from the file (DQT/DHT segments); the spec Annex K tables below are
+# used only by the fixture ENCODER.
 
 _JPEG_MAX_PIXELS = 1 << 26  # 64M px: refuse header-driven memory bombs
 
@@ -645,19 +661,116 @@ def _decode_block(r: _ScanReader, dc_tab, ac_tab, pred: int):
     return zz, dc
 
 
+def _decode_dc_first(r: _ScanReader, dc_tab, pred: int, al: int, zz) -> int:
+    """Progressive DC first scan (T.81 G.2): diff-coded at reduced
+    precision Al; the stored coefficient is the shifted approximation.
+    Returns the new predictor (kept in the shifted-down domain)."""
+    s = _huff_decode(r, dc_tab)
+    if s > 15:
+        raise UnsupportedMediaError("invalid JPEG DC category")
+    pred += _extend(r.receive(s), s) if s else 0
+    zz[0] = pred << al
+    return pred
+
+
+def _decode_dc_refine(r: _ScanReader, al: int, zz) -> None:
+    """Progressive DC refinement: one raw bit per block, ORed into bit
+    Al of the two's-complement coefficient (works for negative DC)."""
+    if r.bit():
+        zz[0] |= 1 << al
+
+
+def _decode_ac_first(r: _ScanReader, ac_tab, zz, ss, se, al, eobrun) -> int:
+    """Progressive AC first scan for one block (T.81 G.2): run/size
+    coding of the band [Ss..Se] at precision Al, plus EOBn end-of-band
+    runs that span whole blocks. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run != 15:
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.receive(run)
+                return eobrun
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise UnsupportedMediaError("JPEG AC run past spectral band end")
+        zz[k] = _extend(r.receive(size), size) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(r: _ScanReader, ac_tab, zz, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement for one block (T.81 G.2, Figure G.7
+    semantics): newly-significant coefficients arrive as run/1 symbols
+    with a sign bit; every already-nonzero coefficient passed on the
+    walk reads one correction bit; an EOB run covers whole blocks whose
+    remaining nonzero coefficients still read correction bits. Returns
+    the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.receive(run)
+                    break  # rest of this block handled by the EOB walk
+                # run == 15: ZRL — pass 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise UnsupportedMediaError("invalid JPEG AC refinement size")
+                newval = p1 if r.bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if r.bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the remainder of the block
+            if zz[k] != 0:
+                if r.bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def decode_jpeg(data: bytes) -> dict:
-    """Decode a baseline (SOF0/SOF1, Huffman) JPEG: geometry + per-image
-    pixel mean/std on the 0-255 RGB (or gray) scale, same contract as
-    decode_png/decode_bmp. Handles 4:4:4 / 4:2:2 / 4:2:0 chroma
-    subsampling, 16-bit DQT precision, and DRI/RSTn restart intervals."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) Huffman
+    JPEG: geometry + per-image pixel mean/std on the 0-255 RGB (or
+    gray) scale, same contract as decode_png/decode_bmp. Handles
+    4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, 16-bit DQT precision,
+    DRI/RSTn restart intervals, and progressive scan scripts (spectral
+    selection + successive approximation, T.81 Annex G)."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise UnsupportedMediaError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}  # id -> 64 values, ZIGZAG order
     huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> decode table
     frame = None
+    coeffs: dict[int, np.ndarray] | None = None  # cid -> (bh, bw, 64) zigzag
     restart_interval = 0
-    result = None
+    n_scans = 0
+    saw_eoi = False
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise UnsupportedMediaError("lost JPEG marker sync")
@@ -666,6 +779,7 @@ def decode_jpeg(data: bytes) -> dict:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         if pos + 2 > len(data):
             raise UnsupportedMediaError("JPEG segment header truncated")
@@ -690,7 +804,9 @@ def decode_jpeg(data: bytes) -> dict:
                     i += 128
                 else:
                     raise UnsupportedMediaError(f"invalid JPEG DQT precision {pq}")
-        elif marker in (0xC0, 0xC1):  # baseline / extended-sequential Huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential Huffman / progressive
+            if frame is not None:
+                raise UnsupportedMediaError("multiple JPEG frames")
             if len(seg) < 6:
                 raise UnsupportedMediaError("JPEG SOF truncated")
             precision = seg[0]
@@ -711,10 +827,25 @@ def decode_jpeg(data: bytes) -> dict:
                 if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise UnsupportedMediaError(f"invalid JPEG sampling {h}x{v}")
                 comps.append({"id": cid, "h": h, "v": v, "tq": tq})
-            frame = {"width": width, "height": height, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {
+                "width": width,
+                "height": height,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            # coefficient store over the MCU-padded grid, accumulated
+            # across scans (zigzag order; zero until a scan writes it)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            coeffs = {
+                c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                for c in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                f"progressive/arithmetic/hierarchical JPEG unsupported (SOF marker 0xFF{marker:02X})"
+                f"lossless/arithmetic/hierarchical JPEG unsupported (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xC4:  # DHT
             i = 0
@@ -735,72 +866,163 @@ def decode_jpeg(data: bytes) -> dict:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise UnsupportedMediaError("JPEG SOS before SOF")
+            n_scans += 1
+            if n_scans > 100:
+                raise UnsupportedMediaError("too many JPEG scans")
             ns = seg[0] if seg else 0
-            if ns != len(frame["comps"]) or len(seg) < 1 + 2 * ns + 3:
-                raise UnsupportedMediaError("JPEG SOS malformed (expect one interleaved scan)")
+            if ns < 1 or len(seg) < 1 + 2 * ns + 3:
+                raise UnsupportedMediaError("JPEG SOS malformed")
             scan = []
             for i in range(ns):
                 cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next((c for c in frame["comps"] if c["id"] == cs), None)
                 if comp is None:
                     raise UnsupportedMediaError("JPEG SOS names unknown component")
+                if comp["tq"] not in qt:
+                    raise UnsupportedMediaError(f"JPEG references missing DQT {comp['tq']}")
                 scan.append((comp, (0, tda >> 4), (1, tda & 0x0F)))
-            result = _decode_scan(data, pos + seglen, frame, scan, qt, huff, restart_interval)
-            break
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if frame["progressive"]:
+                if not (ss <= se <= 63 and al <= 13 and ah in (0, al + 1)):
+                    raise UnsupportedMediaError("invalid JPEG progressive scan header")
+                if ss == 0 and se != 0:
+                    raise UnsupportedMediaError("progressive DC scan must have Se=0")
+                if ss > 0 and ns != 1:
+                    raise UnsupportedMediaError("progressive AC scan must be single-component")
+            elif ns != len(frame["comps"]) or (ss, se, ah, al) != (0, 63, 0, 0):
+                raise UnsupportedMediaError("JPEG SOS malformed (expect one interleaved scan)")
+            pos = _decode_scan_coeffs(
+                data, pos + seglen, frame, scan, coeffs, huff,
+                restart_interval, ss, se, ah, al,
+            )
+            if not frame["progressive"]:
+                break
+            continue
         pos += seglen
-    if result is None:
+    if frame is None or n_scans == 0:
         raise UnsupportedMediaError("JPEG has no decodable scan")
-    return result
+    if frame["progressive"] and not saw_eoi:
+        # a partial progressive render is valid for a VIEWER, but
+        # feature stats from half the scans would be silently wrong
+        raise UnsupportedMediaError("progressive JPEG truncated before EOI")
+    return _render_jpeg(frame, coeffs, qt)
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+def _decode_scan_coeffs(
+    data, pos, frame, scan, coeffs, huff, restart_interval, ss, se, ah, al
+):
+    """Entropy-decode one (sequential or progressive) scan into the
+    per-component coefficient arrays; returns the offset of the marker
+    that terminates the scan. Restart markers reset DC predictors AND
+    the EOB run. Interleaved scans walk MCUs over the padded grid;
+    single-component scans walk the component's own ceil(dims/8) block
+    grid (T.81 A.2.2), which for subsampled frames is a strict subset
+    of the padded grid — padding blocks simply keep zero AC."""
     width, height = frame["width"], frame["height"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
-    planes = {}
-    qtabs = {}
-    dtabs = {}
+    progressive = frame["progressive"]
+    tabs = {}
     for comp, dc_key, ac_key in scan:
-        planes[comp["id"]] = np.zeros((mcuy * comp["v"] * 8, mcux * comp["h"] * 8))
-        if comp["tq"] not in qt:
-            raise UnsupportedMediaError(f"JPEG references missing DQT {comp['tq']}")
-        if dc_key not in huff or ac_key not in huff:
-            raise UnsupportedMediaError("JPEG references missing DHT")
-        qtabs[comp["id"]] = qt[comp["tq"]]
-        dtabs[comp["id"]] = (huff[dc_key], huff[ac_key])
+        dc_tab = ac_tab = None
+        if (not progressive) or (ss == 0 and ah == 0):
+            if dc_key not in huff:
+                raise UnsupportedMediaError("JPEG references missing DHT")
+            dc_tab = huff[dc_key]
+        if (not progressive) or ss > 0:
+            if ac_key not in huff:
+                raise UnsupportedMediaError("JPEG references missing DHT")
+            ac_tab = huff[ac_key]
+        tabs[comp["id"]] = (dc_tab, ac_tab)
     reader = _ScanReader(data, pos)
+    interleaved = len(scan) > 1
+    if interleaved:
+        nunits = mcux * mcuy
+    else:
+        comp0 = scan[0][0]
+        bw = -(-(-(-width * comp0["h"] // hmax)) // 8)
+        bh = -(-(-(-height * comp0["v"] // vmax)) // 8)
+        nunits = bw * bh
     preds = {c["id"]: 0 for c, _, _ in scan}
-    a_t = _DCT_A.T
+    eobrun = 0
     rst = 0
-    n_mcu = 0
-    raster = np.empty(64)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                reader.expect_rst(rst)
-                rst = (rst + 1) & 7
-                preds = {k: 0 for k in preds}
+    for u in range(nunits):
+        if restart_interval and u and u % restart_interval == 0:
+            reader.expect_rst(rst)
+            rst = (rst + 1) & 7
+            preds = {k: 0 for k in preds}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
             for comp, _dc, _ac in scan:
                 cid = comp["id"]
-                q = qtabs[cid]
-                dc_tab, ac_tab = dtabs[cid]
+                dc_tab, ac_tab = tabs[cid]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        zz, preds[cid] = _decode_block(reader, dc_tab, ac_tab, preds[cid])
-                        raster[_ZZ] = zz * q  # dequant + de-zigzag
-                        spatial = a_t @ raster.reshape(8, 8) @ _DCT_A + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            n_mcu += 1
-    # per-component crop to its true dims, integer-upsample to full res
+                        zz = coeffs[cid][my * comp["v"] + by, mx * comp["h"] + bx]
+                        if not progressive:
+                            blk, preds[cid] = _decode_block(
+                                reader, dc_tab, ac_tab, preds[cid]
+                            )
+                            zz[:] = blk
+                        elif ah == 0:
+                            preds[cid] = _decode_dc_first(
+                                reader, dc_tab, preds[cid], al, zz
+                            )
+                        else:
+                            _decode_dc_refine(reader, al, zz)
+        else:
+            comp, _dc, _ac = scan[0]
+            cid = comp["id"]
+            dc_tab, ac_tab = tabs[cid]
+            by, bx = divmod(u, bw)
+            zz = coeffs[cid][by, bx]
+            if not progressive:
+                blk, preds[cid] = _decode_block(reader, dc_tab, ac_tab, preds[cid])
+                zz[:] = blk
+            elif ss == 0:
+                if ah == 0:
+                    preds[cid] = _decode_dc_first(reader, dc_tab, preds[cid], al, zz)
+                else:
+                    _decode_dc_refine(reader, al, zz)
+            elif ah == 0:
+                eobrun = _decode_ac_first(reader, ac_tab, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _decode_ac_refine(reader, ac_tab, zz, ss, se, al, eobrun)
+    # skip entropy pad bits to the marker that terminates the scan
+    p = reader.pos
+    while p + 1 < len(data) and not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    if p + 1 >= len(data):
+        raise UnsupportedMediaError("JPEG scan not terminated by a marker")
+    return p
+
+
+def _render_jpeg(frame, coeffs, qt):
+    """Shared render step for sequential and progressive paths:
+    dequantize + de-zigzag every block of each component at once,
+    batched IDCT (broadcast 8-point transforms over the whole block
+    grid), crop to true dims, integer-upsample chroma, color-convert."""
+    width, height = frame["width"], frame["height"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     full = []
-    for comp, _dc, _ac in scan:
+    for comp in frame["comps"]:
+        if comp["tq"] not in qt:
+            raise UnsupportedMediaError(f"JPEG references missing DQT {comp['tq']}")
+        c = coeffs[comp["id"]]
+        bh, bw = c.shape[0], c.shape[1]
+        raster = np.zeros((bh, bw, 64))
+        raster[:, :, _ZZ] = c * qt[comp["tq"]]  # dequant + de-zigzag
+        blocks = raster.reshape(bh, bw, 8, 8)
+        spatial = _DCT_A.T @ blocks @ _DCT_A + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         cw = -(-width * comp["h"] // hmax)
         ch = -(-height * comp["v"] // vmax)
-        p = planes[comp["id"]][:ch, :cw]
+        p = plane[:ch, :cw]
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry * comp["v"] != vmax or rx * comp["h"] != hmax:
             raise UnsupportedMediaError("non-integer JPEG chroma upsampling ratio")
@@ -1012,17 +1234,12 @@ def _pad_to(plane: np.ndarray, mult_y: int, mult_x: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge") if ph or pw else plane
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    quality: int = 90,
-    subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF encoder for fixtures: 8-bit gray (H, W) or RGB
-    (H, W, 3), Annex K quant (IJG quality-scaled) + Huffman tables,
-    4:4:4 or 4:2:0 chroma, optional DRI/RSTn restart markers. Written
-    independently from the decoder against T.81 so the round-trip test
-    exercises both directions of the spec."""
+def _jpeg_prepare(pixels: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front half: level-shifted (possibly subsampled)
+    component planes padded to the MCU grid, sampling factors, float
+    quant tables, geometry. Used by both the baseline and progressive
+    fixture encoders so their quantized coefficients are IDENTICAL —
+    the round-trip equality test depends on that."""
     arr = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
     gray = arr.ndim == 2
     if subsample not in ("444", "420"):
@@ -1060,17 +1277,41 @@ def encode_jpeg(
     planes = [
         _pad_to(p, mcuy * v * 8, mcux * h * 8) for p, (h, v) in zip(planes, samp)
     ]
+    return planes, samp, quants, (lq, cq), width, height, mcux, mcuy, gray
 
-    out = bytearray(b"\xff\xd8")  # SOI
+
+def _jpeg_headers(sof_marker, lq, cq, width, height, samp, gray) -> bytearray:
+    """SOI + JFIF APP0 + DQT(s) + SOF for either encoder."""
+    out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, q in ((0, lq), (1, cq)) if not gray else ((0, lq),):
         zz = q.astype(np.int64)[_ZZ]
         out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([tq]) + bytes(int(v) for v in zz)
     nc = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    out += sof_marker + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
     for i in range(nc):
         h, v = samp[i]
         out += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
+    return out
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder for fixtures: 8-bit gray (H, W) or RGB
+    (H, W, 3), Annex K quant (IJG quality-scaled) + Huffman tables,
+    4:4:4 or 4:2:0 chroma, optional DRI/RSTn restart markers. Written
+    independently from the decoder against T.81 so the round-trip test
+    exercises both directions of the spec."""
+    planes, samp, quants, (lq, cq), width, height, mcux, mcuy, gray = _jpeg_prepare(
+        pixels, quality, subsample
+    )
+    nc = len(planes)
+
+    out = _jpeg_headers(b"\xff\xc0", lq, cq, width, height, samp, gray)
     huff_specs = [(0x00, _K3_DC_LUM), (0x10, _K5_AC_LUM)]
     if not gray:
         huff_specs += [(0x01, _K4_DC_CHR), (0x11, _K6_AC_CHR)]
@@ -1119,6 +1360,253 @@ def encode_jpeg(
             n_mcu += 1
     w.flush()
     out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- progressive fixture encoder (T.81 Annex G) ----------------------------
+# The classic libjpeg 10-scan script: DC approximation first, luma AC
+# in two spectral bands, chroma AC, then successive-approximation
+# refinement scans down to full precision. Huffman tables are built
+# per scan over exactly the symbols that scan emits (two-pass: count,
+# then code) as flat canonical tables that keep the all-ones code
+# reserved (F.1.2.2.1) — the Annex K tables lack the EOBn symbols
+# progressive scans need. Written independently from the decoder so
+# the progressive round-trip exercises both directions of Annex G.
+
+_PROG_SCRIPT_RGB = [
+    ((0, 1, 2), 0, 0, 0, 1),  # DC first approximation (interleaved)
+    ((0,), 1, 5, 0, 2),  # luma AC low band, coarse
+    ((2,), 1, 63, 0, 1),  # chroma AC full band, coarse
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),  # luma AC high band, coarse
+    ((0,), 1, 63, 2, 1),  # luma AC refine bit 2 -> 1
+    ((0, 1, 2), 0, 0, 1, 0),  # DC refinement (interleaved, raw bits)
+    ((2,), 1, 63, 1, 0),  # final refinements to full precision
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _flat_huff_spec(symbols) -> tuple[list[int], list[int]]:
+    """A valid canonical table giving every symbol the same length L,
+    chosen so 2^L > len(symbols) and the all-ones code stays reserved."""
+    syms = sorted(symbols) or [0x00]
+    bits = [0] * 16
+    bits[max(1, len(syms).bit_length()) - 1] = len(syms)
+    return bits, syms
+
+
+def _prog_scan_blocks(cblk, samp, comps, mcux, mcuy, width, height, hmax, vmax):
+    """Yield (component index, zigzag block) in the scan's unit order:
+    MCU-interleaved over the padded grid for multi-component scans,
+    the component's own ceil(dims/8) crop grid otherwise (T.81 A.2.2)."""
+    if len(comps) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in comps:
+                    h, v = samp[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            yield ci, cblk[ci][my * v + by, mx * h + bx]
+    else:
+        ci = comps[0]
+        h, v = samp[ci]
+        bw = -(-(-(-width * h // hmax)) // 8)
+        bh = -(-(-(-height * v // vmax)) // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                yield ci, cblk[ci][by, bx]
+
+
+def _enc_ac_first_scan(blocks, ss, se, al, emit, bits) -> None:
+    """AC first scan (G.1.2.2): run/size over the shifted magnitudes,
+    EOBn runs spanning empty block tails."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            emit(n << 4)
+            if n:
+                bits(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for _ci, zz in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (-v if v < 0 else v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                emit(0xF0)
+                r -= 16
+            s, b = _magnitude(t if v >= 0 else -t)
+            emit((r << 4) | s)
+            bits(b, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine_scan(blocks, ss, se, al, emit, bits) -> None:
+    """AC refinement scan (G.1.2.3): newly-significant coefficients as
+    run/1 symbols with a sign bit; correction bits for already-nonzero
+    coefficients buffered and emitted with the symbol (or ZRL, or EOB
+    run) whose decode walk consumes them. ZRLs are emitted only when
+    they cannot fold into the EOB run — a correction reached with
+    r > 15 can only lie past the last newly-significant coefficient."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits carried with the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            emit(n << 4)
+            if n:
+                bits(eobrun - (1 << n), n)
+            eobrun = 0
+            for b in pend:
+                bits(b, 1)
+            pend.clear()
+
+    for _ci, zz in blocks:
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = -1  # absolute index of the last newly-significant coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = ss + i
+        r = 0
+        br: list[int] = []  # correction bits since the last emitted symbol
+        for i, t in enumerate(absv):
+            k = ss + i
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                emit(0xF0)
+                r -= 16
+                for b in br:
+                    bits(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush_eob()
+            emit((r << 4) | 1)
+            bits(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br:
+                bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pend.extend(br)
+            if eobrun == 0x7FFF or len(pend) > 936:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_prog_scan(blocks, ss, se, ah, al, emit, bits) -> None:
+    """Encode one progressive scan through emit(symbol) / bits(val, n)
+    callbacks, so the same walk runs twice: a symbol-counting pass to
+    build the scan's Huffman table, then the emission pass."""
+    if ss == 0 and ah == 0:  # DC first approximation (diff-coded)
+        preds: dict[int, int] = {}
+        for ci, zz in blocks:
+            v = int(zz[0]) >> al
+            s, b = _magnitude(v - preds.get(ci, 0))
+            preds[ci] = v
+            emit(s)
+            if s:
+                bits(b, s)
+    elif ss == 0:  # DC refinement: one raw bit per block, no symbols
+        for _ci, zz in blocks:
+            bits((int(zz[0]) >> al) & 1, 1)
+    elif ah == 0:
+        _enc_ac_first_scan(blocks, ss, se, al, emit, bits)
+    else:
+        _enc_ac_refine_scan(blocks, ss, se, al, emit, bits)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90, subsample: str = "444"
+) -> bytes:
+    """Progressive JFIF encoder for fixtures (SOF2): same pixel
+    pipeline and quantization as encode_jpeg, entropy-coded through a
+    10-scan spectral-selection + successive-approximation script.
+    Because the quantized coefficients are identical to the baseline
+    encoder's, decode_jpeg of the progressive bytes must reproduce
+    decode_jpeg of the baseline bytes bit-exactly — the round-trip
+    test asserts exactly that."""
+    planes, samp, quants, (lq, cq), width, height, mcux, mcuy, gray = _jpeg_prepare(
+        pixels, quality, subsample
+    )
+    nc = len(planes)
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    cblk = []
+    for ci in range(nc):
+        h, v = samp[ci]
+        bh, bw = mcuy * v, mcux * h
+        arr = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                arr[by, bx] = _block_zz(planes[ci], by * 8, bx * 8, quants[ci])
+        cblk.append(arr)
+
+    out = _jpeg_headers(b"\xff\xc2", lq, cq, width, height, samp, gray)
+    script = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_RGB
+    for comps, ss, se, ah, al in script:
+        def gen():
+            return _prog_scan_blocks(
+                cblk, samp, comps, mcux, mcuy, width, height, hmax, vmax
+            )
+
+        syms: set[int] = set()
+        _enc_prog_scan(gen(), ss, se, ah, al, syms.add, lambda v, n: None)
+        codes: dict[int, tuple[int, int]] = {}
+        if syms:
+            tbits, tvals = _flat_huff_spec(syms)
+            tclass = 0 if ss == 0 else 1
+            out += (
+                b"\xff\xc4"
+                + struct.pack(">H", 3 + 16 + len(tvals))
+                + bytes([tclass << 4])
+                + bytes(tbits)
+                + bytes(tvals)
+            )
+            codes = _huff_encode_table((tbits, tvals))
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+        for ci in comps:
+            out += bytes([ci + 1, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        w = _BitWriter()
+
+        def emit(sym, _codes=codes, _w=w):
+            c, length = _codes[sym]
+            _w.write(c, length)
+
+        _enc_prog_scan(gen(), ss, se, ah, al, emit, w.write)
+        w.flush()
+        out += w.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

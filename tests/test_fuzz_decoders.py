@@ -26,6 +26,7 @@ from magictables_spark.operators.media_codecs import (
     decode_wav,
     encode_bmp,
     encode_jpeg,
+    encode_jpeg_progressive,
     encode_mp3_fixture,
     encode_mp4_fixture,
     encode_png,
@@ -98,6 +99,12 @@ def test_media_mutations_never_escape(seed):
         encode_jpeg(np_rng.integers(0, 255, (9, 17), dtype=np.uint8), quality=70,
                     subsample="444", restart_interval=2),
         encode_jpeg(np_rng.integers(0, 255, (18, 21, 3), dtype=np.uint8), subsample="420"),
+        encode_jpeg_progressive(
+            np_rng.integers(0, 255, (13, 19, 3), dtype=np.uint8), quality=80
+        ),
+        encode_jpeg_progressive(
+            np_rng.integers(0, 255, (10, 15), dtype=np.uint8), quality=75
+        ),
     ]
     mp3s = [encode_mp3_fixture(12), encode_mp3_fixture(4, kbps=64, sample_rate=32000, id3=False)]
     mp4s = [encode_mp4_fixture(5.0), encode_mp4_fixture(2.0, video=None)]

@@ -335,19 +335,78 @@ def test_jpeg_quality_monotone_size():
     assert sizes[0] < sizes[1] < sizes[2]
 
 
-def test_jpeg_refuses_progressive_and_garbage():
+def test_jpeg_refuses_lossless_and_garbage():
     from magictables_spark.operators.media_codecs import decode_jpeg, encode_jpeg
 
     with pytest.raises(UnsupportedMediaError):
         decode_jpeg(b"not a jpeg")
     data = bytearray(encode_jpeg(_grad_rgb(8, 8)))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    data[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
+    with pytest.raises(UnsupportedMediaError, match="lossless"):
+        decode_jpeg(bytes(data))
+    # SOF0 -> SOF2 makes the baseline full-band scan an ILLEGAL
+    # progressive scan header (Ss=0 with Se=63): refuse, don't misparse
+    data = bytearray(encode_jpeg(_grad_rgb(8, 8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
     with pytest.raises(UnsupportedMediaError, match="progressive"):
         decode_jpeg(bytes(data))
     # truncated scan must refuse, not hang or return wrong stats
     with pytest.raises(UnsupportedMediaError):
         decode_jpeg(bytes(bytearray(encode_jpeg(_grad_rgb(16, 16)))[:-20]))
+
+
+# --- JPEG progressive (T.81 Annex G) ---------------------------------------
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """The progressive scan script transmits the SAME quantized
+    coefficients as the baseline encoder (DC and AC successive
+    approximation reconstruct every value exactly), so the decoded
+    stats must be bit-identical — any drift means a scan-decode bug."""
+    from magictables_spark.operators.media_codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    gray = (np.arange(17 * 24).reshape(17, 24) * 9 % 256).astype(np.uint8)
+    cases = [
+        (gray, "444"),
+        (_grad_rgb(15, 21, seed=1), "444"),
+        (_grad_rgb(29, 37, seed=2), "420"),  # odd dims + subsampled MCUs
+    ]
+    for arr, sub in cases:
+        for q in (50, 85, 95):
+            base = decode_jpeg(encode_jpeg(arr, quality=q, subsample=sub))
+            prog = decode_jpeg(encode_jpeg_progressive(arr, quality=q, subsample=sub))
+            assert prog == base, (sub, q)
+
+
+def test_jpeg_progressive_is_sof2_multiscan():
+    from magictables_spark.operators.media_codecs import encode_jpeg_progressive
+
+    data = encode_jpeg_progressive(_grad_rgb(16, 16), quality=85)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") == 10  # the 10-scan RGB script
+    gray = encode_jpeg_progressive(np.zeros((8, 8), np.uint8))
+    assert gray.count(b"\xff\xda") == 6
+
+
+def test_jpeg_progressive_truncated_and_features():
+    from magictables_spark.operators.media_codecs import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    arr = _grad_rgb(18, 22, seed=3)
+    data = encode_jpeg_progressive(arr, quality=88)
+    v = media_features(data, "image/jpeg", 8)
+    assert v[0] == 1.0 and v[1] == 22.0 and v[2] == 18.0 and v[3] == 3.0
+    # cutting the file mid-scan must refuse loudly, not return stats
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(data[: len(data) // 2])
 
 
 def test_jpeg_decoder_reads_tables_from_file():
