@@ -21,6 +21,7 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     pipeline_pack,
     pretrain_pack,
     quality_pack,
+    regression_pack,
     relational,
     rollup_pack,
     scalar,

@@ -1,0 +1,277 @@
+"""Regression & nonparametric-test pack over the `events` fixture.
+
+The reference's Polars surface ends at describe/corr; a real analytics
+engine also ships the next tier of statistics every experimentation /
+feature pipeline reaches for: grouped OLS regression (trend per key),
+exponentially-weighted moving averages (the pandas ``ewm`` surface),
+and a rank-based two-sample test (Mann-Whitney U) for metrics whose
+distributions are nothing like normal.
+
+Determinism strategy (the registry.py rules, applied hard):
+- every sufficient statistic is an EXACT int64 (value in cents, time
+  as an hour index, ranks kept DOUBLED so average-rank ties stay
+  integral) accumulated with map-side partial aggregation;
+- the final statistics touch doubles only through a FIXED chain of
+  correctly-rounded IEEE ops whose expression text is SHARED between
+  the Spark plan and the DuckDB oracle (the ``_LR_*`` / ``_MWU_*``
+  fragments below), so slopes, R², U and z hash-match bit-for-bit;
+- EWMA weights are powers of two written as exact double literals and
+  combined in one fixed left-to-right expression, so the only
+  rounding is the same rounding in both engines.
+
+Scale notes: `linreg_by_group` and `mannwhitney_u` reduce to one
+keyed exchange plus a constant-size frame (5 event types / the
+value-domain-bounded distinct-cents frame); `ewma_windowed` is one
+keyed window over the hourly grid. No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from magictables_spark.plans.registry import _t, q
+
+VAL_I = "CAST(ROUND(value * 100) AS BIGINT)"  # exact cents
+
+# hour index since the corpus anchor; subtract-then-divide so the
+# session-timezone offset cancels before the (exact) integer division
+_X_SPARK = (
+    "CAST((unix_timestamp(date_trunc('HOUR', ts)) - "
+    "unix_timestamp(TIMESTAMP '2024-01-01 00:00:00')) div 3600 AS BIGINT)"
+)
+_X_DUCK = (
+    "CAST((CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - "
+    "CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)) // 3600 AS BIGINT)"
+)
+
+# OLS closed form on exact integer sums. The int64 differences are
+# computed exactly, THEN cast to double (int64->double is correctly
+# rounded and identical in both engines); every following op is one
+# IEEE div/mul/sub. NULLIF guards the degenerate all-same-x /
+# all-same-y groups.
+_LR_NUM = "CAST(n * sxy - sx * sy AS DOUBLE)"
+_LR_DENX = "CAST(n * sxx - sx * sx AS DOUBLE)"
+_LR_DENY = "CAST(n * syy - sy * sy AS DOUBLE)"
+_LR_SLOPE = f"({_LR_NUM} / NULLIF({_LR_DENX}, 0.0))"
+_LR_INTERCEPT = (
+    f"((CAST(sy AS DOUBLE) - {_LR_SLOPE} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
+)
+_LR_R2 = f"(({_LR_NUM} * {_LR_NUM}) / NULLIF({_LR_DENX} * {_LR_DENY}, 0.0))"
+
+
+@q(
+    "linreg_by_group",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, {_X_DUCK} AS x, {VAL_I} AS y FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n, sx, sy,
+           {_LR_SLOPE} AS slope_cents_per_hour,
+           {_LR_INTERCEPT} AS intercept_cents,
+           {_LR_R2} AS r2
+    FROM s ORDER BY event_type
+    """,
+    doc="Per-group ordinary-least-squares trend (regr_slope / "
+    "regr_intercept / regr_r2 surface): value-cents regressed on the "
+    "hour index, one line per event_type. The five sufficient sums "
+    "(Sx, Sy, Sxx, Sxy, Syy) are exact int64 accumulated in ONE "
+    "map-side-combining keyed agg — the same shape regr_* native "
+    "aggregates compile to, but exactly reproducible cross-engine "
+    "(native regr_* accumulates doubles in partition order, which can "
+    "never hash-match). Slope/intercept/R2 come out of the shared "
+    "fixed IEEE chain. Scale: one shuffle keyed on the group, 5-row "
+    "result; int64 holds to ~1e6 rows/group at these magnitudes "
+    "(beyond that the sums move to DECIMAL(38,0) — same plan shape).",
+    tags=("events", "stats", "regression"),
+)
+def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", f"{_X_SPARK} AS x", f"{VAL_I} AS y"
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "n",
+        "sx",
+        "sy",
+        f"{_LR_SLOPE} AS slope_cents_per_hour",
+        f"{_LR_INTERCEPT} AS intercept_cents",
+        f"{_LR_R2} AS r2",
+    ).orderBy("event_type")
+
+
+# EWMA over the last 8 observed hourly means, weights 2^-j written as
+# exact double literals; one shared left-to-right expression so both
+# engines perform the identical sequence of IEEE ops.
+_EWMA_W = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125]
+_EWMA_NUM = " + ".join(
+    f"(CASE WHEN m{j} IS NULL THEN 0.0 ELSE m{j} * {w!r} END)"
+    for j, w in enumerate(_EWMA_W)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN m{j} IS NULL THEN 0.0 ELSE {w!r} END)" for j, w in enumerate(_EWMA_W)
+)
+_EWMA = f"(({_EWMA_NUM}) / ({_EWMA_DEN}))"
+
+
+@q(
+    "ewma_windowed",
+    oracle=f"""
+    WITH hr AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM({VAL_I}) AS BIGINT) AS s
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, h, n,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m0,
+             LAG(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 1) OVER w AS m1,
+             LAG(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 2) OVER w AS m2,
+             LAG(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 3) OVER w AS m3,
+             LAG(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) OVER w AS m4,
+             LAG(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 5) OVER w AS m5,
+             LAG(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) OVER w AS m6,
+             LAG(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 7) OVER w AS m7
+      FROM hr WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, n,
+           m0 AS hourly_mean_cents, {_EWMA} AS ewma_cents
+    FROM m ORDER BY event_type, hour
+    """,
+    doc="Exponentially-weighted moving average of the hourly mean "
+    "value per event_type (the pandas ewm / Polars ewm_mean surface), "
+    "as a FINITE 8-tap window with half-life-1 weights 2^-j. The "
+    "recursive ewm definition accumulates rounding in engine-specific "
+    "order; the 8-tap form is the same estimator truncated at weight "
+    "1/128 and is exactly reproducible: hourly means are one IEEE "
+    "division on exact int64 sums, the tap combination is ONE shared "
+    "left-to-right expression with power-of-two double literals. "
+    "Scale: one keyed agg + one keyed window, both map-side-friendly; "
+    "no unbounded state (8 lags).",
+    tags=("events", "stats", "timeseries"),
+)
+def ewma_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hr = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").cast("long").alias("n"), F.sum(F.expr(VAL_I)).alias("s"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    mean = (F.col("s").cast("double") / F.col("n").cast("double"))
+    m = hr.select(
+        "event_type",
+        "h",
+        "n",
+        mean.alias("m0"),
+        *[F.lag(mean, j).over(w).alias(f"m{j}") for j in range(1, 8)],
+    )
+    return m.selectExpr(
+        "event_type",
+        "date_format(h, 'yyyy-MM-dd HH:mm:ss') AS hour",
+        "n",
+        "m0 AS hourly_mean_cents",
+        f"{_EWMA} AS ewma_cents",
+    ).orderBy("event_type", "hour")
+
+
+# Mann-Whitney U from DOUBLED ranks so average-rank ties stay exact
+# integers: doubled avg rank of value v = 2*below(v) + c(v) + 1.
+_MWU_U1X2 = "(2 * n1 * n2 + n1 * (n1 + 1) - r1d)"
+_MWU_MU = "(CAST(n1 * n2 AS DOUBLE) / 2.0)"
+_MWU_SIG = (
+    "sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0 * (CAST(n + 1 AS DOUBLE)"
+    " - CAST(tie3 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))"
+)
+_MWU_Z = f"((CAST({_MWU_U1X2} AS DOUBLE) / 2.0 - {_MWU_MU}) / NULLIF({_MWU_SIG}, 0.0))"
+
+
+@q(
+    "mannwhitney_u",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id % 2 AS grp, {VAL_I} AS y
+      FROM events WHERE event_type = 'purchase'
+    ), per_y AS (
+      SELECT y,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS c1
+      FROM s GROUP BY y
+    ), w AS (
+      SELECT y, c, c1,
+             COALESCE(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM per_y
+    ), agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n2,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c1 * (2 * below + c + 1)) AS BIGINT) AS r1d,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie3
+      FROM w
+    )
+    SELECT n1, n2,
+           {_MWU_U1X2} AS u1_doubled,
+           (2 * n1 * n2 - {_MWU_U1X2}) AS u2_doubled,
+           {_MWU_Z} AS z,
+           ABS({_MWU_Z}) > 1.959963984540054 AS significant_95
+    FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test comparing purchase values "
+    "between the user_id %% 2 experiment arms — the nonparametric "
+    "sibling of ab_test_zscore for metrics with heavy-tailed "
+    "distributions. Ranks are never materialized per row: the rank "
+    "sum collapses algebraically to a per-distinct-value aggregate "
+    "(c, c1, running below-count), so the heavy exchange is keyed on "
+    "the cents value and the only ordered frame is bounded by the "
+    "VALUE DOMAIN (<= 56k distinct cents), not by n. Doubled ranks "
+    "keep average-rank ties integral; U, the tie-corrected normal "
+    "z (no continuity correction) and the 5%% verdict come from the "
+    "shared fixed IEEE chain.",
+    tags=("events", "stats", "hypothesis-test"),
+)
+def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id % 2 AS grp", f"{VAL_I} AS y")
+    )
+    per_y = s.groupBy("y").agg(
+        F.count("*").cast("long").alias("c"),
+        F.count_if(F.col("grp") == 0).cast("long").alias("c1"),
+    )
+    # ordered frame over DISTINCT cents values: bounded by the value
+    # domain, not the row count (same pattern as the decile frames)
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    wdf = per_y.withColumn("below", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    agg = wdf.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.expr("c - c1")).cast("long").alias("n2"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.expr("c1 * (2 * below + c + 1)")).cast("long").alias("r1d"),
+        F.sum(F.expr("c * c * c - c")).cast("long").alias("tie3"),
+    )
+    return agg.selectExpr(
+        "n1",
+        "n2",
+        f"{_MWU_U1X2} AS u1_doubled",
+        f"(2 * n1 * n2 - {_MWU_U1X2}) AS u2_doubled",
+        f"{_MWU_Z} AS z",
+        f"ABS({_MWU_Z}) > 1.959963984540054 AS significant_95",
+    )

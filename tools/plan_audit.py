@@ -36,6 +36,7 @@ SPE = "SINGLE_PARTITION_EXCHANGE"
 WAIVERS: dict[str, dict[str, str]] = {
     "ann_ivf_topk": {NLJ: "broadcast side is the ~sqrt(n) centroid table"},
     "vocab_growth_curve": {SPE: "cumulative sum over the 10-row decile spine; the data-sized aggs are distributed upstream"},
+    "mannwhitney_u": {SPE: "running below-count over DISTINCT cents values — bounded by the value domain (<=56k rows), not n; the per-row rank collapse happens in the upstream keyed agg"},
     "contamination_check": {NLJ: "broadcast side is the bounded held-out shingle set"},
     "embed_neardup": {NLJ: "declared exact quadratic baseline, guarded >50k rows; ann_lsh_topk is the scale path"},
     "interpolate_linear": {NLJ: "range join against the bounded per-series gap calendar"},
