@@ -69,6 +69,10 @@ HEADLINE = [
     "semdedup",
     "dsir_importance",
     "bucketed_join_colocated",
+    # round-5 late additions: exact-sum grouped OLS and the
+    # domain-bounded rank-sum test
+    "linreg_by_group",
+    "mannwhitney_u",
 ]
 
 

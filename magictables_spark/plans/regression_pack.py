@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from magictables_spark.plans.joins_advanced import _dec_dbl_duck, _dec_dbl_spark
 from magictables_spark.plans.registry import _t, q
 
 VAL_I = "CAST(ROUND(value * 100) AS BIGINT)"  # exact cents
@@ -46,19 +47,32 @@ _X_DUCK = (
     "CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT)) // 3600 AS BIGINT)"
 )
 
-# OLS closed form on exact integer sums. The int64 differences are
-# computed exactly, THEN cast to double (int64->double is correctly
-# rounded and identical in both engines); every following op is one
-# IEEE div/mul/sub. NULLIF guards the degenerate all-same-x /
-# all-same-y groups.
-_LR_NUM = "CAST(n * sxy - sx * sy AS DOUBLE)"
-_LR_DENX = "CAST(n * sxx - sx * sx AS DOUBLE)"
-_LR_DENY = "CAST(n * syy - sy * sy AS DOUBLE)"
-_LR_SLOPE = f"({_LR_NUM} / NULLIF({_LR_DENX}, 0.0))"
-_LR_INTERCEPT = (
-    f"((CAST(sy AS DOUBLE) - {_LR_SLOPE} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))"
-)
-_LR_R2 = f"(({_LR_NUM} * {_LR_NUM}) / NULLIF({_LR_DENX} * {_LR_DENY}, 0.0))"
+# OLS closed form on exact moment sums. First moments (sx, sy) stay
+# BIGINT; SECOND moments accumulate in DECIMAL(38,0) — n * syy already
+# passes 2^63 at ~300k rows/group (the 320k scale probe caught the
+# ANSI ARITHMETIC_OVERFLOW), the corr_exact lesson. Each moment
+# crosses into double via the deterministic 2^32 hi/lo split
+# (_dec_dbl_*: DuckDB's direct decimal->double cast is 1 ulp off past
+# 2^53), then the combination n*Sxy - Sx*Sy etc. runs in doubles with
+# the identical op sequence in both engines. NULLIF guards the
+# degenerate all-same-x / all-same-y groups.
+
+
+def _lr_frags(dd) -> tuple[str, str, str]:
+    """(slope, intercept, r2) SQL fragments; ``dd`` renders a
+    DECIMAL(38,0) column as a deterministically-converted double."""
+    n_d, sx_d, sy_d = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    num = f"({n_d} * {dd('sxy')} - {sx_d} * {sy_d})"
+    denx = f"({n_d} * {dd('sxx')} - {sx_d} * {sx_d})"
+    deny = f"({n_d} * {dd('syy')} - {sy_d} * {sy_d})"
+    slope = f"({num} / NULLIF({denx}, 0.0))"
+    intercept = f"(({sy_d} - {slope} * {sx_d}) / {n_d})"
+    r2 = f"(({num} * {num}) / NULLIF({denx} * {deny}, 0.0))"
+    return slope, intercept, r2
+
+
+_LR_DUCK = _lr_frags(lambda c: _dec_dbl_duck(c))
+_LR_SPARK = _lr_frags(lambda c: _dec_dbl_spark(c))
 
 
 @q(
@@ -71,15 +85,15 @@ _LR_R2 = f"(({_LR_NUM} * {_LR_NUM}) / NULLIF({_LR_DENX} * {_LR_DENY}, 0.0))"
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             SUM(CAST(x * x AS DECIMAL(38, 0))) AS sxx,
+             SUM(CAST(x * y AS DECIMAL(38, 0))) AS sxy,
+             SUM(CAST(y * y AS DECIMAL(38, 0))) AS syy
       FROM b GROUP BY event_type
     )
     SELECT event_type, n, sx, sy,
-           {_LR_SLOPE} AS slope_cents_per_hour,
-           {_LR_INTERCEPT} AS intercept_cents,
-           {_LR_R2} AS r2
+           {_LR_DUCK[0]} AS slope_cents_per_hour,
+           {_LR_DUCK[1]} AS intercept_cents,
+           {_LR_DUCK[2]} AS r2
     FROM s ORDER BY event_type
     """,
     doc="Per-group ordinary-least-squares trend (regr_slope / "
@@ -91,30 +105,33 @@ _LR_R2 = f"(({_LR_NUM} * {_LR_NUM}) / NULLIF({_LR_DENX} * {_LR_DENY}, 0.0))"
     "(native regr_* accumulates doubles in partition order, which can "
     "never hash-match). Slope/intercept/R2 come out of the shared "
     "fixed IEEE chain. Scale: one shuffle keyed on the group, 5-row "
-    "result; int64 holds to ~1e6 rows/group at these magnitudes "
-    "(beyond that the sums move to DECIMAL(38,0) — same plan shape).",
+    "result; second moments ride DECIMAL(38,0) so the sums never "
+    "overflow (n*Syy breaks int64 at ~3e5 rows/group — caught by the "
+    "320k scale probe), and each moment enters double once via the "
+    "hi/lo split.",
     tags=("events", "stats", "regression"),
 )
 def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").selectExpr(
         "event_type", f"{_X_SPARK} AS x", f"{VAL_I} AS y"
     )
+    dec = "DECIMAL(38, 0)"
     s = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.expr("x * x")).alias("sxx"),
-        F.sum(F.expr("x * y")).alias("sxy"),
-        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * x").cast(dec)).alias("sxx"),
+        F.sum(F.expr("x * y").cast(dec)).alias("sxy"),
+        F.sum(F.expr("y * y").cast(dec)).alias("syy"),
     )
     return s.selectExpr(
         "event_type",
         "n",
         "sx",
         "sy",
-        f"{_LR_SLOPE} AS slope_cents_per_hour",
-        f"{_LR_INTERCEPT} AS intercept_cents",
-        f"{_LR_R2} AS r2",
+        f"{_LR_SPARK[0]} AS slope_cents_per_hour",
+        f"{_LR_SPARK[1]} AS intercept_cents",
+        f"{_LR_SPARK[2]} AS r2",
     ).orderBy("event_type")
 
 

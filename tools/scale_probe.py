@@ -65,6 +65,9 @@ SCALE_OPS = [
     "top_event_paths",
     "funnel_conversion",
     "ab_test_zscore",
+    "linreg_by_group",
+    "mannwhitney_u",
+    "ewma_windowed",
 ]
 
 
