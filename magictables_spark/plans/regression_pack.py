@@ -292,3 +292,194 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_MWU_Z} AS z",
         f"ABS({_MWU_Z}) > 1.959963984540054 AS significant_95",
     )
+
+
+# Chi-square test of independence over the FIXED event vocabulary
+# (hardcoded literals, same convention as the funnel stages): 5x2
+# cells as one conditional aggregate, expected counts and the
+# statistic in one shared fixed-order expression — a plain SUM over a
+# 10-row cell frame would add doubles in engine-specific order.
+_CHI_TYPES = ("click", "error", "purchase", "signup", "view")
+_CHI_CELLS = [
+    (f"c{i}_{j}", t, j) for i, t in enumerate(_CHI_TYPES) for j in (0, 1)
+]
+_CHI_ROWS = " , ".join(
+    f"(c{i}_0 + c{i}_1) AS r{i}" for i in range(len(_CHI_TYPES))
+)
+_CHI_COLS = " , ".join(
+    "(" + " + ".join(f"c{i}_{j}" for i in range(len(_CHI_TYPES))) + f") AS col{j}"
+    for j in (0, 1)
+)
+_CHI_N = "(" + " + ".join(f"r{i}" for i in range(len(_CHI_TYPES))) + ")"
+
+
+def _chi2_expr() -> str:
+    terms = []
+    for i in range(len(_CHI_TYPES)):
+        for j in (0, 1):
+            e = (
+                f"(CAST(r{i} AS DOUBLE) * CAST(col{j} AS DOUBLE)"
+                f" / NULLIF(CAST(nn AS DOUBLE), 0.0))"
+            )
+            d = f"(CAST(c{i}_{j} AS DOUBLE) - {e})"
+            terms.append(f"({d} * {d} / NULLIF({e}, 0.0))")
+    return "(" + " + ".join(terms) + ")"  # fixed left-to-right fold
+
+
+_CHI2 = _chi2_expr()
+# chi2_0.95 critical value at df = (5-1)(2-1) = 4
+_CHI2_CRIT = "9.487729036781154"
+
+
+@q(
+    "chi2_independence",
+    oracle=f"""
+    WITH cells AS (
+      SELECT {", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}' AND user_id % 2 = {j}) AS BIGINT) AS {name}"
+        for name, t, j in _CHI_CELLS
+      )}
+      FROM events
+    ), tot AS (
+      SELECT *, {_CHI_ROWS}, {_CHI_COLS} FROM cells
+    ), s AS (
+      SELECT *, {_CHI_N} AS nn FROM tot
+    )
+    SELECT nn AS n, {_CHI2} AS chi2,
+           sqrt({_CHI2} / NULLIF(CAST(nn AS DOUBLE), 0.0)) AS cramers_v,
+           {_CHI2} > {_CHI2_CRIT} AS dependent_95
+    FROM s
+    """,
+    doc="Chi-square test of independence between event type and the "
+    "user_id %% 2 experiment arm over the fixed 5x2 contingency "
+    "table, with Cramer's V effect size (df=4, so V = "
+    "sqrt(chi2/n)). All 10 observed cells come from ONE map-side-"
+    "combining conditional aggregate; expected counts and the "
+    "statistic are a single shared fixed-order expression, because a "
+    "SUM over a cell frame would fold doubles in engine-specific "
+    "order and never hash-match. The verdict compares against the "
+    "double literal of the 0.95 chi-square quantile at df=4. Scale: "
+    "one scan, one 1-row reduce — the contingency table is "
+    "vocabulary-sized, independent of n.",
+    tags=("events", "stats", "hypothesis-test"),
+)
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _t(spark, sf_dir, "events").agg(
+        *[
+            F.count_if(
+                (F.col("event_type") == t) & (F.col("user_id") % 2 == j)
+            ).cast("long").alias(name)
+            for name, t, j in _CHI_CELLS
+        ]
+    )
+    s = cells.selectExpr("*", *_CHI_ROWS.split(" , ")).selectExpr(
+        "*", *_CHI_COLS.split(" , ")
+    ).selectExpr("*", f"{_CHI_N} AS nn")
+    return s.selectExpr(
+        "nn AS n",
+        f"{_CHI2} AS chi2",
+        f"sqrt({_CHI2} / NULLIF(CAST(nn AS DOUBLE), 0.0)) AS cramers_v",
+        f"{_CHI2} > {_CHI2_CRIT} AS dependent_95",
+    )
+
+
+# Theil-Sen slope from exact rationals: hourly means are (sum, count)
+# integer pairs, so the pairwise slope (m2 - m1)/(x2 - x1) =
+# (s2*c1 - s1*c2) / (c1*c2*(x2 - x1)) is ONE division of exact int64
+# operands; the median picks an actual value (percentile_disc), so
+# the estimate is reproducible bit-for-bit.
+_TS_SLOPE = (
+    "(CAST(s2 * c1 - s1 * c2 AS DOUBLE)"
+    " / CAST(c1 * c2 * (x2 - x1) AS DOUBLE))"
+)
+
+
+@q(
+    "theilsen_trend",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, {_X_DUCK} AS x, {VAL_I} AS y FROM events
+    ), hr AS (
+      SELECT event_type, x,
+             CAST(SUM(y) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             a.s AS s1, a.c AS c1, a.x AS x1,
+             b2.s AS s2, b2.c AS c2, b2.x AS x2
+      FROM hr a JOIN hr b2
+        ON a.event_type = b2.event_type AND a.x < b2.x
+    ), sl AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             quantile_disc({_TS_SLOPE}, 0.5) AS med_slope
+      FROM pairs GROUP BY event_type
+    )
+    SELECT sl.event_type, sl.n_pairs, sl.med_slope AS slope_cents_per_hour,
+           quantile_disc(
+             CAST(hr.s AS DOUBLE) / CAST(hr.c AS DOUBLE)
+               - sl.med_slope * CAST(hr.x AS DOUBLE), 0.5
+           ) AS intercept_cents
+    FROM hr JOIN sl ON hr.event_type = sl.event_type
+    GROUP BY sl.event_type, sl.n_pairs, sl.med_slope
+    ORDER BY sl.event_type
+    """,
+    doc="Theil-Sen robust trend per event_type: median of the "
+    "pairwise slopes between hourly means, plus the classic median-"
+    "residual intercept. The estimator is famously resistant to the "
+    "outliers OLS chases (compare against linreg_by_group on the "
+    "same series). Hourly means stay exact (sum, count) integer "
+    "pairs so each pairwise slope is one IEEE division of exact "
+    "int64 operands; medians use PERCENTILE_DISC (an actual value, "
+    "not an interpolation). Scale: the pair blow-up is bounded by "
+    "the TIME DOMAIN squared (<=720^2/2 pairs per key), never by the "
+    "row count — the per-row work is one keyed hourly agg; the "
+    "5-row slope frame broadcasts back for the intercept pass.",
+    tags=("events", "stats", "regression"),
+)
+def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", f"{_X_SPARK} AS x", f"{VAL_I} AS y"
+    )
+    hr = b.groupBy("event_type", "x").agg(
+        F.sum("y").alias("s"), F.count("*").cast("long").alias("c")
+    )
+    a = hr.alias("a")
+    b2 = hr.alias("b2")
+    pairs = a.join(
+        b2,
+        (F.col("a.event_type") == F.col("b2.event_type"))
+        & (F.col("a.x") < F.col("b2.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.s").alias("s1"),
+        F.col("a.c").alias("c1"),
+        F.col("a.x").alias("x1"),
+        F.col("b2.s").alias("s2"),
+        F.col("b2.c").alias("c2"),
+        F.col("b2.x").alias("x2"),
+    )
+    sl = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr(
+            f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {_TS_SLOPE})"
+        ).alias("med_slope"),
+    )
+    return (
+        hr.join(F.broadcast(sl), "event_type")
+        .groupBy("event_type", "n_pairs", "med_slope")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY "
+                "CAST(s AS DOUBLE) / CAST(c AS DOUBLE)"
+                " - med_slope * CAST(x AS DOUBLE))"
+            ).alias("intercept_cents")
+        )
+        .selectExpr(
+            "event_type",
+            "n_pairs",
+            "med_slope AS slope_cents_per_hour",
+            "intercept_cents",
+        )
+        .orderBy("event_type")
+    )

@@ -68,6 +68,8 @@ SCALE_OPS = [
     "linreg_by_group",
     "mannwhitney_u",
     "ewma_windowed",
+    "chi2_independence",
+    "theilsen_trend",
 ]
 
 
