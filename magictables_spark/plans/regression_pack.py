@@ -483,3 +483,79 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Gini over GROUPED load counts: with k_v = number of keys carrying
+# exactly v events, G = sum_{v,w} k_v k_w |v - w| / (2 N T) — every
+# term exact int64, so the coefficient is ONE division at the end.
+_GINI = "(CAST(s_abs AS DOUBLE) / NULLIF(CAST(2 * nk * te AS DOUBLE), 0.0))"
+
+
+@q(
+    "key_skew_gini",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+    ), coc AS (
+      SELECT c AS v, CAST(COUNT(*) AS BIGINT) AS k FROM per_key GROUP BY c
+    ), pair AS (
+      SELECT CAST(SUM(a.k * b.k * ABS(a.v - b.v)) AS BIGINT) AS s_abs
+      FROM coc a CROSS JOIN coc b
+    ), tot AS (
+      SELECT CAST(SUM(k) AS BIGINT) AS nk,
+             CAST(SUM(k * v) AS BIGINT) AS te,
+             CAST(MAX(v) AS BIGINT) AS max_c,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_loads
+      FROM coc
+    )
+    SELECT nk AS n_keys, te AS n_events, max_c AS max_key_load,
+           n_distinct_loads,
+           CAST(max_c AS DOUBLE) / CAST(te AS DOUBLE) AS top_key_share,
+           {_GINI} AS gini
+    FROM pair CROSS JOIN tot
+    """,
+    doc="Skew diagnostics for the partition key every event pipeline "
+    "shuffles on: the Gini coefficient of the per-user load "
+    "distribution, plus the single heaviest key's share. This is the "
+    "number that says whether a keyed exchange needs salting BEFORE "
+    "the job straggles. Computed from the count-of-counts frame: the "
+    "per-key counts reduce in one keyed agg, the load DISTRIBUTION "
+    "(load value -> #keys) is bounded by the distinct-load domain "
+    "(hundreds of rows at any n), and the grouped-data Gini "
+    "sum_vw k_v k_w |v-w| / (2*N*T) is an exact-int64 pairwise sum "
+    "over that tiny frame — one IEEE division at the end, so the "
+    "whole diagnostic hash-matches. Scale: one keyed exchange on "
+    "user_id, one on the load value; the cross join is "
+    "domain-bounded-squared (~10^4 rows), never n.",
+    tags=("events", "stats", "skew"),
+)
+def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    coc = per_key.groupBy(F.col("c").alias("v")).agg(
+        F.count("*").cast("long").alias("k")
+    )
+    pair = (
+        coc.alias("a")
+        .crossJoin(F.broadcast(coc.alias("b")))
+        .agg(
+            F.sum(F.expr("a.k * b.k * ABS(a.v - b.v)")).cast("long").alias("s_abs")
+        )
+    )
+    tot = coc.agg(
+        F.sum("k").cast("long").alias("nk"),
+        F.sum(F.expr("k * v")).cast("long").alias("te"),
+        F.max("v").cast("long").alias("max_c"),
+        F.count("*").cast("long").alias("n_distinct_loads"),
+    )
+    return pair.crossJoin(tot).selectExpr(
+        "nk AS n_keys",
+        "te AS n_events",
+        "max_c AS max_key_load",
+        "n_distinct_loads",
+        "CAST(max_c AS DOUBLE) / CAST(te AS DOUBLE) AS top_key_share",
+        f"{_GINI} AS gini",
+    )

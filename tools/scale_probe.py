@@ -70,6 +70,7 @@ SCALE_OPS = [
     "ewma_windowed",
     "chi2_independence",
     "theilsen_trend",
+    "key_skew_gini",
 ]
 
 
