@@ -1,0 +1,194 @@
+"""Independent-math checks for the regression/hypothesis-test pack.
+
+The DuckDB oracles prove the Spark plans compute the same thing the
+oracle SQL computes — but both sides were written from the same
+formulas, so a transcription error would hash-match and still be
+wrong. These tests recompute every statistic from first principles in
+numpy/pure Python on a tiny synthetic events table and compare within
+1e-9, closing that loop.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from magictables_spark.plans.queries import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def tiny_events_dir(tmp_path_factory):
+    """A small events table with known structure: trends per type,
+    shifted value distributions between the user_id%2 arms, skewed
+    per-user load, and deliberate ties in the cents values."""
+    rng = np.random.default_rng(1234)
+    n = 4000
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    event_type = types[rng.integers(0, 5, n)]
+    # skewed user load: ~zipf over 60 users
+    user_id = (rng.zipf(1.5, n) % 60).astype(np.int64)
+    hours = rng.integers(0, 200, n)
+    ts = base + pd.to_timedelta(hours * 3600 + rng.integers(0, 3600, n), unit="s")
+    # value: per-type trend in hours + arm shift + coarse grid (ties)
+    slope = {"view": 0.5, "click": -0.3, "purchase": 1.0, "signup": 0.0, "error": 0.2}
+    cents = (
+        5000
+        + np.array([slope[t] for t in event_type]) * hours * 100
+        + (user_id % 2) * 2500
+        + rng.integers(0, 50, n) * 100  # 50-value grid => heavy ties
+    ).astype(np.int64)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": user_id,
+            "event_type": event_type,
+            "value": cents / 100.0,
+            "props": "{}",
+        }
+    )
+    d = tmp_path_factory.mktemp("tiny_events")
+    df.to_parquet(os.path.join(str(d), "events.parquet"), index=False)
+    return str(d), df
+
+
+def _cents(df):
+    return np.round(df["value"].to_numpy() * 100).astype(np.int64)
+
+
+def _hour_idx(df):
+    anchor = pd.Timestamp("2024-01-01 00:00:00")
+    return (
+        (df["ts"].dt.floor("h") - anchor).dt.total_seconds().to_numpy().astype(np.int64)
+        // 3600
+    )
+
+
+def test_linreg_matches_numpy(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["linreg_by_group"].fn(spark, d).toPandas().set_index("event_type")
+    x_all, y_all = _hour_idx(df), _cents(df)
+    for t in sorted(df["event_type"].unique()):
+        m = (df["event_type"] == t).to_numpy()
+        x, y = x_all[m].astype(float), y_all[m].astype(float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = out.loc[t]
+        assert row["slope_cents_per_hour"] == pytest.approx(slope, rel=1e-9)
+        assert row["intercept_cents"] == pytest.approx(intercept, rel=1e-9)
+        assert row["r2"] == pytest.approx(r * r, rel=1e-9)
+        # the synthetic trend itself is recovered (cents/hour = 100*slope)
+        assert row["slope_cents_per_hour"] == pytest.approx(
+            {"view": 50, "click": -30, "purchase": 100, "signup": 0, "error": 20}[t],
+            abs=25.0,
+        )
+
+
+def test_mannwhitney_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["mannwhitney_u"].fn(spark, d).toPandas().iloc[0]
+    sub = df[df["event_type"] == "purchase"]
+    y = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+    grp = (sub["user_id"].to_numpy() % 2).astype(np.int64)
+    # average ranks with ties (1-based), pure numpy
+    order = np.argsort(y, kind="stable")
+    ranks = np.empty(len(y), float)
+    sorted_y = y[order]
+    i = 0
+    while i < len(y):
+        j = i
+        while j < len(y) and sorted_y[j] == sorted_y[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        i = j
+    n1, n2 = int((grp == 0).sum()), int((grp == 1).sum())
+    r1 = ranks[grp == 0].sum()
+    u1 = n1 * n2 + n1 * (n1 + 1) / 2.0 - r1
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert out["u1_doubled"] / 2.0 == pytest.approx(u1, abs=1e-9)
+    # tie-corrected z
+    nn = n1 + n2
+    _, counts = np.unique(y, return_counts=True)
+    tie3 = float((counts.astype(np.int64) ** 3 - counts).sum())
+    sigma = math.sqrt(n1 * n2 / 12.0 * ((nn + 1) - tie3 / (nn * (nn - 1))))
+    z = (u1 - n1 * n2 / 2.0) / sigma
+    assert out["z"] == pytest.approx(z, rel=1e-9)
+    # the engineered +2500-cent arm shift must be detected
+    assert bool(out["significant_95"])
+
+
+def test_chi2_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["chi2_independence"].fn(spark, d).toPandas().iloc[0]
+    obs = pd.crosstab(df["event_type"], df["user_id"] % 2).to_numpy().astype(float)
+    r = obs.sum(axis=1, keepdims=True)
+    c = obs.sum(axis=0, keepdims=True)
+    n = obs.sum()
+    e = r @ c / n
+    chi2 = float(((obs - e) ** 2 / e).sum())
+    assert out["n"] == n
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-9)
+    assert out["cramers_v"] == pytest.approx(math.sqrt(chi2 / n), rel=1e-9)
+    # type and arm are independent by construction here
+    assert not bool(out["dependent_95"])
+
+
+def test_theilsen_matches_bruteforce(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["theilsen_trend"].fn(spark, d).toPandas().set_index("event_type")
+    x_all, y_all = _hour_idx(df), _cents(df)
+    for t in ("purchase", "view"):
+        m = (df["event_type"] == t).to_numpy()
+        sub = pd.DataFrame({"x": x_all[m], "y": y_all[m]})
+        hr = sub.groupby("x")["y"].agg(["sum", "count"]).reset_index()
+        xs = hr["x"].to_numpy()
+        means = hr["sum"].to_numpy() / hr["count"].to_numpy()
+        slopes = []
+        for i in range(len(xs)):
+            for j in range(i + 1, len(xs)):
+                slopes.append((means[j] - means[i]) / (xs[j] - xs[i]))
+        slopes.sort()
+        med = slopes[(len(slopes) - 1) // 2]  # PERCENTILE_DISC(0.5): lower middle
+        row = out.loc[t]
+        assert row["n_pairs"] == len(slopes)
+        assert row["slope_cents_per_hour"] == pytest.approx(med, abs=1e-9)
+        resid = sorted(means - med * xs)
+        assert row["intercept_cents"] == pytest.approx(
+            resid[(len(resid) - 1) // 2], abs=1e-9
+        )
+
+
+def test_ewma_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["ewma_windowed"].fn(spark, d).toPandas()
+    sub = df[df["event_type"] == "click"].copy()
+    sub["h"] = sub["ts"].dt.floor("h")
+    sub["cents"] = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+    hr = sub.groupby("h")["cents"].agg(["sum", "count"]).sort_index()
+    means = hr["sum"].to_numpy() / hr["count"].to_numpy()
+    w = [0.5**j for j in range(8)]
+    got = out[out["event_type"] == "click"].sort_values("hour")
+    assert len(got) == len(means)
+    for t in (0, 1, 3, len(means) - 1):
+        taps = [means[t - j] for j in range(8) if t - j >= 0]
+        ref = sum(mm * ww for mm, ww in zip(taps, w)) / sum(w[: len(taps)])
+        assert got.iloc[t]["ewma_cents"] == pytest.approx(ref, rel=1e-12)
+
+
+def test_gini_matches_bruteforce(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["key_skew_gini"].fn(spark, d).toPandas().iloc[0]
+    counts = df.groupby("user_id").size().to_numpy().astype(np.int64)
+    n_keys, total = len(counts), counts.sum()
+    s_abs = np.abs(counts[:, None] - counts[None, :]).sum()
+    gini = s_abs / (2.0 * n_keys * total)
+    assert out["n_keys"] == n_keys and out["n_events"] == total
+    assert out["max_key_load"] == counts.max()
+    assert out["gini"] == pytest.approx(gini, rel=1e-9)
+    # zipf load is genuinely skewed — the diagnostic must say so
+    assert out["gini"] > 0.3
