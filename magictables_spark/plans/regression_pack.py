@@ -27,12 +27,15 @@ keyed window over the hourly grid. No per-row Python anywhere.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from magictables_spark.plans.joins_advanced import _dec_dbl_duck, _dec_dbl_spark
 from magictables_spark.plans.registry import _t, q
+from magictables_spark.plans.similarity import _h60_duck, _h60_spark
 
 VAL_I = "CAST(ROUND(value * 100) AS BIGINT)"  # exact cents
 
@@ -558,4 +561,125 @@ def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_loads",
         "CAST(max_c AS DOUBLE) / CAST(te AS DOUBLE) AS top_key_share",
         f"{_GINI} AS gini",
+    )
+
+
+# Poisson bootstrap (Chamandy et al.'s streaming bootstrap): replicate
+# b reweights row i by a Poisson(1) draw derived from md5(id:b), so
+# the "resample" is a pure column expression — no RNG state, no
+# per-replicate shuffle of the data, append-stable. The inverse CDF
+# uses 2^60-scaled integer thresholds so both engines compare the
+# same integers.
+_BOOT_B = 32
+
+
+def _poisson_thresholds() -> list[int]:
+    cum, thresholds, p = 0.0, [], math.exp(-1.0)
+    for k in range(6):
+        cum += p
+        thresholds.append(int(cum * (1 << 60)))
+        p /= k + 1
+    return thresholds
+
+
+_BOOT_T = _poisson_thresholds()
+
+
+def _boot_weight(u: str) -> str:
+    """Poisson(1) inverse CDF over a 60-bit uniform hash (exact
+    integer thresholds; tail collapsed at 6)."""
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+@q(
+    "bootstrap_ci_mean",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, {VAL_I} AS y FROM events WHERE event_type = 'purchase'
+    ), rep AS (
+      SELECT b,
+             CAST(SUM(w * y) AS BIGINT) AS wy,
+             CAST(SUM(w) AS BIGINT) AS wn
+      FROM (
+        SELECT gs.b,
+               {_boot_weight(_h60_duck("event_id || ':' || gs.b"))} AS w,
+               y
+        FROM s, unnest(generate_series(1, {_BOOT_B})) AS gs(b)
+      ) GROUP BY b
+    ), means AS (
+      SELECT CAST(wy AS DOUBLE) / NULLIF(CAST(wn AS DOUBLE), 0.0) AS m FROM rep
+    ), point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy
+      FROM s
+    )
+    SELECT point.n,
+           CAST(point.sy AS DOUBLE) / NULLIF(CAST(point.n AS DOUBLE), 0.0)
+             AS mean_cents,
+           (SELECT quantile_disc(m, 0.025) FROM means) AS ci_lo_cents,
+           (SELECT quantile_disc(m, 0.975) FROM means) AS ci_hi_cents,
+           {_BOOT_B} AS n_replicates
+    FROM point
+    """,
+    doc="Bootstrap confidence interval for the mean purchase value via "
+    "the POISSON bootstrap (the streaming formulation built for "
+    "map-reduce: replicate b reweights each row by a Poisson(1) draw "
+    "instead of resampling n rows with replacement, which would need "
+    "global coordination). The draw is md5(id:b) through an exact "
+    "2^60-integer inverse-CDF table, so replicates are deterministic, "
+    "append-stable and hash-identical cross-engine; replicate sums "
+    "stay int64 and each mean is one IEEE division. CI bounds are "
+    "PERCENTILE_DISC over the B=32 replicate means (2.5%/97.5% at "
+    "1/32 granularity — the documented precision/compute trade). "
+    "Scale: one scan exploded x32 map-side, partial-aggregated into "
+    "a 32-group reduce — no extra exchange of the data, the bootstrap "
+    "price is pure compute.",
+    tags=("events", "stats", "bootstrap"),
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("event_id", f"{VAL_I} AS y")
+    )
+    rep = (
+        s.select(
+            F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("b"),
+            "event_id",
+            "y",
+        )
+        .selectExpr(
+            "b",
+            _boot_weight(_h60_spark("CONCAT(event_id, ':', b)")) + " AS w",
+            "y",
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.expr("w * y")).cast("long").alias("wy"),
+            F.sum("w").cast("long").alias("wn"),
+        )
+    )
+    means = rep.selectExpr(
+        "CAST(wy AS DOUBLE) / NULLIF(CAST(wn AS DOUBLE), 0.0) AS m"
+    )
+    ci = means.agg(
+        F.expr("percentile_disc(0.025) WITHIN GROUP (ORDER BY m)").alias(
+            "ci_lo_cents"
+        ),
+        F.expr("percentile_disc(0.975) WITHIN GROUP (ORDER BY m)").alias(
+            "ci_hi_cents"
+        ),
+    )
+    point = s.agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("sy")
+    )
+    return point.crossJoin(F.broadcast(ci)).selectExpr(
+        "n",
+        "CAST(sy AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0) AS mean_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        f"CAST({_BOOT_B} AS BIGINT) AS n_replicates",
     )

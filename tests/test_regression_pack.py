@@ -180,6 +180,40 @@ def test_ewma_matches_reference(spark, tiny_events_dir):
         assert got.iloc[t]["ewma_cents"] == pytest.approx(ref, rel=1e-12)
 
 
+def test_bootstrap_matches_bruteforce(spark, tiny_events_dir):
+    import hashlib
+
+    from magictables_spark.plans.regression_pack import _BOOT_B, _BOOT_T
+
+    d, df = tiny_events_dir
+    out = REGISTRY["bootstrap_ci_mean"].fn(spark, d).toPandas().iloc[0]
+    sub = df[df["event_type"] == "purchase"]
+    y = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+    ids = sub["event_id"].to_numpy()
+
+    def weight(eid, b):
+        u = int(hashlib.md5(f"{eid}:{b}".encode()).hexdigest()[:15], 16)
+        for k, t in enumerate(_BOOT_T):
+            if u < t:
+                return k
+        return 6
+
+    means = []
+    for b in range(1, _BOOT_B + 1):
+        w = np.array([weight(e, b) for e in ids], dtype=np.int64)
+        means.append(float((w * y).sum()) / float(w.sum()))
+    means.sort()
+    # PERCENTILE_DISC: value at ceil(p*m) in sorted order (1-based)
+    lo = means[math.ceil(0.025 * _BOOT_B) - 1]
+    hi = means[math.ceil(0.975 * _BOOT_B) - 1]
+    assert out["n"] == len(y)
+    assert out["mean_cents"] == pytest.approx(y.sum() / len(y), rel=1e-12)
+    assert out["ci_lo_cents"] == pytest.approx(lo, abs=1e-9)
+    assert out["ci_hi_cents"] == pytest.approx(hi, abs=1e-9)
+    # the interval is a real CI: brackets the point estimate, nonzero width
+    assert out["ci_lo_cents"] < out["mean_cents"] < out["ci_hi_cents"]
+
+
 def test_gini_matches_bruteforce(spark, tiny_events_dir):
     d, df = tiny_events_dir
     out = REGISTRY["key_skew_gini"].fn(spark, d).toPandas().iloc[0]

@@ -71,6 +71,7 @@ SCALE_OPS = [
     "chi2_independence",
     "theilsen_trend",
     "key_skew_gini",
+    "bootstrap_ci_mean",
 ]
 
 
