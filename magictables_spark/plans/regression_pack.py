@@ -683,3 +683,75 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi_cents",
         f"CAST({_BOOT_B} AS BIGINT) AS n_replicates",
     )
+
+
+@q(
+    "stream_linreg_windowed",
+    oracle=f"""
+    WITH b AS (
+      SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+               AS win_start,
+             event_type, {_X_DUCK} AS x, {VAL_I} AS y
+      FROM events
+    ), s AS (
+      SELECT win_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38, 0))) AS sxx,
+             SUM(CAST(x * y AS DECIMAL(38, 0))) AS sxy,
+             SUM(CAST(y * y AS DECIMAL(38, 0))) AS syy
+      FROM b GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, n,
+           {_LR_DUCK[0]} AS slope_cents_per_hour,
+           {_LR_DUCK[2]} AS r2
+    FROM s ORDER BY win_start, event_type
+    """,
+    doc="Regression OVER A STREAM: per-day windowed OLS slope/R2 per "
+    "event_type computed by a real readStream -> window('1 day') "
+    "aggregation -> Trigger.AvailableNow job into a complete-mode "
+    "memory sink. The six moment sums are all algebraic aggregates, "
+    "so they stream with bounded per-window state (this is why the "
+    "moment formulation matters: a direct regr_slope over a stream "
+    "would need the whole window buffered); the slope projects "
+    "statelessly from the sink. Hash-checked against the DuckDB "
+    "day-bucket oracle like the other streaming window families. "
+    "Scale: state = one 6-number row per (day, type).",
+    tags=("events", "stats", "streaming", "regression"),
+)
+def stream_linreg_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.plans.events_pack import TS_FMT, _events_stream, _run_available_now
+
+    src = _events_stream(spark, sf_dir)
+    dec = "DECIMAL(38, 0)"
+    agg = (
+        src.selectExpr("ts", "event_type", f"{_X_SPARK} AS x", f"{VAL_I} AS y")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * x").cast(dec)).alias("sxx"),
+            F.sum(F.expr("x * y").cast(dec)).alias("sxy"),
+            F.sum(F.expr("y * y").cast(dec)).alias("syy"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT).alias("win_start"),
+            "event_type",
+            "n",
+            "sx",
+            "sy",
+            "sxx",
+            "sxy",
+            "syy",
+        )
+    )
+    sink = _run_available_now(spark, agg, "mts_stream_linreg_sink")
+    return sink.selectExpr(
+        "win_start",
+        "event_type",
+        "n",
+        f"{_LR_SPARK[0]} AS slope_cents_per_hour",
+        f"{_LR_SPARK[2]} AS r2",
+    ).orderBy("win_start", "event_type")
