@@ -1,11 +1,15 @@
-"""Regression & nonparametric-test pack over the `events` fixture.
+"""Regression, hypothesis-test & resampling pack over `events`.
 
 The reference's Polars surface ends at describe/corr; a real analytics
 engine also ships the next tier of statistics every experimentation /
-feature pipeline reaches for: grouped OLS regression (trend per key),
-exponentially-weighted moving averages (the pandas ``ewm`` surface),
-and a rank-based two-sample test (Mann-Whitney U) for metrics whose
-distributions are nothing like normal.
+feature pipeline reaches for: grouped OLS regression (trend per key,
+batch AND as a streaming job), the Theil-Sen robust trend, EWMA (the
+pandas ``ewm`` surface), a rank-based two-sample test (Mann-Whitney
+U), the chi-square independence test, a Poisson-bootstrap confidence
+interval, and a Gini skew diagnostic for shuffle keys. Every one is
+value-hash-checked against DuckDB; tests/test_regression_pack.py
+additionally re-derives each statistic from first principles in
+numpy/hashlib so a formula error shared by both engines can't hide.
 
 Determinism strategy (the registry.py rules, applied hard):
 - every sufficient statistic is an EXACT int64 (value in cents, time
@@ -683,6 +687,201 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi_cents",
         f"CAST({_BOOT_B} AS BIGINT) AS n_replicates",
     )
+
+
+# Benford's-law conformity of the leading digit of the cents amounts —
+# the classic corruption/fabrication screen for numeric columns. The
+# expected probabilities log10(1 + 1/d) are double literals computed
+# once in Python (identical text in both engines); the 9 observed
+# cells come from one conditional aggregate and the chi-square / MAD
+# statistics are fixed-order expressions.
+_BENFORD_P = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+_BENFORD_CELLS = " , ".join(
+    f"CAST(COUNT(*) FILTER (WHERE d = {d}) AS BIGINT) AS o{d}" for d in range(1, 10)
+)
+# chi2_0.95 critical value at df = 8
+_BENFORD_CRIT = "15.50731305586545"
+
+
+def _benford_chi2() -> str:
+    terms = []
+    for d in range(1, 10):
+        e = f"(CAST(n AS DOUBLE) * {_BENFORD_P[d - 1]!r})"
+        diff = f"(CAST(o{d} AS DOUBLE) - {e})"
+        terms.append(f"({diff} * {diff} / NULLIF({e}, 0.0))")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _benford_mad() -> str:
+    terms = [
+        f"ABS(CAST(o{d} AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0)"
+        f" - {_BENFORD_P[d - 1]!r})"
+        for d in range(1, 10)
+    ]
+    return "((" + " + ".join(terms) + ") / 9.0)"
+
+
+@q(
+    "benford_deviation",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(SUBSTRING(CAST({VAL_I} AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM events WHERE {VAL_I} > 0
+    ), cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, {_BENFORD_CELLS} FROM s
+    )
+    SELECT n, {_benford_chi2()} AS chi2,
+           {_benford_mad()} AS mad,
+           {_benford_chi2()} > {_BENFORD_CRIT} AS nonconforming_95
+    FROM cells
+    """,
+    doc="Benford's-law screen on the leading digit of the cents "
+    "amounts: chi-square against log10(1+1/d) plus the MAD "
+    "conformity measure auditors actually threshold on — the "
+    "standard fabricated-or-corrupted-numbers detector for a numeric "
+    "column at ingest. Leading digit via the decimal string (no "
+    "leading zeros, identical cross-engine); 9 cells from ONE "
+    "conditional aggregate; both statistics are fixed-order "
+    "expressions over exact counts with the expected probabilities "
+    "as shared double literals. Scale: one scan, one 1-row reduce. "
+    "(The fixture's hash-uniform values are deliberately "
+    "NON-Benford — uniform distributions fail the screen, which is "
+    "exactly what it exists to flag.)",
+    tags=("events", "stats", "quality"),
+)
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.expr(f"{VAL_I} > 0"))
+        .selectExpr(f"CAST(SUBSTRING(CAST({VAL_I} AS STRING), 1, 1) AS BIGINT) AS d")
+    )
+    cells = s.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.count_if(F.col("d") == d).cast("long").alias(f"o{d}")
+            for d in range(1, 10)
+        ],
+    )
+    return cells.selectExpr(
+        "n",
+        f"{_benford_chi2()} AS chi2",
+        f"{_benford_mad()} AS mad",
+        f"{_benford_chi2()} > {_BENFORD_CRIT} AS nonconforming_95",
+    )
+
+
+# Pearson ACF over the DENSE hourly volume series (missing hours count
+# as zero — an ACF over observed-only rows silently shifts the lag
+# structure). Counts are exact ints; second moments ride DECIMAL(38)
+# with the hi/lo-split conversion; r = num / (sqrt(denx)*sqrt(deny)).
+_ACF_LAGS = (1, 24)
+
+
+def _acf_frag(dd) -> str:
+    n_d, sx_d, sy_d = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    num = f"({n_d} * {dd('sxy')} - {sx_d} * {sy_d})"
+    denx = f"({n_d} * {dd('sxx')} - {sx_d} * {sx_d})"
+    deny = f"({n_d} * {dd('syy')} - {sy_d} * {sy_d})"
+    return f"({num} / NULLIF(sqrt({denx}) * sqrt({deny}), 0.0))"
+
+
+@q(
+    "acf_volume",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+    grid AS (
+      SELECT t.event_type, gs.h
+      FROM (SELECT DISTINCT event_type FROM ev) t
+      CROSS JOIN b, unnest(generate_series(b.lo, b.hi, INTERVAL '1 hour')) AS gs(h)
+    ), dense AS (
+      SELECT grid.event_type, grid.h, COALESCE(ev.v, 0) AS v
+      FROM grid LEFT JOIN ev
+        ON grid.event_type = ev.event_type AND grid.h = ev.h
+    ), lagged AS (
+      {" UNION ALL ".join(
+        f'''SELECT event_type, {lag} AS lag, v AS x,
+               LAG(v, {lag}) OVER (PARTITION BY event_type ORDER BY h) AS y
+            FROM dense'''
+        for lag in _ACF_LAGS
+      )}
+    ), s AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38, 0))) AS sxx,
+             SUM(CAST(x * y AS DECIMAL(38, 0))) AS sxy,
+             SUM(CAST(y * y AS DECIMAL(38, 0))) AS syy
+      FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n, {_acf_frag(_dec_dbl_duck)} AS acf
+    FROM s ORDER BY event_type, lag
+    """,
+    doc="Autocorrelation of the hourly event volume at lags 1 and 24 "
+    "— the seasonality diagnostic (a daily cycle shows up as high "
+    "lag-24 ACF) that decides whether seasonal_naive_forecast is the "
+    "right model. The series is DENSIFIED first (missing hours are "
+    "true zeros; an observed-rows-only ACF silently shifts the lag "
+    "structure). Volume counts are exact ints, the lagged pairing is "
+    "a keyed window over the time-domain-bounded grid (720 rows/key), "
+    "and Pearson r comes from exact moments through the shared "
+    "fixed chain — so even the correlation values hash-match. Scale: "
+    "the data-sized work is one keyed hourly count; everything after "
+    "runs on the bounded grid.",
+    tags=("events", "stats", "timeseries"),
+)
+def acf_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+        )
+    )
+    dense = grid.join(ev, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    branches = [
+        dense.select(
+            "event_type",
+            F.lit(lag).cast("int").alias("lag"),
+            F.col("v").alias("x"),
+            F.lag("v", lag).over(w).alias("y"),
+        )
+        for lag in _ACF_LAGS
+    ]
+    lagged = branches[0]
+    for b2 in branches[1:]:
+        lagged = lagged.unionAll(b2)
+    dec = "DECIMAL(38, 0)"
+    s = (
+        lagged.where(F.col("y").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * x").cast(dec)).alias("sxx"),
+            F.sum(F.expr("x * y").cast(dec)).alias("sxy"),
+            F.sum(F.expr("y * y").cast(dec)).alias("syy"),
+        )
+    )
+    return s.selectExpr(
+        "event_type", "lag", "n", f"{_acf_frag(_dec_dbl_spark)} AS acf"
+    ).orderBy("event_type", "lag")
 
 
 @q(

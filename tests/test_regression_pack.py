@@ -180,6 +180,42 @@ def test_ewma_matches_reference(spark, tiny_events_dir):
         assert got.iloc[t]["ewma_cents"] == pytest.approx(ref, rel=1e-12)
 
 
+def test_benford_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["benford_deviation"].fn(spark, d).toPandas().iloc[0]
+    cents = _cents(df)
+    cents = cents[cents > 0]
+    digits = np.array([int(str(c)[0]) for c in cents])
+    n = len(digits)
+    p = np.log10(1.0 + 1.0 / np.arange(1, 10))
+    o = np.array([(digits == dd).sum() for dd in range(1, 10)], dtype=float)
+    e = n * p
+    chi2 = float(((o - e) ** 2 / e).sum())
+    mad = float(np.abs(o / n - p).mean())
+    assert out["n"] == n
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-9)
+    assert out["mad"] == pytest.approx(mad, rel=1e-9)
+    # the synthetic grid amounts are decidedly non-Benford
+    assert bool(out["nonconforming_95"])
+
+
+def test_acf_matches_numpy(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["acf_volume"].fn(spark, d).toPandas()
+    sub = df[df["event_type"] == "view"]
+    hours = _hour_idx(sub)
+    lo, hi = _hour_idx(df).min(), _hour_idx(df).max()
+    v = np.zeros(hi - lo + 1, dtype=np.int64)
+    for h in hours:
+        v[h - lo] += 1
+    for lag in (1, 24):
+        x, y = v[lag:], v[:-lag]  # (v_h, v_{h-lag})
+        ref = float(np.corrcoef(x, y)[0, 1])
+        row = out[(out["event_type"] == "view") & (out["lag"] == lag)].iloc[0]
+        assert row["n"] == len(x)
+        assert row["acf"] == pytest.approx(ref, rel=1e-9)
+
+
 def test_bootstrap_matches_bruteforce(spark, tiny_events_dir):
     import hashlib
 

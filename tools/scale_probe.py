@@ -72,6 +72,8 @@ SCALE_OPS = [
     "theilsen_trend",
     "key_skew_gini",
     "bootstrap_ci_mean",
+    "benford_deviation",
+    "acf_volume",
 ]
 
 
