@@ -301,6 +301,89 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-sample Kolmogorov-Smirnov: D = max_x |F1(x) - F2(x)|. Scaled by
+# n1*n2 the deviation |cum1*n2 - cum2*n1| is an exact integer, so the
+# max is exact and D is ONE division. The 5% verdict uses the
+# asymptotic critical value c(alpha)*sqrt((n1+n2)/(n1*n2)) with
+# c(0.05) = sqrt(-ln(0.025)/2) as a double literal.
+_KS_C05 = "1.3581015157406195"
+_KS_D = "(CAST(dmax AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))"
+_KS_CRIT = (
+    f"({_KS_C05} * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)))"
+)
+
+
+@q(
+    "ks_test_2sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id % 2 AS grp, {VAL_I} AS y
+      FROM events WHERE event_type = 'purchase'
+    ), per_y AS (
+      SELECT y,
+             CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS c2
+      FROM s GROUP BY y
+    ), cum AS (
+      SELECT y,
+             SUM(c1) OVER (ORDER BY y) AS f1,
+             SUM(c2) OVER (ORDER BY y) AS f2
+      FROM per_y
+    ), agg AS (
+      SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM per_y) AS n1,
+             (SELECT CAST(SUM(c2) AS BIGINT) FROM per_y) AS n2,
+             (SELECT CAST(MAX(ABS(f1 * (SELECT SUM(c2) FROM per_y)
+                - f2 * (SELECT SUM(c1) FROM per_y))) AS BIGINT) FROM cum) AS dmax
+    )
+    SELECT n1, n2, dmax AS d_scaled,
+           {_KS_D} AS d,
+           {_KS_D} > {_KS_CRIT} AS significant_95
+    FROM agg
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test comparing the purchase-"
+    "value distributions between the user_id %% 2 arms — sensitive to "
+    "ANY distributional difference (shape, spread, location), where "
+    "the rank-sum test only sees location. The empirical-CDF "
+    "deviation scaled by n1*n2 is an exact integer, so the supremum "
+    "is computed exactly and D is one IEEE division; the 5%% verdict "
+    "uses the asymptotic critical value as a shared literal. Scale: "
+    "the per-row work is one keyed agg on the cents value; the "
+    "cumulative frame is bounded by the VALUE DOMAIN (<=56k distinct "
+    "cents), the same shape as mannwhitney_u.",
+    tags=("events", "stats", "hypothesis-test"),
+)
+def ks_test_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id % 2 AS grp", f"{VAL_I} AS y")
+    )
+    per_y = s.groupBy("y").agg(
+        F.count_if(F.col("grp") == 0).cast("long").alias("c1"),
+        F.count_if(F.col("grp") == 1).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_y.select(
+        "y",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    tot = per_y.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    dmax = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(F.max(F.expr("ABS(f1 * n2 - f2 * n1)")).cast("long").alias("dmax"))
+    )
+    return dmax.crossJoin(F.broadcast(tot)).selectExpr(
+        "n1",
+        "n2",
+        "dmax AS d_scaled",
+        f"{_KS_D} AS d",
+        f"{_KS_D} > {_KS_CRIT} AS significant_95",
+    )
+
+
 # Chi-square test of independence over the FIXED event vocabulary
 # (hardcoded literals, same convention as the funnel stages): 5x2
 # cells as one conditional aggregate, expected counts and the

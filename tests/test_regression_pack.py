@@ -180,6 +180,26 @@ def test_ewma_matches_reference(spark, tiny_events_dir):
         assert got.iloc[t]["ewma_cents"] == pytest.approx(ref, rel=1e-12)
 
 
+def test_ks_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["ks_test_2sample"].fn(spark, d).toPandas().iloc[0]
+    sub = df[df["event_type"] == "purchase"]
+    y = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+    grp = (sub["user_id"].to_numpy() % 2).astype(np.int64)
+    y1, y2 = np.sort(y[grp == 0]), np.sort(y[grp == 1])
+    n1, n2 = len(y1), len(y2)
+    vals = np.unique(y)
+    f1 = np.searchsorted(y1, vals, side="right") / n1
+    f2 = np.searchsorted(y2, vals, side="right") / n2
+    dref = float(np.abs(f1 - f2).max())
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert out["d"] == pytest.approx(dref, abs=1e-12)
+    crit = 1.3581015157406195 * math.sqrt((n1 + n2) / (n1 * n2))
+    assert bool(out["significant_95"]) == (dref > crit)
+    # the engineered +2500-cent arm shift is a distributional difference
+    assert bool(out["significant_95"])
+
+
 def test_benford_matches_reference(spark, tiny_events_dir):
     d, df = tiny_events_dir
     out = REGISTRY["benford_deviation"].fn(spark, d).toPandas().iloc[0]

@@ -74,6 +74,7 @@ SCALE_OPS = [
     "bootstrap_ci_mean",
     "benford_deviation",
     "acf_volume",
+    "ks_test_2sample",
 ]
 
 
