@@ -301,6 +301,77 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Wilson score interval for a binomial proportion: the CI that stays
+# inside [0,1] and behaves at small n / extreme rates where the Wald
+# interval collapses. z = Phi^-1(0.975) as a shared double literal;
+# everything else is one fixed chain on exact counts.
+_WZ = "1.959963984540054"
+_W_P = "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+_W_DEN = f"(1.0 + {_WZ} * {_WZ} / CAST(n AS DOUBLE))"
+_W_CTR = f"(({_W_P} + {_WZ} * {_WZ} / (2.0 * CAST(n AS DOUBLE))) / {_W_DEN})"
+_W_HALF = (
+    f"({_WZ} * sqrt({_W_P} * (1.0 - {_W_P}) / CAST(n AS DOUBLE)"
+    f" + {_WZ} * {_WZ} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    f" / {_W_DEN})"
+)
+
+
+@q(
+    "conversion_wilson_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 95
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS c
+      FROM per_user GROUP BY variant
+    )
+    SELECT variant, n, c,
+           {_W_P} AS rate,
+           {_W_CTR} - {_W_HALF} AS ci_lo,
+           {_W_CTR} + {_W_HALF} AS ci_hi
+    FROM s ORDER BY variant
+    """,
+    doc="Wilson score 95%% interval for each arm's conversion rate — "
+    "the CI that stays inside [0,1] and doesn't collapse at small n "
+    "or extreme rates the way the naive Wald interval does, i.e. the "
+    "one a dashboard should actually show next to ab_test_zscore's "
+    "verdict. Counts are exact from the same user-keyed conversion "
+    "agg as the z-test; the interval is one fixed IEEE chain with "
+    "Phi^-1(0.975) as a shared literal, so the bounds hash-match. "
+    "Scale: one user-keyed agg, 2-row result.",
+    tags=("events", "stats", "experiment"),
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 95), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    s = per_user.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("c"),
+    )
+    return s.selectExpr(
+        "variant",
+        "n",
+        "c",
+        f"{_W_P} AS rate",
+        f"{_W_CTR} - {_W_HALF} AS ci_lo",
+        f"{_W_CTR} + {_W_HALF} AS ci_hi",
+    ).orderBy("variant")
+
+
 # Two-sample Kolmogorov-Smirnov: D = max_x |F1(x) - F2(x)|. Scaled by
 # n1*n2 the deviation |cum1*n2 - cum2*n1| is an exact integer, so the
 # max is exact and D is ONE division. The 5% verdict uses the

@@ -180,6 +180,33 @@ def test_ewma_matches_reference(spark, tiny_events_dir):
         assert got.iloc[t]["ewma_cents"] == pytest.approx(ref, rel=1e-12)
 
 
+def test_wilson_ci_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["conversion_wilson_ci"].fn(spark, d).toPandas()
+    conv = (
+        df.assign(hit=((df["event_type"] == "purchase") & (df["value"] > 95)))
+        .groupby("user_id")["hit"]
+        .max()
+    )
+    z = 1.959963984540054
+    for variant in (0, 1):
+        arm = conv[conv.index % 2 == variant]
+        n, c = len(arm), int(arm.sum())
+        p = c / n
+        den = 1 + z * z / n
+        ctr = (p + z * z / (2 * n)) / den
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+        row = out[out["variant"] == variant].iloc[0]
+        assert row["n"] == n and row["c"] == c
+        assert row["rate"] == pytest.approx(p, rel=1e-12)
+        assert row["ci_lo"] == pytest.approx(ctr - half, rel=1e-9)
+        assert row["ci_hi"] == pytest.approx(ctr + half, rel=1e-9)
+        # Wilson pulls the interval INSIDE [0,1]; at p=1 the upper
+        # bound sits just below the point estimate — that's the point
+        assert 0.0 <= row["ci_lo"] < row["ci_hi"] <= 1.0
+        assert row["ci_lo"] < row["rate"]
+
+
 def test_ks_matches_reference(spark, tiny_events_dir):
     d, df = tiny_events_dir
     out = REGISTRY["ks_test_2sample"].fn(spark, d).toPandas().iloc[0]
