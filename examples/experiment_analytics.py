@@ -37,11 +37,15 @@ def main() -> None:
     # 2. Data-quality screen on the metric column itself.
     run("benford_deviation")
 
-    # 3. The arm comparison, three ways: parametric conversion z-test,
-    #    rank-based value comparison, and type-vs-arm independence.
+    # 3. The arm comparison, four ways: parametric conversion z-test
+    #    (with Wilson intervals per arm), rank-based value comparison,
+    #    the distribution-shape KS test, and type-vs-arm independence.
     run("ab_test_zscore")
+    run("conversion_wilson_ci")
     run("mannwhitney_u")
+    run("ks_test_2sample")
     run("chi2_independence")
+    run("anova_oneway")
 
     # 4. How precise is the headline mean? Deterministic Poisson
     #    bootstrap — rerunnable bit-for-bit on any cluster size.

@@ -301,6 +301,98 @@ def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The FIXED event vocabulary (hardcoded literals, same convention as
+# the funnel stages) — shared by the ANOVA and chi-square cells.
+_CHI_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# One-way ANOVA across the fixed vocabulary: between/within sums of
+# squares from exact per-group moments (sums BIGINT, sum-of-squares
+# DECIMAL(38)), combined in one fixed-order expression over the 5
+# pivoted group columns — same no-engine-ordered-summation discipline
+# as chi2_independence.
+_ANOVA_K = len(_CHI_TYPES)
+
+
+def _anova_frags(dd) -> tuple[str, str, str]:
+    """(ss_between, ss_within, F) fragments over columns s1..s5,
+    n1..n5, syy (total sum of squares accumulator), nn, sy."""
+    group_terms = " + ".join(
+        f"(CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)"
+        f" / NULLIF(CAST(n{i} AS DOUBLE), 0.0))"
+        for i in range(1, _ANOVA_K + 1)
+    )
+    grand = "(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / NULLIF(CAST(nn AS DOUBLE), 0.0))"
+    ssb = f"(({group_terms}) - {grand})"
+    sst = f"({dd('syy')} - {grand})"
+    ssw = f"({sst} - {ssb})"
+    f_stat = (
+        f"(({ssb} / {float(_ANOVA_K - 1)!r})"
+        f" / NULLIF({ssw} / (CAST(nn AS DOUBLE) - {float(_ANOVA_K)!r}), 0.0))"
+    )
+    return ssb, sst, f_stat
+
+
+@q(
+    "anova_oneway",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, {VAL_I} AS y FROM events
+    ), cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(y * y AS DECIMAL(38, 0))) AS syy,
+             {", ".join(
+               f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n{i + 1}, "
+               f"CAST(SUM(y) FILTER (WHERE event_type = '{t}') AS BIGINT) AS s{i + 1}"
+               for i, t in enumerate(_CHI_TYPES)
+             )}
+      FROM s
+    )
+    SELECT nn AS n,
+           {_anova_frags(_dec_dbl_duck)[0]} AS ss_between,
+           {_anova_frags(_dec_dbl_duck)[1]} AS ss_total,
+           {_anova_frags(_dec_dbl_duck)[2]} AS f_stat,
+           ({_anova_frags(_dec_dbl_duck)[0]} /
+             NULLIF({_anova_frags(_dec_dbl_duck)[1]}, 0.0)) AS eta_sq
+    FROM cells
+    """,
+    doc="One-way ANOVA of the cents amounts across the 5 event types: "
+    "F statistic and the eta-squared effect size, completing the "
+    "classic test battery (z, Wilson, U, KS, chi-square, F). Per-"
+    "group first moments pivot into fixed columns via ONE conditional "
+    "aggregate (the vocabulary is fixed, so the between-groups sum is "
+    "a fixed-order expression, never an engine-ordered SUM over a "
+    "group frame); the total sum of squares accumulates in "
+    "DECIMAL(38) and crosses to double once via the hi/lo split. No "
+    "significance verdict column: the F critical value depends on "
+    "the residual df and so on n — the caller thresholds. Scale: one "
+    "scan, one 1-row reduce.",
+    tags=("events", "stats", "hypothesis-test"),
+)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38, 0)"
+    s = _t(spark, sf_dir, "events").selectExpr("event_type", f"{VAL_I} AS y")
+    aggs = [
+        F.count("*").cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("y * y").cast(dec)).alias("syy"),
+    ]
+    for i, t in enumerate(_CHI_TYPES):
+        aggs.append(F.count_if(F.col("event_type") == t).cast("long").alias(f"n{i + 1}"))
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == t, F.col("y"))).cast("long").alias(f"s{i + 1}")
+        )
+    cells = s.agg(*aggs)
+    ssb, sst, f_stat = _anova_frags(_dec_dbl_spark)
+    return cells.selectExpr(
+        "nn AS n",
+        f"{ssb} AS ss_between",
+        f"{sst} AS ss_total",
+        f"{f_stat} AS f_stat",
+        f"({ssb} / NULLIF({sst}, 0.0)) AS eta_sq",
+    )
+
+
 # Wilson score interval for a binomial proportion: the CI that stays
 # inside [0,1] and behaves at small n / extreme rates where the Wald
 # interval collapses. z = Phi^-1(0.975) as a shared double literal;
@@ -460,7 +552,6 @@ def ks_test_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cells as one conditional aggregate, expected counts and the
 # statistic in one shared fixed-order expression — a plain SUM over a
 # 10-row cell frame would add doubles in engine-specific order.
-_CHI_TYPES = ("click", "error", "purchase", "signup", "view")
 _CHI_CELLS = [
     (f"c{i}_{j}", t, j) for i, t in enumerate(_CHI_TYPES) for j in (0, 1)
 ]

@@ -180,6 +180,26 @@ def test_ewma_matches_reference(spark, tiny_events_dir):
         assert got.iloc[t]["ewma_cents"] == pytest.approx(ref, rel=1e-12)
 
 
+def test_anova_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["anova_oneway"].fn(spark, d).toPandas().iloc[0]
+    y = _cents(df).astype(float)
+    groups = [y[(df["event_type"] == t).to_numpy()] for t in
+              ("click", "error", "purchase", "signup", "view")]
+    grand = y.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(y)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["n"] == n
+    assert out["ss_between"] == pytest.approx(ssb, rel=1e-9)
+    assert out["ss_total"] == pytest.approx(ssb + ssw, rel=1e-9)
+    assert out["f_stat"] == pytest.approx(f_ref, rel=1e-9)
+    assert out["eta_sq"] == pytest.approx(ssb / (ssb + ssw), rel=1e-9)
+    # the engineered per-type trends make the group means differ hard
+    assert out["f_stat"] > 10.0
+
+
 def test_wilson_ci_matches_reference(spark, tiny_events_dir):
     d, df = tiny_events_dir
     out = REGISTRY["conversion_wilson_ci"].fn(spark, d).toPandas()

@@ -75,6 +75,8 @@ SCALE_OPS = [
     "benford_deviation",
     "acf_volume",
     "ks_test_2sample",
+    "anova_oneway",
+    "conversion_wilson_ci",
 ]
 
 
