@@ -55,6 +55,7 @@ def main() -> None:
     #    Theil-Sen twin, and the smoothed series.
     run("linreg_by_group")
     run("theilsen_trend")
+    run("spearman_corr")
     run("ewma_windowed", 5)
 
     # 6. Seasonality: is there a daily cycle worth modeling?

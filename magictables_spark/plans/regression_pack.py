@@ -737,6 +737,110 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spearman rank correlation without per-row rank windows: the doubled
+# average rank of a value is a function of the DISTINCT-value frame
+# (2*below + c + 1, as in mannwhitney_u), so each row picks up its
+# ranks through two broadcast joins against domain-bounded rank maps,
+# and rho is Pearson on exact integer doubled ranks.
+_SPEAR = (
+    "(CAST(n AS DOUBLE) * {sxy} - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / NULLIF(sqrt(CAST(n AS DOUBLE) * {sxx}"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * {syy}"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0)"
+)
+
+
+@q(
+    "spearman_corr",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, {_X_DUCK} AS x, {VAL_I} AS y FROM events
+    ), rx AS (
+      SELECT event_type, x,
+             2 * COALESCE(SUM(CAST(COUNT(*) AS BIGINT)) OVER (
+                    PARTITION BY event_type ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0
+                  ) + CAST(COUNT(*) AS BIGINT) + 1 AS r2x
+      FROM b GROUP BY event_type, x
+    ), ry AS (
+      SELECT event_type, y,
+             2 * COALESCE(SUM(CAST(COUNT(*) AS BIGINT)) OVER (
+                    PARTITION BY event_type ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0
+                  ) + CAST(COUNT(*) AS BIGINT) + 1 AS r2y
+      FROM b GROUP BY event_type, y
+    ), r AS (
+      SELECT b.event_type, rx.r2x AS r2x, ry.r2y AS r2y
+      FROM b
+      JOIN rx ON b.event_type = rx.event_type AND b.x = rx.x
+      JOIN ry ON b.event_type = ry.event_type AND b.y = ry.y
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2x) AS BIGINT) AS sx,
+             CAST(SUM(r2y) AS BIGINT) AS sy,
+             SUM(CAST(r2x * r2x AS DECIMAL(38, 0))) AS sxx,
+             SUM(CAST(r2x * r2y AS DECIMAL(38, 0))) AS sxy,
+             SUM(CAST(r2y * r2y AS DECIMAL(38, 0))) AS syy
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {_SPEAR.format(sxy=_dec_dbl_duck("sxy"), sxx=_dec_dbl_duck("sxx"), syy=_dec_dbl_duck("syy"))} AS rho
+    FROM s ORDER BY event_type
+    """,
+    doc="Spearman rank correlation between the hour index and the "
+    "cents amount per event_type — the monotonic-association measure "
+    "that survives the heavy-tailed values Pearson chokes on. No "
+    "per-row rank window: doubled average ranks (exact ints, ties "
+    "handled) are computed on the DISTINCT-value frames (bounded by "
+    "the 720-hour / 56k-cents domains) and joined back to the rows, "
+    "then rho is Pearson on exact integer doubled ranks (the 2x "
+    "factor cancels), with second moments in DECIMAL(38) through the "
+    "hi/lo split. Scale: two keyed aggs + two joins against "
+    "domain-bounded rank maps; the ordered frames never see n rows.",
+    tags=("events", "stats", "regression"),
+)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", f"{_X_SPARK} AS x", f"{VAL_I} AS y"
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        per = b.groupBy("event_type", col).agg(F.count("*").cast("long").alias("c"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per.select(
+            "event_type",
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(out),
+        )
+
+    r = b.join(rank_map("x", "r2x"), ["event_type", "x"]).join(
+        rank_map("y", "r2y"), ["event_type", "y"]
+    )
+    dec = "DECIMAL(38, 0)"
+    s = r.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.expr("r2x * r2x").cast(dec)).alias("sxx"),
+        F.sum(F.expr("r2x * r2y").cast(dec)).alias("sxy"),
+        F.sum(F.expr("r2y * r2y").cast(dec)).alias("syy"),
+    )
+    rho = _SPEAR.format(
+        sxy=_dec_dbl_spark("sxy"), sxx=_dec_dbl_spark("sxx"), syy=_dec_dbl_spark("syy")
+    )
+    return s.selectExpr("event_type", "n", f"{rho} AS rho").orderBy("event_type")
+
+
 # Gini over GROUPED load counts: with k_v = number of keys carrying
 # exactly v events, G = sum_{v,w} k_v k_w |v - w| / (2 N T) — every
 # term exact int64, so the coefficient is ONE division at the end.

@@ -180,6 +180,38 @@ def test_ewma_matches_reference(spark, tiny_events_dir):
         assert got.iloc[t]["ewma_cents"] == pytest.approx(ref, rel=1e-12)
 
 
+def _avg_ranks(v):
+    """1-based average ranks with ties, pure numpy."""
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v), float)
+    sv = v[order]
+    i = 0
+    while i < len(v):
+        j = i
+        while j < len(v) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    return ranks
+
+
+def test_spearman_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["spearman_corr"].fn(spark, d).toPandas().set_index("event_type")
+    x_all, y_all = _hour_idx(df), _cents(df)
+    for t in ("purchase", "click", "signup"):
+        m = (df["event_type"] == t).to_numpy()
+        rx, ry = _avg_ranks(x_all[m]), _avg_ranks(y_all[m])
+        ref = float(np.corrcoef(rx, ry)[0, 1])
+        row = out.loc[t]
+        assert row["n"] == int(m.sum())
+        assert row["rho"] == pytest.approx(ref, rel=1e-9)
+    # engineered monotone trends: purchase up, click down, signup flat
+    assert out.loc["purchase"]["rho"] > 0.1
+    assert out.loc["click"]["rho"] < -0.05
+    assert abs(out.loc["signup"]["rho"]) < 0.1
+
+
 def test_anova_matches_reference(spark, tiny_events_dir):
     d, df = tiny_events_dir
     out = REGISTRY["anova_oneway"].fn(spark, d).toPandas().iloc[0]

@@ -77,6 +77,7 @@ SCALE_OPS = [
     "ks_test_2sample",
     "anova_oneway",
     "conversion_wilson_ci",
+    "spearman_corr",
 ]
 
 
