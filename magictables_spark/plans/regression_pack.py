@@ -737,6 +737,198 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# STL-style seasonal strength with EXACT variance arithmetic: detrend
+# by a centered 24-term moving sum (D = 24*v - s24, integer), trim to
+# whole days so every hour-of-day has the same count m, remove the
+# per-hour-of-day means in the common scale 24m (R' = m*D - sumD_k,
+# integer), and compare centered sums of squares from exact moments.
+_SEAS_RATIO = (
+    "((CAST(nh AS DOUBLE) * {rp2} - CAST(srp AS DOUBLE) * CAST(srp AS DOUBLE))"
+    " / NULLIF(CAST(nh AS DOUBLE) * {dm2}"
+    " - CAST(sdm AS DOUBLE) * CAST(sdm AS DOUBLE), 0.0))"
+)
+
+
+@q(
+    "seasonal_strength_hourly",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, {_X_DUCK} AS hidx, CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT CAST(MIN(hidx) AS BIGINT) AS lo, CAST(MAX(hidx) AS BIGINT) AS hi
+      FROM ev
+    ), lim AS (
+      SELECT lo, hi,
+             ((lo + 11 + 23) // 24) AS d_lo,
+             ((hi - 12 + 1) // 24) - 1 AS d_hi
+      FROM b
+    ), grid AS (
+      SELECT t.event_type, gs.h AS hidx
+      FROM (SELECT DISTINCT event_type FROM ev) t
+      CROSS JOIN lim, unnest(generate_series(lim.lo, lim.hi)) AS gs(h)
+    ), dense AS (
+      SELECT grid.event_type, grid.hidx, COALESCE(ev.v, 0) AS v
+      FROM grid LEFT JOIN ev
+        ON ev.event_type = grid.event_type AND ev.hidx = grid.hidx
+    ), ma AS (
+      SELECT event_type, hidx, v,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY hidx
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS s24,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY hidx
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS c24
+      FROM dense
+    ), detr AS (
+      SELECT ma.event_type, ma.hidx % 24 AS k,
+             24 * ma.v - CAST(ma.s24 AS BIGINT) AS d,
+             lim.d_hi - lim.d_lo + 1 AS m
+      FROM ma CROSS JOIN lim
+      WHERE ma.c24 = 24
+        AND ma.hidx >= lim.d_lo * 24 AND ma.hidx <= lim.d_hi * 24 + 23
+    ), sk AS (
+      SELECT event_type, k, CAST(SUM(d) AS BIGINT) AS sumd
+      FROM detr GROUP BY event_type, k
+    ), r AS (
+      SELECT detr.event_type, detr.m,
+             detr.m * detr.d - sk.sumd AS rp,
+             detr.m * detr.d AS dm
+      FROM detr JOIN sk
+        ON detr.event_type = sk.event_type AND detr.k = sk.k
+    ), mom AS (
+      SELECT event_type, ANY_VALUE(m) AS m,
+             CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(rp) AS BIGINT) AS srp,
+             CAST(SUM(dm) AS BIGINT) AS sdm,
+             SUM(CAST(rp * rp AS DECIMAL(38, 0))) AS rp2,
+             SUM(CAST(dm * dm AS DECIMAL(38, 0))) AS dm2
+      FROM r GROUP BY event_type
+    ), pk AS (
+      SELECT event_type, MAX(sumd) AS maxd FROM sk GROUP BY event_type
+    ), pkk AS (
+      SELECT sk.event_type, pk.maxd, MIN(sk.k) AS peak_hour
+      FROM sk JOIN pk ON sk.event_type = pk.event_type AND sk.sumd = pk.maxd
+      GROUP BY sk.event_type, pk.maxd
+    )
+    SELECT mom.event_type, mom.m AS n_days, mom.nh AS n_hours,
+           1.0 - {_SEAS_RATIO.format(rp2=_dec_dbl_duck("rp2"), dm2=_dec_dbl_duck("dm2"))}
+             AS seasonal_strength,
+           pkk.peak_hour,
+           CAST(pkk.maxd AS DOUBLE) / CAST(24 * mom.m AS DOUBLE)
+             AS peak_seasonal_volume
+    FROM mom JOIN pkk ON mom.event_type = pkk.event_type
+    ORDER BY mom.event_type
+    """,
+    doc="STL-style seasonal-strength decomposition of the hourly "
+    "volume per event_type: detrend with a centered 24-term moving "
+    "sum, remove the hour-of-day means, and report "
+    "1 - SS(remainder)/SS(detrended) (the Hyndman seasonal-strength "
+    "statistic) plus the peak hour and its seasonal amplitude. The "
+    "whole decomposition stays in EXACT integers: D = 24*v - s24 "
+    "avoids the MA division, whole-day trimming makes every "
+    "hour-of-day count equal so the per-k mean removal is the common "
+    "scale factor m (R' = m*D - sum_k D), and both sums of squares "
+    "come from DECIMAL(38) moments through the hi/lo split — the "
+    "variance RATIO is the only floating-point step. Peak-hour ties "
+    "break to the smallest hour deterministically. Scale: keyed "
+    "hourly agg is the only data-sized pass; everything after runs "
+    "on the 720-hour grid per key.",
+    tags=("events", "stats", "timeseries"),
+)
+def seasonal_strength_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .selectExpr("event_type", f"{_X_SPARK} AS hidx")
+        .groupBy("event_type", "hidx")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    lim = ev.agg(
+        F.min("hidx").cast("long").alias("lo"), F.max("hidx").cast("long").alias("hi")
+    ).selectExpr(
+        "lo",
+        "hi",
+        "(lo + 11 + 23) div 24 AS d_lo",
+        "((hi - 12 + 1) div 24) - 1 AS d_hi",
+    )
+    dense = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(lim))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi)")).alias("hidx"),
+            "d_lo",
+            "d_hi",
+        )
+        .join(ev, ["event_type", "hidx"], "left")
+        .select(
+            "event_type",
+            "hidx",
+            "d_lo",
+            "d_hi",
+            F.coalesce("v", F.lit(0)).cast("long").alias("v"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rowsBetween(-11, 12)
+    )
+    ma = dense.select(
+        "event_type",
+        "hidx",
+        "v",
+        "d_lo",
+        "d_hi",
+        F.sum("v").over(w).alias("s24"),
+        F.count("*").over(w).alias("c24"),
+    )
+    detr = ma.where(
+        (F.col("c24") == 24)
+        & (F.col("hidx") >= F.col("d_lo") * 24)
+        & (F.col("hidx") <= F.col("d_hi") * 24 + 23)
+    ).selectExpr(
+        "event_type",
+        "hidx % 24 AS k",
+        "24 * v - CAST(s24 AS BIGINT) AS d",
+        "d_hi - d_lo + 1 AS m",
+    )
+    sk = detr.groupBy("event_type", "k").agg(F.sum("d").cast("long").alias("sumd"))
+    r = detr.join(F.broadcast(sk), ["event_type", "k"]).selectExpr(
+        "event_type", "m", "m * d - sumd AS rp", "m * d AS dm"
+    )
+    dec = "DECIMAL(38, 0)"
+    mom = r.groupBy("event_type").agg(
+        F.expr("any_value(m)").alias("m"),
+        F.count("*").cast("long").alias("nh"),
+        F.sum("rp").cast("long").alias("srp"),
+        F.sum("dm").cast("long").alias("sdm"),
+        F.sum(F.expr("rp * rp").cast(dec)).alias("rp2"),
+        F.sum(F.expr("dm * dm").cast(dec)).alias("dm2"),
+    )
+    pk = sk.groupBy("event_type").agg(F.max("sumd").alias("maxd"))
+    pkk = (
+        sk.join(F.broadcast(pk), "event_type")
+        .where(F.col("sumd") == F.col("maxd"))
+        .groupBy("event_type", "maxd")
+        .agg(F.min("k").alias("peak_hour"))
+    )
+    ratio = _SEAS_RATIO.format(
+        rp2=_dec_dbl_spark("rp2"), dm2=_dec_dbl_spark("dm2")
+    )
+    return (
+        mom.join(F.broadcast(pkk), "event_type")
+        .selectExpr(
+            "event_type",
+            "m AS n_days",
+            "nh AS n_hours",
+            f"1.0 - {ratio} AS seasonal_strength",
+            "peak_hour",
+            "CAST(maxd AS DOUBLE) / CAST(24 * m AS DOUBLE) AS peak_seasonal_volume",
+        )
+        .orderBy("event_type")
+    )
+
+
 # Spearman rank correlation without per-row rank windows: the doubled
 # average rank of a value is a function of the DISTINCT-value frame
 # (2*below + c + 1, as in mannwhitney_u), so each row picks up its

@@ -180,6 +180,70 @@ def test_ewma_matches_reference(spark, tiny_events_dir):
         assert got.iloc[t]["ewma_cents"] == pytest.approx(ref, rel=1e-12)
 
 
+def _seasonal_reference(df, t):
+    """STL-lite seasonal strength recomputed from first principles."""
+    h_all = _hour_idx(df)
+    lo, hi = int(h_all.min()), int(h_all.max())
+    m_mask = (df["event_type"] == t).to_numpy()
+    v = np.zeros(hi - lo + 1, dtype=np.int64)
+    for h in h_all[m_mask]:
+        v[h - lo] += 1
+    d_lo = (lo + 11 + 23) // 24
+    d_hi = (hi - 12 + 1) // 24 - 1
+    m = d_hi - d_lo + 1
+    hs = np.arange(d_lo * 24, d_hi * 24 + 24)
+    s24 = np.array([v[h - 11 - lo : h + 13 - lo].sum() for h in hs])
+    D = 24 * v[hs - lo] - s24
+    ks = hs % 24
+    sumd = {k: int(D[ks == k].sum()) for k in range(24)}
+    rp = m * D - np.array([sumd[k] for k in ks])
+    dm = m * D
+    n = len(D)
+    ss = lambda x: float(n * (x.astype(float) ** 2).sum() - x.astype(float).sum() ** 2)
+    strength = 1.0 - ss(rp) / ss(dm)
+    maxd = max(sumd.values())
+    peak = min(k for k, s in sumd.items() if s == maxd)
+    return m, n, strength, peak, maxd / (24.0 * m)
+
+
+def test_seasonal_strength_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = (
+        REGISTRY["seasonal_strength_hourly"].fn(spark, d).toPandas()
+        .set_index("event_type")
+    )
+    for t in ("view", "purchase"):
+        m, n, strength, peak, peakvol = _seasonal_reference(df, t)
+        row = out.loc[t]
+        assert row["n_days"] == m and row["n_hours"] == n
+        assert row["seasonal_strength"] == pytest.approx(strength, abs=1e-9)
+        assert row["peak_hour"] == peak
+        assert row["peak_seasonal_volume"] == pytest.approx(peakvol, rel=1e-12)
+        assert 0.0 <= row["seasonal_strength"] <= 1.0
+
+
+def test_seasonal_strength_detects_daily_cycle(spark, tmp_path):
+    """A corpus with a hard 24h cycle must score high; the uniform
+    corpus scores near zero — the diagnostic separates them."""
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for day in range(14):
+        for hod in range(24):
+            # strong cycle: 9am-5pm business hours carry 10x the volume
+            n = 20 if 9 <= hod <= 17 else 2
+            for i in range(n):
+                rows.append(
+                    (len(rows), base + pd.Timedelta(days=day, hours=hod, minutes=int(rng.integers(0, 60))),
+                     int(rng.integers(0, 50)), "view", 10.0, "{}")
+                )
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    df.to_parquet(os.path.join(str(tmp_path), "events.parquet"), index=False)
+    out = REGISTRY["seasonal_strength_hourly"].fn(spark, str(tmp_path)).toPandas().iloc[0]
+    assert out["seasonal_strength"] > 0.8
+    assert 9 <= out["peak_hour"] <= 17
+
+
 def _avg_ranks(v):
     """1-based average ranks with ties, pure numpy."""
     order = np.argsort(v, kind="stable")

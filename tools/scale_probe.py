@@ -78,6 +78,7 @@ SCALE_OPS = [
     "anova_oneway",
     "conversion_wilson_ci",
     "spearman_corr",
+    "seasonal_strength_hourly",
 ]
 
 
