@@ -61,6 +61,7 @@ def main() -> None:
     # 6. Seasonality: is there a daily cycle worth modeling?
     run("acf_volume")
     run("seasonal_strength_hourly")
+    run("cusum_drift")
 
     # 7. The same OLS moments as a REAL streaming job (readStream ->
     #    1-day windows -> AvailableNow), proving the stats survive the

@@ -737,6 +737,100 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CUSUM drift detection without recursion: the one-sided CUSUM
+# S_t = max(0, S_{t-1} + x_t - k) equals C_t - min_{s<=t} C_s for the
+# prefix sums C of (x - k) — a cumulative sum plus a running min, both
+# plain window functions. Scaling by N (hours) makes the reference
+# k = mean exact: C'_t = cumsum(N*x - T) with T = total volume, and
+# the alarm threshold H = 4*mean becomes the integer 4*T.
+@q(
+    "cusum_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, {_X_DUCK} AS hidx, CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(SUM(v) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY event_type
+    ), c AS (
+      SELECT ev.event_type, ev.hidx, tot.t, tot.n,
+             SUM(tot.n * ev.v - tot.t) OVER (
+               PARTITION BY ev.event_type ORDER BY ev.hidx) AS cs
+      FROM ev JOIN tot ON ev.event_type = tot.event_type
+    ), s AS (
+      SELECT event_type, hidx, t,
+             cs - LEAST(MIN(cs) OVER (
+               PARTITION BY event_type ORDER BY hidx), 0) AS cusum
+      FROM c
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN cusum > 4 * t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_hours,
+           CAST(MIN(CASE WHEN cusum > 4 * t THEN hidx END) AS BIGINT)
+             AS first_alarm_hour,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum_scaled,
+           CAST(MAX(cusum) AS DOUBLE) / CAST(4 * ANY_VALUE(t) AS DOUBLE)
+             AS peak_over_threshold
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    doc="One-sided CUSUM drift detector over the hourly volume per "
+    "event_type — the sequential shift test monitoring pipelines run "
+    "(Page 1954). The textbook recursion max(0, S+x-k) is not "
+    "SQL-expressible, but it equals prefix-sum minus running-min, "
+    "two keyed window functions; scaling by the hour count makes "
+    "the k = mean reference EXACT integers (N*v - T), and the alarm "
+    "threshold H = 4*mean is the integer 4*T — so alarm hours and "
+    "the peak statistic hash-match. Scale: one keyed hourly agg; "
+    "windows run on the 720-hour-per-key frame. The observed-hours "
+    "series (not densified) is the monitored signal by choice: a "
+    "missing hour carries no evidence of drift.",
+    tags=("events", "stats", "timeseries", "monitoring"),
+)
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .selectExpr("event_type", f"{_X_SPARK} AS hidx")
+        .groupBy("event_type", "hidx")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.sum("v").cast("long").alias("t"), F.count("*").cast("long").alias("n")
+    )
+    wc = Window.partitionBy("event_type").orderBy("hidx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = ev.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hidx",
+        "t",
+        F.sum(F.expr("n * v - t")).over(wc).alias("cs"),
+    )
+    # LEAST(min, 0): the running min must include the virtual empty
+    # prefix C_0 = 0, or a drift starting at the first hour is absorbed
+    s = c.select(
+        "event_type",
+        "hidx",
+        "t",
+        (F.col("cs") - F.least(F.min("cs").over(wc), F.lit(0))).alias("cusum"),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("CASE WHEN cusum > 4 * t THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_alarm_hours"),
+            F.min(F.when(F.expr("cusum > 4 * t"), F.col("hidx")))
+            .cast("long")
+            .alias("first_alarm_hour"),
+            F.max("cusum").cast("long").alias("max_cusum_scaled"),
+            F.expr("CAST(MAX(cusum) AS DOUBLE) / CAST(4 * ANY_VALUE(t) AS DOUBLE)")
+            .alias("peak_over_threshold"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # STL-style seasonal strength with EXACT variance arithmetic: detrend
 # by a centered 24-term moving sum (D = 24*v - s24, integer), trim to
 # whole days so every hour-of-day has the same count m, remove the

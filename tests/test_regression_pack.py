@@ -244,6 +244,54 @@ def test_seasonal_strength_detects_daily_cycle(spark, tmp_path):
     assert 9 <= out["peak_hour"] <= 17
 
 
+def test_cusum_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["cusum_drift"].fn(spark, d).toPandas().set_index("event_type")
+    h_all = _hour_idx(df)
+    for t in ("view", "purchase"):
+        hs = np.sort(np.unique(h_all[(df["event_type"] == t).to_numpy()]))
+        v = {h: int(((df["event_type"] == t).to_numpy() & (h_all == h)).sum()) for h in hs}
+        tot = sum(v.values())
+        n = len(hs)
+        # textbook recursion in the N-scaled integer domain
+        s_val, peak, alarms, first = 0, 0, 0, None
+        for h in hs:
+            s_val = max(0, s_val + n * v[h] - tot)
+            peak = max(peak, s_val)
+            if s_val > 4 * tot:
+                alarms += 1
+                first = h if first is None else first
+        row = out.loc[t]
+        assert row["max_cusum_scaled"] == peak
+        assert row["n_alarm_hours"] == alarms
+        if first is None:
+            assert row["first_alarm_hour"] is None or np.isnan(row["first_alarm_hour"])
+        else:
+            assert row["first_alarm_hour"] == first
+
+
+def test_cusum_detects_level_shift(spark, tmp_path):
+    """A volume step-change mid-series must alarm shortly after the
+    shift; a flat series must stay quiet."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for h in range(400):
+        n = 5 if h < 300 else 15  # 3x volume jump at hour 300
+        for i in range(n):
+            rows.append((len(rows), base + pd.Timedelta(hours=h, minutes=i % 60),
+                         i % 10, "view", 10.0, "{}"))
+    for h in range(400):  # flat control series
+        for i in range(5):
+            rows.append((len(rows), base + pd.Timedelta(hours=h, minutes=i % 60),
+                         i % 10, "click", 10.0, "{}"))
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    df.to_parquet(os.path.join(str(tmp_path), "events.parquet"), index=False)
+    out = REGISTRY["cusum_drift"].fn(spark, str(tmp_path)).toPandas().set_index("event_type")
+    assert out.loc["view"]["n_alarm_hours"] > 0
+    assert 300 <= out.loc["view"]["first_alarm_hour"] <= 320
+    assert out.loc["click"]["n_alarm_hours"] == 0
+
+
 def _avg_ranks(v):
     """1-based average ranks with ties, pure numpy."""
     order = np.argsort(v, kind="stable")

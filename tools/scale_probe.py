@@ -79,6 +79,7 @@ SCALE_OPS = [
     "conversion_wilson_ci",
     "spearman_corr",
     "seasonal_strength_hourly",
+    "cusum_drift",
 ]
 
 
