@@ -60,6 +60,7 @@ def main() -> None:
 
     # 6. Seasonality: is there a daily cycle worth modeling?
     run("acf_volume")
+    run("ljung_box_white_noise")
     run("seasonal_strength_hourly")
     run("cusum_drift")
 

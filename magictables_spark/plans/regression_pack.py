@@ -737,6 +737,164 @@ def theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pearson r from exact integer moments (shared by the ACF queries):
+# n*Sxy - Sx*Sy over the sqrt product, moments entering double via dd.
+def _acf_frag(dd) -> str:
+    n_d, sx_d, sy_d = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+    num = f"({n_d} * {dd('sxy')} - {sx_d} * {sy_d})"
+    denx = f"({n_d} * {dd('sxx')} - {sx_d} * {sx_d})"
+    deny = f"({n_d} * {dd('syy')} - {sy_d} * {sy_d})"
+    return f"({num} / NULLIF(sqrt({denx}) * sqrt({deny}), 0.0))"
+
+
+# Ljung-Box portmanteau test: Q = n(n+2) * sum_k r_k^2/(n-k) over the
+# first 8 lags of the densified hourly-volume ACF. The per-lag r_k
+# come from exact integer moments (the acf_volume machinery); the
+# 8-term combination is one fixed-order expression over lag columns
+# pivoted into a single row — never an engine-ordered SUM.
+_LB_LAGS = tuple(range(1, 9))
+# chi2_0.95 critical value at df = 8 (no fitted parameters)
+_LB_CRIT = "15.50731305586545"
+
+
+def _lb_q_expr() -> str:
+    terms = " + ".join(
+        f"(r{k} * r{k} / (CAST(nser AS DOUBLE) - {float(k)!r}))" for k in _LB_LAGS
+    )
+    return (
+        f"(CAST(nser AS DOUBLE) * (CAST(nser AS DOUBLE) + 2.0) * ({terms}))"
+    )
+
+
+def _lb_acf_branch_duck(lag: int) -> str:
+    return (
+        f"SELECT event_type, {lag} AS lag, v AS x, "
+        f"LAG(v, {lag}) OVER (PARTITION BY event_type ORDER BY h) AS y "
+        f"FROM dense"
+    )
+
+
+@q(
+    "ljung_box_white_noise",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+    grid AS (
+      SELECT t.event_type, gs.h
+      FROM (SELECT DISTINCT event_type FROM ev) t
+      CROSS JOIN b, unnest(generate_series(b.lo, b.hi, INTERVAL '1 hour')) AS gs(h)
+    ), dense AS (
+      SELECT grid.event_type, grid.h, COALESCE(ev.v, 0) AS v
+      FROM grid LEFT JOIN ev
+        ON grid.event_type = ev.event_type AND grid.h = ev.h
+    ), lagged AS (
+      {" UNION ALL ".join(_lb_acf_branch_duck(k) for k in _LB_LAGS)}
+    ), s AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x * x AS DECIMAL(38, 0))) AS sxx,
+             SUM(CAST(x * y AS DECIMAL(38, 0))) AS sxy,
+             SUM(CAST(y * y AS DECIMAL(38, 0))) AS syy
+      FROM lagged WHERE y IS NOT NULL GROUP BY 1, 2
+    ), acf AS (
+      SELECT event_type, lag, {_acf_frag(_dec_dbl_duck)} AS r
+      FROM s
+    ), piv AS (
+      SELECT event_type,
+             {", ".join(f"MAX(CASE WHEN lag = {k} THEN r END) AS r{k}" for k in _LB_LAGS)}
+      FROM acf GROUP BY event_type
+    ), nser_t AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nser
+      FROM dense GROUP BY event_type
+    )
+    SELECT piv.event_type, nser_t.nser AS n_hours,
+           {_lb_q_expr()} AS q_stat,
+           {_lb_q_expr()} > {_LB_CRIT} AS reject_white_noise_95
+    FROM piv JOIN nser_t ON piv.event_type = nser_t.event_type
+    ORDER BY piv.event_type
+    """,
+    doc="Ljung-Box portmanteau test on the densified hourly volume "
+    "series per event_type: Q = n(n+2) * sum r_k^2/(n-k) over lags "
+    "1..8 against the chi-square(8) 5%% critical value — the standard "
+    "'is this series white noise, or is there autocorrelation worth "
+    "modeling' gate run before fitting any forecast. Each r_k comes "
+    "from exact integer moments over the time-domain-bounded dense "
+    "grid (the acf_volume machinery); the 8-term combination and the "
+    "verdict are one fixed-order expression over lag columns pivoted "
+    "into a single row. Scale: one keyed hourly count; the 8 lag "
+    "branches and all moments run on the 720-hour-per-key grid.",
+    tags=("events", "stats", "timeseries", "hypothesis-test"),
+)
+def ljung_box_white_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+        )
+    )
+    dense = grid.join(ev, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    branches = [
+        dense.select(
+            "event_type",
+            F.lit(k).cast("int").alias("lag"),
+            F.col("v").alias("x"),
+            F.lag("v", k).over(w).alias("y"),
+        )
+        for k in _LB_LAGS
+    ]
+    lagged = branches[0]
+    for b2 in branches[1:]:
+        lagged = lagged.unionAll(b2)
+    dec = "DECIMAL(38, 0)"
+    s = (
+        lagged.where(F.col("y").isNotNull())
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * x").cast(dec)).alias("sxx"),
+            F.sum(F.expr("x * y").cast(dec)).alias("sxy"),
+            F.sum(F.expr("y * y").cast(dec)).alias("syy"),
+        )
+    )
+    acf = s.selectExpr("event_type", "lag", f"{_acf_frag(_dec_dbl_spark)} AS r")
+    piv = acf.groupBy("event_type").agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in _LB_LAGS
+        ]
+    )
+    nser_t = dense.groupBy("event_type").agg(F.count("*").cast("long").alias("nser"))
+    return (
+        piv.join(F.broadcast(nser_t), "event_type")
+        .selectExpr(
+            "event_type",
+            "nser AS n_hours",
+            f"{_lb_q_expr()} AS q_stat",
+            f"{_lb_q_expr()} > {_LB_CRIT} AS reject_white_noise_95",
+        )
+        .orderBy("event_type")
+    )
+
+
 # CUSUM drift detection without recursion: the one-sided CUSUM
 # S_t = max(0, S_{t-1} + x_t - k) equals C_t - min_{s<=t} C_s for the
 # prefix sums C of (x - k) — a cumulative sum plus a running min, both
@@ -1410,14 +1568,6 @@ def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # structure). Counts are exact ints; second moments ride DECIMAL(38)
 # with the hi/lo-split conversion; r = num / (sqrt(denx)*sqrt(deny)).
 _ACF_LAGS = (1, 24)
-
-
-def _acf_frag(dd) -> str:
-    n_d, sx_d, sy_d = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
-    num = f"({n_d} * {dd('sxy')} - {sx_d} * {sy_d})"
-    denx = f"({n_d} * {dd('sxx')} - {sx_d} * {sx_d})"
-    deny = f"({n_d} * {dd('syy')} - {sy_d} * {sy_d})"
-    return f"({num} / NULLIF(sqrt({denx}) * sqrt({deny}), 0.0))"
 
 
 @q(

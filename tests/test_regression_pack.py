@@ -244,6 +244,31 @@ def test_seasonal_strength_detects_daily_cycle(spark, tmp_path):
     assert 9 <= out["peak_hour"] <= 17
 
 
+def test_ljung_box_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = (
+        REGISTRY["ljung_box_white_noise"].fn(spark, d).toPandas()
+        .set_index("event_type")
+    )
+    h_all = _hour_idx(df)
+    lo, hi = int(h_all.min()), int(h_all.max())
+    for t in ("view", "error"):
+        v = np.zeros(hi - lo + 1, dtype=np.int64)
+        for h in h_all[(df["event_type"] == t).to_numpy()]:
+            v[h - lo] += 1
+        n = len(v)
+        q = 0.0
+        for k in range(1, 9):
+            x, y = v[k:].astype(float), v[:-k].astype(float)
+            r = float(np.corrcoef(x, y)[0, 1])
+            q += r * r / (n - k)
+        q *= n * (n + 2)
+        row = out.loc[t]
+        assert row["n_hours"] == n
+        assert row["q_stat"] == pytest.approx(q, rel=1e-9)
+        assert bool(row["reject_white_noise_95"]) == (q > 15.50731305586545)
+
+
 def test_cusum_matches_reference(spark, tiny_events_dir):
     d, df = tiny_events_dir
     out = REGISTRY["cusum_drift"].fn(spark, d).toPandas().set_index("event_type")

@@ -47,6 +47,7 @@ WAIVERS: dict[str, dict[str, str]] = {
     "bootstrap_ci_mean": {NLJ: "1-row point-estimate frame cross-joined to the 1-row CI frame; the data-sized work is the map-side x32 reweight + 32-group agg"},
     "acf_volume": {NLJ: "dense-grid build: distinct keys x 1-row bounds (the resample-calendar pattern); the data-sized count agg is keyed upstream"},
     "seasonal_strength_hourly": {NLJ: "dense-grid build: distinct keys x 1-row bounds (the resample-calendar pattern); the data-sized hourly agg is keyed upstream"},
+    "ljung_box_white_noise": {NLJ: "dense-grid build: distinct keys x 1-row bounds (the resample-calendar pattern), repeated per lag branch; the data-sized hourly agg is keyed upstream"},
     "ks_test_2sample": {
         NLJ: "1-row totals frame broadcast-crossed into the CDF frame and the 1-row result",
         SPE: "cumulative CDF over DISTINCT cents values — bounded by the value domain (<=56k rows), not n; per-row work is the upstream keyed agg",

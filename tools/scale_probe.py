@@ -80,6 +80,7 @@ SCALE_OPS = [
     "spearman_corr",
     "seasonal_strength_hourly",
     "cusum_drift",
+    "ljung_box_white_noise",
 ]
 
 
