@@ -45,6 +45,8 @@ def main() -> None:
     run("mannwhitney_u")
     run("ks_test_2sample")
     run("chi2_independence")
+    run("effect_size_cohens_d")
+    run("diff_in_diff")
     run("anova_oneway")
 
     # 4. How precise is the headline mean? Deterministic Poisson

@@ -393,6 +393,193 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cohen's d / Hedges' g: standardized mean difference between the
+# arms from exact per-arm moments; the pooled SD and the small-sample
+# correction are one fixed chain.
+_CD_VAR = (
+    "(({syy} - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE)"
+    " / CAST(n{i} AS DOUBLE)) / (CAST(n{i} AS DOUBLE) - 1.0))"
+)
+
+
+def _cd_frags(dd) -> tuple[str, str, str]:
+    """(mean_diff, pooled_sd, d) over columns n1,s1,q1,n2,s2,q2."""
+    m1 = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    m2 = "(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    v1 = _CD_VAR.format(syy=dd("q1"), i=1)
+    v2 = _CD_VAR.format(syy=dd("q2"), i=2)
+    sp = (
+        f"sqrt(((CAST(n1 AS DOUBLE) - 1.0) * {v1}"
+        f" + (CAST(n2 AS DOUBLE) - 1.0) * {v2})"
+        f" / (CAST(n1 + n2 AS DOUBLE) - 2.0))"
+    )
+    diff = f"({m2} - {m1})"
+    d = f"({diff} / NULLIF({sp}, 0.0))"
+    return diff, sp, d
+
+
+@q(
+    "effect_size_cohens_d",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id % 2 AS grp, {VAL_I} AS y
+      FROM events WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS n1,
+        CAST(SUM(y) FILTER (WHERE grp = 0) AS BIGINT) AS s1,
+        SUM(CAST(y * y AS DECIMAL(38, 0))) FILTER (WHERE grp = 0) AS q1,
+        CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS n2,
+        CAST(SUM(y) FILTER (WHERE grp = 1) AS BIGINT) AS s2,
+        SUM(CAST(y * y AS DECIMAL(38, 0))) FILTER (WHERE grp = 1) AS q2
+      FROM s
+    )
+    SELECT n1, n2,
+           {_cd_frags(_dec_dbl_duck)[0]} AS mean_diff_cents,
+           {_cd_frags(_dec_dbl_duck)[1]} AS pooled_sd_cents,
+           {_cd_frags(_dec_dbl_duck)[2]} AS cohens_d,
+           {_cd_frags(_dec_dbl_duck)[2]}
+             * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)) AS hedges_g
+    FROM cells
+    """,
+    doc="Standardized effect size of the arm difference in purchase "
+    "values: Cohen's d from the pooled SD plus the Hedges' g "
+    "small-sample correction — the number that says whether a "
+    "'significant' result is actually big enough to act on (the "
+    "companion every p-value needs). Per-arm count/sum/sum-of-"
+    "squares come from ONE conditional aggregate (second moments in "
+    "DECIMAL(38) through the hi/lo split); means, the pooled SD and "
+    "both effect sizes are a single fixed IEEE chain. Scale: one "
+    "scan, one 1-row reduce.",
+    tags=("events", "stats", "experiment"),
+)
+def effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38, 0)"
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id % 2 AS grp", f"{VAL_I} AS y")
+    )
+    cells = s.agg(
+        F.count_if(F.col("grp") == 0).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y"))).cast("long").alias("s1"),
+        F.sum(F.when(F.col("grp") == 0, F.expr("y * y").cast(dec))).alias("q1"),
+        F.count_if(F.col("grp") == 1).cast("long").alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y"))).cast("long").alias("s2"),
+        F.sum(F.when(F.col("grp") == 1, F.expr("y * y").cast(dec))).alias("q2"),
+    )
+    diff, sp, d = _cd_frags(_dec_dbl_spark)
+    return cells.selectExpr(
+        "n1",
+        "n2",
+        f"{diff} AS mean_diff_cents",
+        f"{sp} AS pooled_sd_cents",
+        f"{d} AS cohens_d",
+        f"{d} * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)) AS hedges_g",
+    )
+
+
+# Difference-in-differences: the 2x2 (period x arm) design every
+# launch retro runs. Four cells of exact moments from one conditional
+# aggregate; the DID estimate and its large-sample SE are one fixed
+# chain. The period split is the series midpoint in whole hours.
+_DID_CELL_VAR = (
+    "(({q} - CAST({s} AS DOUBLE) * CAST({s} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    " / (CAST({n} AS DOUBLE) - 1.0))"
+)
+
+
+def _did_frags(dd) -> tuple[str, str]:
+    means = {
+        c: f"(CAST(s_{c} AS DOUBLE) / CAST(n_{c} AS DOUBLE))"
+        for c in ("a1", "a2", "b1", "b2")
+    }
+    did = f"(({means['b2']} - {means['b1']}) - ({means['a2']} - {means['a1']}))"
+    se = (
+        "sqrt("
+        + " + ".join(
+            _DID_CELL_VAR.format(q=dd(f"q_{c}"), s=f"s_{c}", n=f"n_{c}")
+            + f" / CAST(n_{c} AS DOUBLE)"
+            for c in ("a1", "a2", "b1", "b2")
+        )
+        + ")"
+    )
+    return did, se
+
+
+@q(
+    "diff_in_diff",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id % 2 AS grp, {_X_DUCK} AS hidx, {VAL_I} AS y FROM events
+    ), lim AS (
+      SELECT (MIN(hidx) + MAX(hidx)) // 2 AS mid FROM b
+    ), cells AS (
+      SELECT
+        {", ".join(
+          f"CAST(COUNT(*) FILTER (WHERE grp = {g} AND {cond}) AS BIGINT) AS n_{c}, "
+          f"CAST(SUM(y) FILTER (WHERE grp = {g} AND {cond}) AS BIGINT) AS s_{c}, "
+          f"SUM(CAST(y * y AS DECIMAL(38, 0))) FILTER (WHERE grp = {g} AND {cond}) AS q_{c}"
+          for c, g, cond in (
+            ("a1", 0, "hidx <= lim.mid"), ("a2", 0, "hidx > lim.mid"),
+            ("b1", 1, "hidx <= lim.mid"), ("b2", 1, "hidx > lim.mid"),
+          )
+        )}
+      FROM b CROSS JOIN lim
+    )
+    SELECT n_a1, n_a2, n_b1, n_b2,
+           {_did_frags(_dec_dbl_duck)[0]} AS did_cents,
+           {_did_frags(_dec_dbl_duck)[1]} AS se_cents,
+           ({_did_frags(_dec_dbl_duck)[0]}
+             / NULLIF({_did_frags(_dec_dbl_duck)[1]}, 0.0)) AS z,
+           ABS({_did_frags(_dec_dbl_duck)[0]}
+             / NULLIF({_did_frags(_dec_dbl_duck)[1]}, 0.0))
+             > 1.959963984540054 AS significant_95
+    FROM cells
+    """,
+    doc="Difference-in-differences over the 2x2 period-by-arm design "
+    "(periods split at the series midpoint hour): the launch-retro "
+    "estimator that nets out both the arm baseline and the common "
+    "time trend. All four cells' count/sum/sum-of-squares come from "
+    "ONE conditional aggregate (second moments in DECIMAL(38) via "
+    "the hi/lo split); the DID estimate, its large-sample SE "
+    "(independent-cells variance sum) and the z verdict are a single "
+    "fixed IEEE chain. Scale: one scan, one 1-row reduce; the period "
+    "boundary is a 1-row scalar.",
+    tags=("events", "stats", "experiment"),
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38, 0)"
+    b = _t(spark, sf_dir, "events").selectExpr(
+        "user_id % 2 AS grp", f"{_X_SPARK} AS hidx", f"{VAL_I} AS y"
+    )
+    lim = b.agg(F.expr("(MIN(hidx) + MAX(hidx)) div 2").alias("mid"))
+    bb = b.crossJoin(F.broadcast(lim))
+    aggs = []
+    for c, g, cond in (
+        ("a1", 0, "hidx <= mid"),
+        ("a2", 0, "hidx > mid"),
+        ("b1", 1, "hidx <= mid"),
+        ("b2", 1, "hidx > mid"),
+    ):
+        flt = F.expr(f"grp = {g} AND {cond}")
+        aggs.append(F.count_if(flt).cast("long").alias(f"n_{c}"))
+        aggs.append(F.sum(F.when(flt, F.col("y"))).cast("long").alias(f"s_{c}"))
+        aggs.append(F.sum(F.when(flt, F.expr("y * y").cast(dec))).alias(f"q_{c}"))
+    cells = bb.agg(*aggs)
+    did, se = _did_frags(_dec_dbl_spark)
+    return cells.selectExpr(
+        "n_a1",
+        "n_a2",
+        "n_b1",
+        "n_b2",
+        f"{did} AS did_cents",
+        f"{se} AS se_cents",
+        f"({did} / NULLIF({se}, 0.0)) AS z",
+        f"ABS({did} / NULLIF({se}, 0.0)) > 1.959963984540054 AS significant_95",
+    )
+
+
 # Wilson score interval for a binomial proportion: the CI that stays
 # inside [0,1] and behaves at small n / extreme rates where the Wald
 # interval collapses. z = Phi^-1(0.975) as a shared double literal;

@@ -244,6 +244,52 @@ def test_seasonal_strength_detects_daily_cycle(spark, tmp_path):
     assert 9 <= out["peak_hour"] <= 17
 
 
+def test_cohens_d_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["effect_size_cohens_d"].fn(spark, d).toPandas().iloc[0]
+    sub = df[df["event_type"] == "purchase"]
+    y = np.round(sub["value"].to_numpy() * 100).astype(np.float64)
+    grp = (sub["user_id"].to_numpy() % 2).astype(np.int64)
+    a, b2 = y[grp == 0], y[grp == 1]
+    n1, n2 = len(a), len(b2)
+    sp = math.sqrt(
+        ((n1 - 1) * a.var(ddof=1) + (n2 - 1) * b2.var(ddof=1)) / (n1 + n2 - 2)
+    )
+    d_ref = (b2.mean() - a.mean()) / sp
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert out["mean_diff_cents"] == pytest.approx(b2.mean() - a.mean(), rel=1e-9)
+    assert out["pooled_sd_cents"] == pytest.approx(sp, rel=1e-9)
+    assert out["cohens_d"] == pytest.approx(d_ref, rel=1e-9)
+    g_ref = d_ref * (1 - 3 / (4 * (n1 + n2) - 9))
+    assert out["hedges_g"] == pytest.approx(g_ref, rel=1e-9)
+    # the +2500-cent arm shift is a visible standardized effect
+    assert out["cohens_d"] > 0.2
+
+
+def test_diff_in_diff_matches_reference(spark, tiny_events_dir):
+    d, df = tiny_events_dir
+    out = REGISTRY["diff_in_diff"].fn(spark, d).toPandas().iloc[0]
+    h = _hour_idx(df)
+    mid = (int(h.min()) + int(h.max())) // 2
+    y = np.round(df["value"].to_numpy() * 100).astype(np.float64)
+    grp = (df["user_id"].to_numpy() % 2).astype(np.int64)
+    cells = {}
+    for c, g, late in (("a1", 0, False), ("a2", 0, True), ("b1", 1, False), ("b2", 1, True)):
+        m = (grp == g) & ((h > mid) == late)
+        cells[c] = y[m]
+    did_ref = (cells["b2"].mean() - cells["b1"].mean()) - (
+        cells["a2"].mean() - cells["a1"].mean()
+    )
+    se_ref = math.sqrt(sum(c.var(ddof=1) / len(c) for c in cells.values()))
+    for c in ("a1", "a2", "b1", "b2"):
+        assert out[f"n_{c}"] == len(cells[c])
+    assert out["did_cents"] == pytest.approx(did_ref, rel=1e-9)
+    assert out["se_cents"] == pytest.approx(se_ref, rel=1e-9)
+    assert out["z"] == pytest.approx(did_ref / se_ref, rel=1e-9)
+    # the arm shift is constant over time, so the DID nets it out
+    assert not bool(out["significant_95"])
+
+
 def test_ljung_box_matches_reference(spark, tiny_events_dir):
     d, df = tiny_events_dir
     out = (

@@ -81,6 +81,8 @@ SCALE_OPS = [
     "seasonal_strength_hourly",
     "cusum_drift",
     "ljung_box_white_noise",
+    "effect_size_cohens_d",
+    "diff_in_diff",
 ]
 
 
