@@ -73,6 +73,9 @@ HEADLINE = [
     # domain-bounded rank-sum test
     "linreg_by_group",
     "mannwhitney_u",
+    # round-6 addition: the build-once/serve-many warehouse-persisted
+    # LSH index — the production similarity-serving shape
+    "ann_lsh_persisted",
 ]
 
 
@@ -135,6 +138,39 @@ def main() -> None:
         timings[slug] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Like-for-like round-over-round comparability (round-5 verdict): the
+    # headline set grows each round, so headline_total alone reads as a
+    # regression whenever queries are ADDED. Emit the sum over the
+    # intersection with the most recent BENCH_r{N}.json's query set next
+    # to it, so the 2x gate tracks a fixed basket without recomputing
+    # intersections by hand.
+    shared_total = None
+    shared_with = None
+    try:
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        prev = sorted(
+            (
+                (int(m.group(1)), os.path.join(here, f))
+                for f in os.listdir(here)
+                for m in [re.match(r"BENCH_r(\d+)\.json$", f)]
+                if m
+            ),
+        )
+        if prev:
+            rnum, path = prev[-1]
+            with open(path) as fh:
+                prev = json.load(fh)
+            # the driver wraps bench stdout under "parsed"
+            prev_queries = (prev.get("parsed") or prev).get("queries", {})
+            shared = sorted(set(prev_queries) & set(timings))
+            shared_total = round(sum(timings[s] for s in shared), 3)
+            shared_with = {"round": rnum, "n_queries": len(shared)}
+    except Exception:  # comparability aid only — never fail the bench
+        pass
+
     print(
         json.dumps(
             {
@@ -143,6 +179,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "shared_with_prev_total": shared_total,
+                "shared_with_prev": shared_with,
             }
         )
     )

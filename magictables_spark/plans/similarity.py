@@ -396,9 +396,14 @@ _ANN_LSH_DOC = (
 )
 
 
-def _ann_lsh_impl(
+def _lsh_index_frame(
     spark: SparkSession, sf_dir: str, n_tables: int, n_probes_cfg: int
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
+    """The (vec_id, table, bucket, masks) LSH index — one row per
+    (vector, table): home bucket from the hyperplane sign bits plus the
+    query-directed flip masks. Shared by the per-query build
+    (`_ann_lsh_impl`) and the build-once/serve-many persisted variant
+    (`ann_lsh_persisted`). Returns (index_frame, n_vectors)."""
     e = _quantized(spark, sf_dir)
     # round-robin spread BEFORE the per-vector index work — the same
     # stage geometry as dedup_minhash: a small corpus arrives as one
@@ -460,17 +465,23 @@ def _ann_lsh_impl(
             f"struct({t} AS table, ({bucket}) AS bucket, {masks} AS masks)"
         )
     bucket_expr = f"explode(array({', '.join(structs)}))"
+    idx = with_dots.select("vec_id", F.expr(bucket_expr).alias("tb")).select(
+        "vec_id", "tb.table", "tb.bucket", "tb.masks"
+    )
+    return idx, n_vec
+
+
+def _ann_lsh_impl(
+    spark: SparkSession, sf_dir: str, n_tables: int, n_probes_cfg: int
+) -> DataFrame:
+    idx, n_vec = _lsh_index_frame(spark, sf_dir, n_tables, n_probes_cfg)
     # candidate generation is ID-ONLY: the vectors never enter the
     # bucket exchange (they'd be duplicated x n_tables there); the
     # re-rank re-attaches them to the much smaller deduped pair set.
     # localCheckpoint materializes the tiny (vec_id, table, bucket)
     # frame ONCE — without it both sides of the bucket self-join
     # recompute the whole index (measured as a 2x on this stage).
-    bucketed = (
-        with_dots.select("vec_id", F.expr(bucket_expr).alias("tb"))
-        .select("vec_id", "tb.table", "tb.bucket", "tb.masks")
-        .localCheckpoint(eager=True)
-    )
+    bucketed = idx.localCheckpoint(eager=True)
 
     # the probe side fans each home bucket out to itself plus its 4
     # directed flip neighbors (map-side xor explode over the
@@ -499,6 +510,16 @@ def _ann_lsh_impl(
         )
     else:
         b = bucketed.select("table", "bucket", F.col("vec_id").alias("hi"))
+    return _ann_serve(spark, sf_dir, a, b, n_vec)
+
+
+def _ann_serve(
+    spark: SparkSession, sf_dir: str, a: DataFrame, b: DataFrame, n_vec: int
+) -> DataFrame:
+    """Candidate join + exact re-rank tail shared by every LSH config
+    and the persisted-index variant: probe frame `a` (table, bucket,
+    lo) x index frame `b` (table, bucket, hi) -> canonical pair dedup
+    -> vector re-attach -> int64-exact cosine -> per-query top-10."""
     # Candidate pairs are UNORDERED and cosine is symmetric, but
     # DIRECTED probing is not (x may probe toward y without y probing
     # toward x), so canonicalize each candidate to (min, max) instead
@@ -587,6 +608,83 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_topk_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_lsh_impl(spark, sf_dir, N_TABLES_HI, N_PROBES_HI)
+
+
+def _ann_persisted_index(spark: SparkSession, sf_dir: str):
+    """Build-once LSH index served from the warehouse. Returns
+    (bucketed_index_df, n_vec). The index is written ONCE as a
+    Spark-bucketed table on (tbl, bucket) — the join keys — with the
+    hot-bucket rank `rb` precomputed at build time, then read back
+    through the catalog so the serving join consumes the bucket layout
+    with zero index-side exchange AND zero index recompute (plan-
+    asserted in tests/test_ann_persisted.py). Key = (config, corpus
+    path, corpus size), so distinct fixtures/configs never collide and
+    a regenerated corpus invalidates naturally."""
+    import hashlib
+    import os
+    import tempfile
+
+    from magictables_spark.warehouse import Warehouse
+
+    n_vec = _t(spark, sf_dir, "embeddings").count()
+    key = "annlsh_" + hashlib.md5(
+        f"v1:{N_TABLES}:{N_PROBES}:{os.path.realpath(sf_dir)}:{n_vec}".encode()
+    ).hexdigest()[:16]
+    wh = Warehouse(os.path.join(tempfile.gettempdir(), "mts_ann_warehouse"))
+    if not wh.has_table(key):
+        idx, _ = _lsh_index_frame(spark, sf_dir, N_TABLES, N_PROBES)
+        idx = idx.withColumnRenamed("table", "tbl")
+        wb = Window.partitionBy("tbl", "bucket").orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+        idx = idx.withColumn("rb", F.row_number().over(wb))
+        wh.write_table(
+            idx,
+            key,
+            source_info={"n_vec": n_vec, "config": f"T{N_TABLES}-P{N_PROBES}"},
+            bucket_by=["tbl", "bucket"],
+            n_buckets=16,
+            sort_by=["tbl", "bucket", "rb"],
+        )
+    return wh.read_table(spark, key), n_vec
+
+
+@q(
+    "ann_lsh_persisted",
+    oracle=_ann_lsh_oracle(N_TABLES, N_PROBES),
+    doc="Production similarity serving: the SAME multiprobe LSH as "
+    "ann_lsh_topk, but the (vec_id, tbl, bucket, masks, rb) index is "
+    "built ONCE, written to the warehouse as a bucketed+sorted table "
+    "on the (tbl, bucket) join keys, and every query serves top-k from "
+    "the catalog read — no per-query index recompute (the measured "
+    "~0.8 s fixed cost of ann_lsh_topk's plan build + eager "
+    "localCheckpoint, SCALING.md) and ZERO exchange on the index side "
+    "of the candidate join (the bucket layout satisfies the join's "
+    "distribution requirement; only the tiny exploded ID-only probe "
+    "stream shuffles). The hot-bucket rank rb is precomputed at build, "
+    "so the skew cap is a pushed-down filter on read instead of a "
+    "window — index-side plan = pure parquet scan. At 100 TB this is "
+    "the shape a similarity service runs: pay the index exchange once "
+    "at write, amortize it over every subsequent query. Results are "
+    "row-identical to ann_lsh_topk (same oracle, hash-checked); "
+    "warm-warehouse second-session reuse is asserted in "
+    "tests/test_ann_persisted.py.",
+    tags=("similarity", "ann", "scale", "warehouse"),
+)
+def ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    T, n_vec = _ann_persisted_index(spark, sf_dir)
+    a = T.select(
+        F.col("tbl").alias("table"),
+        F.explode(
+            F.expr("concat(array(bucket), transform(masks, m -> bucket ^ m))")
+        ).alias("bucket"),
+        F.col("vec_id").alias("lo"),
+    )
+    b = T
+    if n_vec > CAP_MIN_N:
+        b = b.filter(F.col("rb") <= HOT_BUCKET_CAP)
+    b = b.select(F.col("tbl").alias("table"), "bucket", F.col("vec_id").alias("hi"))
+    return _ann_serve(spark, sf_dir, a, b, n_vec)
 
 
 @q(

@@ -1,0 +1,112 @@
+"""ann_lsh_persisted: build-once/serve-many LSH index in the warehouse.
+
+Three contracts (round-5 verdict item 2):
+1. row-identical to the per-query-build ann_lsh_topk (same config, same
+   oracle — the hash gate already checks vs DuckDB; here vs each other);
+2. the SERVING plan performs zero index recompute (no hyperplane-dot
+   HOFs) and zero index-side exchange (the bucketed layout feeds the
+   candidate join directly; only the exploded probe stream shuffles);
+3. a SECOND JVM/session reuses the warm index — same version dir, no
+   rebuild, identical rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import sys
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows_key(df):
+    rows = sorted(
+        (int(r["query_id"]), int(r["neighbor_id"]), round(float(r["cosine"]), 12))
+        for r in df.collect()
+    )
+    return hashlib.md5(repr(rows).encode()).hexdigest(), len(rows)
+
+
+def test_rows_identical_to_per_query_build(spark):
+    from magictables_spark.plans.similarity import ann_lsh_persisted, ann_lsh_topk
+
+    k1, n1 = _rows_key(ann_lsh_topk(spark, SF))
+    k2, n2 = _rows_key(ann_lsh_persisted(spark, SF))
+    assert n1 == n2 > 0
+    assert k1 == k2
+
+
+def test_serving_plan_no_index_recompute_or_exchange(spark):
+    from magictables_spark.plans.similarity import ann_lsh_persisted
+
+    ann_lsh_persisted(spark, SF).count()  # warm the index
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            ann_lsh_persisted(spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # no index recompute: the build pipeline's round-robin spread and
+    # its eager checkpoint are absent — both join inputs arrive as
+    # catalog scans of the persisted bucketed table. (zip_with WOULD
+    # be a false marker: the re-rank tail legitimately computes norms
+    # with it; only the build stage round-robins.)
+    assert "RoundRobinPartitioning" not in plan
+    assert plan.count("spark_catalog.default.mts_wh_annlsh") == 2
+    # no index-side exchange: exactly ONE hashpartitioning exchange on
+    # the (table, bucket) candidate-join keys — the exploded probe side.
+    # (The dedup/window exchanges key on lo/hi/query_id, not table.)
+    assert plan.count("hashpartitioning(table") == 1, plan
+
+
+_SESSION_SCRIPT = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from magictables_spark.session import get_spark
+from magictables_spark.plans.similarity import ann_lsh_persisted
+import hashlib, json, os, tempfile
+
+spark = get_spark("ann_persisted_session")
+spark.sparkContext.setLogLevel("ERROR")
+df = ann_lsh_persisted(spark, {sf!r})
+rows = sorted(
+    (int(r["query_id"]), int(r["neighbor_id"]), round(float(r["cosine"]), 12))
+    for r in df.collect()
+)
+meta_path = os.path.join(tempfile.gettempdir(), "mts_ann_warehouse", "_meta.json")
+with open(meta_path) as f:
+    meta = json.load(f)
+versions = sorted(m["version"] for k, m in meta.items() if k.startswith("annlsh_"))
+print("rows:", len(rows), hashlib.md5(repr(rows).encode()).hexdigest())
+print("versions:", versions)
+spark.stop()
+"""
+
+
+def test_second_session_reuses_warm_index(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "session.py"
+    script.write_text(_SESSION_SCRIPT.format(repo=repo, sf=SF))
+    outs = []
+    for _ in range(2):
+        r = subprocess.run(
+            [sys.executable, str(script)],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=str(tmp_path),  # non-repo cwd, like the driver
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs.append(r.stdout)
+    rows = [next(ln for ln in o.splitlines() if ln.startswith("rows:")) for o in outs]
+    vers = [next(ln for ln in o.splitlines() if ln.startswith("versions:")) for o in outs]
+    assert rows[0] == rows[1]
+    # identical version pointer => the second JVM served the first's
+    # index without rebuilding (a rebuild would mint a new v<pid>_<ms>)
+    assert vers[0] == vers[1]

@@ -1,0 +1,110 @@
+"""Concurrent-writer warehouse race (round-5 verdict item 8).
+
+Two separate python processes (separate JVMs + SparkSessions)
+materialize the SAME table_id into one shared warehouse dir at the same
+time, while the parent process continuously re-reads the table. The
+versioned-payload contract (warehouse.py) must hold:
+
+- each writer lands in its own ``tables/<id>/v<pid>_<ms>/`` dir, so
+  part-files from the two writers never interleave;
+- the ``_meta.json`` pointer swap is atomic (os.replace) — every read
+  resolves to ONE complete version: last-writer-wins, zero torn reads;
+- after both writers finish, the surviving payload row-set is exactly
+  one writer's rows (never a mix).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_WRITER = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from magictables_spark.session import get_spark
+from magictables_spark.warehouse import Warehouse
+
+tag = int(sys.argv[1])
+wh_dir = sys.argv[2]
+spark = get_spark("race_writer_" + str(tag))
+spark.sparkContext.setLogLevel("ERROR")
+wh = Warehouse(wh_dir)
+# every row carries the writer tag, so a torn read (mixed part-files)
+# would surface as a mixed-tag payload
+df = spark.range(0, 500).selectExpr("id", f"{{tag}} AS writer")
+for _ in range(3):  # repeated overwrites widen the race window
+    wh.write_table(df, "contested", {{"writer": tag}})
+print("done", tag)
+spark.stop()
+"""
+
+
+def test_simultaneous_writers_one_winner_zero_torn_reads(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wh_dir = str(tmp_path / "wh")
+    script = tmp_path / "writer.py"
+    script.write_text(_WRITER.format(repo=repo))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(tag), wh_dir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=str(tmp_path),
+        )
+        for tag in (1, 2)
+    ]
+
+    # while the writers race, poll the metadata pointer: every observed
+    # state must be a parseable JSON whose payload dir exists in full
+    # (atomic pointer swap => no window where the pointer names a
+    # half-written version)
+    import time
+
+    meta_path = os.path.join(wh_dir, "_meta.json")
+    observed_versions = set()
+    deadline = time.time() + 280
+    while any(p.poll() is None for p in procs) and time.time() < deadline:
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            except json.JSONDecodeError as e:  # torn metadata write
+                raise AssertionError("torn _meta.json observed") from e
+            ent = meta.get("contested")
+            if ent:
+                vdir = os.path.join(wh_dir, "tables", "contested", ent["version"])
+                assert os.path.isdir(vdir), "pointer names a missing version"
+                # a version visible through the pointer must be COMPLETE:
+                # parquet _SUCCESS marker present before the swap
+                assert os.path.exists(os.path.join(vdir, "_SUCCESS")), (
+                    "pointer swapped before payload completed"
+                )
+                observed_versions.add(ent["version"])
+        time.sleep(0.05)
+
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err[-2000:]
+
+    # final state: one winner, complete payload, single-tag rows
+    with open(meta_path) as f:
+        meta = json.load(f)
+    ent = meta["contested"]
+    assert ent["source_info"]["writer"] in (1, 2)
+    vdir = os.path.join(wh_dir, "tables", "contested", ent["version"])
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT writer FROM read_parquet('{vdir}/*.parquet')"
+    ).fetchall()
+    assert len(rows) == 1, f"torn payload: tags {rows}"
+    assert rows[0][0] == ent["source_info"]["writer"]
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{vdir}/*.parquet')").fetchone()
+    assert n[0] == 500
+    # the race actually exercised distinct versions (both writers wrote)
+    tables_dir = os.path.join(wh_dir, "tables", "contested")
+    assert len(os.listdir(tables_dir)) >= 2 or len(observed_versions) >= 2
