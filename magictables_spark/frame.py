@@ -246,6 +246,33 @@ class MagicFrame:
             name=transform_name(table_name(joined_sources), query, model),
         )
 
+    # -- similarity (mandated extension surface) ---------------------------
+
+    def similar_topk(
+        self,
+        id_col: str,
+        vec_col: str,
+        k: int = 10,
+        dim: int | None = None,
+        fast: bool = False,
+    ) -> "MagicFrame":
+        """Approximate nearest neighbors over this frame's embedding
+        column. Routes through the HIGH-RECALL multiprobe-LSH config by
+        default (T4-P4, recall 0.92/0.70 at sf0.01/sf0.1 — the
+        ``ann_lsh_topk_hi`` grid point): a similarity call should not
+        hand back ~0.5 recall unasked. ``fast=True`` opts into the
+        low-recall T2-P4 demo config (``ann_lsh_topk``), which trades
+        roughly half the recall for ~2x less candidate mass."""
+        from magictables_spark.plans.similarity import (
+            N_PROBES,
+            N_TABLES,
+            ann_topk,
+        )
+
+        kwargs = {"n_tables": N_TABLES, "n_probes": N_PROBES} if fast else {}
+        out = ann_topk(self.df, id_col, vec_col, k=k, dim=dim, **kwargs)
+        return MagicFrame(out, sources=self.sources, name=self.name)
+
     # -- closure property: every DataFrame-returning method stays magic ----
 
     def __getattr__(self, attr: str) -> Any:

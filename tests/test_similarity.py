@@ -159,3 +159,37 @@ def test_semdedup_drops_are_exact_neardup_drops(spark, sf_dir):
     # near-zero clustering quality fails without pinning the exact
     # cross-cluster split
     assert recall >= 0.25, f"semdedup drop recall vs exact: {recall:.2f}"
+
+
+def test_library_surface_defaults_to_high_recall_config(spark, sf_dir):
+    """Round-5 verdict item 6: a user-facing similarity call must route
+    through the T4-P4 high-recall config by default — ann_topk /
+    MagicFrame.similar_topk over the embeddings table must reproduce
+    ann_lsh_topk_hi exactly, and fast=True must reproduce the T2-P4
+    demo config."""
+    from magictables_spark.frame import MagicFrame
+    from magictables_spark.plans.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_hi,
+        ann_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def key(df):
+        return sorted(
+            (int(r["query_id"]), int(r["neighbor_id"]), round(float(r["cosine"]), 12))
+            for r in df.collect()
+        )
+
+    assert key(ann_topk(emb, "vec_id", "embedding", dim=64)) == key(
+        ann_lsh_topk_hi(spark, sf_dir)
+    )
+    mf = MagicFrame(emb, sources=["raw_emb"])
+    assert key(mf.similar_topk("vec_id", "embedding", dim=64, fast=True).df) == key(
+        ann_lsh_topk(spark, sf_dir)
+    )
+    # dim-agnostic HOF dot agrees with the unrolled one
+    assert key(ann_topk(emb.limit(200), "vec_id", "embedding")) == key(
+        ann_topk(emb.limit(200), "vec_id", "embedding", dim=64)
+    )
