@@ -40,6 +40,8 @@ _EXT_MIME = {
     ".jpeg": "image/jpeg",
     ".wav": "audio/wav",
     ".mp3": "audio/mpeg",
+    ".mp2": "audio/mpeg",
+    ".mpa": "audio/mpeg",
     ".mp4": "video/mp4",
     ".bin": "application/octet-stream",
 }
@@ -68,9 +70,8 @@ def _feature_kernel(decode_stub: bool, dim: int):
         import hashlib
 
         from magictables_spark.operators.media_codecs import (
-            METADATA_ONLY_MIMES,
             UnsupportedMediaError,
-            media_features,
+            media_features_ex,
         )
 
         for pdf in batches:
@@ -90,17 +91,20 @@ def _feature_kernel(decode_stub: bool, dim: int):
                     oks.append(True)
                     decs.append(False)
                     continue
-                # real decode: pure-stdlib PNG/BMP/WAV/JPEG codecs
-                # (media_codecs.py); corrupt bytes or formats needing a
-                # codec library (MP3/MP4 -> ffmpeg plugs in HERE) must
-                # yield ok=False, never a task failure — at 100 TB a
-                # bad file cannot kill the job
+                # real decode: pure-stdlib PNG/BMP/WAV/JPEG codecs plus
+                # MPEG-1 Layer I/II PCM (media_codecs.py); corrupt
+                # bytes or formats needing a codec library (MP3 Layer
+                # III / H.264 -> ffmpeg plugs in HERE) must yield
+                # ok=False, never a task failure — at 100 TB a bad
+                # file cannot kill the job
                 try:
-                    feats.append(media_features(bytes(content), mime, dim))
+                    vec, dec = media_features_ex(bytes(content), mime, dim)
+                    feats.append(vec)
                     oks.append(True)
-                    # MP3/MP4 rows are container metadata, not sample
-                    # decode — surface the provenance
-                    decs.append(mime not in METADATA_ONLY_MIMES)
+                    # per-FILE provenance: Layer I/II audio really
+                    # decodes (PCM stats); Layer III / MP4 rows are
+                    # container metadata
+                    decs.append(dec)
                 except UnsupportedMediaError:
                     feats.append(None)
                     oks.append(False)

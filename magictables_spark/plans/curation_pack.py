@@ -202,7 +202,7 @@ def _media_fixture_dir() -> str:
     committed = os.path.join(repo_root, "tests", "fixtures", "media")
     if os.path.exists(os.path.join(committed, ".complete")):
         return committed
-    return ensure_media_fixture_dir(os.path.join(tempfile.gettempdir(), "mts_media_fixture_v5"))
+    return ensure_media_fixture_dir(os.path.join(tempfile.gettempdir(), "mts_media_fixture_v6"))
 
 
 @q(

@@ -21,6 +21,7 @@ from magictables_spark.operators.media_codecs import (
     decode_bmp,
     decode_jpeg,
     decode_mp3_meta,
+    decode_mpeg1_audio,
     decode_mp4_meta,
     decode_png,
     decode_wav,
@@ -28,6 +29,7 @@ from magictables_spark.operators.media_codecs import (
     encode_jpeg,
     encode_jpeg_progressive,
     encode_mp3_fixture,
+    encode_mpeg1_fixture,
     encode_mp4_fixture,
     encode_png,
     encode_wav,
@@ -108,19 +110,31 @@ def test_media_mutations_never_escape(seed):
     ]
     mp3s = [encode_mp3_fixture(12), encode_mp3_fixture(4, kbps=64, sample_rate=32000, id3=False)]
     mp4s = [encode_mp4_fixture(5.0), encode_mp4_fixture(2.0, video=None)]
+    _t = np.arange(12000) / 48000.0
+    mp2s = [
+        encode_mpeg1_fixture(0.5 * np.sin(2 * np.pi * 440 * _t), layer=2,
+                             kbps=192, sample_rate=48000, channels=2),
+        encode_mpeg1_fixture(0.4 * np.sin(2 * np.pi * 900 * _t), layer=1,
+                             kbps=192, sample_rate=48000, channels=1),
+    ]
     for trial in range(800):
         kind = rng.random()
         if kind < 0.2:
             data, dec, mime = bytearray(rng.choice(pngs)), decode_png, "image/png"
         elif kind < 0.36:
             data, dec, mime = bytearray(rng.choice(bmps)), decode_bmp, "image/bmp"
-        elif kind < 0.52:
+        elif kind < 0.5:
             data, dec, mime = bytearray(rng.choice(wavs)), decode_wav, "audio/wav"
-        elif kind < 0.68:
+        elif kind < 0.66:
             data, dec, mime = bytearray(rng.choice(jpgs)), decode_jpeg, "image/jpeg"
-        elif kind < 0.78:
+        elif kind < 0.74:
             data, dec, mime = bytearray(rng.choice(mp3s)), decode_mp3_meta, "audio/mpeg"
-        elif kind < 0.88:
+        elif kind < 0.82:
+            # full Layer I/II PCM decode over mutated streams: same
+            # contract — UnsupportedMediaError or finite stats, never
+            # an escaping exception
+            data, dec, mime = bytearray(rng.choice(mp2s)), decode_mpeg1_audio, "audio/mpeg"
+        elif kind < 0.9:
             data, dec, mime = bytearray(rng.choice(mp4s)), decode_mp4_meta, "video/mp4"
         else:
             data = bytearray(rng.randbytes(rng.randint(0, 200)))

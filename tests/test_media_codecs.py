@@ -510,3 +510,161 @@ def test_mp3_mp4_media_features_metadata_rows():
     v = media_features(encode_mp4_fixture(duration_sec=3.0), "video/mp4", 8)
     assert v[0] == 3.0 and v[1] == 2.0 and v[2] == pytest.approx(3.0)
     assert v[3] == 640.0 and v[5] == 1.0 and v[6] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer I/II full PCM decode (round-6: the last decoded=False
+# audio class with a bounded pure-stdlib path)
+# ---------------------------------------------------------------------------
+
+
+def _best_corr(y, x, max_lag=600):
+    """Max |corr| and amplitude ratio of y vs x over integer lags."""
+    import numpy as np
+
+    lo, hi = 2048, min(len(x), len(y)) - max_lag - 1
+    ref = x[lo:hi]
+    best = (0.0, 0, 0.0)
+    for lag in range(-max_lag, max_lag):
+        if lo + lag < 0:
+            continue
+        seg = y[lo + lag : hi + lag]
+        c = float(np.dot(seg, ref) / (np.linalg.norm(seg) * np.linalg.norm(ref) + 1e-30))
+        if abs(c) > abs(best[0]):
+            best = (c, lag, float(np.dot(seg, ref) / np.dot(ref, ref)))
+    return best
+
+
+@pytest.mark.parametrize("layer,kbps,sr,ch", [
+    (1, 192, 48000, 1),
+    (1, 384, 44100, 2),
+    (2, 192, 48000, 2),
+    (2, 128, 44100, 1),
+])
+def test_mpeg1_pcm_roundtrip_matches_input(layer, kbps, sr, ch):
+    """Encode a sine mixture through the real analysis filterbank +
+    quantizer, decode with decode_mpeg1_audio: the PCM must correlate
+    >= 0.95 with the input at matching amplitude — real sample decode,
+    not header stats."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg1_audio,
+        encode_mpeg1_fixture,
+    )
+
+    t = np.arange(sr // 2) / sr
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t) + 0.2 * np.sin(2 * np.pi * 3000.0 * t)
+    data = encode_mpeg1_fixture(x, layer=layer, kbps=kbps, sample_rate=sr, channels=ch)
+    m = decode_mpeg1_audio(data, return_pcm=True)
+    assert m["decoded"] is True and m["layer"] == layer
+    assert m["channels"] == ch and m["sample_rate"] == sr
+    assert m["duration_sec"] == pytest.approx(0.5, abs=0.05)
+    assert m["rms"] == pytest.approx(float(np.sqrt(np.mean(x**2))), rel=0.05)
+    for chan in range(ch):
+        c, lag, amp = _best_corr(m["pcm"][chan], x)
+        assert abs(c) >= 0.95, f"ch{chan}: corr {c:.3f} at lag {lag}"
+        assert 0.85 <= abs(amp) <= 1.15, f"ch{chan}: amplitude ratio {amp:.3f}"
+
+
+def test_mpeg1_layer2_exercises_grouped_codes_and_scfsi():
+    """The Layer II fixture must contain BOTH sample layouts (15-level
+    ungrouped on table rows that offer it, 5-level grouped triplets on
+    the top rows) and both scfsi modes the encoder writes (0 and 2) —
+    and still round-trip. A high-subband tone forces the grouped path."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg1_audio,
+        encode_mpeg1_fixture,
+    )
+
+    sr = 48000
+    t = np.arange(sr // 2) / sr
+    # 20 kHz tone lands in a top subband (23-26) where B.2a only offers
+    # 3/5/65535 levels -> the encoder picks the grouped 5-level code
+    x = 0.4 * np.sin(2 * np.pi * 700.0 * t) + 0.3 * np.sin(2 * np.pi * 20000.0 * t)
+    data = encode_mpeg1_fixture(x, layer=2, kbps=192, sample_rate=sr, channels=1)
+    m = decode_mpeg1_audio(data, return_pcm=True)
+    assert m["decoded"] is True
+    c, _, _ = _best_corr(m["pcm"][0], x)
+    # grouped 5-level quantization is coarse (2.3 bits/sample) so the
+    # bar is lower than the 15-level case but must still clearly carry
+    # the signal
+    assert abs(c) >= 0.9, f"corr {c:.3f}"
+    # spectral check: the decoded signal must retain energy near 20 kHz
+    spec = np.abs(np.fft.rfft(m["pcm"][0][2048:2048 + 8192]))
+    f20k = int(20000.0 * 8192 / sr)
+    assert spec[f20k - 8 : f20k + 8].max() > 0.2 * spec.max()
+
+
+def test_mpeg_audio_dispatch_and_provenance():
+    """decode_mpeg_audio: Layer I/II -> full decode (decoded=True);
+    Layer III -> metadata walk (decoded=False). media_features_ex
+    surfaces the same per-file provenance to the Spark kernel."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg_audio,
+        encode_mp3_fixture,
+        encode_mpeg1_fixture,
+        media_features_ex,
+    )
+
+    t = np.arange(24000) / 48000
+    l2 = encode_mpeg1_fixture(0.5 * np.sin(2 * np.pi * 500 * t), layer=2,
+                              kbps=192, sample_rate=48000, channels=1)
+    l3 = encode_mp3_fixture(n_frames=10, kbps=128)
+    assert decode_mpeg_audio(l2)["decoded"] is True
+    assert decode_mpeg_audio(l3)["decoded"] is False
+    v2, d2 = media_features_ex(l2, "audio/mpeg", 8)
+    v3, d3 = media_features_ex(l3, "audio/mpeg", 8)
+    assert d2 is True and d3 is False
+    # decoded rows carry rms/peak/zcr in slots 4-6 (the WAV contract)
+    assert 0.2 < v2[4] < 0.5 and 0.3 < v2[5] < 0.7
+    # metadata rows carry bitrate/n_frames/layer
+    assert v3[4] == pytest.approx(128.0 / 320.0) and v3[6] == 3.0
+
+
+def test_mpeg1_decode_refuses_garbage_and_joint_stereo():
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg1_audio,
+        encode_mpeg1_fixture,
+    )
+
+    with pytest.raises(UnsupportedMediaError):
+        decode_mpeg1_audio(b"definitely not audio")
+    with pytest.raises(UnsupportedMediaError):
+        decode_mpeg1_audio(b"ID3\x04\x00\x00\x00\x00\x00\x05x")
+    # flip the mode bits of a valid stream to joint stereo -> refused
+    t = np.arange(24000) / 48000
+    data = bytearray(encode_mpeg1_fixture(0.4 * np.sin(2 * np.pi * 400 * t),
+                                          layer=2, kbps=192, sample_rate=48000,
+                                          channels=2))
+    data[3] = (data[3] & 0x3F) | (1 << 6)
+    with pytest.raises(UnsupportedMediaError):
+        decode_mpeg1_audio(bytes(data))
+
+
+def test_mpeg1_fixture_dir_rows_decode_in_kernel_path():
+    """ensure_media_fixture_dir now writes .mp2 clips; media_features_ex
+    must report decoded=True for each of them (the multimodal kernel's
+    per-file provenance column)."""
+    import glob
+    import tempfile
+
+    from magictables_spark.operators.media_codecs import (
+        ensure_media_fixture_dir,
+        media_features_ex,
+    )
+
+    d = ensure_media_fixture_dir(tempfile.mkdtemp(prefix="mts_media_t_"))
+    mp2s = sorted(glob.glob(f"{d}/*.mp2"))
+    assert len(mp2s) == 3
+    for p in mp2s:
+        with open(p, "rb") as f:
+            vec, decoded = media_features_ex(f.read(), "audio/mpeg", 8)
+        assert decoded is True
+        assert vec[0] == 2.0 and vec[4] > 0.05  # audio tag, nonzero rms
