@@ -156,6 +156,71 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_incremental_store",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250
+    ), batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 250
+    ), fresh AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY fp
+    )
+    SELECT f.doc_id, f.fp
+    FROM fresh f LEFT JOIN base b ON f.fp = b.fp
+    WHERE b.fp IS NULL
+    """,
+    doc="INCREMENTAL dedup against a persisted fingerprint store — the "
+    "production shape for a continuously-ingested corpus: the "
+    "historical corpus's md5 fingerprint set is built ONCE and written "
+    "to the warehouse as a bucketed table on fp (the anti-join key), "
+    "then every new batch (a) self-dedups (min doc_id per fp — one "
+    "hash aggregate) and (b) anti-joins the store to drop docs already "
+    "seen historically. At 100 TB the store side never re-shuffles: "
+    "its bucket layout satisfies the anti-join's distribution, so each "
+    "incremental batch pays one batch-sized exchange, never a "
+    "corpus-sized one — dedup cost scales with the INCREMENT, not the "
+    "history (the reason every large crawl pipeline persists its "
+    "fingerprint store). Fixture split doc_id<250 = history; the "
+    "oracle recomputes both phases relationally, so the whole "
+    "store-roundtrip path is hash-checked. Same versioned/atomic "
+    "warehouse machinery as ann_lsh_persisted (warehouse.py).",
+    tags=("text", "dedup", "scale", "warehouse"),
+)
+def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from magictables_spark.warehouse import Warehouse
+
+    B = 250
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()  # parquet-footer count: cache key + invalidation
+    key = "fpstore_" + hashlib.md5(
+        f"v1:{B}:{os.path.realpath(sf_dir)}:{n}".encode()
+    ).hexdigest()[:16]
+    wh = Warehouse(os.path.join(tempfile.gettempdir(), "mts_fp_warehouse"))
+    if not wh.has_table(key):
+        base = (
+            docs.filter(F.col("doc_id") < B)
+            .select(F.md5("text").alias("fp"))
+            .distinct()
+        )
+        wh.write_table(
+            base, key, source_info={"n_docs": n, "split": B},
+            bucket_by=["fp"], n_buckets=32, sort_by=["fp"],
+        )
+    store = wh.read_table(spark, key)
+    batch = docs.filter(F.col("doc_id") >= B).select(
+        F.md5("text").alias("fp"), "doc_id"
+    )
+    # batch self-dedup and store anti-join share the fp hash
+    # partitioning: one exchange, both steps ride it
+    fresh = batch.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return fresh.join(store, "fp", "left_anti").select("doc_id", "fp")
+
+
+@q(
     "dedup_ngram_jaccard",
     oracle="""
     WITH sh AS (

@@ -108,3 +108,40 @@ def test_simultaneous_writers_one_winner_zero_torn_reads(tmp_path):
     # the race actually exercised distinct versions (both writers wrote)
     tables_dir = os.path.join(wh_dir, "tables", "contested")
     assert len(os.listdir(tables_dir)) >= 2 or len(observed_versions) >= 2
+
+
+def test_incremental_dedup_store_reuses_across_calls(spark):
+    """dedup_incremental_store: the fingerprint store is built once per
+    (corpus, split) key; a second invocation serves from the warehouse
+    (same version pointer) and returns identical rows."""
+    import json
+    import os
+    import tempfile
+
+    from magictables_spark.plans.textops import dedup_incremental_store
+
+    sf = "/root/testdata/sf0.001"
+    r1 = sorted(tuple(r) for r in dedup_incremental_store(spark, sf).collect())
+    meta_path = os.path.join(tempfile.gettempdir(), "mts_fp_warehouse", "_meta.json")
+    with open(meta_path) as f:
+        v1 = {k: m["version"] for k, m in json.load(f).items()}
+    r2 = sorted(tuple(r) for r in dedup_incremental_store(spark, sf).collect())
+    with open(meta_path) as f:
+        v2 = {k: m["version"] for k, m in json.load(f).items()}
+    assert r1 == r2 and len(r1) > 0
+    assert v1 == v2  # no rebuild on the second call
+    # history actually suppresses batch rows: every surviving doc_id is
+    # from the batch side and none of their fingerprints exist in the
+    # history split
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    base_fps = {
+        r["fp"]
+        for r in docs.filter(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+        .collect()
+    }
+    for doc_id, fp in r1:
+        assert doc_id >= 250 and fp not in base_fps

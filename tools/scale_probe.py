@@ -190,14 +190,90 @@ def _gen_events(spark, out_dir: str, n_docs: int) -> None:
     ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
 
+def measure_recall(spark, sf_dir: str, slug: str, n_queries: int = 500) -> dict:
+    """Recall of an ANN slug vs EXACT cosine top-10, on a deterministic
+    sample of query vectors (round-5 verdict item 9: the hot-bucket
+    cap's 'members are interchangeable near-neighbors' argument must be
+    a measured number at the sizes where the cap actually engages,
+    >50k vectors). Exact ground truth = brute-force sample x corpus
+    (n_queries * n_vec int64 dots — bounded by the sample, not n^2)."""
+    from pyspark.sql import functions as F
+
+    from magictables_spark.plans.queries import REGISTRY
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_vec = emb.count()
+    step = max(1, n_vec // n_queries)
+    quant = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias("q"),
+    )
+    qs = quant.filter(F.col("vec_id") % step == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    dot = "aggregate(zip_with(qq, q, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    nrm = "aggregate(zip_with({0}, {0}, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    scored = (
+        F.broadcast(qs)
+        .join(quant, F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "cos",
+            F.expr(dot).cast("double")
+            / (F.sqrt(F.expr(nrm.format("qq")).cast("double")) * F.sqrt(F.expr(nrm.format("q")).cast("double"))),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    approx = REGISTRY[slug].fn(spark, sf_dir).select("query_id", "neighbor_id", "cosine")
+    sampled = approx.join(F.broadcast(qs.select("query_id")), "query_id")
+    hits = exact.join(sampled, ["query_id", "neighbor_id"]).count()
+    total = exact.count()
+    # QUALITY ratio: cosine mass of the returned top-10 vs the exact
+    # top-10, per query. Under mega-cluster corpora (thousands of
+    # near-interchangeable neighbors) exact-ID recall@10 collapses by
+    # construction while the returned neighbors are just as near —
+    # this ratio is the metric that distinguishes "worse neighbors"
+    # from "different but equally-near neighbors".
+    a_mass = sampled.groupBy("query_id").agg(F.sum("cosine").alias("am"))
+    exact_mass = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("query_id")
+        .agg(F.sum("cos").alias("em"))
+    )
+    ratio = (
+        exact_mass.join(a_mass, "query_id", "left")  # no-candidate queries count as 0
+        .select(F.avg(F.coalesce(F.col("am"), F.lit(0.0)) / F.col("em")).alias("r"))
+        .collect()[0]["r"]
+    )
+    return {
+        "slug": slug,
+        "n_vec": n_vec,
+        "n_queries": total // 10 if total else 0,
+        "recall": round(hits / total, 4) if total else None,
+        "quality_ratio": round(float(ratio), 4) if ratio is not None else None,
+    }
+
+
 def main() -> None:
     sizes = [5000, 20000, 80000, 320000]
     ops = SCALE_OPS
+    recall_mode = False
     for a in sys.argv[1:]:
         if a.startswith("--sizes"):
             sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
         elif a.startswith("--ops"):
             ops = a.split("=", 1)[1].split(",")
+        elif a == "--recall":
+            recall_mode = True
 
     from magictables_spark.plans.queries import REGISTRY
     from magictables_spark.session import get_spark
@@ -210,6 +286,13 @@ def main() -> None:
         d = f"/tmp/mts_scale_v3_{n}"  # v3: power-law doc lengths + Zipf/Heaps vocab
         gen_tables(spark, d, n)
         dirs[n] = d
+
+    if recall_mode:
+        for n, d in dirs.items():
+            for slug in ops:
+                r = measure_recall(spark, d, slug)
+                print(json.dumps({"size": n, **r}), flush=True)
+        return
 
     results = {}
     for slug in ops:
