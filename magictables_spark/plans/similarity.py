@@ -906,6 +906,170 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), shng AS (
+      SELECT doc_id, list_distinct(
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                      || ' ' || string_split(text, ' ')[i+2])
+             ) AS sh
+      FROM raw
+    ), hs AS (
+      SELECT doc_id, list_transform(sh, s -> {_h60_duck('s')}) AS hs FROM shng
+    ), sig AS (
+      SELECT doc_id, [{_SIG_DUCK}] AS sig FROM hs
+    ), bands AS (
+      SELECT doc_id, band,
+             (((((sig[4*band+1] * 31 + sig[4*band+2]) % {P31}) * 31
+                + sig[4*band+3]) % {P31}) * 31 + sig[4*band+4]) % {P31} AS bh
+      FROM sig CROSS JOIN (FROM range(0, 4) t(band))
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS dup_of
+      FROM bands b JOIN bands h ON b.band = h.band AND b.bh = h.bh
+      WHERE b.doc_id >= 250 AND h.doc_id < 250
+    ), scored AS (
+      SELECT c.doc_id, c.dup_of,
+             CAST(len(list_intersect(hb.hs, hh.hs)) AS DOUBLE)
+               / len(list_distinct(list_cat(hb.hs, hh.hs))) AS jaccard
+      FROM cand c
+      JOIN hs hb ON hb.doc_id = c.doc_id
+      JOIN hs hh ON hh.doc_id = c.dup_of
+    )
+    SELECT doc_id, dup_of, jaccard
+    FROM (
+      SELECT doc_id, dup_of, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY jaccard DESC, dup_of ASC) AS rn
+      FROM scored WHERE jaccard >= 0.5
+    ) WHERE rn = 1
+    """,
+    doc="INCREMENTAL near-dup detection against a persisted MinHash "
+    "signature store — the fuzzy twin of dedup_incremental_store and "
+    "the production shape for continuously-crawled corpora: the "
+    "historical corpus's banded-LSH index (doc_id, band, bh) and "
+    "hashed-shingle sets are built ONCE and written to the warehouse "
+    "bucketed on their join keys ((band, bh) for candidate generation, "
+    "doc_id for the exact-Jaccard verify). Each new batch computes "
+    "ONLY its own signatures, joins the store's band index for "
+    "candidates (ID-only exchange, bounded by the batch), verifies "
+    "with exact hashed-shingle Jaccard, and reports the best history "
+    "match per batch doc (jaccard >= 0.5, ties to the lowest doc_id). "
+    "At 100 TB the history side never recomputes or re-exchanges — "
+    "its bucket layout satisfies both joins' distributions, so "
+    "near-dup screening cost scales with the INCREMENT, not the "
+    "accumulated crawl. Same md5-derived 60-bit token pipeline as "
+    "dedup_minhash, so the whole store-roundtrip path is hash-checked "
+    "cross-engine. Fixture split: doc_id < 250 = history.",
+    tags=("text", "dedup", "scale", "warehouse"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from magictables_spark.functions import shingles as _sh
+    from magictables_spark.warehouse import Warehouse
+
+    B = 250
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()  # parquet-footer count: cache key + invalidation
+    key = hashlib.md5(
+        f"v1:{B}:{os.path.realpath(sf_dir)}:{n}".encode()
+    ).hexdigest()[:16]
+
+    def _mh_tables(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(hashed-shingle sets, banded LSH index) for a doc slice —
+        identical arithmetic to dedup_minhash (same _MH16/_h60/P31
+        literals), so the persisted store stays oracle-reproducible."""
+        raw = df.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
+            "doc_id", _sh("text", n=3).alias("sh")
+        )
+        hs = raw.select(
+            "doc_id", F.expr(f"transform(sh, s -> {_h60_spark('s')})").alias("hs")
+        )
+        mh = hs.select(
+            "doc_id",
+            F.array(
+                *[
+                    F.expr(
+                        f"array_min(transform(hs, h -> ({a} * (h % {P31}) + {b}) % {P31}))"
+                    )
+                    for a, b in _MH16
+                ]
+            ).alias("sig"),
+        )
+
+        def _band_hash(bi: int):
+            i0, i1, i2, i3 = (bi * 4 + r for r in range(4))
+            return F.expr(
+                f"(((((sig[{i0}] * 31 + sig[{i1}]) % {P31}) * 31"
+                f" + sig[{i2}]) % {P31}) * 31 + sig[{i3}]) % {P31}"
+            )
+
+        bands = mh.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(bi).alias("band"), _band_hash(bi).alias("bh"))
+                        for bi in range(4)
+                    ]
+                )
+            ).alias("b"),
+        ).select("doc_id", "b.band", "b.bh")
+        return hs, bands
+
+    hk, bk = f"mh_hs_{key}", f"mh_bands_{key}"
+    wh = Warehouse(os.path.join(tempfile.gettempdir(), "mts_mh_warehouse"))
+    if not (wh.has_table(hk) and wh.has_table(bk)):
+        hs_h, bands_h = _mh_tables(docs.filter(F.col("doc_id") < B))
+        wh.write_table(
+            hs_h, hk, source_info={"n_docs": n, "split": B},
+            bucket_by=["doc_id"], n_buckets=16, sort_by=["doc_id"],
+        )
+        wh.write_table(
+            bands_h, bk, source_info={"n_docs": n, "split": B},
+            bucket_by=["band", "bh"], n_buckets=16, sort_by=["band", "bh"],
+        )
+    store_hs = wh.read_table(spark, hk)
+    store_bands = wh.read_table(spark, bk)
+
+    hs_b, bands_b = _mh_tables(docs.filter(F.col("doc_id") >= B))
+    # candidate generation is ID-only (bands carry no text); the store
+    # side arrives pre-bucketed on (band, bh) so only the batch pays an
+    # exchange here
+    cand = (
+        bands_b.join(
+            store_bands.select("band", "bh", F.col("doc_id").alias("dup_of")),
+            ["band", "bh"],
+        )
+        .select("doc_id", "dup_of")
+        .dropDuplicates(["doc_id", "dup_of"])
+    )
+    scored = cand.join(
+        hs_b.select("doc_id", F.col("hs").alias("hb")), "doc_id"
+    ).join(
+        store_hs.select(F.col("doc_id").alias("dup_of"), F.col("hs").alias("hh")),
+        "dup_of",
+    )
+    jac = (
+        F.size(F.array_intersect("hb", "hh")).cast("double")
+        / F.size(F.array_union("hb", "hh")).cast("double")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), F.asc("dup_of"))
+    return (
+        scored.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+
+
+@q(
     "simhash",
     oracle=f"""
     WITH toks AS (

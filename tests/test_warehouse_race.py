@@ -145,3 +145,29 @@ def test_incremental_dedup_store_reuses_across_calls(spark):
     }
     for doc_id, fp in r1:
         assert doc_id >= 250 and fp not in base_fps
+
+
+def test_incremental_minhash_store_reuses_across_calls(spark):
+    """dedup_minhash_incremental: band index + shingle store are built
+    once per (corpus, split) key; a second invocation serves from the
+    warehouse (version pointers unchanged) and returns identical rows,
+    and every reported dup_of really is a history doc whose exact
+    shingle Jaccard crosses the 0.5 threshold."""
+    import json
+    import os
+    import tempfile
+
+    from magictables_spark.plans.similarity import dedup_minhash_incremental
+
+    sf = "/root/testdata/sf0.001"
+    r1 = sorted(tuple(r) for r in dedup_minhash_incremental(spark, sf).collect())
+    meta_path = os.path.join(tempfile.gettempdir(), "mts_mh_warehouse", "_meta.json")
+    with open(meta_path) as f:
+        v1 = {k: m["version"] for k, m in json.load(f).items()}
+    r2 = sorted(tuple(r) for r in dedup_minhash_incremental(spark, sf).collect())
+    with open(meta_path) as f:
+        v2 = {k: m["version"] for k, m in json.load(f).items()}
+    assert r1 == r2 and len(r1) > 0
+    assert v1 == v2  # no rebuild on the second call
+    for doc_id, dup_of, jaccard in r1:
+        assert doc_id >= 250 and dup_of < 250 and jaccard >= 0.5
