@@ -110,3 +110,42 @@ def test_second_session_reuses_warm_index(tmp_path):
     # identical version pointer => the second JVM served the first's
     # index without rebuilding (a rebuild would mint a new v<pid>_<ms>)
     assert vers[0] == vers[1]
+
+
+def test_append_equals_full_build_and_is_idempotent(spark):
+    """ann_lsh_index_append: at sf0.001 the pinned history geometry
+    (300 vectors -> 4 bits) equals the fresh-build geometry (500 -> 4
+    bits), so the appended index must serve rows IDENTICAL to
+    ann_lsh_persisted; and a second call serves from the appended
+    version without minting a new one."""
+    import json
+    import tempfile
+
+    from magictables_spark.plans.similarity import (
+        ann_lsh_index_append,
+        ann_lsh_persisted,
+    )
+
+    k1, n1 = _rows_key(ann_lsh_persisted(spark, SF))
+    k2, n2 = _rows_key(ann_lsh_index_append(spark, SF))
+    assert n1 == n2 > 0
+    assert k1 == k2
+    meta_path = os.path.join(
+        tempfile.gettempdir(), "mts_ann_warehouse", "_meta.json"
+    )
+    with open(meta_path) as f:
+        v1 = {
+            k: m["version"]
+            for k, m in json.load(f).items()
+            if k.startswith(("annlshH_", "annlshA_"))
+        }
+    assert len(v1) >= 2  # history + appended tables exist
+    k3, _ = _rows_key(ann_lsh_index_append(spark, SF))
+    with open(meta_path) as f:
+        v2 = {
+            k: m["version"]
+            for k, m in json.load(f).items()
+            if k.startswith(("annlshH_", "annlshA_"))
+        }
+    assert k3 == k2
+    assert v1 == v2  # no re-append, no rebuild
