@@ -746,3 +746,77 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("b.n_events"), F.col("b.value_cents"))
         .orderBy("user_id")
     )
+
+
+@q(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           date_diff('microsecond', c.ts, p.ts) AS us_to_purchase,
+           CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+    doc="STREAM-STREAM interval join as a REAL Structured Streaming "
+    "job -- the ad-attribution shape (every purchase within 1 hour of "
+    "a click by the same user): two readStream sources over the events "
+    "fixture, BOTH watermarked 1 hour (Spark requires watermarks on "
+    "both sides plus a time-range join condition to bound the join "
+    "state -- click state is evicted once the purchase-side watermark "
+    "passes click.ts + 1 hour, so state is O(events per hour), not "
+    "O(stream)), inner-joined on user_id AND p.ts IN [c.ts, c.ts + 1h], "
+    "Trigger.AvailableNow, append sink. Inner stream-stream joins emit "
+    "a pair exactly when both rows have arrived, so the result is "
+    "deterministic and value-hash-checked against the DuckDB interval "
+    "self-join. At 100 TB: the join state is watermark-bounded, the "
+    "exchange is user-keyed on both sides, and the time-range predicate "
+    "prunes within each key -- the canonical production funnel join. "
+    "Completes the streaming family: windows (3 kinds), dedup, "
+    "stateful totals, watermarked sessions, and now stream-stream "
+    "joins, each hash-checked cross-engine.",
+    tags=("streaming", "events", "join"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        src.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("purchase_cents"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("us_to_purchase"),
+        "purchase_cents",
+    )
+    out = _run_available_now(
+        spark, joined, "mts_stream_ss_join", output_mode="append"
+    )
+    return out.orderBy("click_id", "purchase_id")
