@@ -79,7 +79,7 @@ METADATA_ONLY_MIMES = frozenset({"audio/mpeg", "video/mp4"})
 # ---------------------------------------------------------------------------
 
 
-def decode_png(data: bytes) -> dict:
+def decode_png(data: bytes, keep_pixels: bool = False) -> dict:
     """Parse a PNG: geometry from IHDR, pixels from the unfiltered IDAT
     stream. Returns width/height/bit_depth/channels + pixel mean/std
     (0-255 scale, over all channels)."""
@@ -168,6 +168,7 @@ def decode_png(data: bytes) -> dict:
         "channels": int(channels),
         "pixel_mean": float(pixels.mean()),
         "pixel_std": float(pixels.std()),
+        **({"pixels": pixels} if keep_pixels else {}),
     }
 
 
@@ -493,7 +494,7 @@ def ensure_media_fixture_dir(
 _BMP_MAX_PIXELS = 1 << 26  # 64M px: refuse header-driven memory bombs
 
 
-def decode_bmp(data: bytes) -> dict:
+def decode_bmp(data: bytes, keep_pixels: bool = False) -> dict:
     """Parse an uncompressed Windows BMP (BITMAPINFOHEADER, 24/32 bpp,
     BI_RGB): geometry from the DIB header, per-image pixel mean/std
     over the BGR(A) rows (4-byte-aligned, bottom-up unless height is
@@ -534,6 +535,7 @@ def decode_bmp(data: bytes) -> dict:
         "channels": int(channels),
         "pixel_mean": float(pixels.mean()),
         "pixel_std": float(pixels.std()),
+        **({"pixels": pixels} if keep_pixels else {}),
     }
 
 
@@ -798,7 +800,7 @@ def _decode_ac_refine(r: _ScanReader, ac_tab, zz, ss, se, al, eobrun) -> int:
     return eobrun
 
 
-def decode_jpeg(data: bytes) -> dict:
+def decode_jpeg(data: bytes, keep_pixels: bool = False) -> dict:
     """Decode a baseline (SOF0/SOF1) or progressive (SOF2) Huffman
     JPEG: geometry + per-image pixel mean/std on the 0-255 RGB (or
     gray) scale, same contract as decode_png/decode_bmp. Handles
@@ -950,7 +952,7 @@ def decode_jpeg(data: bytes) -> dict:
         # a partial progressive render is valid for a VIEWER, but
         # feature stats from half the scans would be silently wrong
         raise UnsupportedMediaError("progressive JPEG truncated before EOI")
-    return _render_jpeg(frame, coeffs, qt)
+    return _render_jpeg(frame, coeffs, qt, keep_pixels)
 
 
 def _decode_scan_coeffs(
@@ -1045,7 +1047,7 @@ def _decode_scan_coeffs(
     return p
 
 
-def _render_jpeg(frame, coeffs, qt):
+def _render_jpeg(frame, coeffs, qt, keep_pixels=False):
     """Shared render step for sequential and progressive paths:
     dequantize + de-zigzag every block of each component at once,
     batched IDCT (broadcast 8-point transforms over the whole block
@@ -1096,6 +1098,7 @@ def _render_jpeg(frame, coeffs, qt):
         "channels": channels,
         "pixel_mean": float(pixels.mean()),
         "pixel_std": float(pixels.std()),
+        **({"pixels": pixels} if keep_pixels else {}),
     }
 
 
@@ -2463,3 +2466,92 @@ def encode_mp4_fixture(
         + _mp4_box(b"moov", mvhd + traks)
         + _mp4_box(b"mdat", b"")
     )
+
+
+# --- perceptual hashing ------------------------------------------------------
+
+
+def decode_image_gray(data: bytes, mime: str) -> np.ndarray:
+    """Decode any supported image format to a grayscale float64 (H, W)
+    array (ITU-R BT.601 luma for color), the input contract of
+    ``phash64``. Raises UnsupportedMediaError for non-images or broken
+    bytes, same per-file skip contract as media_features_ex."""
+    if mime == "image/png":
+        m = decode_png(data, keep_pixels=True)
+    elif mime in ("image/bmp", "image/x-ms-bmp"):
+        m = decode_bmp(data, keep_pixels=True)
+    elif mime == "image/jpeg":
+        m = decode_jpeg(data, keep_pixels=True)
+    else:
+        raise UnsupportedMediaError(f"not a supported image mime: {mime}")
+    px = m["pixels"]
+    if px.shape[2] == 1:
+        return px[:, :, 0]
+    # BT.601 luma; alpha (if any) ignored
+    return 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+
+
+def phash64(gray: np.ndarray) -> int:
+    """Perceptual hash (pHash): nearest-neighbor resample to 32x32,
+    orthonormal 2-D DCT-II, keep the 8x8 low-frequency block, drop the
+    DC term, threshold the remaining 63 coefficients at their median
+    -> a 63-bit signature in an int64. Robust to re-encoding (JPEG
+    quality), small brightness/contrast shifts (median threshold), and
+    resampling; structurally different images land far apart in
+    Hamming space."""
+    s = 32
+    h, w = gray.shape
+    if h == 0 or w == 0:
+        raise UnsupportedMediaError("degenerate image for phash")
+    rows = (np.arange(s) * h) // s
+    cols = (np.arange(s) * w) // s
+    img = gray[np.ix_(rows, cols)].astype(np.float64)
+    n = np.arange(s)
+    D = np.sqrt(2.0 / s) * np.cos(np.pi * (2 * n[None, :] + 1) * n[:, None] / (2 * s))
+    D[0] *= np.sqrt(0.5)
+    f = D @ img @ D.T
+    vals = f[:8, :8].flatten()[1:]  # 63 ac-ish coefficients, DC dropped
+    med = float(np.median(vals))
+    out = 0
+    for v in vals:
+        out = (out << 1) | int(v > med)
+    return out
+
+
+def ensure_phash_fixture_dir(media_dir: str, n_base: int = 5) -> str:
+    """Materialize the committed near-duplicate image corpus
+    (idempotent). Per base image (seeded smooth low-frequency content,
+    64x48): the exact pixels as PNG, a JPEG quality-85 re-encode
+    (lossy near-dup), and a brightness +8 PNG (photometric near-dup)
+    -- so the planted duplicate groups are {base, jpeg-dup,
+    bright-dup} x n_base, and every cross-base pair is a true
+    negative. Used by the image_phash_neardup query and
+    tests/test_phash.py."""
+    marker = os.path.join(media_dir, ".complete")
+    if os.path.exists(marker):
+        return media_dir
+    os.makedirs(media_dir, exist_ok=True)
+    w, h = 64, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(n_base):
+        # smooth, seeded, structurally distinct content per base:
+        # mixed low-frequency sines + a diagonal gradient
+        a, b, c = 0.7 + 0.31 * i, 1.3 + 0.47 * i, 0.9 + 0.23 * i
+        base = (
+            96.0
+            + 60.0 * np.sin(a * xx / 9.0 + i)
+            + 45.0 * np.cos(b * yy / 7.0 - 2 * i)
+            + 30.0 * np.sin(c * (xx + 2 * yy) / 16.0)
+        )
+        arr = np.clip(base, 0, 255).astype(np.uint8)
+        rgb = np.stack([arr, np.roll(arr, i + 1, axis=1), 255 - arr], axis=-1)
+        with open(os.path.join(media_dir, f"base_{i:02d}.png"), "wb") as f:
+            f.write(encode_png(rgb))
+        with open(os.path.join(media_dir, f"dupjpeg_{i:02d}.jpg"), "wb") as f:
+            f.write(encode_jpeg(rgb, quality=85, subsample="444"))
+        bright = np.clip(rgb.astype(np.int16) + 8, 0, 255).astype(np.uint8)
+        with open(os.path.join(media_dir, f"dupbright_{i:02d}.png"), "wb") as f:
+            f.write(encode_png(bright))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return media_dir

@@ -1,0 +1,87 @@
+"""Perceptual-hash near-duplicate image detection.
+
+The committed corpus (tests/fixtures/media_phash) plants 5 duplicate
+groups of 3 (base PNG, JPEG q85 re-encode, brightness+8 PNG): the
+within-group pHash Hamming distances measure <= 4 and every cross-group
+distance >= 20, so threshold 6 separates with margin on BOTH sides.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+import pytest
+
+from magictables_spark.operators.media_codecs import (
+    UnsupportedMediaError,
+    decode_image_gray,
+    ensure_phash_fixture_dir,
+    phash64,
+)
+
+CORPUS = os.path.join(os.path.dirname(__file__), "fixtures", "media_phash")
+
+
+def _group(fn: str) -> str:
+    return fn.split("_")[1].split(".")[0]
+
+
+def _hashes() -> dict[str, int]:
+    d = ensure_phash_fixture_dir(CORPUS)
+    out = {}
+    for fn in sorted(os.listdir(d)):
+        if fn.startswith("."):
+            continue
+        mime = "image/jpeg" if fn.endswith(".jpg") else "image/png"
+        with open(os.path.join(d, fn), "rb") as f:
+            out[fn] = phash64(decode_image_gray(f.read(), mime))
+    return out
+
+
+def test_phash_separation_on_planted_corpus():
+    hashes = _hashes()
+    assert len(hashes) == 15
+    same, diff = [], []
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        dist = bin(hashes[a] ^ hashes[b]).count("1")
+        (same if _group(a) == _group(b) else diff).append(dist)
+    assert len(same) == 15 and len(diff) == 90
+    assert max(same) <= 6, f"planted dup drifted to {max(same)}"
+    assert min(diff) >= 15, f"cross-group collapsed to {min(diff)}"
+
+
+def test_phash_deterministic_and_63_bit():
+    hashes = _hashes()
+    assert _hashes() == hashes  # byte-identical decode -> identical hash
+    for h in hashes.values():
+        assert 0 <= h < (1 << 63)
+
+
+def test_phash_rejects_non_image():
+    with pytest.raises(UnsupportedMediaError):
+        decode_image_gray(b"RIFF....WAVE", "audio/wav")
+    with pytest.raises(UnsupportedMediaError):
+        decode_image_gray(b"\x89PNG\r\n\x1a\ngarbage", "image/png")
+
+
+def test_query_finds_exactly_the_planted_pairs(spark):
+    from magictables_spark.plans.curation_pack import image_phash_neardup
+
+    rows = image_phash_neardup(spark, "/root/testdata/sf0.001").collect()
+    got = {(r.file_a, r.file_b) for r in rows}
+    assert len(got) == 15
+    for a, b in got:
+        assert _group(a) == _group(b), f"false positive {a} ~ {b}"
+    # every planted pair recovered: 5 groups x 3 choose 2
+    names = sorted({n for ab in got for n in ab})
+    assert len(names) == 15  # all 15 files participate
+    assert all(r.hamming <= 6 for r in rows)
+
+
+def test_banding_exactness_guard(spark):
+    from magictables_spark.operators.multimodal import image_phash, phash_neardup, read_media
+
+    media = read_media(spark, CORPUS)
+    with pytest.raises(ValueError):
+        phash_neardup(image_phash(media), max_hamming=9, n_bands=9)
