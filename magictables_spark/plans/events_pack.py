@@ -904,3 +904,98 @@ def scd2_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         closing.isNull().alias("is_current"),
     ).orderBy("user_id", "version")
+
+
+@q(
+    "stream_upsert_foreachbatch",
+    oracle="""
+    SELECT user_id, event_type AS latest_status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_id
+    FROM (SELECT user_id, event_type, ts, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Streaming MERGE-INTO (SCD-1 upsert) sink at the driver "
+    "surface, run as a REAL multi-batch incremental job: the events "
+    "fixture is split once into 3 parquet shards (by event_id % 3, "
+    "deterministic), readStream consumes them with maxFilesPerTrigger "
+    "= 1 so Trigger.AvailableNow executes THREE micro-batches, and "
+    "each batch merges latest-record-per-key into a versioned parquet "
+    "snapshot behind an atomic manifest repoint "
+    "(streaming/stream_upsert_foreach_batch -- foreachBatch is how "
+    "production Spark upserts into Delta/Iceberg; here the same body "
+    "targets plain parquet + manifest). The merge takes MAX of a "
+    "(ts, event_id, status) struct per key, which is associative and "
+    "commutative, so the final snapshot is INDEPENDENT of the batch "
+    "split -- exactly what the oracle's row_number-latest computes "
+    "over the unsplit table; the whole incremental path is therefore "
+    "value-hash-checked. Re-invocation reuses the checkpoint: the "
+    "AvailableNow run sees no new files and serves the warm snapshot "
+    "(the incremental-store contract shared with "
+    "dedup_incremental_store / ann_lsh_index_append). State: one row "
+    "per key in the snapshot, never the event history.",
+    tags=("streaming", "merge", "pipeline"),
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from magictables_spark.streaming import (
+        read_upsert_snapshot,
+        stream_upsert_foreach_batch,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"mts_upsert_q_{tag}")
+    src = os.path.join(root, "src")
+    ready = os.path.join(root, "_READY")
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                ev.filter(F.col("event_id") % 3 == shard)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]), os.path.join(src, f"shard_{shard}.parquet")
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+    name = f"mts_upsert_q_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream_upsert_foreach_batch(
+            stream, os.path.join(root, "target"), os.path.join(root, "ckpt")
+        )
+        .queryName(name)
+        .start()
+    )
+    query.awaitTermination()
+    snap = read_upsert_snapshot(spark, os.path.join(root, "target"))
+    return snap.select(
+        "user_id",
+        F.col("event_type").alias("latest_status"),
+        F.date_format("ts", TS_US_FMT).alias("ts"),
+        "event_id",
+    ).orderBy("user_id")

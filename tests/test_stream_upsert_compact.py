@@ -181,3 +181,27 @@ def test_stream_upsert_subsecond_ordering(spark, tmp_path):
         q.stop()
     row = read_upsert_snapshot(spark, target).collect()[0]
     assert row.event_type == "purchase" and row.event_id == 10
+
+
+def test_registered_query_runs_three_batches_and_reserves_warm(spark):
+    """The driver-surface slug splits the fixture into 3 shards and
+    must consume them as THREE micro-batches (maxFilesPerTrigger=1);
+    a second invocation reuses the checkpoint (no new snapshot)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from magictables_spark.plans.events_pack import stream_upsert_foreachbatch
+
+    sf = "/root/testdata/sf0.001"
+    rows1 = stream_upsert_foreachbatch(spark, sf).collect()
+    tag = hashlib.md5(os.path.realpath(sf).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"mts_upsert_q_{tag}")
+    offsets = sorted(os.listdir(os.path.join(root, "ckpt", "offsets")))
+    assert {"0", "1", "2"} <= set(offsets), offsets
+    with open(os.path.join(root, "target", "LATEST")) as f:
+        snap1 = f.read()
+    rows2 = stream_upsert_foreachbatch(spark, sf).collect()
+    assert rows2 == rows1
+    with open(os.path.join(root, "target", "LATEST")) as f:
+        assert f.read() == snap1  # warm: no re-merge, same snapshot
