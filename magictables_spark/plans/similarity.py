@@ -1900,3 +1900,79 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@q(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, q AS cq FROM e
+      WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 8
+    ), dists AS (
+      SELECT e.vec_id, cent.cid,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (e.q[i] - cent.cq[i]) * (e.q[i] - cent.cq[i]))) AS BIGINT) AS d2
+      FROM e CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM dists
+    ), members AS (
+      SELECT vec_id, cid FROM assign WHERE rn = 1
+    ), ranked AS (
+      SELECT cid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               AS pick
+      FROM members
+    )
+    SELECT cid AS centroid_id, vec_id, pick
+    FROM ranked WHERE pick <= 10
+    ORDER BY centroid_id, pick
+    """,
+    doc="CLUSTER-BALANCED sampling -- the diversity-sampling shape of "
+    "training-data curation (equal quota per semantic cluster instead "
+    "of raw frequency, so head clusters cannot drown the tail; the "
+    "selection step behind cluster-balanced corpus mixes): assign "
+    "every embedding to its nearest of 8 deterministic centroids "
+    "(kmeans_assign's exact int64 argmin -- 8-row broadcast, vectors "
+    "NEVER shuffle for assignment), then keep a 10-vector quota per "
+    "cluster elected by md5(vec_id) rank -- an RNG-free uniform draw "
+    "both engines replay bit-identically. One cluster-keyed window "
+    "over |clusters| small groups is the only exchange. At 100 TB the "
+    "same plan holds: broadcast centroids, map-side argmin, one "
+    "rank-per-cluster shuffle bounded by the quota output, no "
+    "all-pairs, no driver collects.",
+    tags=("similarity", "ml", "sampling", "scale"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _quantized(spark, sf_dir)
+    cent = (
+        e.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    members = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"))
+    )
+    wq = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        members.withColumn("pick", F.row_number().over(wq))
+        .filter(F.col("pick") <= 10)
+        .select(F.col("cid").alias("centroid_id"), "vec_id", "pick")
+        .orderBy("centroid_id", "pick")
+    )

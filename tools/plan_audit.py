@@ -54,6 +54,7 @@ WAIVERS: dict[str, dict[str, str]] = {
         SPE: "cumulative CDF over DISTINCT cents values — bounded by the value domain (<=56k rows), not n; per-row work is the upstream keyed agg",
     },
     "kmeans_assign": {NLJ: "broadcast side is the 8-row centroid table"},
+    "cluster_balanced_sample": {NLJ: "broadcast side is the 8-row centroid table"},
     "knn_label_vote": {NLJ: "broadcast side is the ~sqrt(n) probe set"},
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
     "ann_int8_rescore": {NLJ: "broadcast side is the 5-row int8 probe set"},
