@@ -200,7 +200,7 @@ def encode_png(pixels: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def decode_wav(data: bytes) -> dict:
+def decode_wav(data: bytes, keep_samples: bool = False) -> dict:
     """Parse a RIFF/WAV via the stdlib ``wave`` module; amplitude stats
     from numpy over the PCM frames (16- or 8-bit)."""
     import io
@@ -248,6 +248,7 @@ def decode_wav(data: bytes) -> dict:
         "rms": rms,
         "peak": peak,
         "zero_crossing_rate": zcr,
+        **({"samples": samples, } if keep_samples else {}),
     }
 
 
@@ -2552,6 +2553,98 @@ def ensure_phash_fixture_dir(media_dir: str, n_base: int = 5) -> str:
         bright = np.clip(rgb.astype(np.int16) + 8, 0, 255).astype(np.uint8)
         with open(os.path.join(media_dir, f"dupbright_{i:02d}.png"), "wb") as f:
             f.write(encode_png(bright))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return media_dir
+
+
+# --- audio fingerprinting ----------------------------------------------------
+
+
+def decode_audio_pcm(data: bytes, mime: str) -> tuple[np.ndarray, int]:
+    """Decode a supported audio format to (mono float64 samples,
+    sample_rate) — the input contract of ``afp56``. WAV via the stdlib
+    wave module; audio/mpeg via the Layer I/II PCM decoder (Layer III
+    raises, the per-file skip contract)."""
+    if mime in ("audio/wav", "audio/x-wav"):
+        m = decode_wav(data, keep_samples=True)
+        s = m["samples"]
+        ch = m["channels"]
+        if ch > 1:
+            n = (s.size // ch) * ch
+            s = s[:n].reshape(-1, ch).mean(axis=1)
+        return s, m["sample_rate"]
+    if mime == "audio/mpeg":
+        m = decode_mpeg1_audio(data, return_pcm=True)
+        pcm = m["pcm"]
+        return pcm.mean(axis=0), m["sample_rate"]
+    raise UnsupportedMediaError(f"not a supported audio mime: {mime}")
+
+
+def afp56(samples: np.ndarray, rate: int) -> int:
+    """Audio fingerprint: 56 log-spaced ABSOLUTE-Hz bands (100-2400
+    Hz) over the WHOLE-clip power spectrum, bit b = band energy above
+    -20 dB of the loudest band. Whole-clip magnitude spectrum makes it
+    TIME-SHIFT invariant (a lossy codec's filterbank group delay --
+    MPEG-1's polyphase adds ~480 samples -- moves no bits; measured:
+    frame-based time-delta bits scrambled to Hamming ~32/56 on MP2
+    round-trips, this form moves <= 1 bit), relative threshold makes
+    it GAIN invariant, absolute-Hz bands make it RATE invariant. A
+    tonal clip sets the bands its partials occupy; structurally
+    different content sets different bands (planted corpus: same-group
+    <= 1, cross-group >= 7)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < 256 or rate <= 0:
+        raise UnsupportedMediaError("audio too short for fingerprint")
+    n_bands = 56
+    edges = np.exp(np.linspace(np.log(100.0), np.log(2400.0), n_bands + 1))
+    if edges[-1] > rate / 2:
+        raise UnsupportedMediaError(f"sample rate {rate} below fingerprint band ceiling")
+    spec = np.abs(np.fft.rfft(x * np.hanning(x.size))) ** 2
+    freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
+    E = np.empty(n_bands)
+    for b in range(n_bands):
+        sel = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        E[b] = float(spec[sel].sum())
+    thresh = 1e-2 * (float(E.max()) or 1.0)  # -20 dB of the loudest band
+    out = 0
+    for e in E:
+        out = (out << 1) | int(e > thresh)
+    return out
+
+
+def ensure_afp_fixture_dir(media_dir: str, n_base: int = 4) -> str:
+    """Materialize the committed near-duplicate AUDIO corpus
+    (idempotent). Per base clip (seeded 3-sine mixture with an AM
+    envelope, 0.5 s at 32 kHz): the exact PCM as WAV, a REAL MPEG-1
+    Layer II 192 kbps re-encode (lossy near-dup through the actual
+    encoder+decoder pair), and a gain x0.7 WAV (photometric twin).
+    Planted groups {wav, mp2, gain} x n_base; cross-base pairs are
+    true negatives."""
+    marker = os.path.join(media_dir, ".complete")
+    if os.path.exists(marker):
+        return media_dir
+    os.makedirs(media_dir, exist_ok=True)
+    rate = 32000
+    t = np.arange(rate // 2) / rate
+    # disjoint log-spaced frequency triplets per base: no partial is
+    # shared across groups, so cross-group fingerprints stay far apart
+    freq_grid = np.exp(np.linspace(np.log(130.0), np.log(2200.0), 3 * n_base))
+    for i in range(n_base):
+        f1, f2, f3 = freq_grid[i], freq_grid[i + n_base], freq_grid[i + 2 * n_base]
+        env = 0.6 + 0.4 * np.sin(2 * math.pi * (1.5 + i) * t)
+        s = env * (
+            0.5 * np.sin(2 * math.pi * f1 * t)
+            + 0.3 * np.sin(2 * math.pi * f2 * t + i)
+            + 0.2 * np.sin(2 * math.pi * f3 * t + 2 * i)
+        )
+        s *= 0.8 / np.max(np.abs(s))
+        with open(os.path.join(media_dir, f"base_{i:02d}.wav"), "wb") as f:
+            f.write(encode_wav(s, rate=rate))
+        with open(os.path.join(media_dir, f"dupmp2_{i:02d}.mp2"), "wb") as f:
+            f.write(encode_mpeg1_fixture(s, layer=2, kbps=192, sample_rate=rate))
+        with open(os.path.join(media_dir, f"dupgain_{i:02d}.wav"), "wb") as f:
+            f.write(encode_wav(0.7 * s, rate=rate))
     with open(marker, "w") as f:
         f.write("ok")
     return media_dir

@@ -214,3 +214,41 @@ def phash_neardup(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Binary audio column -> 56-bit spectral fingerprint
+    (media_codecs.afp56: log-band -20 dB occupancy over the whole-clip
+    spectrum -- shift / gain / rate invariant) through Arrow-batched
+    mapInPandas. Same output schema as image_phash so phash_neardup's
+    banded Hamming join serves both modalities."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from magictables_spark.operators.media_codecs import (
+            UnsupportedMediaError,
+            afp56,
+            decode_audio_pcm,
+        )
+
+        for pdf in batches:
+            hashes, oks = [], []
+            for content, mime in zip(pdf["content"], pdf["mime"]):
+                try:
+                    if content is None:
+                        raise UnsupportedMediaError("null content")
+                    samples, rate = decode_audio_pcm(bytes(content), mime)
+                    hashes.append(afp56(samples, rate))
+                    oks.append(True)
+                except UnsupportedMediaError:
+                    hashes.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "mime": pdf["mime"],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=PHASH_SCHEMA)

@@ -293,3 +293,58 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         name("path_b").alias("file_b"),
         "hamming",
     ).orderBy("file_a", "file_b")
+
+
+def _afp_fixture_dir() -> str:
+    """Resolve the committed near-dup audio corpus
+    (tests/fixtures/media_afp); tempdir materialization fallback."""
+    import os
+    import tempfile
+
+    import magictables_spark
+    from magictables_spark.operators.media_codecs import ensure_afp_fixture_dir
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(magictables_spark.__file__)))
+    committed = os.path.join(repo_root, "tests", "fixtures", "media_afp")
+    if os.path.exists(os.path.join(committed, ".complete")):
+        return committed
+    return ensure_afp_fixture_dir(os.path.join(tempfile.gettempdir(), "mts_afp_fixture_v1"))
+
+
+@q(
+    "audio_fp_neardup",
+    oracle=None,  # audio decode is non-SQL-expressible; planted-pair
+    # precision/recall is pinned exactly in tests/test_phash.py
+    doc="NEAR-DUPLICATE AUDIO detection end to end -- the audio twin "
+    "of image_phash_neardup: the committed 12-clip corpus (4 seeded "
+    "base clips, each with a REAL MPEG-1 Layer II 192 kbps re-encode "
+    "through the repo's own encoder+decoder pair and a gain x0.7 WAV) "
+    "is ingested via binaryFile, PCM-decoded by the pure-stdlib "
+    "WAV/MPEG-audio codecs, spectrally fingerprinted (afp56: 56 "
+    "log-Hz bands, -20 dB occupancy bits -- invariant to the codec's "
+    "~480-sample filterbank delay, to gain, and to sample rate) in "
+    "one Arrow kernel, then paired by the SAME banded Hamming join as "
+    "images (8 bands x 7 bits, pigeonhole-exact for distance <= 7, "
+    "verify <= 3). Planted corpus measures same-group distance 0, "
+    "cross-group >= 7 -- precision/recall 1.0 asserted in "
+    "tests/test_phash.py. At 100 TB: decode+hash rides binary "
+    "partitions, one band-key exchange pairs, no all-pairs.",
+    tags=("multimodal", "dedup", "similarity", "scale"),
+)
+def audio_fp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_neardup,
+        read_media,
+    )
+
+    media = read_media(spark, _afp_fixture_dir())
+    pairs = phash_neardup(
+        audio_fingerprint(media), max_hamming=3, n_bands=8, band_bits=7
+    )
+    name = lambda c: F.regexp_extract(c, r"([^/]+)$", 1)  # noqa: E731
+    return pairs.select(
+        name("path_a").alias("file_a"),
+        name("path_b").alias("file_b"),
+        "hamming",
+    ).orderBy("file_a", "file_b")

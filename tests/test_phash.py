@@ -85,3 +85,68 @@ def test_banding_exactness_guard(spark):
     media = read_media(spark, CORPUS)
     with pytest.raises(ValueError):
         phash_neardup(image_phash(media), max_hamming=9, n_bands=9)
+
+
+AUDIO_CORPUS = os.path.join(os.path.dirname(__file__), "fixtures", "media_afp")
+
+
+def _audio_hashes() -> dict[str, int]:
+    from magictables_spark.operators.media_codecs import (
+        afp56,
+        decode_audio_pcm,
+        ensure_afp_fixture_dir,
+    )
+
+    d = ensure_afp_fixture_dir(AUDIO_CORPUS)
+    out = {}
+    for fn in sorted(os.listdir(d)):
+        if fn.startswith("."):
+            continue
+        mime = "audio/mpeg" if fn.endswith(".mp2") else "audio/wav"
+        with open(os.path.join(d, fn), "rb") as f:
+            samples, rate = decode_audio_pcm(f.read(), mime)
+        out[fn] = afp56(samples, rate)
+    return out
+
+
+def test_afp_separation_on_planted_corpus():
+    """Gain x0.7 and a REAL MPEG-1 Layer II round-trip must move ~0
+    bits; disjoint-frequency clips must stay far apart."""
+    hashes = _audio_hashes()
+    assert len(hashes) == 12
+    same, diff = [], []
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        dist = bin(hashes[a] ^ hashes[b]).count("1")
+        (same if _group(a) == _group(b) else diff).append(dist)
+    assert len(same) == 12 and len(diff) == 54
+    assert max(same) <= 3, f"planted audio dup drifted to {max(same)}"
+    assert min(diff) >= 6, f"cross-group collapsed to {min(diff)}"
+    for h in hashes.values():
+        assert 0 <= h < (1 << 56)
+
+
+def test_afp_shift_and_gain_invariance():
+    """The properties that make the codec round-trip survivable,
+    asserted directly: a 480-sample shift (the MPEG filterbank group
+    delay) and a gain change move zero bits."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import afp56
+
+    rate = 32000
+    t = np.arange(rate // 2) / rate
+    s = 0.5 * np.sin(2 * np.pi * 440.0 * t) + 0.3 * np.sin(2 * np.pi * 1234.0 * t)
+    base = afp56(s, rate)
+    assert afp56(np.roll(s, 480), rate) == base
+    assert afp56(0.25 * s, rate) == base
+
+
+def test_audio_query_finds_exactly_the_planted_pairs(spark):
+    from magictables_spark.plans.curation_pack import audio_fp_neardup
+
+    rows = audio_fp_neardup(spark, "/root/testdata/sf0.001").collect()
+    got = {(r.file_a, r.file_b) for r in rows}
+    assert len(got) == 12
+    for a, b in got:
+        assert _group(a) == _group(b), f"false positive {a} ~ {b}"
+    assert all(r.hamming <= 3 for r in rows)
