@@ -1976,3 +1976,102 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cid").alias("centroid_id"), "vec_id", "pick")
         .orderBy("centroid_id", "pick")
     )
+
+
+@q(
+    "simhash_neardup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')), t -> {_h60_duck('t')}) AS hs
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_aggregate(
+               list_transform(
+                 list_filter(range(0, 60),
+                             b -> 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)),
+                 b -> (CAST(1 AS BIGINT) << b)),
+               'sum'), 0) AS BIGINT) AS s
+      FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash near-duplicate PAIRS via banded Hamming join, fully "
+    "hash-oracled cross-engine: the 60-bit md5-vote signatures (the "
+    "simhash slug's exact expression) band into 3 x 20-bit slices; by "
+    "pigeonhole any two signatures within Hamming <= 2 share an "
+    "identical band, so the band-key exchange finds EVERY pair at the "
+    "<= 2 threshold with zero false negatives -- and because the "
+    "signatures are md5-reproducible, DuckDB verifies the WHOLE "
+    "pipeline (signature -> candidate -> verify) against a brute-force "
+    "all-pairs bit_count, proving the banding exactness rather than "
+    "arguing it (the text twin of the rows-only image/audio "
+    "fingerprint joins). Spark plan: signatures computed once behind a "
+    "localCheckpoint (lineage break -- without it Catalyst re-inlines "
+    "the 60-lambda vote into BOTH join branches and every candidate "
+    "row: measured 44 s -> 12 s at sf0.1), one exchange on (band, "
+    "key), JVM bit_count verify. Band geometry is a measured choice: "
+    "10 x 6-bit slices put 5000 docs into 64 keys/band -> 29.7M "
+    "random-collision candidates; 3 x 20-bit slices make collisions "
+    "2^-20 so candidates are near-dup pairs + identical-signature "
+    "clusters only -- at 100 TB candidate volume tracks true density, "
+    "never all-pairs.",
+    tags=("text", "dedup", "fingerprint", "similarity", "scale"),
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(f"transform(array_distinct(split(text, ' ')), t -> {_h60_spark('t')})").alias(
+                "hs"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                aggregate(
+                  filter(sequence(0, 59),
+                         b -> size(filter(hs, h -> (shiftright(h, b) & 1L) = 1L)) * 2 > size(hs)),
+                  0L,
+                  (acc, b) -> acc | shiftleft(1L, b)
+                )
+                """
+            ).alias("s"),
+        )
+    ).localCheckpoint()  # break lineage: sigs materialize ONCE; both
+    # join branches and the per-candidate verify read values, not the
+    # 60-lambda expression tree (measured 44 s -> 12 s at sf0.1)
+    n_bands, band_bits, mask = 3, 20, (1 << 20) - 1
+    bands = sig.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), "
+                f"i -> struct(i AS band, shiftright(s, i * {band_bits}) & {mask} AS key))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "s", "b.band", "b.key")
+    left = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")
+    )
+    right = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming")
+        )
+        .filter(F.col("hamming") <= 2)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
