@@ -1083,3 +1083,78 @@ def rollup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@q(
+    "pit_feature_join",
+    oracle="""
+    WITH feat AS (
+      SELECT user_id, ts, event_id, event_type,
+             COUNT(*) FILTER (WHERE event_type = 'click') OVER w AS n_clicks_before,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                    THEN CAST(ROUND(value * 100) AS BIGINT) END)
+                           OVER w, 0) AS BIGINT) AS view_cents_before
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id AS query_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           n_clicks_before, view_cents_before
+    FROM feat WHERE event_type = 'purchase'
+    ORDER BY query_id
+    """,
+    doc="POINT-IN-TIME-correct feature retrieval -- the feature-store "
+    "join that prevents label leakage in training pipelines: for every "
+    "prediction point (purchase), fetch each feature's value AS OF "
+    "strictly before that moment (clicks-so-far count, view-spend "
+    "cumulative sum). Implemented with the UNION-TIMELINE form: "
+    "instead of N as-of joins (one per feature table), probes and "
+    "feature events ride ONE user-keyed window ordered by (ts, "
+    "event_id) with ROWS UNBOUNDED PRECEDING TO 1 PRECEDING (the '1 "
+    "PRECEDING' bound IS the leakage guard -- the prediction row's own "
+    "event never feeds its features), then probe rows filter out. At "
+    "100 TB this is a single user-hash exchange regardless of how "
+    "many features stack into the same window -- the reason "
+    "production feature stores materialize timelines rather than "
+    "running per-feature as-of joins (asof_join covers the two-table "
+    "form). Deterministic under timestamp ties via the event_id "
+    "tiebreak; both engines run the identical window spec.",
+    tags=("events", "window", "pipeline", "ml"),
+)
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias(
+            "n_clicks_before"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view",
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                )
+            ).over(w),
+            F.lit(0),
+        ).alias("view_cents_before"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("query_id"),
+            F.date_format("ts", TS_US_FMT).alias("ts"),
+            "n_clicks_before",
+            "view_cents_before",
+        )
+        .orderBy("query_id")
+    )
