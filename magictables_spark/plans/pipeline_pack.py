@@ -816,3 +816,72 @@ def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("bucket")
     )
+
+
+@q(
+    "purged_timeseries_cv",
+    oracle="""
+    WITH folds AS (
+      SELECT unnest(range(0, 5)) AS test_fold
+    ), marked AS (
+      SELECT f.test_fold,
+             CASE
+               WHEN e.ts >= TIMESTAMP '2024-01-01' + INTERVAL (f.test_fold * 6) DAY
+                AND e.ts <  TIMESTAMP '2024-01-01' + INTERVAL (f.test_fold * 6 + 6) DAY
+                 THEN 'test'
+               WHEN e.ts >= TIMESTAMP '2024-01-01' + INTERVAL (f.test_fold * 6) DAY - INTERVAL 1 DAY
+                AND e.ts <  TIMESTAMP '2024-01-01' + INTERVAL (f.test_fold * 6 + 6) DAY + INTERVAL 1 DAY
+                 THEN 'purged'
+               ELSE 'train'
+             END AS role
+      FROM events e CROSS JOIN folds f
+    )
+    SELECT test_fold,
+           COUNT(*) FILTER (WHERE role = 'test') AS n_test,
+           COUNT(*) FILTER (WHERE role = 'train') AS n_train,
+           COUNT(*) FILTER (WHERE role = 'purged') AS n_purged
+    FROM marked GROUP BY test_fold ORDER BY test_fold
+    """,
+    doc="PURGED time-series cross-validation with embargo (Lopez de "
+    "Prado's leakage-free CV for temporally-correlated data -- the "
+    "random kfold_assignment is WRONG for time series because "
+    "neighboring-in-time rows leak label information across the "
+    "train/test cut): 5 contiguous 6-day folds over the events month; "
+    "for each test fold, rows within a 1-day EMBARGO on either side "
+    "of the test window are PURGED from training (neither split sees "
+    "them), everything else trains. Implemented as a 5-row fold-table "
+    "cross join (map-side 5x expansion, zero data shuffle before the "
+    "final tiny aggregate) -- at 100 TB the expansion streams through "
+    "the scan and the only exchange carries 5 rows x 3 counters. "
+    "Pure timestamp arithmetic, bit-identical across engines; the "
+    "role boundaries (closed test start, open test end, symmetric "
+    "1-day embargo) are pinned by the oracle.",
+    tags=("pipeline", "sampling", "ml", "events"),
+)
+def purged_timeseries_cv(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("ts")
+    folds = spark.range(5).select(F.col("id").cast("int").alias("test_fold"))
+    start = F.expr("TIMESTAMP '2024-01-01' + make_interval(0,0,0, test_fold*6)")
+    end = F.expr("TIMESTAMP '2024-01-01' + make_interval(0,0,0, test_fold*6+6)")
+    role = (
+        F.when((F.col("ts") >= start) & (F.col("ts") < end), "test")
+        .when(
+            (F.col("ts") >= F.expr(
+                "TIMESTAMP '2024-01-01' + make_interval(0,0,0, test_fold*6-1)"))
+            & (F.col("ts") < F.expr(
+                "TIMESTAMP '2024-01-01' + make_interval(0,0,0, test_fold*6+7)")),
+            "purged",
+        )
+        .otherwise("train")
+    )
+    return (
+        ev.crossJoin(F.broadcast(folds))
+        .select("test_fold", role.alias("role"))
+        .groupBy("test_fold")
+        .agg(
+            F.count(F.when(F.col("role") == "test", 1)).alias("n_test"),
+            F.count(F.when(F.col("role") == "train", 1)).alias("n_train"),
+            F.count(F.when(F.col("role") == "purged", 1)).alias("n_purged"),
+        )
+        .orderBy("test_fold")
+    )

@@ -354,3 +354,71 @@ def value_counts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("_total").cast("double")).alias("share"),
     )
+
+
+@q(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'error' THEN 'D'
+                  WHEN event_type = 'signup' THEN 'I'
+                  ELSE 'U' END AS op
+      FROM events
+    ), latest AS (
+      SELECT user_id, op, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ops
+    )
+    SELECT user_id, op AS last_op, event_type AS status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_id
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+    doc="CDC changelog APPLY with delete semantics -- the Debezium/"
+    "binlog materialization step that merge_upsert_latest (upserts "
+    "only) cannot express: each event carries an op code (I/U/D, "
+    "derived deterministically from event_type: error=D, signup=I, "
+    "else U), and the applied table holds, per key, the payload of "
+    "the LATEST op -- unless that op is a DELETE, in which case the "
+    "key is ABSENT (a delete followed by nothing erases the row; a "
+    "delete followed by a later insert resurrects it, both falling "
+    "out of the same latest-op rule). One MAX of a (ts, event_id, "
+    "op, status) struct per key -- the whole op row wins atomically, "
+    "exactly the SCD-1 aggregate shape plus a post-filter on the "
+    "winning op -- so one hash exchange at any scale, map-side "
+    "partial max. Full-microsecond version ordering with event_id "
+    "tiebreak; hash-checked against the row_number-latest oracle.",
+    tags=("pipeline", "merge", "events"),
+)
+def cdc_apply_changelog(spark, sf_dir):
+    from magictables_spark.plans.registry import _t
+
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+    )
+    winner = F.max(
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            op.alias("_op"),
+            F.col("event_type").alias("_status"),
+        )
+    ).alias("_w")
+    return (
+        ev.groupBy("user_id")
+        .agg(winner)
+        .filter(F.col("_w._op") != "D")
+        .select(
+            "user_id",
+            F.col("_w._op").alias("last_op"),
+            F.col("_w._status").alias("status"),
+            F.date_format("_w.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            F.col("_w.event_id").alias("event_id"),
+        )
+        .orderBy("user_id")
+    )
