@@ -83,6 +83,16 @@ SCALE_OPS = [
     "ljung_box_white_noise",
     "effect_size_cohens_d",
     "diff_in_diff",
+    # round-6 additions: the banded simhash near-dup join (candidate
+    # volume must track true near-dup density, not corpus-squared),
+    # SCD2 history / PIT features / CDC apply (one user-keyed
+    # exchange each), purged CV (5x map-side expansion, no shuffle)
+    "simhash_neardup",
+    "scd2_from_changelog",
+    "pit_feature_join",
+    "cdc_apply_changelog",
+    "purged_timeseries_cv",
+    "cluster_balanced_sample",
 ]
 
 
