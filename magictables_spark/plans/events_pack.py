@@ -1158,3 +1158,52 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@q(
+    "stream_static_join",
+    oracle=f"""
+    WITH dim(event_type, stage, weight) AS (
+      VALUES ('view', 1, 1), ('click', 2, 3), ('purchase', 3, 10),
+             ('signup', 0, 5), ('error', -1, 0)
+    )
+    SELECT d.stage,
+           COUNT(*) AS n_events,
+           CAST(SUM({VAL_I} * d.weight) AS BIGINT) AS weighted_cents
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.stage ORDER BY d.stage
+    """,
+    doc="STREAM-STATIC join as a real Structured Streaming job -- the "
+    "third and last join kind the streaming family needs (after "
+    "stream-stream interval joins and the foreachBatch merge sink): "
+    "the events stream enriches against a STATIC dimension table "
+    "(event_type -> funnel stage + weight) -- stateless by "
+    "construction (no watermark, no join state: the static side is "
+    "broadcast to every micro-batch task, the production shape for "
+    "dimension enrichment at any scale), then aggregates weighted "
+    "spend per stage in complete mode under Trigger.AvailableNow. "
+    "Hash-checked against the identical batch join+aggregate in "
+    "DuckDB. At 100 TB the dimension broadcast is the whole point: "
+    "enrichment adds ZERO exchanges to the stream; only the 5-group "
+    "aggregate shuffles.",
+    tags=("streaming", "events", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = spark.createDataFrame(
+        [("view", 1, 1), ("click", 2, 3), ("purchase", 3, 10),
+         ("signup", 0, 5), ("error", -1, 0)],
+        "event_type string, stage int, weight int",
+    )
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.join(F.broadcast(dim), "event_type")
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.expr("CAST(ROUND(value * 100) AS BIGINT)") * F.col("weight")
+            ).alias("weighted_cents"),
+        )
+    )
+    out = _run_available_now(spark, agg, "mts_stream_static_join")
+    return out.orderBy("stage")
