@@ -231,26 +231,43 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_available_now(
-    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
+    spark: SparkSession,
+    agg: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming aggregation to completion: memory sink +
     Trigger.AvailableNow; returns the sink table. Stops any prior query
     with the same sink name first (idempotent re-invocation). Append
     mode relies on the trailing no-data micro-batch (on by default) to
     advance the watermark past the last data batch and flush closed
-    windows."""
+    windows. ``shuffle_partitions`` scopes a state-partition override
+    to this query only (the partition count is fixed at the FIRST
+    batch by the checkpoint, and each stateful partition pays a
+    per-batch state-store commit: stream-stream joins measured 4.4x
+    faster at fixture scale with 8 instead of 32 — at production
+    scale size it to state volume, not to the session default)."""
     for active in spark.streams.active:
         if active.name == name:
             active.stop()
             active.awaitTermination()
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    saved = None
+    if shuffle_partitions is not None:
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(name)
 
 
@@ -778,7 +795,16 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prunes within each key -- the canonical production funnel join. "
     "Completes the streaming family: windows (3 kinds), dedup, "
     "stateful totals, watermarked sessions, and now stream-stream "
-    "joins, each hash-checked cross-engine.",
+    "joins, each hash-checked cross-engine. Output-density boundary "
+    "(measured, not guessed): PAIR output grows with clicks-per-hour "
+    "x purchases -- the sf1 probe month packs 33x the fixture's "
+    "event density and yields 9,830,095 pairs (DuckDB-verified), so "
+    "single-batch availableNow replay of dense HISTORY through the "
+    "pair form is the anti-pattern; backfill belongs to the batch "
+    "twin interval_join_attribution (equi-bucketized, aggregated to "
+    "one row per purchase), while this operator's regime is "
+    "continuous operation where the watermark keeps per-batch pair "
+    "volume at the stream rate.",
     tags=("streaming", "events", "join"),
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,8 +842,12 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("us_to_purchase"),
         "purchase_cents",
     )
+    # 8 state partitions, measured: 12.8 s -> 2.9 s at sf0.1 (the
+    # HDFS-backed state store pays a per-partition-per-side commit
+    # each batch; 32 partitions x 2 sides dwarfed the ~400-row state)
     out = _run_available_now(
-        spark, joined, "mts_stream_ss_join", output_mode="append"
+        spark, joined, "mts_stream_ss_join", output_mode="append",
+        shuffle_partitions=8,
     )
     return out.orderBy("click_id", "purchase_id")
 
