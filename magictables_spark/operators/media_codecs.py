@@ -528,6 +528,11 @@ def decode_bmp(data: bytes, keep_pixels: bool = False) -> dict:
     pixels = rows.reshape(height, width, channels).astype(np.float64)
     if not top_down:
         pixels = pixels[::-1]
+    # the file stores BGR(A); emit RGB(A) -- decode_png's contract.
+    # channel-symmetric stats never exposed the order; keep_pixels
+    # consumers (pHash luma) do.
+    if channels >= 3:
+        pixels = pixels[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
     return {
         "kind": "image",
         "width": int(width),

@@ -150,3 +150,44 @@ def test_audio_query_finds_exactly_the_planted_pairs(spark):
     for a, b in got:
         assert _group(a) == _group(b), f"false positive {a} ~ {b}"
     assert all(r.hamming <= 3 for r in rows)
+
+
+def test_phash_invariant_to_lossless_reencode():
+    """pHash of the SAME pixels through different lossless containers
+    (PNG vs BMP) must be bit-identical — the decode paths share no
+    code, so this pins the whole decode->luma->DCT chain."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import (
+        encode_bmp,
+        encode_png,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    rgb = np.stack(
+        [
+            np.clip(80 + 50 * np.sin(xx / 5.0), 0, 255),
+            np.clip(120 + 40 * np.cos(yy / 7.0), 0, 255),
+            np.clip((xx + yy) % 256, 0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    h_png = phash64(decode_image_gray(encode_png(rgb), "image/png"))
+    h_bmp = phash64(decode_image_gray(encode_bmp(rgb), "image/bmp"))
+    assert h_png == h_bmp
+
+
+def test_afp_rate_invariance_same_tones():
+    """The same tonal content sampled at 32 kHz and 48 kHz must land
+    on (near-)identical fingerprints — absolute-Hz bands, not
+    bin-relative ones."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import afp56
+
+    hashes = []
+    for rate in (32000, 48000):
+        t = np.arange(rate // 2) / rate
+        s = 0.5 * np.sin(2 * np.pi * 300.0 * t) + 0.3 * np.sin(2 * np.pi * 900.0 * t)
+        hashes.append(afp56(s, rate))
+    assert bin(hashes[0] ^ hashes[1]).count("1") <= 1

@@ -171,3 +171,43 @@ def test_incremental_minhash_store_reuses_across_calls(spark):
     assert v1 == v2  # no rebuild on the second call
     for doc_id, dup_of, jaccard in r1:
         assert doc_id >= 250 and dup_of < 250 and jaccard >= 0.5
+
+
+def test_rollup_incremental_store_reuses_and_merges_exactly(spark):
+    """rollup_incremental_store: history partials are built once per
+    (corpus, split) key; a second invocation serves the same store
+    (version pointer unchanged) and returns identical rows; and the
+    merged rollup equals a from-scratch GROUP BY over all events."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from magictables_spark.plans.events_pack import VAL_I, rollup_incremental_store
+    from magictables_spark.plans.registry import _t
+
+    sf = "/root/testdata/sf0.001"
+    r1 = sorted(tuple(r) for r in rollup_incremental_store(spark, sf).collect())
+    meta_path = os.path.join(tempfile.gettempdir(), "mts_rollup_warehouse", "_meta.json")
+    with open(meta_path) as f:
+        v1 = {k: m["version"] for k, m in json.load(f).items()}
+    r2 = sorted(tuple(r) for r in rollup_incremental_store(spark, sf).collect())
+    with open(meta_path) as f:
+        v2 = {k: m["version"] for k, m in json.load(f).items()}
+    assert r1 == r2 and len(r1) > 0
+    assert v1 == v2  # second call merged against the SAME store version
+    full = sorted(
+        tuple(r)
+        for r in _t(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr(VAL_I)).alias("sum_cents"),
+        )
+        .collect()
+    )
+    assert r1 == full
