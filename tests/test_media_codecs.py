@@ -157,8 +157,9 @@ def test_multimodal_features_query_real_decode(spark, sf_dir):
     assert jpg["feature_dim"] == 8
     # sample-decoded modalities: decoded == ok
     assert png["n_full_decoded"] == 8 and jpg["n_full_decoded"] == 6
-    # MP3/MP4: ok METADATA rows (frame-header/box parse), decoded=False
-    assert mp3["n_files"] == 4 and mp3["n_decoded"] == 3 and mp3["n_full_decoded"] == 0
+    # audio/mpeg: 3 MP3s (metadata rows, decoded=False) + 3 MP2s
+    # (REAL Layer I/II PCM decode, decoded=True) + 1 corrupt
+    assert mp3["n_files"] == 7 and mp3["n_decoded"] == 6 and mp3["n_full_decoded"] == 3
     assert mp4["n_files"] == 3 and mp4["n_decoded"] == 2 and mp4["n_full_decoded"] == 0
     assert mp3["feature_dim"] == 8 and mp4["feature_dim"] == 8
     # decoded stats are real: mean pixel (index 4) in (0, 1), audio rms > 0
