@@ -210,7 +210,8 @@ def _media_fixture_dir() -> str:
     oracle=None,  # binary plumbing; schema/batch shape gated in unit tests
     doc="Multimodal column pipeline as a query: the COMMITTED "
     "deterministic media corpus (tests/fixtures/media: 8 PNGs + 4 BMPs "
-    "+ 6 JPEGs + 8 WAVs + 1 corrupt file per PNG/WAV/JPEG modality) is "
+    "+ 6 JPEGs + 8 WAVs + 3 MP3s + 3 MP2s + 2 MP4s + 1 corrupt file "
+    "per PNG/WAV/JPEG/MP3/MP4 modality) is "
     "ingested via the binaryFile source with mime "
     "tagging, REAL-decoded with the pure-stdlib PNG/BMP/WAV/JPEG "
     "codecs (struct/zlib scanline unfiltering, wave-module PCM stats, "

@@ -156,16 +156,20 @@ def ndv_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     doc="HyperLogLog++ distinct-count estimates (Polars approx_n_unique "
     "parity). Rows-only: HLL sketches are engine-specific; the estimate "
-    "is asserted within 5% of ndv_exact in tests/test_stats.py. At "
+    "is asserted within 5% of ndv_exact in tests/test_stats_asof.py. At "
     "100 TB this is the ONLY affordable NDV — exact multi-distinct "
-    "shuffles every value.",
+    "shuffles every value. rsd is a measured choice: 0.01 cost 4.36 s "
+    "at sf0.1 (register count grows 1/rsd^2; the per-row sketch "
+    "update dominated the scan) vs 0.83 s at 0.02 with observed error "
+    "still <= 1%% on all three keys — precision beyond the quality "
+    "gate was pure waste.",
     tags=("agg", "stats", "approx"),
 )
 def approx_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ndv_part"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("ndv_supp"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ndv_order"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ndv_part"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("ndv_supp"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ndv_order"),
     )
 
 
