@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from magictables_spark.plans.registry import REGISTRY, _t, q
 
@@ -759,4 +760,107 @@ def tfidf_bits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_bits"), "doc_id")
         .limit(20)
+    )
+
+
+_LPA_EDGES_CTE = """
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i+1] || ' ' ||
+                                   string_split(text, ' ')[i+2])
+             )) AS shingle
+      FROM documents WHERE doc_id < 200
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), l0 AS (
+      SELECT doc_id AS v, doc_id AS lab FROM documents WHERE doc_id < 200
+    )
+"""
+
+_LPA_STEP = """
+    , c{k} AS (
+      SELECT e.a AS v, l.lab FROM edges e JOIN l{p} l ON l.v = e.b
+      UNION ALL SELECT v, lab FROM l{p}
+    ), n{k} AS (
+      SELECT v, lab, COUNT(*) AS c FROM c{k} GROUP BY v, lab
+    ), l{k} AS (
+      SELECT v, lab FROM (
+        SELECT v, lab, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+        FROM n{k}
+      ) WHERE rn = 1
+    )
+"""
+
+
+@q(
+    "label_propagation_communities",
+    oracle="WITH "
+    + _LPA_EDGES_CTE
+    + "".join(_LPA_STEP.format(k=k, p=k - 1) for k in (1, 2, 3))
+    + """
+    SELECT lab AS community, COUNT(*) AS n_members,
+           CAST(MIN(v) AS BIGINT) AS min_doc
+    FROM l3 GROUP BY lab HAVING COUNT(*) > 1
+    ORDER BY community
+    """,
+    doc="Label-propagation community detection (Raghavan 2007) over "
+    "the document near-dup graph, made DETERMINISTIC and hash-"
+    "checkable: 3 SYNCHRONOUS unrolled iterations, each node adopting "
+    "the MODE of its neighbors' labels plus its own (ties break to "
+    "the smallest label; classic LPA's random order/tiebreak is "
+    "exactly what an oracle cannot replay, so both are pinned), over "
+    "the same >= 0.5 shingle-Jaccard edges as dedup_clusters. "
+    "Complements the graph family: min-label propagation finds "
+    "CONNECTED components (dedup_clusters); mode-label finds DENSE "
+    "communities inside them -- a bridge edge flips a whole component "
+    "to one cluster id but cannot out-vote a clique. Per iteration "
+    "the plan is one edge-label equi-join + one (v, lab) count + one "
+    "per-node top-1 window, all keyed exchanges -- the standard "
+    "distributed LPA round at any scale (iterations bounded, not "
+    "converging: 3 rounds reach diameter-3 consensus, the curation "
+    "use case of 'name the dup neighborhoods'). Emits communities "
+    "with >= 2 members (count, min doc) -- singletons are noise.",
+    tags=("text", "dedup", "graph", "scale"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).localCheckpoint()
+    labels = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("v"), F.col("doc_id").alias("lab"))
+    )
+    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(3):
+        cand = edges.join(labels, edges.b == labels.v).select(
+            F.col("a").alias("v"), "lab"
+        ).unionByName(labels)
+        counts = cand.groupBy("v", "lab").agg(F.count("*").alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count("*").alias("n_members"), F.min("v").alias("min_doc"))
+        .filter(F.col("n_members") > 1)
+        .orderBy("community")
     )
