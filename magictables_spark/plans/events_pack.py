@@ -1237,3 +1237,67 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_available_now(spark, agg, "mts_stream_static_join")
     return out.orderBy("stage")
+
+
+@q(
+    "funnel_ordered_steps",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    vc AS (
+      SELECT DISTINCT v.user_id
+      FROM v JOIN c ON c.user_id = v.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    ), vcp AS (
+      SELECT DISTINCT v.user_id
+      FROM v JOIN c ON c.user_id = v.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      JOIN p ON p.user_id = v.user_id
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM vc) AS n_view_click,
+           (SELECT COUNT(*) FROM vcp) AS n_full_funnel
+    """,
+    doc="ORDERED multi-step funnel with per-step time bounds -- the "
+    "product-analytics sequence query funnel_conversion (unordered "
+    "stage presence) cannot express: a user converts iff some view is "
+    "followed by a click within 1 hour which is followed by a "
+    "purchase within another hour, ORDER REQUIRED at every step. "
+    "Implemented as two user-keyed interval joins with strict-"
+    "inequality chaining (view < click <= view+1h < purchase <= "
+    "click+1h) collapsed to per-user existence -- the same plan a "
+    "funnel engine compiles sequence-match to when the pattern is "
+    "fixed. All three legs reuse ONE user-hash exchange; per-user "
+    "candidate volume is (views x clicks x purchases) within an hour "
+    "window, the time bound that keeps the chained join linear in "
+    "events at 100 TB (the unbounded form is the documented "
+    "anti-pattern -- same lesson as the stream-stream pair join). "
+    "Emits the three funnel stage counts in one row.",
+    tags=("events", "join", "pipeline"),
+)
+def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    t = lambda kind, alias: (  # noqa: E731
+        ev.filter(F.col("event_type") == kind).select(
+            F.col("user_id").alias(f"{alias}_u"), F.col("ts").alias(f"{alias}_ts")
+        )
+    )
+    v, c, p = t("view", "v"), t("click", "c"), t("purchase", "p")
+    vc = v.join(
+        c,
+        (F.col("c_u") == F.col("v_u"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    vcp = vc.join(
+        p,
+        (F.col("p_u") == F.col("v_u"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    n_view = v.select(F.countDistinct("v_u").alias("n_view"))
+    n_vc = vc.select(F.countDistinct("v_u").alias("n_view_click"))
+    n_vcp = vcp.select(F.countDistinct("v_u").alias("n_full_funnel"))
+    return n_view.crossJoin(n_vc).crossJoin(n_vcp)

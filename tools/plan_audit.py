@@ -56,6 +56,9 @@ WAIVERS: dict[str, dict[str, str]] = {
     "kmeans_assign": {NLJ: "broadcast side is the 8-row centroid table"},
     "cluster_balanced_sample": {NLJ: "broadcast side is the 8-row centroid table"},
     "purged_timeseries_cv": {NLJ: "broadcast side is the 5-row fold table"},
+    "funnel_ordered_steps": {
+        NLJ: "cross-join of three 1-row scalar stage counts; the interval joins hash on user_id"
+    },
     "knn_label_vote": {NLJ: "broadcast side is the ~sqrt(n) probe set"},
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
     "ann_int8_rescore": {NLJ: "broadcast side is the 5-row int8 probe set"},
