@@ -191,3 +191,37 @@ def test_afp_rate_invariance_same_tones():
         s = 0.5 * np.sin(2 * np.pi * 300.0 * t) + 0.3 * np.sin(2 * np.pi * 900.0 * t)
         hashes.append(afp56(s, rate))
     assert bin(hashes[0] ^ hashes[1]).count("1") <= 1
+
+
+def test_banding_pigeonhole_exactness_property():
+    """The mathematical guarantee behind every banded Hamming join in
+    the repo (pHash 9x7, afp 8x7, simhash 3x20): two hashes within
+    Hamming d < n_bands ALWAYS share at least one identical band —
+    property-tested over random hashes and random bit flips."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        h=st.integers(min_value=0, max_value=(1 << 63) - 1),
+        flips=st.lists(st.integers(min_value=0, max_value=62), max_size=8, unique=True),
+        geometry=st.sampled_from([(9, 7), (8, 7), (3, 20)]),
+    )
+    def check(h, flips, geometry):
+        n_bands, band_bits = geometry
+        usable = n_bands * band_bits
+        flips = [f for f in flips if f < usable]
+        h &= (1 << usable) - 1
+        g = h
+        for f in flips:
+            g ^= 1 << f
+        d = bin(h ^ g).count("1")
+        mask = (1 << band_bits) - 1
+        shared = any(
+            (h >> (i * band_bits)) & mask == (g >> (i * band_bits)) & mask
+            for i in range(n_bands)
+        )
+        if d < n_bands:
+            assert shared, (hex(h), flips, geometry)
+
+    check()
