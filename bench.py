@@ -76,6 +76,13 @@ HEADLINE = [
     # round-6 addition: the build-once/serve-many warehouse-persisted
     # LSH index — the production similarity-serving shape
     "ann_lsh_persisted",
+    # round-6 additions: banded simhash near-dup pairs (the fully
+    # hash-oracled LSH-join shape), incremental materialized rollup
+    # (the warehouse-maintenance shape), point-in-time feature join
+    # (the leakage-free feature-store shape)
+    "simhash_neardup",
+    "rollup_incremental_store",
+    "pit_feature_join",
 ]
 
 
