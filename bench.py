@@ -9,6 +9,17 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
 Each query is forced with the noop sink (full execution, zero
 driver-collect cost) so the number measures the distributed plan, not
 pandas conversion.
+
+WHICH NUMBER BINDS (round-6 verdict item 9): the cross-round 2x
+performance gate reads ``shared_with_prev_total`` — the sum over the
+intersection of this round's and the previous round's headline query
+sets — normalized by the ``calibration_sec`` ratio
+(``shared_with_prev.normalized_ratio``). The raw ``headline_total``
+GROWS whenever queries are added and is NOT comparable across rounds;
+it exists only as the per-round inventory of absolute timings.
+``calibration_sec`` times a fixed, registry-independent, pure-JVM
+synthetic join+agg (identical every round), so a uniform host
+slowdown shows up there and divides out.
 """
 
 from __future__ import annotations
@@ -122,6 +133,41 @@ def main() -> None:
         .save()
     )
 
+    # Pinned calibration workload (round-6 verdict item 1): one FIXED,
+    # registry-independent, pure-JVM job whose size never changes across
+    # rounds — a seeded synthetic join+agg over spark.range. Its median
+    # time is recorded as "calibration_sec"; cross-round performance
+    # ratios should be quoted as shared_with_prev_total normalized by
+    # the calibration ratio, reducing "is the host slower this round?"
+    # to one division instead of git-diff + re-timing forensics.
+    def _calibration(_s=spark):
+        fact = _s.range(0, 4_000_000, 1, 32).selectExpr(
+            "id",
+            "pmod(hash(id), 100000) AS k",
+            "pmod(hash(id + 7), 997) AS v",
+        )
+        dim = _s.range(0, 100_000, 1, 8).selectExpr(
+            "id AS k", "pmod(hash(id * 3), 50) AS grp"
+        )
+        return (
+            fact.join(dim, "k")
+            .groupBy("grp")
+            .agg(
+                F.sum("v").alias("sv"),
+                F.count("*").alias("c"),
+                F.approx_count_distinct("k").alias("nd"),
+            )
+        )
+
+    for _ in range(2):  # same 2-warmup / median-of-3 protocol as queries
+        _calibration().write.format("noop").mode("overwrite").save()
+    cal_runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        _calibration().write.format("noop").mode("overwrite").save()
+        cal_runs.append(time.perf_counter() - start)
+    calibration_sec = round(sorted(cal_runs)[1], 3)
+
     slugs = [s for s in HEADLINE if s in REGISTRY]
     timings: dict[str, float] = {}
     for slug in slugs:
@@ -171,10 +217,37 @@ def main() -> None:
             with open(path) as fh:
                 prev = json.load(fh)
             # the driver wraps bench stdout under "parsed"
-            prev_queries = (prev.get("parsed") or prev).get("queries", {})
+            prev_parsed = prev.get("parsed") or prev
+            prev_queries = prev_parsed.get("queries", {})
             shared = sorted(set(prev_queries) & set(timings))
             shared_total = round(sum(timings[s] for s in shared), 3)
             shared_with = {"round": rnum, "n_queries": len(shared)}
+            prev_cal = prev_parsed.get("calibration_sec")
+            if prev_cal:
+                # host-normalized ratio: (this shared total / prev shared
+                # total on the same basket) / (this calibration / prev
+                # calibration). ~1.0 means "same code speed, host moved".
+                prev_shared_on_basket = round(
+                    sum(
+                        prev_queries[s]
+                        for s in shared
+                        if isinstance(prev_queries.get(s), (int, float))
+                    ),
+                    3,
+                )
+                if prev_shared_on_basket:
+                    shared_with["prev_total_same_basket"] = prev_shared_on_basket
+                    shared_with["raw_ratio"] = round(
+                        shared_total / prev_shared_on_basket, 3
+                    )
+                    shared_with["calibration_ratio"] = round(
+                        calibration_sec / prev_cal, 3
+                    )
+                    shared_with["normalized_ratio"] = round(
+                        (shared_total / prev_shared_on_basket)
+                        / (calibration_sec / prev_cal),
+                        3,
+                    )
     except Exception:  # comparability aid only — never fail the bench
         pass
 
@@ -186,6 +259,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_sec": calibration_sec,
                 "shared_with_prev_total": shared_total,
                 "shared_with_prev": shared_with,
             }

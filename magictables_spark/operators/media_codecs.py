@@ -1838,12 +1838,19 @@ def _l2_table(sample_rate: int, kbps_per_ch: float):
     """(rows, sblimit) per ISO Table B.2 selection — high-rate families
     only (B.2a/B.2b); the low-rate B.2c/B.2d and MPEG-2 LSF tables are
     out of scope (no fixture needs them and real streams at those rates
-    are rare)."""
+    are rare).
+
+    Selection follows ISO 11172-3 2.4.2.5 / the dist10 reference
+    encoder's pick_table: B.2a (sblimit 27) for 48 kHz at >=56 kbps/ch
+    AND for 44.1/32 kHz at 56-80 kbps/ch; B.2b (sblimit 30) only for
+    44.1/32 kHz at >=96 kbps/ch. (Round-6 advisory: selecting by sample
+    rate alone mis-parsed real 44.1/32 kHz streams at 56-80 kbps/ch
+    with the 30-subband layout.)"""
     if kbps_per_ch < 56:
         raise UnsupportedMediaError(
             f"Layer II low-rate allocation table (<{56} kbps/ch) not implemented"
         )
-    sblimit = 27 if sample_rate == 48000 else 30
+    sblimit = 27 if (sample_rate == 48000 or kbps_per_ch <= 80) else 30
     rows = []
     for sb in range(sblimit):
         if sb < 3:

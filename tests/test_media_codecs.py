@@ -536,11 +536,43 @@ def _best_corr(y, x, max_lag=600):
     return best
 
 
+def test_l2_table_selection_by_rate_and_bitrate():
+    """ISO 11172-3 Table B.2 selection is (sample rate, kbps/ch), not
+    sample rate alone (round-6 advisory): 44.1/32 kHz at 56-80 kbps/ch
+    must use the sblimit-27 B.2a layout; only >=96 kbps/ch at those
+    rates uses the 30-subband B.2b."""
+    import pytest as _pytest
+
+    from magictables_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        _l2_table,
+    )
+
+    # 48 kHz: always B.2a (27) at >=56 kbps/ch
+    for k in (56, 64, 80, 96, 128, 192):
+        assert _l2_table(48000, k)[1] == 27
+    # 44.1/32 kHz, 56-80 kbps/ch: B.2a (27) — the previously-wrong region
+    for sr in (44100, 32000):
+        for k in (56, 64, 80):
+            assert _l2_table(sr, k)[1] == 27, (sr, k)
+    # 44.1/32 kHz, >=96 kbps/ch: B.2b (30)
+    for sr in (44100, 32000):
+        for k in (96, 112, 128, 160, 192):
+            assert _l2_table(sr, k)[1] == 30, (sr, k)
+    # low-rate B.2c/B.2d refuse loudly rather than mis-parse
+    with _pytest.raises(UnsupportedMediaError):
+        _l2_table(44100, 48)
+
+
 @pytest.mark.parametrize("layer,kbps,sr,ch", [
     (1, 192, 48000, 1),
     (1, 384, 44100, 2),
     (2, 192, 48000, 2),
     (2, 128, 44100, 1),
+    # the B.2a-at-44.1/32-kHz region the round-6 advisory flagged:
+    # 56-80 kbps/ch streams must parse with the 27-subband layout
+    (2, 160, 44100, 2),  # 80 kbps/ch stereo
+    (2, 64, 32000, 1),   # 64 kbps/ch mono
 ])
 def test_mpeg1_pcm_roundtrip_matches_input(layer, kbps, sr, ch):
     """Encode a sine mixture through the real analysis filterbank +
