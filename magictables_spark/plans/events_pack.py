@@ -980,9 +980,12 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_upsert_foreach_batch,
     )
 
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
     ev = _t(spark, sf_dir, "events")
-    tag = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"mts_upsert_q_{tag}")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(f"{os.path.realpath(sf_dir)}:{cfp}".encode()).hexdigest()[:12]
+    root = store_root(f"upsert_q_{tag}")
     src = os.path.join(root, "src")
     ready = os.path.join(root, "_READY")
     if not os.path.exists(ready):
@@ -1065,9 +1068,8 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
-    import tempfile
 
-    from magictables_spark.warehouse import Warehouse
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
 
     ev = _t(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("day"),
@@ -1075,10 +1077,13 @@ def rollup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(VAL_I.replace("value", "value")).alias("cents"),
     )
     n = _t(spark, sf_dir, "events").count()
+    # content fingerprint: regenerated same-size events invalidate the
+    # persisted partials (round-6 advisory)
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
     key = "rollup_" + hashlib.md5(
-        f"v1:16:{os.path.realpath(sf_dir)}:{n}".encode()
+        f"v2:16:{os.path.realpath(sf_dir)}:{n}:{cfp}".encode()
     ).hexdigest()[:16]
-    wh = Warehouse(os.path.join(tempfile.gettempdir(), "mts_rollup_warehouse"))
+    wh = Warehouse(store_root("rollup"))
     if not wh.has_table(key):
         hist = (
             ev.filter(F.dayofmonth("day") < 16)

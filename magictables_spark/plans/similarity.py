@@ -687,19 +687,22 @@ def _ann_persisted_index(spark: SparkSession, sf_dir: str):
     through the catalog so the serving join consumes the bucket layout
     with zero index-side exchange AND zero index recompute (plan-
     asserted in tests/test_ann_persisted.py). Key = (config, corpus
-    path, corpus size), so distinct fixtures/configs never collide and
-    a regenerated corpus invalidates naturally."""
+    path, corpus size, corpus CONTENT fingerprint), so distinct
+    fixtures/configs never collide and a regenerated corpus — even
+    same-size at the same path — forces a rebuild (round-6 advisory;
+    the fingerprint is a driver-side stat of the parquet files, no
+    data read). The warehouse root is per-user / $MTS_WAREHOUSE_DIR."""
     import hashlib
     import os
-    import tempfile
 
-    from magictables_spark.warehouse import Warehouse
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
 
     n_vec = _t(spark, sf_dir, "embeddings").count()
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     key = "annlsh_" + hashlib.md5(
-        f"v1:{N_TABLES}:{N_PROBES}:{os.path.realpath(sf_dir)}:{n_vec}".encode()
+        f"v2:{N_TABLES}:{N_PROBES}:{os.path.realpath(sf_dir)}:{n_vec}:{cfp}".encode()
     ).hexdigest()[:16]
-    wh = Warehouse(os.path.join(tempfile.gettempdir(), "mts_ann_warehouse"))
+    wh = Warehouse(store_root("ann"))
     if not wh.has_table(key):
         idx, _ = _lsh_index_frame(spark, sf_dir, N_TABLES, N_PROBES)
         idx = idx.withColumnRenamed("table", "tbl")
@@ -805,9 +808,8 @@ def _append_oracle() -> str:
 def ann_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
-    import tempfile
 
-    from magictables_spark.warehouse import Warehouse
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
 
     B = APPEND_SPLIT
     n_vec = _t(spark, sf_dir, "embeddings").count()
@@ -815,10 +817,11 @@ def ann_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bucket geometry is a property of the INDEX (fixed at creation
     # from the history size), not of the current corpus
     n_hist = min(B, n_vec)
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     tag = hashlib.md5(
-        f"v1:{N_TABLES}:{N_PROBES}:{B}:{os.path.realpath(sf_dir)}:{n_vec}".encode()
+        f"v2:{N_TABLES}:{N_PROBES}:{B}:{os.path.realpath(sf_dir)}:{n_vec}:{cfp}".encode()
     ).hexdigest()[:16]
-    wh = Warehouse(os.path.join(tempfile.gettempdir(), "mts_ann_warehouse"))
+    wh = Warehouse(store_root("ann"))
     hk, ak = f"annlshH_{tag}", f"annlshA_{tag}"
 
     wb = Window.partitionBy("tbl", "bucket").orderBy(
@@ -1082,16 +1085,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
-    import tempfile
 
     from magictables_spark.functions import shingles as _sh
-    from magictables_spark.warehouse import Warehouse
+    from magictables_spark.warehouse import (
+        Warehouse,
+        corpus_fingerprint as _wh_corpus_fingerprint,
+        store_root,
+    )
 
     B = 250
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()  # parquet-footer count: cache key + invalidation
+    cfp = _wh_corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     key = hashlib.md5(
-        f"v1:{B}:{os.path.realpath(sf_dir)}:{n}".encode()
+        f"v2:{B}:{os.path.realpath(sf_dir)}:{n}:{cfp}".encode()
     ).hexdigest()[:16]
 
     def _mh_tables(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -1137,7 +1144,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hs, bands
 
     hk, bk = f"mh_hs_{key}", f"mh_bands_{key}"
-    wh = Warehouse(os.path.join(tempfile.gettempdir(), "mts_mh_warehouse"))
+    wh = Warehouse(store_root("minhash"))
     if not (wh.has_table(hk) and wh.has_table(bk)):
         hs_h, bands_h = _mh_tables(docs.filter(F.col("doc_id") < B))
         wh.write_table(

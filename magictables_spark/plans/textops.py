@@ -190,17 +190,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
-    import tempfile
 
-    from magictables_spark.warehouse import Warehouse
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
 
     B = 250
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()  # parquet-footer count: cache key + invalidation
+    # content fingerprint: a regenerated same-size corpus at the same
+    # path invalidates the store (round-6 advisory)
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     key = "fpstore_" + hashlib.md5(
-        f"v1:{B}:{os.path.realpath(sf_dir)}:{n}".encode()
+        f"v2:{B}:{os.path.realpath(sf_dir)}:{n}:{cfp}".encode()
     ).hexdigest()[:16]
-    wh = Warehouse(os.path.join(tempfile.gettempdir(), "mts_fp_warehouse"))
+    wh = Warehouse(store_root("fingerprints"))
     if not wh.has_table(key):
         base = (
             docs.filter(F.col("doc_id") < B)

@@ -27,8 +27,11 @@ tiny JSON metadata is rewritten per mutation.
 
 from __future__ import annotations
 
+import contextlib
+import hashlib
 import json
 import os
+import tempfile
 import time
 from dataclasses import asdict, dataclass, field
 from typing import Any
@@ -36,6 +39,52 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 DEFAULT_CHAIN_TTL_SECONDS = 3600.0  # reference: timedelta(hours=1), tablegraph.py:17
+
+
+def store_root(name: str) -> str:
+    """Cross-session root for a named persisted store (ANN index,
+    fingerprint store, rollup partials, ...).
+
+    Honors ``$MTS_WAREHOUSE_DIR`` when set; otherwise a PER-USER subdir
+    of the system tempdir (round-6 advisory: a fixed predictable
+    ``/tmp/mts_*`` path is pre-creatable/poisonable by another user on a
+    multi-user host, and stale caches leak across checkouts)."""
+    base = os.environ.get("MTS_WAREHOUSE_DIR")
+    if not base:
+        try:
+            import getpass
+
+            user = getpass.getuser()
+        except Exception:
+            user = f"uid{os.getuid()}" if hasattr(os, "getuid") else "user"
+        base = os.path.join(tempfile.gettempdir(), f"mts_stores_{user}")
+    return os.path.join(base, name)
+
+
+def corpus_fingerprint(*paths: str) -> str:
+    """Cheap content fingerprint of one or more parquet files/dirs:
+    md5 over the sorted (relative path, size, mtime_ns) of every
+    ``*.parquet`` file found. Pure driver-side ``os.stat`` — no data
+    read — but any regeneration of the corpus (even same-size, same
+    path) moves the mtime and so the fingerprint, which is exactly what
+    the round-6 advisory asked incremental-store cache keys to detect."""
+    items: list[tuple[str, int, int]] = []
+    for p in paths:
+        p = os.path.realpath(p)
+        if os.path.isfile(p):
+            st = os.stat(p)
+            items.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
+        elif os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        fp = os.path.join(root, f)
+                        st = os.stat(fp)
+                        items.append(
+                            (os.path.relpath(fp, p), st.st_size, st.st_mtime_ns)
+                        )
+    items.sort()
+    return hashlib.md5(repr(items).encode()).hexdigest()[:16]
 
 
 @dataclass
@@ -69,10 +118,38 @@ class Warehouse:
         return default
 
     def _save(self, path: str, obj: Any) -> None:
-        tmp = path + ".tmp"
+        tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             json.dump(obj, f, indent=1, default=str)
         os.replace(tmp, path)
+
+    @contextlib.contextmanager
+    def _meta_lock(self):
+        """Advisory file lock serializing load-modify-save of the JSON
+        metadata across PROCESSES (round-6 advisory: the unlocked
+        read-modify-write let two concurrent writers of DIFFERENT
+        table_ids drop each other's entry — last save overwrote the
+        whole dict). fcntl is per-host, which matches the warehouse's
+        single-host metadata file; a shared-filesystem deployment would
+        swap this for the object-store conditional-put equivalent."""
+        lock_path = os.path.join(self.root, "_meta.lock")
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: fall back to atomic-save only
+                pass
+            yield
+        finally:
+            try:
+                import fcntl
+
+                fcntl.flock(fd, fcntl.LOCK_UN)
+            except ImportError:
+                pass
+            os.close(fd)
 
     # -- table payload cache ------------------------------------------------
     #
@@ -106,9 +183,34 @@ class Warehouse:
             return False
         return True
 
-    def read_table(self, spark: SparkSession, table_id: str) -> DataFrame:
-        meta = self._load(self._meta_path, {}).get(table_id)
+    def _resolve_version(self, table_id: str, version: str | None) -> dict | None:
+        """Metadata for the live version (``version=None``) or a named
+        historical version (time-travel read)."""
+        entry = self._load(self._meta_path, {}).get(table_id)
+        if entry is None or version is None or version == entry.get("version"):
+            return entry
+        sub = (entry.get("history") or {}).get(version)
+        if sub is None:
+            raise KeyError(
+                f"warehouse table {table_id!r} has no version {version!r}; "
+                f"known: {[v['version'] for v in self.list_versions(table_id)]}"
+            )
+        return dict(sub, version=version)
+
+    def read_table(
+        self, spark: SparkSession, table_id: str, version: str | None = None
+    ) -> DataFrame:
+        """Read the live version, or — with ``version=`` — TIME-TRAVEL to
+        any retained historical version (round-6 verdict item 5). A
+        version stays readable until ``vacuum`` removes it; the live and
+        pinned versions are never removed."""
+        meta = self._resolve_version(table_id, version)
         pdir = self._payload_dir(table_id, meta)
+        if not os.path.exists(pdir):
+            raise FileNotFoundError(
+                f"warehouse payload for {table_id!r} version "
+                f"{(meta or {}).get('version')!r} is gone (vacuumed?): {pdir}"
+            )
         if meta and meta.get("bucket_by"):
             # Bucketed payloads must come back through the catalog — a
             # plain parquet read would silently FORGET the bucket layout
@@ -116,7 +218,8 @@ class Warehouse:
             # avoid. Re-register the existing bucket files as an external
             # bucketed table (idempotent per version), so a SECOND
             # session inherits the zero-shuffle layout too.
-            name = f"mts_wh_{table_id[:20]}_{meta['version']}".replace(".", "_")
+            prefix = f"mts_wh_{table_id[:20]}_"
+            name = f"{prefix}{meta['version']}".replace(".", "_")
             if not spark.catalog.tableExists(name):
                 bcols = ", ".join(f"`{c}`" for c in meta["bucket_by"])
                 sort = ""
@@ -128,6 +231,18 @@ class Warehouse:
                     f"CLUSTERED BY ({bcols}){sort} INTO {meta['n_buckets']} BUCKETS "
                     f"LOCATION '{pdir}'"
                 )
+            # Drop stale sibling registrations whose backing version dir
+            # no longer exists (round-6 advisory: per-(id, version)
+            # entries accumulated and could outlive their dirs, turning
+            # later reads through the stale name into failures). Entries
+            # for versions still on disk are left alone — a concurrent
+            # time-travel reader may hold them.
+            base = self._table_dir(table_id)
+            for t in spark.catalog.listTables():
+                if t.name.startswith(prefix) and t.name != name:
+                    vdir = os.path.join(base, t.name[len(prefix):])
+                    if not os.path.exists(vdir):
+                        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
             return spark.table(name)
         return spark.read.parquet(pdir)
 
@@ -174,31 +289,138 @@ class Warehouse:
             )
         else:
             df.write.mode("overwrite").parquet(vdir)
-        meta = self._load(self._meta_path, {})
-        meta[table_id] = entry
-        self._save(self._meta_path, meta)
-        self._prune_versions(table_id, keep=version)
+        # Metadata pointer swap — under the advisory lock so concurrent
+        # writers of DIFFERENT table_ids can't drop each other's entry,
+        # and the superseded version is folded into the retained history
+        # (time-travel readable until vacuumed).
+        _VFIELDS = (
+            "created_at", "source_info", "columns",
+            "bucket_by", "n_buckets", "sort_by", "schema_ddl",
+        )
+        with self._meta_lock():
+            meta = self._load(self._meta_path, {})
+            prev = meta.get(table_id) or {}
+            history = dict(prev.get("history") or {})
+            if prev.get("version") and prev["version"] != version:
+                history[prev["version"]] = {
+                    k: prev[k] for k in _VFIELDS if k in prev
+                }
+            entry["history"] = history
+            entry["pinned"] = list(prev.get("pinned") or [])
+            meta[table_id] = entry
+            self._save(self._meta_path, meta)
+        self.vacuum(table_id)  # best-effort GC of expired versions
 
-    def _prune_versions(self, table_id: str, keep: str, min_age_s: float = 3600.0) -> None:
-        """Best-effort GC of superseded version dirs. Only versions old
-        enough that no live reader can still be streaming them are
-        removed; failures are ignored (another writer may own the dir)."""
+    def list_versions(self, table_id: str) -> list[dict]:
+        """Version history, oldest first: [{version, created_at, live,
+        pinned}]. The live version is always last."""
+        entry = self._load(self._meta_path, {}).get(table_id)
+        if not entry or not entry.get("version"):
+            return []
+        pinned = set(entry.get("pinned") or [])
+        base = self._table_dir(table_id)
+        out = [
+            {
+                "version": v,
+                "created_at": sub.get("created_at"),
+                "live": False,
+                "pinned": v in pinned,
+                "on_disk": os.path.exists(os.path.join(base, v)),
+            }
+            for v, sub in (entry.get("history") or {}).items()
+        ]
+        out.sort(key=lambda d: (d["created_at"] or 0, d["version"]))
+        out.append(
+            {
+                "version": entry["version"],
+                "created_at": entry.get("created_at"),
+                "live": True,
+                "pinned": entry["version"] in pinned,
+                "on_disk": os.path.exists(os.path.join(base, entry["version"])),
+            }
+        )
+        return out
+
+    def pin_version(self, table_id: str, version: str) -> None:
+        """Protect a version from vacuum (e.g. a reproducibility anchor
+        for a training run). The live version needs no pin."""
+        with self._meta_lock():
+            meta = self._load(self._meta_path, {})
+            entry = meta.get(table_id)
+            if entry is None:
+                raise KeyError(f"unknown warehouse table {table_id!r}")
+            known = {entry.get("version"), *(entry.get("history") or {})}
+            if version not in known:
+                raise KeyError(f"{table_id!r} has no version {version!r}")
+            pins = set(entry.get("pinned") or [])
+            pins.add(version)
+            entry["pinned"] = sorted(pins)
+            self._save(self._meta_path, meta)
+
+    def unpin_version(self, table_id: str, version: str) -> None:
+        with self._meta_lock():
+            meta = self._load(self._meta_path, {})
+            entry = meta.get(table_id)
+            if entry is None:
+                return
+            entry["pinned"] = sorted(set(entry.get("pinned") or []) - {version})
+            self._save(self._meta_path, meta)
+
+    def vacuum(
+        self, table_id: str | None = None, retention_s: float = 3600.0
+    ) -> list[tuple[str, str]]:
+        """Remove historical version payloads older than ``retention_s``
+        and drop them from history. NEVER removes the live version or a
+        pinned version, regardless of age — a reader that resolved a
+        version within the retention window can always finish its scan
+        (the Delta/Iceberg VACUUM contract). Returns removed
+        (table_id, version) pairs."""
         import shutil
 
-        base = self._table_dir(table_id)
-        try:
-            entries = os.listdir(base)
-        except OSError:
-            return
-        for v in entries:
-            if v == keep or not v.startswith("v"):
-                continue
-            p = os.path.join(base, v)
-            try:
-                if time.time() - os.path.getmtime(p) >= min_age_s:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
+        removed: list[tuple[str, str]] = []
+        with self._meta_lock():
+            meta = self._load(self._meta_path, {})
+            ids = [table_id] if table_id is not None else list(meta)
+            now = time.time()
+            changed = False
+            for tid in ids:
+                entry = meta.get(tid)
+                if not entry or not entry.get("version"):
+                    continue
+                pinned = set(entry.get("pinned") or [])
+                live = entry["version"]
+                base = self._table_dir(tid)
+                history = entry.get("history") or {}
+                for v in list(history):
+                    if v == live or v in pinned:
+                        continue
+                    created = history[v].get("created_at") or 0
+                    if now - created < retention_s:
+                        continue
+                    shutil.rmtree(os.path.join(base, v), ignore_errors=True)
+                    del history[v]
+                    removed.append((tid, v))
+                    changed = True
+                # orphan dirs (crashed writers that never swapped the
+                # pointer) age out by mtime
+                try:
+                    on_disk = os.listdir(base)
+                except OSError:
+                    on_disk = []
+                known = {live, *pinned, *history}
+                for v in on_disk:
+                    if not v.startswith("v") or v in known:
+                        continue
+                    p = os.path.join(base, v)
+                    try:
+                        if now - os.path.getmtime(p) >= retention_s:
+                            shutil.rmtree(p, ignore_errors=True)
+                            removed.append((tid, v))
+                    except OSError:
+                        pass
+            if changed:
+                self._save(self._meta_path, meta)
+        return removed
 
     def table_meta(self, table_id: str) -> dict | None:
         return self._load(self._meta_path, {}).get(table_id)
@@ -215,12 +437,13 @@ class Warehouse:
     # -- lineage ------------------------------------------------------------
 
     def add_chain(self, record: ChainRecord) -> None:
-        chains = self._load(self._lineage_path, [])
-        rec = asdict(record)
-        if not rec.get("created_at"):
-            rec["created_at"] = time.time()
-        chains.append(rec)
-        self._save(self._lineage_path, chains)
+        with self._meta_lock():
+            chains = self._load(self._lineage_path, [])
+            rec = asdict(record)
+            if not rec.get("created_at"):
+                rec["created_at"] = time.time()
+            chains.append(rec)
+            self._save(self._lineage_path, chains)
 
     def get_chains(self, table_name: str | None = None) -> list[ChainRecord]:
         chains = [ChainRecord(**c) for c in self._load(self._lineage_path, [])]
@@ -238,6 +461,7 @@ class Warehouse:
         return self._load(self._code_path, {}).get(key)
 
     def put_code(self, key: str, code: str) -> None:
-        cache = self._load(self._code_path, {})
-        cache[key] = code
-        self._save(self._code_path, cache)
+        with self._meta_lock():
+            cache = self._load(self._code_path, {})
+            cache[key] = code
+            self._save(self._code_path, cache)
