@@ -70,7 +70,8 @@ import sys
 sys.path.insert(0, {repo!r})
 from magictables_spark.session import get_spark
 from magictables_spark.plans.similarity import ann_lsh_persisted
-import hashlib, json, os, tempfile
+from magictables_spark.warehouse import store_root
+import hashlib, json, os
 
 spark = get_spark("ann_persisted_session")
 spark.sparkContext.setLogLevel("ERROR")
@@ -79,7 +80,7 @@ rows = sorted(
     (int(r["query_id"]), int(r["neighbor_id"]), round(float(r["cosine"]), 12))
     for r in df.collect()
 )
-meta_path = os.path.join(tempfile.gettempdir(), "mts_ann_warehouse", "_meta.json")
+meta_path = os.path.join(store_root("ann"), "_meta.json")
 with open(meta_path) as f:
     meta = json.load(f)
 versions = sorted(m["version"] for k, m in meta.items() if k.startswith("annlsh_"))
@@ -119,20 +120,18 @@ def test_append_equals_full_build_and_is_idempotent(spark):
     ann_lsh_persisted; and a second call serves from the appended
     version without minting a new one."""
     import json
-    import tempfile
 
     from magictables_spark.plans.similarity import (
         ann_lsh_index_append,
         ann_lsh_persisted,
     )
+    from magictables_spark.warehouse import store_root
 
     k1, n1 = _rows_key(ann_lsh_persisted(spark, SF))
     k2, n2 = _rows_key(ann_lsh_index_append(spark, SF))
     assert n1 == n2 > 0
     assert k1 == k2
-    meta_path = os.path.join(
-        tempfile.gettempdir(), "mts_ann_warehouse", "_meta.json"
-    )
+    meta_path = os.path.join(store_root("ann"), "_meta.json")
     with open(meta_path) as f:
         v1 = {
             k: m["version"]

@@ -189,14 +189,17 @@ def test_registered_query_runs_three_batches_and_reserves_warm(spark):
     a second invocation reuses the checkpoint (no new snapshot)."""
     import hashlib
     import os
-    import tempfile
 
     from magictables_spark.plans.events_pack import stream_upsert_foreachbatch
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
 
     sf = "/root/testdata/sf0.001"
     rows1 = stream_upsert_foreachbatch(spark, sf).collect()
-    tag = hashlib.md5(os.path.realpath(sf).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"mts_upsert_q_{tag}")
+    cfp = corpus_fingerprint(os.path.join(sf, "events.parquet"))
+    tag = hashlib.md5(
+        f"{os.path.realpath(sf)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"upsert_q_{tag}")
     offsets = sorted(os.listdir(os.path.join(root, "ckpt", "offsets")))
     assert {"0", "1", "2"} <= set(offsets), offsets
     with open(os.path.join(root, "target", "LATEST")) as f:

@@ -116,13 +116,13 @@ def test_incremental_dedup_store_reuses_across_calls(spark):
     (same version pointer) and returns identical rows."""
     import json
     import os
-    import tempfile
 
     from magictables_spark.plans.textops import dedup_incremental_store
+    from magictables_spark.warehouse import store_root
 
     sf = "/root/testdata/sf0.001"
     r1 = sorted(tuple(r) for r in dedup_incremental_store(spark, sf).collect())
-    meta_path = os.path.join(tempfile.gettempdir(), "mts_fp_warehouse", "_meta.json")
+    meta_path = os.path.join(store_root("fingerprints"), "_meta.json")
     with open(meta_path) as f:
         v1 = {k: m["version"] for k, m in json.load(f).items()}
     r2 = sorted(tuple(r) for r in dedup_incremental_store(spark, sf).collect())
@@ -155,13 +155,13 @@ def test_incremental_minhash_store_reuses_across_calls(spark):
     shingle Jaccard crosses the 0.5 threshold."""
     import json
     import os
-    import tempfile
 
     from magictables_spark.plans.similarity import dedup_minhash_incremental
+    from magictables_spark.warehouse import store_root
 
     sf = "/root/testdata/sf0.001"
     r1 = sorted(tuple(r) for r in dedup_minhash_incremental(spark, sf).collect())
-    meta_path = os.path.join(tempfile.gettempdir(), "mts_mh_warehouse", "_meta.json")
+    meta_path = os.path.join(store_root("minhash"), "_meta.json")
     with open(meta_path) as f:
         v1 = {k: m["version"] for k, m in json.load(f).items()}
     r2 = sorted(tuple(r) for r in dedup_minhash_incremental(spark, sf).collect())
@@ -180,16 +180,16 @@ def test_rollup_incremental_store_reuses_and_merges_exactly(spark):
     merged rollup equals a from-scratch GROUP BY over all events."""
     import json
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from magictables_spark.plans.events_pack import VAL_I, rollup_incremental_store
     from magictables_spark.plans.registry import _t
+    from magictables_spark.warehouse import store_root
 
     sf = "/root/testdata/sf0.001"
     r1 = sorted(tuple(r) for r in rollup_incremental_store(spark, sf).collect())
-    meta_path = os.path.join(tempfile.gettempdir(), "mts_rollup_warehouse", "_meta.json")
+    meta_path = os.path.join(store_root("rollup"), "_meta.json")
     with open(meta_path) as f:
         v1 = {k: m["version"] for k, m in json.load(f).items()}
     r2 = sorted(tuple(r) for r in rollup_incremental_store(spark, sf).collect())
