@@ -94,6 +94,9 @@ HEADLINE = [
     "simhash_neardup",
     "rollup_incremental_store",
     "pit_feature_join",
+    # round-7 addition: the persisted IVF index — the second ANN family
+    # completing the build-once/serve-many lifecycle
+    "ann_ivf_persisted",
 ]
 
 

@@ -1249,9 +1249,17 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "ann_ivf_topk",
-    oracle=f"""
+def _ivf_oracle(pin_hist: int | None = None) -> str:
+    """The IVF ANN oracle. With ``pin_hist=N`` the coarse quantizer —
+    stride AND centroid seed set — is pinned to the history corpus
+    (vec_id < N): exactly what an APPENDED index serves (the quantizer
+    is a property of the index fixed at creation; only a rebuild
+    resizes it). Because cell assignment is per-vector independent and
+    deterministic, history-assign + batch-assign ≡ assign-all at the
+    pinned quantizer, which is what this computes."""
+    stride_pin = f" WHERE vec_id < {pin_hist}" if pin_hist is not None else ""
+    cent_pin = f" AND vec_id < {pin_hist}" if pin_hist is not None else ""
+    return f"""
     WITH e AS (
       SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
     ), norms AS (
@@ -1259,10 +1267,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
       FROM e
     ), stride AS (
-      SELECT GREATEST(31, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS s FROM embeddings
+      SELECT GREATEST(31, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS s
+      FROM embeddings{stride_pin}
     ), cents AS (
       SELECT vec_id AS cent_id, q AS cq
-      FROM norms CROSS JOIN stride WHERE vec_id % stride.s = 0
+      FROM norms CROSS JOIN stride WHERE vec_id % stride.s = 0{cent_pin}
     ), dists AS (
       SELECT n.vec_id, n.q, n.nrm, c.cent_id,
              CAST(list_sum(list_transform(range(1, 65),
@@ -1299,7 +1308,12 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY cosine DESC, neighbor_id) AS rn
       FROM scored
     ) WHERE rn <= 10
-    """,
+    """
+
+
+@q(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle(),
     doc="Approximate k-NN via an IVF (inverted-file) index — the other "
     "classic ANN scale path next to LSH (ann_lsh_topk). Coarse "
     "quantizer: deterministic seed vectors (vec_id % stride == 0, "
@@ -1382,6 +1396,196 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.withColumn("cosine", cos).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).drop("rn")
+
+
+def _ivf_l2():
+    """Exact int64 squared L2 between the row's q and the broadcast
+    centroid's cq."""
+    return F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _ivf_assign(norms: DataFrame, cents: DataFrame) -> DataFrame:
+    """Cell lists: assign each vector to its nearest centroid (exact
+    int64 L2, min-struct argmin — deterministic, per-vector independent,
+    so an appended batch assigns IDENTICALLY to a from-scratch pass at
+    the same centroid set). Broadcast centroids keep it map-side."""
+    dists = norms.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_l2())
+    assigned = (
+        dists.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cent_id")).alias("m"))
+        .select("vec_id", F.col("m.cent_id").alias("cell"))
+    )
+    return norms.join(assigned, "vec_id").select(
+        "cell", F.col("vec_id").alias("neighbor_id"), "q", "nrm"
+    )
+
+
+def _ivf_persisted_index(spark: SparkSession, sf_dir: str, hist_limit: int | None = None):
+    """Build-once IVF index in the warehouse: coarse quantizer
+    (centroid table, tiny) + cell lists (bucketed on `cell`, the probe
+    join key). Returns (wh, cents_key, cells_key, tag, n_vec). With
+    ``hist_limit`` the quantizer is derived from — and seeded by — the
+    history corpus only (the pinned geometry the append path serves).
+    Key = (config, corpus path, size, content fingerprint): round-6
+    advisory — a regenerated same-size corpus forces a rebuild."""
+    import hashlib
+    import math
+    import os
+
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
+
+    n_vec = _t(spark, sf_dir, "embeddings").count()
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    scope = f"h{hist_limit}" if hist_limit is not None else "full"
+    tag = hashlib.md5(
+        f"v1:ivf:{scope}:{os.path.realpath(sf_dir)}:{n_vec}:{cfp}".encode()
+    ).hexdigest()[:16]
+    wh = Warehouse(store_root("ann"))
+    ck, lk = f"ivfC_{tag}", f"ivfL_{tag}"
+    if not (wh.has_table(ck) and wh.has_table(lk)):
+        norms = _quantized(spark, sf_dir).withColumn("nrm", _dot("q", "q"))
+        seed = norms if hist_limit is None else norms.filter(F.col("vec_id") < hist_limit)
+        n_seed = n_vec if hist_limit is None else min(hist_limit, n_vec)
+        stride = max(31, round(math.sqrt(max(1, n_seed))))
+        cents = seed.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
+        )
+        wh.write_table(
+            cents, ck, source_info={"n_seed": n_seed, "stride": stride}
+        )
+        wh.write_table(
+            _ivf_assign(seed, cents),
+            lk,
+            source_info={"n_seed": n_seed, "stride": stride},
+            # 32 buckets on the probe join key = one per local[32] core;
+            # a cluster sizes this to executor slots (same sizing lesson
+            # the sf1 probe taught the LSH index)
+            bucket_by=["cell"],
+            n_buckets=32,
+            sort_by=["cell", "neighbor_id"],
+        )
+    return wh, ck, lk, tag, n_vec
+
+
+def _ivf_serve(spark: SparkSession, sf_dir: str, cents: DataFrame, cells: DataFrame) -> DataFrame:
+    """Serve top-10 for the 5 fixture probes from a persisted IVF index:
+    probe-cell selection touches only the tiny centroid table; the cell
+    lists are read with the probe cells pushed down as an IN filter
+    (bounded 5x4-value collect) so the index-side scan row-group-prunes
+    on the sort key instead of reading every cell — the 100 TB serving
+    shape, where queries read |touched cells|, never the corpus."""
+    q5 = (
+        _quantized(spark, sf_dir)
+        .filter(F.col("vec_id") < 5)
+        .withColumn("nrm", _dot("q", "q"))
+    )
+    dists = q5.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_l2())
+    wq = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    probes = (
+        dists.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            F.col("q").alias("qa"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    # bounded collect: 5 queries x 4 probes = <= 20 cell ids
+    probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    cand = (
+        cells.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot("qa", "q").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nrm").cast("double"))
+    )
+    scored = cand.withColumn("cosine", cos).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@q(
+    "ann_ivf_persisted",
+    oracle=_ivf_oracle(),
+    doc="Build-once/serve-many IVF index — the IVF twin of "
+    "ann_lsh_persisted, completing the persisted lifecycle for BOTH "
+    "classic ANN families (round-6 verdict item 2). The coarse "
+    "quantizer (centroid table) and the cell lists are built ONCE and "
+    "written to the warehouse — cell lists as a Spark-bucketed(32) "
+    "table on `cell`, the probe join key — then every query serves "
+    "top-k from the read: probe-cell selection touches only the "
+    "centroid table (|centroids| ~ sqrt(n) rows, broadcast), and the "
+    "cell-list scan carries the probe cells as a pushed-down IN "
+    "filter on the sort key, so the index side is a pruned pure scan "
+    "— zero recompute, zero exchange (plan-asserted in "
+    "tests/test_ann_persisted.py). Results are row-identical to "
+    "ann_ivf_topk (same oracle, hash-checked); warm cross-session "
+    "reuse tested. At 100 TB this is the vector-search serving shape: "
+    "pay the assignment shuffle once at build, amortize over every "
+    "query; a query reads |touched cells| ~ nprobe/k of the corpus, "
+    "never all of it.",
+    tags=("similarity", "ann", "scale", "warehouse"),
+)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh, ck, lk, _tag, _n = _ivf_persisted_index(spark, sf_dir)
+    return _ivf_serve(spark, sf_dir, wh.read_table(spark, ck), wh.read_table(spark, lk))
+
+
+@q(
+    "ann_ivf_index_append",
+    oracle=_ivf_oracle(pin_hist=APPEND_SPLIT),
+    doc="INCREMENTAL update of the persisted IVF index (build once -> "
+    "serve many -> APPEND increments): the history corpus "
+    f"(vec_id < {APPEND_SPLIT}) builds the index exactly like "
+    "ann_ivf_persisted — including the coarse quantizer, whose stride "
+    "AND centroid seed set are derived from the HISTORY size (the "
+    "quantizer is a property of the index fixed at creation; re-seeding "
+    "it from the grown corpus is a rebuild by definition). A new vector "
+    "batch then assigns ONLY its own rows against the pinned broadcast "
+    "centroids — O(batch) compute, per-vector independent — and the "
+    "union lands as a NEW VERSION of the bucketed cell-list table "
+    "(atomic pointer swap; readers never see a torn index). Because "
+    "the argmin assignment is deterministic and order-independent, the "
+    "appended index is PROVABLY row-identical to a from-scratch build "
+    "at the pinned quantizer — exactly what the oracle computes "
+    "(stride and centroids pinned to the history corpus), so the whole "
+    "append path is value-hash-checked; at sf0.01+ the pinned centroid "
+    "set (history ids only) differs from a fresh build's, so the check "
+    "proves the Spark side really serves the history geometry.",
+    tags=("similarity", "ann", "scale", "warehouse"),
+)
+def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = APPEND_SPLIT
+    wh, ck, lk, tag, n_vec = _ivf_persisted_index(spark, sf_dir, hist_limit=B)
+    ak = f"ivfA_{tag}"
+    if not wh.has_table(ak):
+        cents = wh.read_table(spark, ck)
+        batch = (
+            _quantized(spark, sf_dir)
+            .filter(F.col("vec_id") >= B)
+            .withColumn("nrm", _dot("q", "q"))
+        )
+        merged = wh.read_table(spark, lk).unionByName(_ivf_assign(batch, cents))
+        wh.write_table(
+            merged,
+            ak,
+            source_info={"n_vec": n_vec, "appended_from": lk},
+            bucket_by=["cell"],
+            n_buckets=32,
+            sort_by=["cell", "neighbor_id"],
+        )
+    return _ivf_serve(spark, sf_dir, wh.read_table(spark, ck), wh.read_table(spark, ak))
 
 
 @q(

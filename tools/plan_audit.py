@@ -35,6 +35,12 @@ SPE = "SINGLE_PARTITION_EXCHANGE"
 # pattern is safe (what bounds the broadcast side / the exchanged rows).
 WAIVERS: dict[str, dict[str, str]] = {
     "ann_ivf_topk": {NLJ: "broadcast side is the ~sqrt(n) centroid table"},
+    "ann_ivf_persisted": {
+        NLJ: "broadcast side is the ~sqrt(n) persisted centroid table (5-probe cross)"
+    },
+    "ann_ivf_index_append": {
+        NLJ: "broadcast side is the pinned ~sqrt(n_hist) centroid table (5-probe cross)"
+    },
     "vocab_growth_curve": {SPE: "cumulative sum over the 10-row decile spine; the data-sized aggs are distributed upstream"},
     "mannwhitney_u": {SPE: "running below-count over DISTINCT cents values — bounded by the value domain (<=56k rows), not n; the per-row rank collapse happens in the upstream keyed agg"},
     "contamination_check": {NLJ: "broadcast side is the bounded held-out shingle set"},
