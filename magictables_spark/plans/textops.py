@@ -809,9 +809,8 @@ _LPA_STEP = """
 """
 
 
-@q(
-    "label_propagation_communities",
-    oracle="WITH "
+_LPA_FULL_ORACLE = (
+    "WITH "
     + _LPA_EDGES_CTE
     + "".join(_LPA_STEP.format(k=k, p=k - 1) for k in (1, 2, 3))
     + """
@@ -819,7 +818,43 @@ _LPA_STEP = """
            CAST(MIN(v) AS BIGINT) AS min_doc
     FROM l3 GROUP BY lab HAVING COUNT(*) > 1
     ORDER BY community
-    """,
+    """
+)
+
+
+def _lpa3(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """3 synchronous mode-vote LPA iterations (each node adopts the
+    mode of its neighbors' labels plus its own; ties to the smallest
+    label) — the deterministic pinned form both oracles replay. Votes
+    never cross connected components, so LPA over a union of complete
+    components equals the full graph's LPA restricted to them — the
+    exactness lemma the incremental twin builds on."""
+    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(3):
+        cand = edges.join(labels, edges.b == labels.v).select(
+            F.col("a").alias("v"), "lab"
+        ).unionByName(labels)
+        counts = cand.groupBy("v", "lab").agg(F.count("*").alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "lab")
+        )
+    return labels
+
+
+def _lpa_communities(labels: DataFrame) -> DataFrame:
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count("*").alias("n_members"), F.min("v").alias("min_doc"))
+        .filter(F.col("n_members") > 1)
+        .orderBy("community")
+    )
+
+
+@q(
+    "label_propagation_communities",
+    oracle=_LPA_FULL_ORACLE,
     doc="Label-propagation community detection (Raghavan 2007) over "
     "the document near-dup graph, made DETERMINISTIC and hash-"
     "checkable: 3 SYNCHRONOUS unrolled iterations, each node adopting "
@@ -849,20 +884,114 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("doc_id") < 200)
         .select(F.col("doc_id").alias("v"), F.col("doc_id").alias("lab"))
     )
-    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab"))
-    for _ in range(3):
-        cand = edges.join(labels, edges.b == labels.v).select(
-            F.col("a").alias("v"), "lab"
-        ).unionByName(labels)
-        counts = cand.groupBy("v", "lab").agg(F.count("*").alias("c"))
-        labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("v", "lab")
+    return _lpa_communities(_lpa3(edges, labels))
+
+
+_LPA_HIST_SPLIT = 150  # history/batch doc boundary for the incremental demo
+
+
+@q(
+    "label_propagation_incremental",
+    oracle=_LPA_FULL_ORACLE,
+    doc="INCREMENTAL community maintenance against a persisted label "
+    "store (round-6 verdict item 3): the history subgraph (pairs with "
+    f"both docs < {_LPA_HIST_SPLIT}) runs LPA once and persists labels "
+    "+ symmetrized edges to the warehouse; a new batch of pairs (any "
+    f"endpoint >= {_LPA_HIST_SPLIT}) then recomputes ONLY the touched "
+    "components — the adjacency closure of the new edges' endpoints "
+    "over the union graph — from identity seeds, and writes that "
+    "O(touched) DELTA as its own table; untouched nodes serve their "
+    "stored labels unchanged. EXACTNESS: mode votes never cross "
+    "connected components, so (a) components without new edges have "
+    "an unchanged induced subgraph and identity seeds — recomputing "
+    "them would reproduce the stored labels bit-for-bit — and (b) LPA "
+    "over the complete touched components equals the full union "
+    "graph's LPA restricted to them. Hence incremental ≡ full "
+    "recompute, and the ORACLE IS the full recompute (the same 3-round "
+    "unrolled CTE as label_propagation_communities over the whole "
+    "doc_id < 200 graph), so the equivalence is value-hash-checked, "
+    "the same way the append-≡-rebuild LSH/IVF oracles work. At "
+    "100 TB: community maintenance costs O(new edges + their "
+    "components), never O(graph); the frontier closure is the "
+    "standard iterate-until-stable CC expansion (bounded by component "
+    "diameter), each round one keyed join.",
+    tags=("text", "dedup", "graph", "scale", "warehouse"),
+)
+def label_propagation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
+
+    H = _LPA_HIST_SPLIT
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"v1:lpa:{H}:{os.path.realpath(sf_dir)}:{n}:{cfp}".encode()
+    ).hexdigest()[:16]
+    wh = Warehouse(store_root("lpa"))
+    lk, ek, dk = f"lpaL_{tag}", f"lpaE_{tag}", f"lpaD_{tag}"
+
+    def _sym(p: DataFrame) -> DataFrame:
+        return p.unionByName(
+            p.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    if not (wh.has_table(lk) and wh.has_table(ek)):
+        hist_pairs = pairs.filter((F.col("doc_a") < H) & (F.col("doc_b") < H))
+        hist_edges = _sym(hist_pairs).localCheckpoint()
+        seeds = docs.filter(F.col("doc_id") < H).select(
+            F.col("doc_id").alias("v"), F.col("doc_id").alias("lab")
         )
-    return (
-        labels.groupBy(F.col("lab").alias("community"))
-        .agg(F.count("*").alias("n_members"), F.min("v").alias("min_doc"))
-        .filter(F.col("n_members") > 1)
-        .orderBy("community")
+        wh.write_table(
+            _lpa3(hist_edges, seeds), lk, source_info={"split": H},
+            bucket_by=["v"], n_buckets=16, sort_by=["v"],
+        )
+        wh.write_table(
+            hist_edges, ek, source_info={"split": H},
+            bucket_by=["a"], n_buckets=16, sort_by=["a", "b"],
+        )
+
+    if not wh.has_table(dk):
+        new_edges = _sym(
+            pairs.filter((F.col("doc_a") >= H) | (F.col("doc_b") >= H))
+        ).localCheckpoint()
+        all_edges = wh.read_table(spark, ek).unionByName(new_edges).localCheckpoint()
+        # affected = adjacency closure of the new edges' endpoints over
+        # the union graph = every node of every component that gained an
+        # edge. Iterate-until-stable frontier expansion: each round one
+        # keyed join + anti-join; rounds bounded by component diameter
+        # (the standard distributed CC expansion).
+        affected = (
+            new_edges.select(F.col("a").alias("v")).distinct().localCheckpoint()
+        )  # symmetrized: a-side covers both endpoints
+        while True:
+            grown = (
+                all_edges.join(affected, all_edges.a == affected.v)
+                .select(F.col("b").alias("v"))
+                .distinct()
+                .join(affected, "v", "left_anti")
+                .localCheckpoint()
+            )
+            if grown.isEmpty():
+                break
+            affected = affected.unionByName(grown).distinct().localCheckpoint()
+        aff_edges = all_edges.join(
+            affected.withColumnRenamed("v", "a"), "a", "left_semi"
+        )
+        # identity seeds over the touched components (incl. batch nodes)
+        labels = _lpa3(aff_edges, affected.withColumn("lab", F.col("v")))
+        # the O(touched) delta — the write scales with the increment's
+        # neighborhood, never the stored graph (asserted in tests)
+        wh.write_table(
+            labels, dk, source_info={"split": H, "kind": "delta"},
+            bucket_by=["v"], n_buckets=16, sort_by=["v"],
+        )
+
+    delta = wh.read_table(spark, dk)
+    merged = (
+        wh.read_table(spark, lk).join(delta, "v", "left_anti").unionByName(delta)
     )
+    return _lpa_communities(merged)
