@@ -1,0 +1,267 @@
+"""Sustained-rate streaming probe (round-6 verdict item 4).
+
+Drives the six stateful Structured Streaming families as a genuinely
+MULTI-BATCH stream — the events fixture split into N time-ordered
+single-file shards, consumed with ``maxFilesPerTrigger=1`` (the file
+source's rate limiter), so every family executes >= N real micro-batches
+with the watermark advancing between them — and records per batch:
+
+- ``numInputRows`` and trigger latency (ms) -> rows/s;
+- state-store size (``stateOperators[].numRowsTotal`` / memory bytes);
+- the event-time watermark.
+
+The point is the STATE-SIZE TRAJECTORY: every family is watermarked (or
+key-bounded for the applyInPandasWithState totals), so state must rise
+to a plateau and stay there while input keeps flowing — measured
+evidence for the "watermarks bound state" claim SCALING.md previously
+argued from construction. ``plateau_ratio`` in the summary is
+max(state, last quartile of data batches) / max(state, first half):
+~1.0 means state plateaued by mid-stream; unbounded state keeps growing
+and reads ~2.0 on a linear trajectory.
+
+Usage:
+    python tools/stream_probe.py [--sf=/root/testdata/sf0.1]
+        [--shards=24] [--families=tumbling,join] [--out=/tmp/...json]
+
+The per-family steady-state table is recorded in SCALING.md; the
+bounded-state assertion runs in tests/test_stream_sustained.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def stage_shards(spark, sf_dir: str, n_shards: int) -> str:
+    """Split the events fixture into ``n_shards`` time-ordered
+    single-file parquet shards (file names AND mtimes ascending with
+    event time, so the file source replays them chronologically and the
+    watermark advances every batch). Staged once per (corpus, shards);
+    content-fingerprinted like every other persisted store."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"v1:{n_shards}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"stream_probe_{tag}")
+    src = os.path.join(root, "src")
+    marker = os.path.join(root, "_READY")
+    if os.path.exists(marker):
+        return src
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(src)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # TIMESTAMP_NTZ won't cast to double; unix_micros needs ltz — go via
+    # an epoch difference, which both timestamp flavors support
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz")).cast("double")
+    lo, hi = ev.agg(F.min(epoch), F.max(epoch)).first()
+    span = max(1e-9, hi - lo)
+    ev = ev.withColumn(
+        "shard",
+        F.least(
+            F.floor((epoch - F.lit(lo)) / span * n_shards),
+            F.lit(n_shards - 1),
+        ).cast("int"),
+    )
+    now = time.time()
+    for i in range(n_shards):
+        part_dir = os.path.join(root, f"part{i}")
+        ev.filter(F.col("shard") == i).drop("shard").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = next(
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dst = os.path.join(src, f"shard_{i:03d}.parquet")
+        shutil.move(os.path.join(part_dir, part), dst)
+        os.utime(dst, (now + i, now + i))  # mtime order == event-time order
+        shutil.rmtree(part_dir, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return src
+
+
+def _source(spark, src_dir: str):
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(src_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # the rate limiter: 1 shard/batch
+        .parquet(src_dir)
+        # fixture ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _families():
+    """name -> (build(stream_df) -> streaming_df, output_mode). All six
+    stateful families in their PRODUCTION shapes: watermark + append
+    (or update for the explicit-state totals) — never complete mode,
+    whose state holds every window forever by design."""
+    from pyspark.sql import functions as F
+
+    from magictables_spark.streaming import (
+        stream_dedup_within_watermark,
+        stream_interval_join,
+        stream_running_totals,
+        stream_session_counts,
+        stream_tumbling_counts,
+    )
+
+    def sliding(src):
+        return (
+            src.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+        )
+
+    def join(src):
+        return stream_interval_join(
+            src.filter(F.col("event_type") == "click"),
+            src.filter(F.col("event_type") == "view"),
+        )
+
+    return {
+        "tumbling": (lambda s: stream_tumbling_counts(s), "append"),
+        "sliding": (sliding, "append"),
+        "session": (lambda s: stream_session_counts(s), "append"),
+        "dedup": (lambda s: stream_dedup_within_watermark(s), "append"),
+        "totals": (lambda s: stream_running_totals(s), "update"),
+        "join": (join, "append"),
+    }
+
+
+def run_family(spark, src_dir: str, name: str, ckpt_root: str) -> dict:
+    """Run one family over every shard (availableNow honors
+    maxFilesPerTrigger, so this is >= n_shards micro-batches) and return
+    its per-batch metrics + steady-state summary."""
+    build, mode = _families()[name]
+    qname = f"probe_{name}_{int(time.time() * 1000)}"
+    ckpt = os.path.join(ckpt_root, name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    # state partitions scoped down: each stateful partition pays a
+    # per-batch state-store commit (the round-6 stream-join lesson)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            build(_source(spark, src_dir))
+            .writeStream.format("noop")
+            .queryName(qname)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    batches = []
+    for p in progress:
+        ops = p.get("stateOperators") or []
+        batches.append(
+            {
+                "batch_id": p["batchId"],
+                "input_rows": p.get("numInputRows", 0),
+                "trigger_ms": p.get("durationMs", {}).get("triggerExecution"),
+                "state_rows": sum(op.get("numRowsTotal", 0) for op in ops),
+                "state_bytes": sum(op.get("memoryUsedBytes", 0) for op in ops),
+                "rows_dropped_by_watermark": sum(
+                    op.get("numRowsDroppedByWatermark", 0) for op in ops
+                ),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+            }
+        )
+    data = [b for b in batches if b["input_rows"] > 0]
+    rates = sorted(
+        b["input_rows"] / (b["trigger_ms"] / 1000.0)
+        for b in data[3:]  # skip warm-up batches
+        if b["trigger_ms"]
+    )
+    states = [b["state_rows"] for b in data]
+    tail = states[-max(1, len(states) // 4):]
+    first_half = states[: max(1, len(states) // 2)]
+    summary = {
+        "family": name,
+        "n_batches": len(batches),
+        "n_data_batches": len(data),
+        "total_rows": sum(b["input_rows"] for b in data),
+        "steady_rows_per_s": round(rates[len(rates) // 2], 1) if rates else None,
+        "p95_batch_ms": sorted(b["trigger_ms"] for b in data)[
+            int(0.95 * (len(data) - 1))
+        ]
+        if data
+        else None,
+        "state_rows_max": max(states) if states else 0,
+        "state_rows_last": states[-1] if states else 0,
+        "state_bytes_max": max(b["state_bytes"] for b in data) if data else 0,
+        # max(state, last quartile) / max(state, FIRST HALF): ~1.0 means
+        # state plateaued by mid-stream (watermark evicts as fast as new
+        # windows open); unbounded state grows with batches and reads
+        # ~2.0 on a linear trajectory
+        "plateau_ratio": round(max(tail) / max(first_half), 3)
+        if states and max(first_half)
+        else None,
+    }
+    return {"summary": summary, "batches": batches}
+
+
+def main() -> None:
+    sf_dir = "/root/testdata/sf0.1"
+    shards = 24
+    fams = list(_families())
+    out = None
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--shards="):
+            shards = int(a.split("=", 1)[1])
+        elif a.startswith("--families="):
+            fams = a.split("=", 1)[1].split(",")
+        elif a.startswith("--out="):
+            out = a.split("=", 1)[1]
+
+    from magictables_spark.session import get_spark
+
+    spark = get_spark("stream_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = stage_shards(spark, sf_dir, shards)
+    ckpt_root = os.path.join(
+        os.path.dirname(src), f"ckpt_{int(time.time() * 1000)}"
+    )
+    results = {}
+    for name in fams:
+        r = run_family(spark, src, name, ckpt_root)
+        results[name] = r
+        s = r["summary"]
+        print(
+            f"{name}: {s['n_data_batches']} data batches, "
+            f"{s['steady_rows_per_s']} rows/s steady, "
+            f"p95 batch {s['p95_batch_ms']} ms, "
+            f"state max {s['state_rows_max']} rows "
+            f"({s['state_bytes_max']} B), plateau_ratio {s['plateau_ratio']}"
+        )
+    shutil.rmtree(ckpt_root, ignore_errors=True)
+    if out:
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+        print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
