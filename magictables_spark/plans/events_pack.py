@@ -1283,26 +1283,64 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "join", "pipeline"),
 )
 def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 sf1 sweep catch (the tool's third real find): the original
+    # user-key-only interval joins are quadratic in PER-USER event
+    # counts, and the fixtures' Zipf skew makes that fatal — at sf1 the
+    # heaviest user alone has 76k views x 77k clicks = 5.9e9 candidate
+    # pairs (measured: >500 s). Two exact fixes, both semantics-
+    # preserving under the oracle:
+    # 1. TIME-BUCKETIZATION (the interval_join_attribution idiom): both
+    #    legs equi-join on (user, hour bucket) with each left row
+    #    probing (b, b+1) and the exact interval as a post-filter —
+    #    per-probe candidates shrink from all the user's events to the
+    #    user's events in two hours (the window's semantic bound).
+    # 2. EXISTS reduction: the purchase leg depends only on (user,
+    #    click time), so the view x click pair stream collapses to
+    #    DISTINCT qualified clicks (<= |clicks|) before the second join
+    #    — the funnel twin of simhash_dedup_survivors' O(n)-output
+    #    lesson.
+    H_MS = 3_600_000
     ev = _t(spark, sf_dir, "events")
-    t = lambda kind, alias: (  # noqa: E731
-        ev.filter(F.col("event_type") == kind).select(
-            F.col("user_id").alias(f"{alias}_u"), F.col("ts").alias(f"{alias}_ts")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+
+    def leg(kind: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == kind).select(
+            F.col("user_id").alias("u"), ms.alias("ms")
         )
+
+    v, c, p = leg("view"), leg("click"), leg("purchase")
+    cb = c.withColumn("b", F.floor(F.col("ms") / H_MS)).withColumnRenamed(
+        "ms", "c_ms"
     )
-    v, c, p = t("view", "v"), t("click", "c"), t("purchase", "p")
-    vc = v.join(
-        c,
-        (F.col("c_u") == F.col("v_u"))
-        & (F.col("c_ts") > F.col("v_ts"))
-        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    v_probes = v.select(
+        "u",
+        F.col("ms").alias("v_ms"),
+        F.explode(
+            F.array(F.floor(F.col("ms") / H_MS), F.floor(F.col("ms") / H_MS) + 1)
+        ).alias("b"),
     )
-    vcp = vc.join(
-        p,
-        (F.col("p_u") == F.col("v_u"))
-        & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    # each click lives in exactly ONE bucket, so the two probes never
+    # produce the same (view, click) pair twice — no dedup needed
+    vc = v_probes.join(cb, ["u", "b"]).filter(
+        (F.col("c_ms") > F.col("v_ms")) & (F.col("c_ms") <= F.col("v_ms") + H_MS)
     )
-    n_view = v.select(F.countDistinct("v_u").alias("n_view"))
-    n_vc = vc.select(F.countDistinct("v_u").alias("n_view_click"))
-    n_vcp = vcp.select(F.countDistinct("v_u").alias("n_full_funnel"))
+    qc = vc.select("u", "c_ms").distinct()
+    pb = p.withColumn("b", F.floor(F.col("ms") / H_MS)).withColumnRenamed(
+        "ms", "p_ms"
+    )
+    qc_probes = qc.select(
+        "u",
+        "c_ms",
+        F.explode(
+            F.array(
+                F.floor(F.col("c_ms") / H_MS), F.floor(F.col("c_ms") / H_MS) + 1
+            )
+        ).alias("b"),
+    )
+    vcp = qc_probes.join(pb, ["u", "b"]).filter(
+        (F.col("p_ms") > F.col("c_ms")) & (F.col("p_ms") <= F.col("c_ms") + H_MS)
+    )
+    n_view = v.select(F.countDistinct("u").alias("n_view"))
+    n_vc = vc.select(F.countDistinct("u").alias("n_view_click"))
+    n_vcp = vcp.select(F.countDistinct("u").alias("n_full_funnel"))
     return n_view.crossJoin(n_vc).crossJoin(n_vcp)

@@ -72,10 +72,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # Rows above which an intentionally-quadratic exact baseline refuses to
-# run: ~50k rows is ~1.25e9 candidate pairs — an hour-class cross join
-# that should never be launched by accident when a linear-shuffle twin
-# (LSH banding / bucketed ANN) exists.
-QUADRATIC_GUARD_ROWS = 50_000
+# run: 10k rows is already ~5e7 candidate pairs, and the one un-prefiltered
+# caller (embed_neardup) evaluates an interpreted 64-dim HOF dot per pair
+# inside a BroadcastNestedLoopJoin — measured ~28 s at 2k rows (2e6
+# pairs), i.e. ~45 min at the sf1 probe's 20k rows (2e8 pairs), which the
+# round-7 sf1 sweep hit in practice. The guard exists precisely to stop
+# that launch when a linear-shuffle twin (LSH banding / bucketed ANN)
+# exists; fixture runs (<= 2k vectors) stay far below it.
+QUADRATIC_GUARD_ROWS = 10_000
 
 
 class QuadraticInputError(ValueError):

@@ -89,7 +89,10 @@ def get_spark(app_name: str = "magictables_spark", master: str | None = None) ->
         # slowdown on 8-aggregate queries). Harmless when methods are small.
         .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/bench noise); SPARK_GRAFT_UI=1 enables
+        # it so tools/registry_sweep.py --spill can read per-stage spill
+        # and peak-execution-memory via the status REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()
