@@ -791,8 +791,13 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a pair exactly when both rows have arrived, so the result is "
     "deterministic and value-hash-checked against the DuckDB interval "
     "self-join. At 100 TB: the join state is watermark-bounded, the "
-    "exchange is user-keyed on both sides, and the time-range predicate "
-    "prunes within each key -- the canonical production funnel join. "
+    "equality key is (user, HOUR BUCKET) -- purchases key on their own "
+    "bucket, clicks probe (b, b+1), the only buckets the interval "
+    "admits -- so a Zipf-heavy user's state splits across time buckets "
+    "and state partitions instead of cross-multiplying on one task "
+    "(round-7 sf1 catch: user-only keying put 5.9e9 comparisons on one "
+    "partition), and the time-range predicate prunes within each key "
+    "-- the canonical production funnel join. "
     "Completes the streaming family: windows (3 kinds), dedup, "
     "stateful totals, watermarked sessions, and now stream-stream "
     "joins, each hash-checked cross-engine. Output-density boundary "
@@ -808,6 +813,22 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "events", "join"),
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-7 skew fix, the streaming twin of the funnel_ordered_steps
+    # bucketization: with user_id as the ONLY equality key, the join
+    # state keys on user alone, and one Zipf-heavy user turns the
+    # within-key cross product into a single-task straggler (sf1: user 0
+    # holds 77k clicks x 76k purchases = 5.9e9 in-state comparisons on
+    # ONE state partition — measured 20+ min while the other 7 tasks
+    # finished in <2 min). Adding the HOUR BUCKET to the equality —
+    # purchases key on their own bucket, clicks explode into (b, b+1),
+    # which is exactly the bucket set p_ts can land in given
+    # p_ts IN [c_ts, c_ts+1h] — splits that user's state across the
+    # month's 720 buckets AND across state partitions, shrinking
+    # per-key comparisons to events-per-user-per-2-hours. Each pair
+    # still matches EXACTLY once (at b = p_b), so the output — and the
+    # oracle hash — is unchanged; watermark semantics ride the same
+    # c_ts/p_ts columns.
+    H_MS = 3_600_000
     src = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
     clicks = (
         src.filter(F.col("event_type") == "click")
@@ -815,6 +836,12 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
             F.col("ts").alias("c_ts"),
+            F.explode(
+                F.array(
+                    F.floor(F.unix_millis("ts") / H_MS),
+                    F.floor(F.unix_millis("ts") / H_MS) + 1,
+                )
+            ).alias("c_b"),
         )
         .withWatermark("c_ts", "1 hour")
     )
@@ -824,6 +851,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
             F.col("ts").alias("p_ts"),
+            F.floor(F.unix_millis("ts") / H_MS).alias("p_b"),
             F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("purchase_cents"),
         )
         .withWatermark("p_ts", "1 hour")
@@ -831,7 +859,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = clicks.join(
         purchases,
         F.expr(
-            "c_user = p_user AND p_ts >= c_ts "
+            "c_user = p_user AND c_b = p_b AND p_ts >= c_ts "
             "AND p_ts <= c_ts + INTERVAL 1 HOUR"
         ),
         "inner",
