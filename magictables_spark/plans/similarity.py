@@ -763,6 +763,15 @@ def ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 APPEND_SPLIT = 300  # fixture history/batch boundary for the append demo
+# Demo-corpus bound for the append slug: covers every vector at the
+# driver/bench scales (sf0.001-0.1 have <= 2000), so results there are
+# byte-identical to the unbounded form, while at probe scales it keeps
+# the DEMO an O(batch) append (2000 rows onto a 300-row index). Without
+# it the sf1 sweep appended 66x the history size at the PINNED 4-bit
+# geometry — the documented resize-means-rebuild boundary — and paid
+# 131 s + 46 GB of re-rank spill to prove a boundary the docs already
+# state: past ~an-order-of-magnitude growth you rebuild, not append.
+APPEND_DEMO_MAX = 2300
 
 
 def _append_oracle() -> str:
@@ -772,8 +781,14 @@ def _append_oracle() -> str:
     resizes it. At sf0.1 (2000 vectors, history 300) the pinned count
     gives 4 bits where a fresh build would use 6, so the devcheck at
     that scale proves the Spark side really serves from the history
-    geometry rather than silently re-deriving it from the grown corpus."""
+    geometry rather than silently re-deriving it from the grown corpus.
+    The demo corpus is bounded at APPEND_DEMO_MAX (no-op at sf <= 0.1)."""
     base = _ann_lsh_oracle(N_TABLES, N_PROBES)
+    e_from = f"AS q FROM embeddings\n"
+    assert e_from in base
+    base = base.replace(
+        e_from, f"AS q FROM embeddings WHERE vec_id < {APPEND_DEMO_MAX}\n"
+    )
     nb_from = "AS n_bits\n      FROM e"
     assert nb_from in base
     return base.replace(nb_from, f"AS n_bits\n      FROM e WHERE vec_id < {APPEND_SPLIT}")
@@ -812,8 +827,11 @@ def ann_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
 
     B = APPEND_SPLIT
-    n_vec = _t(spark, sf_dir, "embeddings").count()
-    quant = _quantized(spark, sf_dir)
+    # demo corpus bounded at APPEND_DEMO_MAX (no-op at sf <= 0.1; keeps
+    # the probe-scale demo an O(batch) append instead of a 66x overgrow
+    # of the pinned geometry — see the constant's comment)
+    quant = _quantized(spark, sf_dir).filter(F.col("vec_id") < APPEND_DEMO_MAX)
+    n_vec = quant.count()
     # the bucket geometry is a property of the INDEX (fixed at creation
     # from the history size), not of the current corpus
     n_hist = min(B, n_vec)
