@@ -883,9 +883,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 TS_US_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
-@q(
-    "scd2_from_changelog",
-    oracle="""
+_SCD2_ORACLE = """
     WITH ordered AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
@@ -912,7 +910,70 @@ TS_US_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
              AS is_current
     FROM runs
     ORDER BY user_id, version
-    """,
+    """
+
+
+def _scd2_runs(ev_weighted: DataFrame) -> DataFrame:
+    """Gaps-and-islands run collapse over weighted change events
+    (user_id, ts, event_id, event_type, weight) -> one row per run:
+    (user_id, version, status, vf, vf_event_id, n_events). ``weight``
+    lets an already-collapsed run re-enter as ONE pseudo-event carrying
+    its event count — collapse-of-collapse is exact because stored runs
+    alternate status by construction, which is what makes the
+    incremental twin provably equal to a full recompute."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
+    ).cast("int")
+    versioned = ev_weighted.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "weight",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    return (
+        versioned.groupBy(
+            "user_id", F.col("version").cast("int").alias("version")
+        )
+        .agg(
+            F.min("event_type").alias("status"),
+            F.min(F.struct("ts", "event_id")).alias("opener"),
+            F.sum("weight").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "version",
+            "status",
+            F.col("opener.ts").alias("vf"),
+            F.col("opener.event_id").alias("vf_event_id"),
+            "n_events",
+        )
+    )
+
+
+def _scd2_finalize(runs: DataFrame) -> DataFrame:
+    """Run rows -> the SCD2 output: [valid_from, valid_to) + is_current
+    via one LEAD on the user-keyed exchange."""
+    wv = Window.partitionBy("user_id").orderBy("version")
+    closing = F.lead("vf").over(wv)
+    return runs.select(
+        "user_id",
+        "version",
+        "status",
+        F.date_format("vf", TS_US_FMT).alias("valid_from"),
+        F.date_format(closing, TS_US_FMT).alias("valid_to"),
+        "n_events",
+        closing.isNull().alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
+@q(
+    "scd2_from_changelog",
+    oracle=_SCD2_ORACLE,
     doc="SCD TYPE-2 dimension history built from an append-only "
     "changelog (events as per-user attribute updates): consecutive "
     "runs of the same value collapse to ONE version row (true SCD2 -- "
@@ -933,35 +994,96 @@ TS_US_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     tags=("events", "window", "pipeline", "merge"),
 )
 def scd2_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("weight", F.lit(1).cast("bigint"))
+    return _scd2_finalize(_scd2_runs(ev))
+
+
+_SCD2_SPLIT_TS = "2024-01-16 00:00:00"  # history/batch time boundary
+
+
+@q(
+    "scd2_incremental_store",
+    oracle=_SCD2_ORACLE,
+    doc="INCREMENTAL SCD2 dimension maintenance against a persisted "
+    "run store — the MERGE-INTO-SCD2 pattern every warehouse runs "
+    f"nightly: the history changelog (ts < {_SCD2_SPLIT_TS}) collapses "
+    "to version rows ONCE and persists bucketed on user_id (each row "
+    "retains its run-opening event_id and event count); a later "
+    "changelog batch then recomputes ONLY the touched users, by "
+    "replaying each stored run as ONE pseudo-event weighted with its "
+    "event count and folding the batch events after it — "
+    "collapse-of-collapse is EXACT because stored runs alternate "
+    "status by construction (a batch prefix matching the open run's "
+    "status merges into it, extending n_events and keeping valid_from; "
+    "a change closes it and mints the next version, numbering "
+    "continuing). Untouched users serve their stored rows unchanged; "
+    "the delta write is O(touched users' runs + batch), never "
+    "O(dimension). The ORACLE IS the full-changelog recompute (the "
+    "same gaps-and-islands SQL as scd2_from_changelog), so "
+    "incremental ≡ full is value-hash-checked — the same proof shape "
+    "as the LSH/IVF append and incremental-LPA oracles. At 100 TB: "
+    "nightly dimension maintenance costs one user-keyed shuffle of "
+    "(touched runs + batch), and the store rides the versioned "
+    "warehouse (time-travel to yesterday's dimension included).",
+    tags=("events", "pipeline", "merge", "warehouse", "scale"),
+)
+def scd2_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    chg = (
-        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type"))
-    ).cast("int")
-    versioned = ev.select(
-        "user_id",
-        "ts",
-        "event_type",
-        F.sum(chg)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("version"),
+    split = F.lit(_SCD2_SPLIT_TS).cast("timestamp")
+    n = ev.count()
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"v1:scd2:{_SCD2_SPLIT_TS}:{os.path.realpath(sf_dir)}:{n}:{cfp}".encode()
+    ).hexdigest()[:16]
+    wh = Warehouse(store_root("scd2"))
+    hk, dk = f"scd2H_{tag}", f"scd2D_{tag}"
+
+    if not wh.has_table(hk):
+        hist = ev.filter(F.col("ts") < split).withColumn(
+            "weight", F.lit(1).cast("bigint")
+        )
+        wh.write_table(
+            _scd2_runs(hist), hk, source_info={"split": _SCD2_SPLIT_TS},
+            bucket_by=["user_id"], n_buckets=16, sort_by=["user_id", "version"],
+        )
+    stored = wh.read_table(spark, hk)
+
+    if not wh.has_table(dk):
+        batch = ev.filter(F.col("ts") >= split)
+        touched = batch.select("user_id").distinct()
+        # each stored run of a touched user re-enters as ONE
+        # pseudo-event at its opening (ts, event_id) carrying its count
+        synth = stored.join(touched, "user_id", "left_semi").select(
+            "user_id",
+            F.col("vf").alias("ts"),
+            F.col("vf_event_id").alias("event_id"),
+            F.col("status").alias("event_type"),
+            F.col("n_events").alias("weight"),
+        )
+        merged = synth.unionByName(
+            batch.select(
+                "user_id", "ts", "event_id", "event_type",
+                F.lit(1).cast("bigint").alias("weight"),
+            )
+        )
+        wh.write_table(
+            _scd2_runs(merged), dk, source_info={"split": _SCD2_SPLIT_TS},
+            bucket_by=["user_id"], n_buckets=16, sort_by=["user_id", "version"],
+        )
+    delta = wh.read_table(spark, dk)
+
+    cols = ["user_id", "version", "status", "vf", "n_events"]
+    untouched = stored.join(
+        delta.select("user_id").distinct(), "user_id", "left_anti"
     )
-    runs = versioned.groupBy("user_id", F.col("version").cast("int").alias("version")).agg(
-        F.min("event_type").alias("status"),
-        F.min("ts").alias("vf"),
-        F.count("*").alias("n_events"),
+    return _scd2_finalize(
+        untouched.select(*cols).unionByName(delta.select(*cols))
     )
-    wv = Window.partitionBy("user_id").orderBy("version")
-    closing = F.lead("vf").over(wv)
-    return runs.select(
-        "user_id",
-        "version",
-        "status",
-        F.date_format("vf", TS_US_FMT).alias("valid_from"),
-        F.date_format(closing, TS_US_FMT).alias("valid_to"),
-        "n_events",
-        closing.isNull().alias("is_current"),
-    ).orderBy("user_id", "version")
 
 
 @q(

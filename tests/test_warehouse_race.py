@@ -211,3 +211,69 @@ def test_rollup_incremental_store_reuses_and_merges_exactly(spark):
         .collect()
     )
     assert r1 == full
+
+
+def test_scd2_incremental_store_reuses_and_writes_o_touched(spark):
+    """scd2_incremental_store: (a) rows identical to the full recompute
+    (scd2_from_changelog — the oracle also proves this cross-engine),
+    (b) warm second call serves the same store versions, (c) the delta
+    covers exactly the batch's touched users — O(touched), never
+    O(dimension)."""
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from magictables_spark.plans.events_pack import (
+        _SCD2_SPLIT_TS,
+        scd2_from_changelog,
+        scd2_incremental_store,
+    )
+    from magictables_spark.plans.registry import _t
+    from magictables_spark.warehouse import (
+        Warehouse,
+        corpus_fingerprint,
+        store_root,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inc = sorted(tuple(r) for r in scd2_incremental_store(spark, sf).collect())
+    full = sorted(tuple(r) for r in scd2_from_changelog(spark, sf).collect())
+    assert inc == full and len(inc) > 0
+
+    ev = _t(spark, sf, "events")
+    n = ev.count()
+    cfp = corpus_fingerprint(os.path.join(sf, "events.parquet"))
+    tag = hashlib.md5(
+        f"v1:scd2:{_SCD2_SPLIT_TS}:{os.path.realpath(sf)}:{n}:{cfp}".encode()
+    ).hexdigest()[:16]
+    wh = Warehouse(store_root("scd2"))
+    split = F.lit(_SCD2_SPLIT_TS).cast("timestamp")
+    batch_users = {
+        r["user_id"]
+        for r in ev.filter(F.col("ts") >= split).select("user_id").distinct().collect()
+    }
+    delta_users = {
+        r["user_id"]
+        for r in wh.read_table(spark, f"scd2D_{tag}").select("user_id").distinct().collect()
+    }
+    assert delta_users == batch_users  # exactly the touched users
+    # O(touched) bound: the delta's volume is bounded by the touched
+    # users' stored runs plus the batch rows — at this tiny fixture
+    # every user is touched, so the meaningful bound is per-user, not
+    # |delta| < |dimension|
+    stored = wh.read_table(spark, f"scd2H_{tag}")
+    touched_runs = stored.filter(stored.user_id.isin(list(batch_users))).count()
+    batch_rows = ev.filter(F.col("ts") >= split).count()
+    delta_n = wh.read_table(spark, f"scd2D_{tag}").count()
+    assert delta_n <= touched_runs + batch_rows
+
+    meta_path = os.path.join(wh.root, "_meta.json")
+    with open(meta_path) as f:
+        v1 = {k: m["version"] for k, m in json.load(f).items() if tag in k}
+    r2 = sorted(tuple(r) for r in scd2_incremental_store(spark, sf).collect())
+    with open(meta_path) as f:
+        v2 = {k: m["version"] for k, m in json.load(f).items() if tag in k}
+    assert r2 == inc
+    assert v1 == v2  # warm: no rebuild, no re-merge
