@@ -2207,6 +2207,55 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_sig_frame(df: DataFrame) -> DataFrame:
+    """(doc_id, s): the 60-bit md5-vote simhash — identical expression
+    to the `simhash` slug, localCheckpointed so Catalyst can't re-inline
+    the 60-lambda vote into every join branch / candidate row (measured
+    44 s -> 12 s at sf0.1)."""
+    return (
+        df.select(
+            "doc_id",
+            F.expr(
+                f"transform(array_distinct(split(text, ' ')), t -> {_h60_spark('t')})"
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                """
+                aggregate(
+                  filter(sequence(0, 59),
+                         b -> size(filter(hs, h -> (shiftright(h, b) & 1L) = 1L)) * 2 > size(hs)),
+                  0L,
+                  (acc, b) -> acc | shiftleft(1L, b)
+                )
+                """
+            ).alias("s"),
+        )
+        .localCheckpoint()
+    )
+
+
+# 3 x 20-bit banding: pigeonhole-EXACT at Hamming <= 2 (any two sigs
+# within 2 flipped bits share one untouched band) — a property of the
+# GEOMETRY, so the incremental store's probe path is pinned for free
+_SH_BANDS, _SH_BITS = 3, 20
+
+
+def _simhash_bands(sig: DataFrame) -> DataFrame:
+    mask = (1 << _SH_BITS) - 1
+    return sig.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_SH_BANDS - 1}), "
+                f"i -> struct(i AS band, shiftright(s, i * {_SH_BITS}) & {mask} AS key))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "s", "b.band", "b.key")
+
+
 @q(
     "simhash_neardup",
     oracle=f"""
@@ -2253,41 +2302,8 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "fingerprint", "similarity", "scale"),
 )
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = (
-        _t(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.expr(f"transform(array_distinct(split(text, ' ')), t -> {_h60_spark('t')})").alias(
-                "hs"
-            ),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                """
-                aggregate(
-                  filter(sequence(0, 59),
-                         b -> size(filter(hs, h -> (shiftright(h, b) & 1L) = 1L)) * 2 > size(hs)),
-                  0L,
-                  (acc, b) -> acc | shiftleft(1L, b)
-                )
-                """
-            ).alias("s"),
-        )
-    ).localCheckpoint()  # break lineage: sigs materialize ONCE; both
-    # join branches and the per-candidate verify read values, not the
-    # 60-lambda expression tree (measured 44 s -> 12 s at sf0.1)
-    n_bands, band_bits, mask = 3, 20, (1 << 20) - 1
-    bands = sig.select(
-        "doc_id",
-        "s",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}), "
-                f"i -> struct(i AS band, shiftright(s, i * {band_bits}) & {mask} AS key))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "s", "b.band", "b.key")
+    sig = _simhash_sig_frame(_t(spark, sf_dir, "documents"))
+    bands = _simhash_bands(sig)
     left = bands.select(
         "band", "key", F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")
     )
@@ -2303,6 +2319,93 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 2)
         .distinct()
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@q(
+    "simhash_incremental",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_distinct(string_split(text, ' ')), t -> {_h60_duck('t')}) AS hs
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_aggregate(
+               list_transform(
+                 list_filter(range(0, 60),
+                             b -> 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)),
+                 b -> (CAST(1 AS BIGINT) << b)),
+               'sum'), 0) AS BIGINT) AS s
+      FROM toks
+    )
+    SELECT b.doc_id AS doc_id, a.doc_id AS dup_of,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < 250 AND b.doc_id >= 250
+    WHERE bit_count(xor(a.s, b.s)) <= 2
+    ORDER BY doc_id, dup_of
+    """,
+    doc="INCREMENTAL simhash near-dup screening against a persisted "
+    "signature store — the simhash leg of the incremental-warehouse "
+    "family (next to dedup_minhash_incremental and "
+    "dedup_incremental_store): the history corpus (doc_id < 250) "
+    "computes its 60-bit md5-vote signatures ONCE, banded 3 x 20 bits "
+    "and persisted bucketed on the (band, key) join keys; a new crawl "
+    "batch then hashes ONLY ITSELF, probes the store at the same "
+    "banding (the geometry is a fixed property of the scheme, so the "
+    "probe path is pinned by construction), and verifies candidates "
+    "with a JVM bit_count — screening cost scales with the INCREMENT, "
+    "never the accumulated corpus. Because the 3 x 20 banding is "
+    "pigeonhole-EXACT at Hamming <= 2, the banded store probe finds "
+    "EVERY qualifying (batch, history) pair — and the ORACLE IS the "
+    "brute-force history x batch bit_count join, so the exactness of "
+    "the whole store-roundtrip path is value-hash-checked, the same "
+    "proof shape as simhash_neardup. Store side of the candidate join "
+    "consumes the bucketed layout with zero exchange; only the tiny "
+    "exploded batch stream shuffles.",
+    tags=("text", "dedup", "fingerprint", "similarity", "scale", "warehouse"),
+)
+def simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from magictables_spark.warehouse import (
+        Warehouse,
+        corpus_fingerprint as _cfp,
+        store_root,
+    )
+
+    B = 250
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    cfp = _cfp(os.path.join(sf_dir, "documents.parquet"))
+    key = "shstore_" + hashlib.md5(
+        f"v1:{B}:{_SH_BANDS}x{_SH_BITS}:{os.path.realpath(sf_dir)}:{n}:{cfp}".encode()
+    ).hexdigest()[:16]
+    wh = Warehouse(store_root("simhash"))
+    if not wh.has_table(key):
+        hist_bands = _simhash_bands(
+            _simhash_sig_frame(docs.filter(F.col("doc_id") < B))
+        )
+        wh.write_table(
+            hist_bands, key, source_info={"split": B, "bands": _SH_BANDS},
+            bucket_by=["band", "key"], n_buckets=16, sort_by=["band", "key"],
+        )
+    store = wh.read_table(spark, key).select(
+        "band", "key", F.col("doc_id").alias("dup_of"), F.col("s").alias("sa")
+    )
+    batch = _simhash_bands(
+        _simhash_sig_frame(docs.filter(F.col("doc_id") >= B))
+    ).select("band", "key", "doc_id", F.col("s").alias("sb"))
+    return (
+        store.join(batch, ["band", "key"])
+        .select(
+            "doc_id", "dup_of",
+            F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .distinct()
+        .orderBy("doc_id", "dup_of")
     )
 
 

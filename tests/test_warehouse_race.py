@@ -277,3 +277,38 @@ def test_scd2_incremental_store_reuses_and_writes_o_touched(spark):
         v2 = {k: m["version"] for k, m in json.load(f).items() if tag in k}
     assert r2 == inc
     assert v1 == v2  # warm: no rebuild, no re-merge
+
+
+def test_simhash_incremental_store_reuses_across_calls(spark):
+    """simhash_incremental: the banded signature store builds once per
+    (corpus, banding, split) key; a second call serves the same store
+    version and returns identical rows, and every reported dup really
+    is a (batch, history) pair within Hamming 2 of the exact 60-bit
+    signatures."""
+    import json
+    import os
+
+    from magictables_spark.plans.similarity import (
+        _simhash_sig_frame,
+        simhash_incremental,
+    )
+    from magictables_spark.plans.registry import _t
+    from magictables_spark.warehouse import store_root
+
+    sf = "/root/testdata/sf0.001"
+    r1 = sorted(tuple(r) for r in simhash_incremental(spark, sf).collect())
+    meta_path = os.path.join(store_root("simhash"), "_meta.json")
+    with open(meta_path) as f:
+        v1 = {k: m["version"] for k, m in json.load(f).items()}
+    r2 = sorted(tuple(r) for r in simhash_incremental(spark, sf).collect())
+    with open(meta_path) as f:
+        v2 = {k: m["version"] for k, m in json.load(f).items()}
+    assert r1 == r2
+    assert v1 == v2  # no rebuild on the second call
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in _simhash_sig_frame(_t(spark, sf, "documents")).collect()
+    }
+    for doc_id, dup_of, hamming in r1:
+        assert doc_id >= 250 and dup_of < 250
+        assert bin(sigs[doc_id] ^ sigs[dup_of]).count("1") == hamming <= 2
