@@ -1449,9 +1449,9 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    DISTINCT qualified clicks (<= |clicks|) before the second join
     #    — the funnel twin of simhash_dedup_survivors' O(n)-output
     #    lesson.
-    H_MS = 3_600_000
+    H_US = 3_600_000_000
     ev = _t(spark, sf_dir, "events")
-    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    ms = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
 
     def leg(kind: str) -> DataFrame:
         return ev.filter(F.col("event_type") == kind).select(
@@ -1459,23 +1459,23 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     v, c, p = leg("view"), leg("click"), leg("purchase")
-    cb = c.withColumn("b", F.floor(F.col("ms") / H_MS)).withColumnRenamed(
+    cb = c.withColumn("b", F.floor(F.col("ms") / H_US)).withColumnRenamed(
         "ms", "c_ms"
     )
     v_probes = v.select(
         "u",
         F.col("ms").alias("v_ms"),
         F.explode(
-            F.array(F.floor(F.col("ms") / H_MS), F.floor(F.col("ms") / H_MS) + 1)
+            F.array(F.floor(F.col("ms") / H_US), F.floor(F.col("ms") / H_US) + 1)
         ).alias("b"),
     )
     # each click lives in exactly ONE bucket, so the two probes never
     # produce the same (view, click) pair twice — no dedup needed
     vc = v_probes.join(cb, ["u", "b"]).filter(
-        (F.col("c_ms") > F.col("v_ms")) & (F.col("c_ms") <= F.col("v_ms") + H_MS)
+        (F.col("c_ms") > F.col("v_ms")) & (F.col("c_ms") <= F.col("v_ms") + H_US)
     )
     qc = vc.select("u", "c_ms").distinct()
-    pb = p.withColumn("b", F.floor(F.col("ms") / H_MS)).withColumnRenamed(
+    pb = p.withColumn("b", F.floor(F.col("ms") / H_US)).withColumnRenamed(
         "ms", "p_ms"
     )
     qc_probes = qc.select(
@@ -1483,12 +1483,12 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_ms",
         F.explode(
             F.array(
-                F.floor(F.col("c_ms") / H_MS), F.floor(F.col("c_ms") / H_MS) + 1
+                F.floor(F.col("c_ms") / H_US), F.floor(F.col("c_ms") / H_US) + 1
             )
         ).alias("b"),
     )
     vcp = qc_probes.join(pb, ["u", "b"]).filter(
-        (F.col("p_ms") > F.col("c_ms")) & (F.col("p_ms") <= F.col("c_ms") + H_MS)
+        (F.col("p_ms") > F.col("c_ms")) & (F.col("p_ms") <= F.col("c_ms") + H_US)
     )
     n_view = v.select(F.countDistinct("u").alias("n_view"))
     n_vc = vc.select(F.countDistinct("u").alias("n_view_click"))

@@ -92,7 +92,12 @@ def get_spark(app_name: str = "magictables_spark", master: str | None = None) ->
         # UI off by default (test/bench noise); SPARK_GRAFT_UI=1 enables
         # it so tools/registry_sweep.py --spill can read per-stage spill
         # and peak-execution-memory via the status REST API
-        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config(
+            "spark.ui.enabled",
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "").lower() in ("1", "true", "yes")
+            else "false",
+        )
         .config("spark.ui.showConsoleProgress", "false")
     )
     spark = builder.getOrCreate()

@@ -51,14 +51,45 @@ def store_root(name: str) -> str:
     multi-user host, and stale caches leak across checkouts)."""
     base = os.environ.get("MTS_WAREHOUSE_DIR")
     if not base:
-        try:
-            import getpass
-
-            user = getpass.getuser()
-        except Exception:
-            user = f"uid{os.getuid()}" if hasattr(os, "getuid") else "user"
-        base = os.path.join(tempfile.gettempdir(), f"mts_stores_{user}")
+        base = _secure_store_base()
     return os.path.join(base, name)
+
+
+_STORE_BASE: str | None = None
+
+
+def _secure_store_base() -> str:
+    """Per-user store base under the shared tempdir, created 0o700 and
+    OWNERSHIP-VERIFIED (round-7 advisory: a predictable /tmp path with
+    default-mode makedirs lets another local user pre-create the dir and
+    poison/symlink the persisted stores that feed hash-checked results).
+    If the path already exists but is not ours / not private, fall back
+    to a fresh ``mkdtemp`` — correctness over cache reuse."""
+    global _STORE_BASE
+    if _STORE_BASE is not None:
+        return _STORE_BASE
+    uid = os.getuid() if hasattr(os, "getuid") else None
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"mts_stores_uid{uid}" if uid is not None else "mts_stores_user",
+    )
+    try:
+        os.makedirs(base, mode=0o700, exist_ok=True)
+        st = os.lstat(base)
+        import stat as _stat
+
+        ok = _stat.S_ISDIR(st.st_mode) and not _stat.S_ISLNK(st.st_mode)
+        if uid is not None:
+            ok = ok and st.st_uid == uid
+            # tighten a pre-existing looser dir we do own
+            if ok and _stat.S_IMODE(st.st_mode) != 0o700:
+                os.chmod(base, 0o700)
+        if not ok:
+            base = tempfile.mkdtemp(prefix="mts_stores_")
+    except OSError:
+        base = tempfile.mkdtemp(prefix="mts_stores_")
+    _STORE_BASE = base
+    return base
 
 
 def corpus_fingerprint(*paths: str) -> str:
@@ -139,7 +170,9 @@ class Warehouse:
                 import fcntl
 
                 fcntl.flock(fd, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: fall back to atomic-save only
+            except (ImportError, OSError):
+                # non-POSIX, or a filesystem where flock raises OSError
+                # (NFS with locking disabled): degrade to atomic-save only
                 pass
             yield
         finally:
@@ -147,7 +180,7 @@ class Warehouse:
                 import fcntl
 
                 fcntl.flock(fd, fcntl.LOCK_UN)
-            except ImportError:
+            except (ImportError, OSError):
                 pass
             os.close(fd)
 
@@ -236,11 +269,25 @@ class Warehouse:
             # entries accumulated and could outlive their dirs, turning
             # later reads through the stale name into failures). Entries
             # for versions still on disk are left alone — a concurrent
-            # time-travel reader may hold them.
+            # time-travel reader may hold them. Round-7 advisory: the
+            # Spark catalog namespace is global per session, so a
+            # same-prefix registration may belong to a DIFFERENT
+            # Warehouse root; only sweep names whose version suffix is
+            # in THIS entry's live/history version set (known from
+            # _meta.json) — an unknown suffix is someone else's table.
             base = self._table_dir(table_id)
+            entry = self._load(self._meta_path, {}).get(table_id) or {}
+            known_versions = {
+                str(v).replace(".", "_")
+                for v in {entry.get("version"), *(entry.get("history") or {})}
+                if v
+            }
             for t in spark.catalog.listTables():
                 if t.name.startswith(prefix) and t.name != name:
-                    vdir = os.path.join(base, t.name[len(prefix):])
+                    suffix = t.name[len(prefix):]
+                    if suffix not in known_versions:
+                        continue
+                    vdir = os.path.join(base, suffix)
                     if not os.path.exists(vdir):
                         spark.sql(f"DROP TABLE IF EXISTS {t.name}")
             return spark.table(name)

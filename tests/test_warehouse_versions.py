@@ -150,11 +150,15 @@ def test_store_root_env_override_and_per_user(monkeypatch, tmp_path):
     assert store_root("ann") == str(tmp_path / "custom" / "ann")
     monkeypatch.delenv("MTS_WAREHOUSE_DIR")
     root = store_root("ann")
-    import getpass
+    import stat
     import tempfile
 
     assert root.startswith(os.path.join(tempfile.gettempdir(), "mts_stores_"))
-    assert getpass.getuser() in root  # per-user scoping (advisory)
+    # round-7 advisory: base dir must exist, be OURS, and be private
+    base = os.path.dirname(root)
+    st = os.lstat(base)
+    assert st.st_uid == os.getuid()
+    assert stat.S_IMODE(st.st_mode) == 0o700
 
 
 def test_incremental_stores_expose_version_history(spark, sf_dir, tmp_path, monkeypatch):
