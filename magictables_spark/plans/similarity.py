@@ -763,6 +763,11 @@ def ann_lsh_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 APPEND_SPLIT = 300  # fixture history/batch boundary for the append demo
+# index-served kNN vote probes this many IVF cells per query; the
+# oracle CTE embeds the same value (serve cost ~ nprobe*k/sqrt(n) of
+# the corpus per probe, so 8 keeps O(n) total while lifting top-5
+# neighbor recall vs the exact vote)
+KNN_IVF_NPROBE = 8
 # Demo-corpus bound for the append slug: covers every vector at the
 # driver/bench scales (sf0.001-0.1 have <= 2000), so results there are
 # byte-identical to the unbounded form, while at probe scales it keeps
@@ -1674,6 +1679,169 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
             _dot("qq", "q").cast("double")
             / (F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("nrm").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("query_id", "label").agg(F.count("*").alias("n_votes"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "n_votes")
+    )
+
+
+def _ivf_labeled_cells(spark: SparkSession, sf_dir: str):
+    """Label-bearing cell lists for index-served kNN classification:
+    the persisted IVF cell lists (same quantizer + assignment as
+    ann_ivf_persisted) joined ONCE at build time with each vector's
+    label, re-bucketed on `cell`. Carrying the vote payload IN the
+    index is the serving-shape point — a query must never re-join the
+    corpus to recover labels (that scan would be O(corpus) per query
+    at 100 TB)."""
+    wh, ck, lk, tag, n_vec = _ivf_persisted_index(spark, sf_dir)
+    vk = f"ivfVL_{tag}"
+    if not wh.has_table(vk):
+        labels = _t(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("neighbor_id"), "label"
+        )
+        labeled = wh.read_table(spark, lk).join(labels, "neighbor_id")
+        wh.write_table(
+            labeled,
+            vk,
+            source_info={"n_vec": n_vec, "labeled_from": lk},
+            bucket_by=["cell"],
+            n_buckets=32,
+            sort_by=["cell", "neighbor_id"],
+        )
+    return wh, ck, vk
+
+
+@q(
+    "knn_label_vote_indexed",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, {QUANT_DUCK} AS q FROM embeddings
+    ), norms AS (
+      SELECT vec_id, label, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
+      FROM e
+    ), stride AS (
+      SELECT GREATEST(31, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS s
+      FROM embeddings
+    ), kstride AS (
+      SELECT GREATEST(20, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS s
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cent_id, q AS cq
+      FROM norms CROSS JOIN stride WHERE vec_id % stride.s = 0
+    ), dists AS (
+      SELECT n.vec_id, n.q, n.nrm, c.cent_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (n.q[i] - c.cq[i]) * (n.q[i] - c.cq[i]))) AS BIGINT) AS d2
+      FROM norms n CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), cells AS (
+      SELECT a.cell, n.vec_id AS neighbor_id, n.label, n.q, n.nrm
+      FROM norms n JOIN assigned a USING (vec_id)
+    ), probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell, q AS qa, nrm AS na FROM (
+        SELECT d.*,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM dists d CROSS JOIN kstride WHERE d.vec_id % kstride.s = 0
+      ) WHERE rn <= {KNN_IVF_NPROBE}
+    ), scored AS (
+      SELECT p.query_id, c.neighbor_id, c.label,
+             CAST(list_sum(list_transform(range(1, 65), i -> p.qa[i]*c.q[i])) AS BIGINT)
+               / (sqrt(CAST(p.na AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+      FROM probes p JOIN cells c USING (cell)
+      WHERE p.query_id <> c.neighbor_id
+    ), top5 AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label, cosine, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 5
+    ), votes AS (
+      SELECT query_id, label, COUNT(*) AS n_votes FROM top5 GROUP BY 1, 2
+    )
+    SELECT query_id, label AS predicted_label, n_votes FROM (
+      SELECT query_id, label, n_votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, label) AS rv
+      FROM votes
+    ) WHERE rv = 1
+    """,
+    doc="INDEX-SERVED k-NN label vote — the amortized twin of "
+    "knn_label_vote (round-7 verdict item 1, the registry's last "
+    "n^1.5 family member without a serving path). The probe set "
+    "(vec_id % ~sqrt(n) == 0, same as the exact vote) assigns to its "
+    "8 nearest IVF cells against the PERSISTED coarse quantizer "
+    "(broadcast centroid table, ~sqrt(n) rows -> n map-side distance "
+    "evals total), then candidates come from the persisted "
+    "LABEL-BEARING cell lists: the bucketed(32, cell) index table "
+    "read with the probe cells pushed down as an IN filter, so the "
+    "index side is a pruned pure scan — labels ride IN the index "
+    "payload, no O(corpus) re-join at serve time. Exact int64-cosine "
+    "re-rank of cell candidates to top-5, majority vote (vote ties "
+    "-> smallest label). Per probe the candidate count is "
+    "|8 cells| ~ 8k/sqrt(n) of the corpus, so serve cost is "
+    "O(n) total vs the exact vote's O(n^1.5) — the 100 TB "
+    "auto-labeling shape: build the index once, classify every new "
+    "batch from the pruned read. The oracle mirrors the ENTIRE probe "
+    "path (quantizer stride, centroid seeds, argmin cell assignment, "
+    "8-cell probe, in-cell re-rank, vote) in DuckDB CTEs, so the "
+    "approximation is value-hash-checked, not rows-only; agreement "
+    "vs the exact vote is additionally gated in "
+    "tests/test_similarity.py.",
+    tags=("similarity", "ann", "pipeline", "warehouse"),
+)
+def knn_label_vote_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    wh, ck, vk = _ivf_labeled_cells(spark, sf_dir)
+    cents = wh.read_table(spark, ck)
+    cells = wh.read_table(spark, vk)
+    n_vec = _t(spark, sf_dir, "embeddings").count()
+    kstride = max(20, math.floor(math.sqrt(max(1, n_vec))))
+    qs = (
+        _quantized(spark, sf_dir)
+        .filter(F.col("vec_id") % kstride == 0)
+        .withColumn("nrm", _dot("q", "q"))
+    )
+    dists = qs.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_l2())
+    wq = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    probes = (
+        dists.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= KNN_IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            F.col("q").alias("qa"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    # bounded collect: <= nprobe*ceil(sqrt(n)) cell ids; at a scale where
+    # this list outgrows an IN filter, drop the pushdown and let the
+    # bucket-colocated join on `cell` do the pruning alone
+    probe_cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    # each neighbor lives in exactly ONE cell and a probe's nprobe cells are
+    # distinct, so (query, neighbor) pairs are join-unique — no dedup
+    scored = (
+        cells.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot("qa", "q").cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nrm").cast("double"))),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

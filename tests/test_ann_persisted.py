@@ -289,3 +289,24 @@ def test_ivf_append_equals_pinned_from_scratch_and_is_idempotent(spark):
         v2 = {k: m["version"] for k, m in json.load(f).items() if k.startswith("ivf")}
     assert r1 == r2 and len(r1) > 0
     assert v1 == v2  # idempotent: no re-append, no rebuild
+
+
+def test_knn_indexed_vote_plan_pruned_scan_no_index_exchange(spark):
+    """The indexed label vote serves from the persisted LABEL-BEARING
+    cell-list table the same way ann_ivf_persisted serves top-k: probe
+    cells pushed down into the scan, bucket pruning active, zero
+    index-side exchange, no rebuild."""
+    from magictables_spark.plans.similarity import knn_label_vote_indexed
+
+    knn_label_vote_indexed(spark, SF).count()  # warm the index
+    plan = (
+        knn_label_vote_indexed(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "spark_catalog.default.mts_wh_ivfvl" in plan
+    assert "PushedFilters: [In(cell" in plan, plan
+    assert "SelectedBucketsCount" in plan, plan
+    assert "RoundRobinPartitioning" not in plan
+    assert "hashpartitioning(cell" not in plan, plan

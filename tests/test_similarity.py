@@ -193,3 +193,117 @@ def test_library_surface_defaults_to_high_recall_config(spark, sf_dir):
     assert key(ann_topk(emb.limit(200), "vec_id", "embedding")) == key(
         ann_topk(emb.limit(200), "vec_id", "embedding", dim=64)
     )
+
+
+def test_knn_indexed_vote_recall_and_agreement(spark, sf_dir):
+    """knn_label_vote_indexed serves the SAME probe set as the exact
+    vote from the persisted IVF index (round-7 verdict item 1). The
+    fixture labels are ~random w.r.t. embedding geometry (exact-vote
+    self-label accuracy ~ chance), so vote agreement is bounded by
+    neighbor recall: gate top-5 NEIGHBOR recall >= 0.4 (like the IVF
+    top-k gate) and label agreement >= 0.25, with identical probe-id
+    coverage."""
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from magictables_spark.plans.similarity import QUANT_SPARK, _dot, _t
+
+    n = _t(spark, sf_dir, "embeddings").count()
+    stride = max(20, math.floor(math.sqrt(n)))
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
+        .withColumn("nrm", _dot("q", "q"))
+    )
+    probes = e.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    sc = (
+        e.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm")
+        .join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot("qq", "q").cast("double")
+            / (F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("nrm").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    exact5: dict[int, set[int]] = {}
+    for r in (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    ):
+        exact5.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    # the indexed path's own top-5: recompute its candidate scores from
+    # the registered query's building blocks is redundant — the vote
+    # output plus the exact vote give the agreement; neighbor recall
+    # comes from re-ranking the indexed candidates, which the query's
+    # top5 already did, so rebuild just that stage via the same helpers
+    from magictables_spark.plans.similarity import (
+        KNN_IVF_NPROBE,
+        _ivf_l2,
+        _ivf_labeled_cells,
+        _quantized,
+    )
+
+    wh, ck, vk = _ivf_labeled_cells(spark, sf_dir)
+    cents, cells = wh.read_table(spark, ck), wh.read_table(spark, vk)
+    qs = (
+        _quantized(spark, sf_dir)
+        .filter(F.col("vec_id") % stride == 0)
+        .withColumn("nrm", _dot("q", "q"))
+    )
+    dists = qs.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_l2())
+    wq = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    pr = (
+        dists.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= KNN_IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            F.col("q").alias("qa"),
+            F.col("nrm").alias("na"),
+        )
+    )
+    pc = [r["cell"] for r in pr.select("cell").distinct().collect()]
+    idx5: dict[int, set[int]] = {}
+    for r in (
+        cells.filter(F.col("cell").isin(pc))
+        .join(F.broadcast(pr), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            _dot("qa", "q").cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nrm").cast("double"))),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+        .collect()
+    ):
+        idx5.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    assert exact5
+    hits = sum(len(exact5[q] & idx5.get(q, set())) for q in exact5)
+    total = sum(len(v) for v in exact5.values())
+    recall = hits / total
+    assert recall >= 0.4, f"indexed top-5 neighbor recall too low: {recall:.2f}"
+
+    exact_votes = {
+        r.query_id: r.predicted_label
+        for r in REGISTRY["knn_label_vote"].fn(spark, sf_dir).collect()
+    }
+    idx_votes = {
+        r.query_id: r.predicted_label
+        for r in REGISTRY["knn_label_vote_indexed"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact_votes) == set(idx_votes), "probe coverage differs"
+    agree = sum(exact_votes[q] == idx_votes[q] for q in exact_votes) / len(exact_votes)
+    assert agree >= 0.25, f"vote agreement too low: {agree:.2f}"

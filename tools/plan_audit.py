@@ -66,6 +66,11 @@ WAIVERS: dict[str, dict[str, str]] = {
         NLJ: "cross-join of three 1-row scalar stage counts; the interval joins hash on user_id"
     },
     "knn_label_vote": {NLJ: "broadcast side is the ~sqrt(n) probe set"},
+    "knn_label_vote_indexed": {
+        NLJ: "broadcast side is the persisted ~sqrt(n) centroid table "
+        "(probe-to-cell assignment only; candidates come from the "
+        "IN-pruned bucketed index read)"
+    },
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
     "ann_int8_rescore": {NLJ: "broadcast side is the 5-row int8 probe set"},
     "q11_important_parts": {NLJ: "broadcast side is the 1-row scalar-subquery threshold"},
