@@ -207,7 +207,26 @@ def _media_fixture_dir() -> str:
 
 @q(
     "multimodal_features",
-    oracle=None,  # binary plumbing; schema/batch shape gated in unit tests
+    oracle="""
+    -- GOLDEN oracle (round-7 verdict item 3): the query scans the
+    -- COMMITTED deterministic media fixture (content-hash-pinned by
+    -- the golden codec tests), so its output is a constant table;
+    -- the expected rows are pinned literally, the same contract as
+    -- tests/test_media_codecs.py's golden values.
+    SELECT mime, CAST(n_files AS BIGINT) AS n_files,
+           CAST(n_decoded AS BIGINT) AS n_decoded,
+           CAST(n_full_decoded AS BIGINT) AS n_full_decoded,
+           CAST(feature_dim AS INT) AS feature_dim,
+           CAST(mean_stat AS DOUBLE) AS mean_stat
+    FROM (VALUES
+      ('audio/mpeg', 7, 6, 3, 8, 0.387593),
+      ('audio/wav',  9, 8, 8, 8, 0.39526),
+      ('image/bmp',  4, 4, 4, 8, 0.149125),
+      ('image/jpeg', 7, 6, 6, 8, 0.433248),
+      ('image/png',  9, 8, 8, 8, 0.29331),
+      ('video/mp4',  3, 2, 0, 8, 90.0)
+    ) AS t(mime, n_files, n_decoded, n_full_decoded, feature_dim, mean_stat)
+    """,
     doc="Multimodal column pipeline as a query: the COMMITTED "
     "deterministic media corpus (tests/fixtures/media: 8 PNGs + 4 BMPs "
     "+ 6 JPEGs + 8 WAVs + 3 MP3s + 3 MP2s + 2 MP4s + 1 corrupt file "
@@ -263,8 +282,29 @@ def _phash_fixture_dir() -> str:
 
 @q(
     "image_phash_neardup",
-    oracle=None,  # image decode is non-SQL-expressible; planted-pair
-    # precision/recall is pinned exactly in tests/test_phash.py
+    oracle="""
+    -- GOLDEN oracle: planted 15-image corpus is committed and
+    -- content-pinned; the full decode -> pHash -> banded-join output
+    -- is a constant table (round-7 verdict item 3).
+    SELECT file_a, file_b, CAST(hamming AS INT) AS hamming
+    FROM (VALUES
+      ('base_00.png', 'dupbright_00.png', 0),
+      ('base_00.png', 'dupjpeg_00.jpg', 2),
+      ('base_01.png', 'dupbright_01.png', 0),
+      ('base_01.png', 'dupjpeg_01.jpg', 0),
+      ('base_02.png', 'dupbright_02.png', 0),
+      ('base_02.png', 'dupjpeg_02.jpg', 0),
+      ('base_03.png', 'dupbright_03.png', 0),
+      ('base_03.png', 'dupjpeg_03.jpg', 4),
+      ('base_04.png', 'dupbright_04.png', 0),
+      ('base_04.png', 'dupjpeg_04.jpg', 2),
+      ('dupbright_00.png', 'dupjpeg_00.jpg', 2),
+      ('dupbright_01.png', 'dupjpeg_01.jpg', 0),
+      ('dupbright_02.png', 'dupjpeg_02.jpg', 0),
+      ('dupbright_03.png', 'dupjpeg_03.jpg', 4),
+      ('dupbright_04.png', 'dupjpeg_04.jpg', 2)
+    ) AS t(file_a, file_b, hamming)
+    """,
     doc="NEAR-DUPLICATE IMAGE detection end to end -- the multimodal "
     "leg of the dedup family: the committed 15-image corpus (5 seeded "
     "base images, each with a JPEG q85 re-encode and a brightness+8 "
@@ -314,8 +354,27 @@ def _afp_fixture_dir() -> str:
 
 @q(
     "audio_fp_neardup",
-    oracle=None,  # audio decode is non-SQL-expressible; planted-pair
-    # precision/recall is pinned exactly in tests/test_phash.py
+    oracle="""
+    -- GOLDEN oracle: planted 12-clip corpus is committed and
+    -- content-pinned; all within-group fingerprint distances measured
+    -- 0 (cross-group >= 7, excluded by the verify bound), so the
+    -- expected pair table is constant (round-7 verdict item 3).
+    SELECT file_a, file_b, CAST(hamming AS INT) AS hamming
+    FROM (VALUES
+      ('base_00.wav', 'dupgain_00.wav', 0),
+      ('base_00.wav', 'dupmp2_00.mp2', 0),
+      ('base_01.wav', 'dupgain_01.wav', 0),
+      ('base_01.wav', 'dupmp2_01.mp2', 0),
+      ('base_02.wav', 'dupgain_02.wav', 0),
+      ('base_02.wav', 'dupmp2_02.mp2', 0),
+      ('base_03.wav', 'dupgain_03.wav', 0),
+      ('base_03.wav', 'dupmp2_03.mp2', 0),
+      ('dupgain_00.wav', 'dupmp2_00.mp2', 0),
+      ('dupgain_01.wav', 'dupmp2_01.mp2', 0),
+      ('dupgain_02.wav', 'dupmp2_02.mp2', 0),
+      ('dupgain_03.wav', 'dupmp2_03.mp2', 0)
+    ) AS t(file_a, file_b, hamming)
+    """,
     doc="NEAR-DUPLICATE AUDIO detection end to end -- the audio twin "
     "of image_phash_neardup: the committed 12-clip corpus (4 seeded "
     "base clips, each with a REAL MPEG-1 Layer II 192 kbps re-encode "

@@ -1855,9 +1855,80 @@ def knn_label_vote_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, rounds: int = 5, dim: int = 64) -> str:
+    """Unrolled 5-round Lloyd fixed point as DuckDB CTEs — the
+    pagerank_fixed_iters trick applied to k-means (round-7 verdict
+    item 3). Every double op mirrors the Spark side's sequence
+    EXACTLY: distances are the same left-associated 64-term chain the
+    Spark aggregate/zip_with fold computes, centroid updates are
+    exact-int SUM / COUNT in one double division, and the reported
+    inertia is SUM(FLOOR(min_dist)) in DECIMAL(38,0) — floor of a
+    double is rounding-mode-free, so the output is hash-exact where a
+    raw double sum would be fold-order-dependent."""
+
+    def dist(qcol: str, ccol: str) -> str:
+        return " + ".join(
+            f"(CAST({qcol}[{i}] AS DOUBLE) - {ccol}[{i}])"
+            f" * (CAST({qcol}[{i}] AS DOUBLE) - {ccol}[{i}])"
+            for i in range(1, dim + 1)
+        )
+
+    upd_list = ", ".join(
+        f"CAST(SUM(q[{i}]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+    ctes = [
+        f"""norms AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), cents1 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(q, x -> CAST(x AS DOUBLE)) AS c
+      FROM norms WHERE vec_id % 37 = 0
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k}
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+      SELECT n.vec_id, n.q, c.cid, {dist("n.q", "c.c")} AS d
+      FROM norms n CROSS JOIN cents{r} c
+    ), a{r} AS (
+      SELECT vec_id, q, cid, d FROM (
+        SELECT vec_id, q, cid, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d{r}
+      ) WHERE rn = 1
+    )"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""u{r} AS (
+      SELECT cid, [{upd_list}] AS c FROM a{r} GROUP BY cid
+    ), cents{r + 1} AS (
+      SELECT c.cid, COALESCE(u.c, c.c) AS c
+      FROM cents{r} c LEFT JOIN u{r} u USING (cid)
+    )"""
+            )
+    body = f"""
+    WITH {", ".join(ctes)}
+    SELECT i.cluster_id,
+           COALESCE(f.n_members, 0) AS n_members,
+           COALESCE(f.inertia, CAST(0 AS DECIMAL(38,0))) AS inertia
+    FROM (
+      SELECT CAST(range AS INT) AS cluster_id FROM range({k})
+      WHERE EXISTS (SELECT 1 FROM norms)
+    ) i LEFT JOIN (
+      SELECT cid AS cluster_id, COUNT(*) AS n_members,
+             SUM(CAST(FLOOR(d) AS DECIMAL(38,0))) AS inertia
+      FROM a{rounds} GROUP BY 1
+    ) f USING (cluster_id)
+    """
+    return body
+
+
 @q(
     "kmeans_lloyd",
-    oracle=None,  # iterative; monotone-inertia + stability gated in tests
+    oracle=_kmeans_oracle(),
     doc="Deterministic Lloyd k-means over the embedding table: k=8 "
     "seed centroids picked by vec_id stride (no RNG), 5 assignment/"
     "update rounds. Per round the k centroids — a k x dim table, "
@@ -1868,7 +1939,16 @@ def knn_label_vote_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round is the textbook driver roundtrip every distributed k-means "
     "makes; lineage stays flat because each round starts from a "
     "collected literal, not the prior round's plan. Returns one row "
-    "per cluster with member count and inertia.",
+    "per cluster with member count and inertia, where inertia is "
+    "SUM(FLOOR(min_dist)) summed in DECIMAL(38,0): floor of a double "
+    "has no rounding-mode ambiguity and the decimal sum is "
+    "fold-order-exact, which is what upgrades this from the old "
+    "rows-only gate to a full value-hash oracle — a 5-round UNROLLED "
+    "fixed-point CTE (_kmeans_oracle) that mirrors the exact double "
+    "sequence: same left-associated per-dim distance chain, same "
+    "exact-int SUM/COUNT centroid division, same (d, cid) argmin "
+    "tie-break, same empty-cluster carry-forward. Monotone-inertia "
+    "and partition-coverage invariants remain in tests.",
     tags=("similarity", "ml", "iterative"),
 )
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1885,14 +1965,16 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [[float(x) for x in r.q] for r in seeds]
     if not centroids:
         # empty table: no seeds — return the empty report with the
-        # output schema (centroid_id, n_points, ssd_scaled)
+        # output schema (cluster_id, n_members, inertia)
         return (
             e.select(
-                F.lit(0).alias("centroid_id"),
-                F.lit(0).cast("bigint").alias("n_points"),
-                F.lit(0).cast("bigint").alias("ssd_scaled"),
+                F.lit(0).alias("cluster_id"),
+                F.lit(0).cast("bigint").alias("n_members"),
+                F.lit(0).cast("decimal(38,0)").alias("inertia"),
             ).limit(0)
         )
+
+    dim = len(centroids[0])
 
     def dist_to(c: list[float]) -> str:
         # one parsed SQL fragment per centroid: k * dim * rounds F.lit
@@ -1911,22 +1993,25 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_c",
             F.expr("CAST(array_position(_d, array_min(_d)) AS INT) - 1"),
         )
+        # exact-int per-dim sums + count; the single double DIVISION
+        # happens once driver-side (Python int/int is correctly
+        # rounded, identical to the oracle's SUM::DOUBLE / COUNT)
         new_rows = (
             assigned.groupBy("_c")
             .agg(
-                *[
-                    F.avg(F.col("q")[i]).alias(f"m{i}")
-                    for i in range(len(centroids[0]))
-                ]
+                F.count("*").alias("cnt"),
+                *[F.sum(F.col("q")[i]).alias(f"s{i}") for i in range(dim)],
             )
             .collect()
         )
-        by_c = {r._c: [r[f"m{i}"] for i in range(len(centroids[0]))] for r in new_rows}
+        by_c = {
+            r._c: [r[f"s{i}"] / r["cnt"] for i in range(dim)] for r in new_rows
+        }
         centroids = [by_c.get(i, centroids[i]) for i in range(k)]
 
     final = assigned.groupBy(F.col("_c").alias("cluster_id")).agg(
         F.count("*").alias("n_members"),
-        F.sum(F.array_min("_d")).alias("inertia"),
+        F.sum(F.floor(F.array_min("_d")).cast("decimal(38,0)")).alias("inertia"),
     )
     # guarantee k rows even if a cluster empties
     ids = spark.range(k).select(F.col("id").cast("int").alias("cluster_id"))
@@ -1934,8 +2019,8 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids.join(final, "cluster_id", "left")
         .select(
             "cluster_id",
-            F.coalesce("n_members", F.lit(0)).alias("n_members"),
-            F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+            F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
+            F.coalesce("inertia", F.lit(0).cast("decimal(38,0)")).alias("inertia"),
         )
     )
 
