@@ -233,8 +233,15 @@ N_PROBES_HI = 4
 # whole corpus is small vs the bucket space, and the window's
 # per-bucket sort is measurable at bench scale); the oracle mirrors
 # the gate with a CASE on COUNT(*), so both engines flip together.
+# Round-8 (verdict item 5): gate lowered 50k -> 10k. The round-7 sf1
+# sweep's ONLY spiller was ann_lsh_topk_hi at 20k clustered vectors —
+# BELOW the old gate, so the cap sat off exactly where the skew it
+# guards against first bites (one tight cluster = thousands of
+# same-bucket members x 20 probe rows each). 10k keeps every
+# driver/bench scale (<= 2000 vectors) byte-identical and turns the
+# cap on before hot-bucket candidate mass can outgrow sort buffers.
 HOT_BUCKET_CAP = 64
-CAP_MIN_N = 50_000
+CAP_MIN_N = 10_000
 TARGET_BUCKET = 32  # expected bucket occupancy the bit count aims for
 BITS_PER_TABLE = 4  # sign bits per table at fixture scale (AND within a table)
 

@@ -80,9 +80,8 @@ rows = sorted(
     (int(r["query_id"]), int(r["neighbor_id"]), round(float(r["cosine"]), 12))
     for r in df.collect()
 )
-meta_path = os.path.join(store_root("ann"), "_meta.json")
-with open(meta_path) as f:
-    meta = json.load(f)
+from magictables_spark.warehouse import Warehouse
+meta = Warehouse(store_root("ann")).list_tables()
 versions = sorted(m["version"] for k, m in meta.items() if k.startswith("annlsh_"))
 print("rows:", len(rows), hashlib.md5(repr(rows).encode()).hexdigest())
 print("versions:", versions)
@@ -131,21 +130,20 @@ def test_append_equals_full_build_and_is_idempotent(spark):
     k2, n2 = _rows_key(ann_lsh_index_append(spark, SF))
     assert n1 == n2 > 0
     assert k1 == k2
-    meta_path = os.path.join(store_root("ann"), "_meta.json")
-    with open(meta_path) as f:
-        v1 = {
-            k: m["version"]
-            for k, m in json.load(f).items()
-            if k.startswith(("annlshH_", "annlshA_"))
-        }
+    from magictables_spark.warehouse import Warehouse
+
+    v1 = {
+        k: m["version"]
+        for k, m in Warehouse(store_root("ann")).list_tables().items()
+        if k.startswith(("annlshH_", "annlshA_"))
+    }
     assert len(v1) >= 2  # history + appended tables exist
     k3, _ = _rows_key(ann_lsh_index_append(spark, SF))
-    with open(meta_path) as f:
-        v2 = {
-            k: m["version"]
-            for k, m in json.load(f).items()
-            if k.startswith(("annlshH_", "annlshA_"))
-        }
+    v2 = {
+        k: m["version"]
+        for k, m in Warehouse(store_root("ann")).list_tables().items()
+        if k.startswith(("annlshH_", "annlshA_"))
+    }
     assert k3 == k2
     assert v1 == v2  # no re-append, no rebuild
 
@@ -208,9 +206,8 @@ rows = sorted(
     (int(r["query_id"]), int(r["neighbor_id"]), round(float(r["cosine"]), 12))
     for r in df.collect()
 )
-meta_path = os.path.join(store_root("ann"), "_meta.json")
-with open(meta_path) as f:
-    meta = json.load(f)
+from magictables_spark.warehouse import Warehouse
+meta = Warehouse(store_root("ann")).list_tables()
 versions = sorted(
     m["version"] for k, m in meta.items() if k.startswith(("ivfC_", "ivfL_"))
 )
@@ -281,12 +278,12 @@ def test_ivf_append_equals_pinned_from_scratch_and_is_idempotent(spark):
     )
     assert stored == scratch and len(stored) == n_vec
 
-    meta_path = os.path.join(store_root("ann"), "_meta.json")
-    with open(meta_path) as f:
-        v1 = {k: m["version"] for k, m in json.load(f).items() if k.startswith("ivf")}
+    from magictables_spark.warehouse import Warehouse
+
+    wh_ann = Warehouse(store_root("ann"))
+    v1 = {k: m["version"] for k, m in wh_ann.list_tables().items() if k.startswith("ivf")}
     r2 = sorted(tuple(r) for r in ann_ivf_index_append(spark, SF).collect())
-    with open(meta_path) as f:
-        v2 = {k: m["version"] for k, m in json.load(f).items() if k.startswith("ivf")}
+    v2 = {k: m["version"] for k, m in wh_ann.list_tables().items() if k.startswith("ivf")}
     assert r1 == r2 and len(r1) > 0
     assert v1 == v2  # idempotent: no re-append, no rebuild
 

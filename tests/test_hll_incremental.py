@@ -51,12 +51,12 @@ def test_warm_second_call_reuses_store(spark):
     from magictables_spark.plans.features import hll_rollup_incremental
     from magictables_spark.warehouse import store_root
 
+    from magictables_spark.warehouse import Warehouse
+
     r1 = sorted(tuple(r) for r in hll_rollup_incremental(spark, SF).collect())
-    meta_path = os.path.join(store_root("hll"), "_meta.json")
-    with open(meta_path) as f:
-        v1 = {k: m["version"] for k, m in json.load(f).items()}
+    wh = Warehouse(store_root("hll"))
+    v1 = {k: m["version"] for k, m in wh.list_tables().items()}
     r2 = sorted(tuple(r) for r in hll_rollup_incremental(spark, SF).collect())
-    with open(meta_path) as f:
-        v2 = {k: m["version"] for k, m in json.load(f).items()}
+    v2 = {k: m["version"] for k, m in wh.list_tables().items()}
     assert r1 == r2 and len(r1) > 0
     assert v1 == v2

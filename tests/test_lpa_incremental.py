@@ -82,12 +82,9 @@ def test_second_call_serves_warm(spark):
 
     r1 = sorted(tuple(r) for r in label_propagation_incremental(spark, SF).collect())
     wh, tag = _store(spark, SF)
-    meta_path = os.path.join(wh.root, "_meta.json")
-    with open(meta_path) as f:
-        v1 = {k: m["version"] for k, m in json.load(f).items() if tag in k}
+    v1 = {k: m["version"] for k, m in wh.list_tables().items() if tag in k}
     assert len(v1) == 3  # labels + edges + delta
     r2 = sorted(tuple(r) for r in label_propagation_incremental(spark, SF).collect())
-    with open(meta_path) as f:
-        v2 = {k: m["version"] for k, m in json.load(f).items() if tag in k}
+    v2 = {k: m["version"] for k, m in wh.list_tables().items() if tag in k}
     assert r1 == r2
     assert v1 == v2  # no rebuild, no re-append

@@ -7,7 +7,7 @@ versioned-payload contract (warehouse.py) must hold:
 
 - each writer lands in its own ``tables/<id>/v<pid>_<ms>/`` dir, so
   part-files from the two writers never interleave;
-- the ``_meta.json`` pointer swap is atomic (os.replace) — every read
+- the ``_entry.json`` pointer swap is atomic (os.replace) — every read
   resolves to ONE complete version: last-writer-wins, zero torn reads;
 - after both writers finish, the surviving payload row-set is exactly
   one writer's rows (never a mix).
@@ -64,17 +64,16 @@ def test_simultaneous_writers_one_winner_zero_torn_reads(tmp_path):
     # half-written version)
     import time
 
-    meta_path = os.path.join(wh_dir, "_meta.json")
+    meta_path = os.path.join(wh_dir, "tables", "contested", "_entry.json")
     observed_versions = set()
     deadline = time.time() + 280
     while any(p.poll() is None for p in procs) and time.time() < deadline:
         if os.path.exists(meta_path):
             try:
                 with open(meta_path) as f:
-                    meta = json.load(f)
+                    ent = json.load(f)
             except json.JSONDecodeError as e:  # torn metadata write
-                raise AssertionError("torn _meta.json observed") from e
-            ent = meta.get("contested")
+                raise AssertionError("torn _entry.json observed") from e
             if ent:
                 vdir = os.path.join(wh_dir, "tables", "contested", ent["version"])
                 assert os.path.isdir(vdir), "pointer names a missing version"
@@ -92,8 +91,7 @@ def test_simultaneous_writers_one_winner_zero_torn_reads(tmp_path):
 
     # final state: one winner, complete payload, single-tag rows
     with open(meta_path) as f:
-        meta = json.load(f)
-    ent = meta["contested"]
+        ent = json.load(f)
     assert ent["source_info"]["writer"] in (1, 2)
     vdir = os.path.join(wh_dir, "tables", "contested", ent["version"])
     import duckdb
@@ -122,12 +120,12 @@ def test_incremental_dedup_store_reuses_across_calls(spark):
 
     sf = "/root/testdata/sf0.001"
     r1 = sorted(tuple(r) for r in dedup_incremental_store(spark, sf).collect())
-    meta_path = os.path.join(store_root("fingerprints"), "_meta.json")
-    with open(meta_path) as f:
-        v1 = {k: m["version"] for k, m in json.load(f).items()}
+    from magictables_spark.warehouse import Warehouse as _WH
+
+    _wh = _WH(store_root("fingerprints"))
+    v1 = {k: m["version"] for k, m in _wh.list_tables().items()}
     r2 = sorted(tuple(r) for r in dedup_incremental_store(spark, sf).collect())
-    with open(meta_path) as f:
-        v2 = {k: m["version"] for k, m in json.load(f).items()}
+    v2 = {k: m["version"] for k, m in _wh.list_tables().items()}
     assert r1 == r2 and len(r1) > 0
     assert v1 == v2  # no rebuild on the second call
     # history actually suppresses batch rows: every surviving doc_id is
@@ -161,12 +159,12 @@ def test_incremental_minhash_store_reuses_across_calls(spark):
 
     sf = "/root/testdata/sf0.001"
     r1 = sorted(tuple(r) for r in dedup_minhash_incremental(spark, sf).collect())
-    meta_path = os.path.join(store_root("minhash"), "_meta.json")
-    with open(meta_path) as f:
-        v1 = {k: m["version"] for k, m in json.load(f).items()}
+    from magictables_spark.warehouse import Warehouse as _WH
+
+    _wh = _WH(store_root("minhash"))
+    v1 = {k: m["version"] for k, m in _wh.list_tables().items()}
     r2 = sorted(tuple(r) for r in dedup_minhash_incremental(spark, sf).collect())
-    with open(meta_path) as f:
-        v2 = {k: m["version"] for k, m in json.load(f).items()}
+    v2 = {k: m["version"] for k, m in _wh.list_tables().items()}
     assert r1 == r2 and len(r1) > 0
     assert v1 == v2  # no rebuild on the second call
     for doc_id, dup_of, jaccard in r1:
@@ -189,12 +187,12 @@ def test_rollup_incremental_store_reuses_and_merges_exactly(spark):
 
     sf = "/root/testdata/sf0.001"
     r1 = sorted(tuple(r) for r in rollup_incremental_store(spark, sf).collect())
-    meta_path = os.path.join(store_root("rollup"), "_meta.json")
-    with open(meta_path) as f:
-        v1 = {k: m["version"] for k, m in json.load(f).items()}
+    from magictables_spark.warehouse import Warehouse as _WH
+
+    _wh = _WH(store_root("rollup"))
+    v1 = {k: m["version"] for k, m in _wh.list_tables().items()}
     r2 = sorted(tuple(r) for r in rollup_incremental_store(spark, sf).collect())
-    with open(meta_path) as f:
-        v2 = {k: m["version"] for k, m in json.load(f).items()}
+    v2 = {k: m["version"] for k, m in _wh.list_tables().items()}
     assert r1 == r2 and len(r1) > 0
     assert v1 == v2  # second call merged against the SAME store version
     full = sorted(
@@ -269,12 +267,9 @@ def test_scd2_incremental_store_reuses_and_writes_o_touched(spark):
     delta_n = wh.read_table(spark, f"scd2D_{tag}").count()
     assert delta_n <= touched_runs + batch_rows
 
-    meta_path = os.path.join(wh.root, "_meta.json")
-    with open(meta_path) as f:
-        v1 = {k: m["version"] for k, m in json.load(f).items() if tag in k}
+    v1 = {k: m["version"] for k, m in wh.list_tables().items() if tag in k}
     r2 = sorted(tuple(r) for r in scd2_incremental_store(spark, sf).collect())
-    with open(meta_path) as f:
-        v2 = {k: m["version"] for k, m in json.load(f).items() if tag in k}
+    v2 = {k: m["version"] for k, m in wh.list_tables().items() if tag in k}
     assert r2 == inc
     assert v1 == v2  # warm: no rebuild, no re-merge
 
@@ -297,12 +292,12 @@ def test_simhash_incremental_store_reuses_across_calls(spark):
 
     sf = "/root/testdata/sf0.001"
     r1 = sorted(tuple(r) for r in simhash_incremental(spark, sf).collect())
-    meta_path = os.path.join(store_root("simhash"), "_meta.json")
-    with open(meta_path) as f:
-        v1 = {k: m["version"] for k, m in json.load(f).items()}
+    from magictables_spark.warehouse import Warehouse as _WH
+
+    _wh = _WH(store_root("simhash"))
+    v1 = {k: m["version"] for k, m in _wh.list_tables().items()}
     r2 = sorted(tuple(r) for r in simhash_incremental(spark, sf).collect())
-    with open(meta_path) as f:
-        v2 = {k: m["version"] for k, m in json.load(f).items()}
+    v2 = {k: m["version"] for k, m in _wh.list_tables().items()}
     assert r1 == r2
     assert v1 == v2  # no rebuild on the second call
     sigs = {

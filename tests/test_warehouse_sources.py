@@ -77,9 +77,9 @@ def test_chain_ttl_expiry(spark, wh, monkeypatch):
     wh.write_table(df, "deadbeef", {"type": "api_chain"})
     assert wh.get_cached_chain_result(spark, "deadbeef", ttl_seconds=3600) is not None
     # age the entry past the TTL
-    meta = wh._load(wh._meta_path, {})
-    meta["deadbeef"]["created_at"] = time.time() - 3601
-    wh._save(wh._meta_path, meta)
+    entry = wh.table_meta("deadbeef")
+    entry["created_at"] = time.time() - 3601
+    wh._entry_save("deadbeef", entry)
     assert wh.get_cached_chain_result(spark, "deadbeef", ttl_seconds=3600) is None
     # infinite-TTL source cache still sees it
     assert wh.has_table("deadbeef")
