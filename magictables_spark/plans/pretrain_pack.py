@@ -283,9 +283,30 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute-force oracle is the proof), both cut the candidate set
     # before it exists — on the adversarial 31-word fixture the
     # positional filter alone halves verify volume.
+    # PPJoin+ suffix-style filter (round-7 verdict item 6): an 8-bucket
+    # histogram of each doc's token RANKS (rank mod 8) rides next to the
+    # prefix rows; for any pair, true overlap <= sum_k min(ha_k, hb_k),
+    # so 19 * min-sum < 9 * (ma + mb) disqualifies losslessly — the
+    # same overlap-upper-bound idea as PPJoin+'s recursive suffix
+    # partition, flattened to a fixed-width sketch the join condition
+    # can evaluate codegen-side (8 unrolled least() terms, no HOF).
+    # On the adversarial 31-word fixture this bound sees WHICH tokens
+    # differ (buckets), not just how many, and kills most same-length
+    # candidates the length+positional filters admit.
+    K = 8
+    hists = [
+        F.expr(f"size(filter(ranks, r -> r % {K} = {k}))").alias(f"h{k}")
+        for k in range(K)
+    ]
     pref = ranked.select(
-        "doc_id", "m", F.posexplode("prefix").alias("pos0", "r")
-    ).select("doc_id", "m", (F.col("pos0") + 1).alias("pa"), "r")
+        "doc_id", "m", *hists, F.posexplode("prefix").alias("pos0", "r")
+    ).select(
+        "doc_id", "m", *[f"h{k}" for k in range(K)], (F.col("pos0") + 1).alias("pa"), "r"
+    )
+    minsum = None
+    for k in range(K):
+        term = F.least(F.col(f"a.h{k}"), F.col(f"b.h{k}"))
+        minsum = term if minsum is None else minsum + term
     cand = (
         pref.alias("a")
         .join(
@@ -297,7 +318,8 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 19 * (1 + F.least(F.col("a.m") - F.col("a.pa"), F.col("b.m") - F.col("b.pa")))
                 >= 9 * (F.col("a.m") + F.col("b.m"))
-            ),
+            )
+            & (19 * minsum >= 9 * (F.col("a.m") + F.col("b.m"))),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates()
