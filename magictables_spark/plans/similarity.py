@@ -1619,6 +1619,107 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ivf_store_stream",
+    oracle=_ivf_oracle(pin_hist=APPEND_SPLIT),
+    doc="STREAMING maintenance of the persisted IVF index — the "
+    "vector-index member of the foreachBatch store-maintenance family "
+    "(simhash_store_stream, lpa_store_stream): the history corpus "
+    f"(vec_id < {APPEND_SPLIT}) builds the index once — coarse "
+    "quantizer pinned to the history geometry, exactly like "
+    "ann_ivf_index_append — and new embedding batches stream in as 3 "
+    "deterministic shards (readStream + maxFilesPerTrigger=1 under "
+    "Trigger.AvailableNow). Each micro-batch assigns ONLY ITS OWN "
+    "vectors against the pinned broadcast centroids (O(batch) "
+    "map-side argmin, per-vector independent) and appends the cell "
+    "rows to the accumulated cell store, which serves queries "
+    "between batches. Because assignment at a fixed quantizer is "
+    "deterministic and order-independent, the final streamed index "
+    "is PROVABLY identical to a from-scratch build at the pinned "
+    "quantizer no matter how the batches split — which is exactly "
+    "what the oracle computes (stride and centroid seeds pinned to "
+    "history), so the whole streamed-append path is "
+    "value-hash-checked, the same proof as the batch append. Warm "
+    "re-invocation replays the checkpoint, appends nothing, serves "
+    "the accumulated index.",
+    tags=("similarity", "ann", "streaming", "scale", "warehouse"),
+)
+def ivf_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    B = APPEND_SPLIT
+    wh, ck, lk, tag, _n = _ivf_persisted_index(spark, sf_dir, hist_limit=B)
+    cents = wh.read_table(spark, ck)
+    emb = _t(spark, sf_dir, "embeddings")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    stag = hashlib.md5(
+        f"v1:ivfstream:{B}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"ivfstream_{stag}")
+    src = os.path.join(root, "src")
+    cells_dir = os.path.join(root, "cells")
+    ready = os.path.join(root, "_READY")
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        # seed the cell store with the HISTORY index (same rows the
+        # persisted bucketed table holds; plain parquet here because the
+        # store is append-maintained between batches)
+        wh.read_table(spark, lk).write.mode("overwrite").parquet(cells_dir)
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                emb.filter((F.col("vec_id") >= B) & (F.col("vec_id") % 3 == shard))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]),
+                os.path.join(src, f"shard_{shard}.parquet"),
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _assign_append(batch_df: DataFrame, _bid: int) -> None:
+        sp = batch_df.sparkSession
+        batch = batch_df.select(
+            "vec_id", F.expr(QUANT_SPARK).alias("q")
+        ).withColumn("nrm", _dot("q", "q"))
+        # pinned quantizer: re-read the tiny centroid table (broadcast)
+        _ivf_assign(batch, wh.read_table(sp, ck)).write.mode("append").parquet(
+            cells_dir
+        )
+
+    name = f"mts_ivfstream_{stag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_assign_append)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    cells = spark.read.parquet(cells_dir)
+    return _ivf_serve(spark, sf_dir, cents, cells)
+
+
+@q(
     "knn_label_vote",
     oracle=f"""
     WITH e AS (

@@ -307,3 +307,36 @@ def test_knn_indexed_vote_plan_pruned_scan_no_index_exchange(spark):
     assert "SelectedBucketsCount" in plan, plan
     assert "RoundRobinPartitioning" not in plan
     assert "hashpartitioning(cell" not in plan, plan
+
+
+def test_ivf_store_stream_matches_batch_append_and_is_warm(spark):
+    """ivf_store_stream: the streamed per-batch appends at the pinned
+    quantizer must land on exactly the batch append's result (both are
+    hash-checked against the pinned oracle; here: row-identical to each
+    other), and a warm re-invocation appends nothing."""
+    import hashlib
+
+    from magictables_spark.plans.similarity import (
+        APPEND_SPLIT,
+        ann_ivf_index_append,
+        ivf_store_stream,
+    )
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    k1, n1 = _rows_key(ivf_store_stream(spark, SF))
+    k2, n2 = _rows_key(ann_ivf_index_append(spark, SF))
+    assert n1 == n2 > 0
+    assert k1 == k2
+
+    cfp = corpus_fingerprint(os.path.join(SF, "embeddings.parquet"))
+    stag = hashlib.md5(
+        f"v1:ivfstream:{APPEND_SPLIT}:{os.path.realpath(SF)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    cells_dir = os.path.join(store_root(f"ivfstream_{stag}"), "cells")
+    files1 = sorted(os.listdir(cells_dir))
+    n_cells1 = spark.read.parquet(cells_dir).count()
+    n_vec = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).count()
+    assert n_cells1 == n_vec  # every vector indexed exactly once
+    k3, _ = _rows_key(ivf_store_stream(spark, SF))
+    assert k3 == k1
+    assert sorted(os.listdir(cells_dir)) == files1  # zero new appends

@@ -38,6 +38,11 @@ WAIVERS: dict[str, dict[str, str]] = {
     "ann_ivf_persisted": {
         NLJ: "broadcast side is the ~sqrt(n) persisted centroid table (5-probe cross)"
     },
+    "ivf_store_stream": {
+        NLJ: "broadcast side is the pinned ~sqrt(history) centroid "
+        "table (probe-to-cell assignment at serve time; the appends "
+        "happened inside foreachBatch)"
+    },
     "ann_ivf_index_append": {
         NLJ: "broadcast side is the pinned ~sqrt(n_hist) centroid table (5-probe cross)"
     },

@@ -221,6 +221,247 @@ def run_family(spark, src_dir: str, name: str, ckpt_root: str) -> dict:
     return {"summary": summary, "batches": batches}
 
 
+def stage_doc_shards(spark, sf_dir: str, n_shards: int, split: int) -> str:
+    """Split the documents fixture's new-crawl side (doc_id >= split)
+    into ``n_shards`` equal doc_id-range files for the store-maintenance
+    probes (round-8: the foreachBatch families stream documents/pairs,
+    not events)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"v1:docs:{n_shards}:{split}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"stream_probe_docs_{tag}")
+    src = os.path.join(root, "src")
+    marker = os.path.join(root, "_READY")
+    if os.path.exists(marker):
+        return src
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(src)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        f"doc_id >= {split}"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = max(1, (hi or 0) - (lo or 0) + 1)
+    docs = docs.withColumn(
+        "shard",
+        F.least(
+            F.floor((F.col("doc_id") - F.lit(lo)) / span * n_shards),
+            F.lit(n_shards - 1),
+        ).cast("int"),
+    )
+    now = time.time()
+    for i in range(n_shards):
+        part_dir = os.path.join(root, f"part{i}")
+        docs.filter(F.col("shard") == i).drop("shard").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = next(
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dst = os.path.join(src, f"shard_{i:03d}.parquet")
+        shutil.move(os.path.join(part_dir, part), dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(part_dir, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return src
+
+
+def run_maintenance(spark, sf_dir: str, name: str, n_shards: int) -> dict:
+    """Sustained probe for the foreachBatch STORE-MAINTENANCE families
+    (simhash band store / LPA label store). These hold zero
+    state-store rows — the external store is the state — so the
+    bounded-work evidence is the PER-BATCH TRIGGER TIME trajectory:
+    O(batch + touched) maintenance stays flat across n_shards batches
+    while the accumulated store grows; O(accumulated-corpus)
+    maintenance climbs linearly. ``work_ratio`` = median trigger ms of
+    the last third / median of the first third (warm-up excluded):
+    ~1.0 = flat, ~2.0+ = cost tracking the accumulated corpus."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    split = 250 if name == "simhash_store" else 150
+    src = stage_doc_shards(spark, sf_dir, n_shards, split)
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"probe:{name}:{n_shards}:{os.path.realpath(sf_dir)}:{cfp}:{time.time()}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"probe_maint_{tag}")
+    os.makedirs(root)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    if name == "simhash_store":
+        from magictables_spark.plans.similarity import (
+            _simhash_bands,
+            _simhash_sig_frame,
+        )
+
+        store_dir = os.path.join(root, "store")
+        hits_dir = os.path.join(root, "hits")
+        _simhash_bands(
+            _simhash_sig_frame(docs.filter(F.col("doc_id") < split))
+        ).write.mode("overwrite").parquet(store_dir)
+        spark.createDataFrame(
+            [], "doc_id bigint, dup_of bigint, hamming int"
+        ).write.mode("overwrite").parquet(hits_dir)
+
+        def body(batch_df, _bid):
+            bands = _simhash_bands(_simhash_sig_frame(batch_df)).localCheckpoint(
+                eager=True
+            )
+            store = batch_df.sparkSession.read.parquet(store_dir).select(
+                "band", "key", F.col("doc_id").alias("dup_of"), F.col("s").alias("sa")
+            )
+            (
+                store.join(
+                    bands.select("band", "key", "doc_id", F.col("s").alias("sb")),
+                    ["band", "key"],
+                )
+                .select(
+                    "doc_id",
+                    "dup_of",
+                    F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming"),
+                )
+                .filter(F.col("hamming") <= 2)
+                .distinct()
+                .write.mode("append")
+                .parquet(hits_dir)
+            )
+            bands.write.mode("append").parquet(store_dir)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        store_count = lambda: spark.read.parquet(store_dir).count()  # noqa: E731
+    else:  # lpa_store: per-batch doc shards contribute their pair edges
+        from magictables_spark.plans.textops import _lpa3, dedup_ngram_jaccard
+        from magictables_spark.streaming import _resolve_snapshot
+
+        # all pairs precomputed once (the probe measures MAINTENANCE
+        # cost, not pair generation); each batch streams the pairs
+        # whose max endpoint falls in its doc range
+        pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+
+        def _sym(pdf):
+            return pdf.unionByName(
+                pdf.select(
+                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                )
+            ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+
+        edges_dir = os.path.join(root, "edges")
+        delta_dir = os.path.join(root, "delta")
+        os.makedirs(delta_dir)
+        _sym(
+            pairs.filter((F.col("doc_a") < split) & (F.col("doc_b") < split))
+        ).write.mode("overwrite").parquet(edges_dir)
+        pairs_pq = os.path.join(root, "pairs")
+        pairs.filter(
+            (F.col("doc_a") >= split) | (F.col("doc_b") >= split)
+        ).write.mode("overwrite").parquet(pairs_pq)
+
+        def body(batch_df, bid):
+            sp = batch_df.sparkSession
+            ids = [r.doc_id for r in batch_df.select("doc_id").collect()]
+            if not ids:
+                return
+            lo_b, hi_b = min(ids), max(ids)
+            batch_pairs = sp.read.parquet(pairs_pq).filter(
+                (F.greatest("doc_a", "doc_b") >= lo_b)
+                & (F.greatest("doc_a", "doc_b") <= hi_b)
+            )
+            new_edges = _sym(batch_pairs).localCheckpoint(eager=True)
+            new_edges.write.mode("append").parquet(edges_dir)
+            all_edges = sp.read.parquet(edges_dir).localCheckpoint(eager=True)
+            snap = _resolve_snapshot(delta_dir)
+            prior = (
+                sp.read.parquet(snap)
+                if snap is not None
+                else sp.createDataFrame([], "v bigint, lab bigint")
+            )
+            affected = new_edges.select(F.col("a").alias("v")).distinct().localCheckpoint()
+            while True:
+                grown = (
+                    all_edges.join(affected, all_edges.a == affected.v)
+                    .select(F.col("b").alias("v"))
+                    .distinct()
+                    .join(affected, "v", "left_anti")
+                    .localCheckpoint()
+                )
+                if grown.isEmpty():
+                    break
+                affected = affected.unionByName(grown).distinct().localCheckpoint()
+            aff_edges = all_edges.join(
+                affected.withColumnRenamed("v", "a"), "a", "left_semi"
+            )
+            labels = _lpa3(aff_edges, affected.withColumn("lab", F.col("v")))
+            new_delta = prior.join(affected, "v", "left_anti").unionByName(labels)
+            fresh = os.path.join(delta_dir, f"snapshot_b{bid}")
+            new_delta.write.mode("overwrite").parquet(fresh)
+            tmp = os.path.join(delta_dir, "LATEST.tmp")
+            with open(tmp, "w") as f:
+                f.write(os.path.basename(fresh))
+            os.replace(tmp, os.path.join(delta_dir, "LATEST"))
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def store_count():
+            snap = _resolve_snapshot(delta_dir)
+            return spark.read.parquet(snap).count() if snap else 0
+
+    qname = f"probe_maint_{name}_{int(time.time() * 1000)}"
+    q = (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    batches = [
+        {
+            "batch_id": p["batchId"],
+            "input_rows": p.get("numInputRows", 0),
+            "trigger_ms": p.get("durationMs", {}).get("triggerExecution"),
+        }
+        for p in progress
+        if p.get("numInputRows", 0) > 0
+    ]
+    times = [b["trigger_ms"] for b in batches[1:] if b["trigger_ms"]]  # skip warm-up
+    third = max(1, len(times) // 3)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    summary = {
+        "family": name,
+        "n_data_batches": len(batches),
+        "total_rows": sum(b["input_rows"] for b in batches),
+        "first_third_ms": med(times[:third]) if times else None,
+        "last_third_ms": med(times[-third:]) if times else None,
+        "work_ratio": round(med(times[-third:]) / med(times[:third]), 3)
+        if times and med(times[:third])
+        else None,
+        "store_rows_final": store_count(),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return {"summary": summary, "batches": batches}
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     shards = 24
@@ -233,6 +474,8 @@ def main() -> None:
             shards = int(a.split("=", 1)[1])
         elif a.startswith("--families="):
             fams = a.split("=", 1)[1].split(",")
+        elif a == "--maintenance":
+            fams = ["simhash_store", "lpa_store"]
         elif a.startswith("--out="):
             out = a.split("=", 1)[1]
 
@@ -246,6 +489,18 @@ def main() -> None:
     )
     results = {}
     for name in fams:
+        if name in ("simhash_store", "lpa_store"):
+            r = run_maintenance(spark, sf_dir, name, shards)
+            results[name] = r
+            s = r["summary"]
+            print(
+                f"{name}: {s['n_data_batches']} data batches, "
+                f"{s['total_rows']} rows, per-batch ms first/last third "
+                f"{s['first_third_ms']}/{s['last_third_ms']} "
+                f"(work_ratio {s['work_ratio']}), "
+                f"store {s['store_rows_final']} rows final"
+            )
+            continue
         r = run_family(spark, src, name, ckpt_root)
         results[name] = r
         s = r["summary"]
