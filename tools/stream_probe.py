@@ -291,7 +291,8 @@ def run_maintenance(spark, sf_dir: str, name: str, n_shards: int) -> dict:
     from magictables_spark.warehouse import corpus_fingerprint, store_root
 
     split = 250 if name == "simhash_store" else 150
-    src = stage_doc_shards(spark, sf_dir, n_shards, split)
+    if name == "simhash_store":
+        src = stage_doc_shards(spark, sf_dir, n_shards, split)
     cfp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     tag = hashlib.md5(
         f"probe:{name}:{n_shards}:{os.path.realpath(sf_dir)}:{cfp}:{time.time()}".encode()
@@ -345,13 +346,15 @@ def run_maintenance(spark, sf_dir: str, name: str, n_shards: int) -> dict:
             .parquet(src)
         )
         store_count = lambda: spark.read.parquet(store_dir).count()  # noqa: E731
-    else:  # lpa_store: per-batch doc shards contribute their pair edges
+    else:  # lpa_store: the PAIR-EDGE stream itself is sharded — the
+        # fixture's near-dup graph only spans doc_id < 200, so sharding
+        # documents would put every edge in one batch; hashing the
+        # PAIRS into n_shards gives every micro-batch real maintenance
+        # work (closure + touched-component recompute) against a
+        # growing store
         from magictables_spark.plans.textops import _lpa3, dedup_ngram_jaccard
         from magictables_spark.streaming import _resolve_snapshot
 
-        # all pairs precomputed once (the probe measures MAINTENANCE
-        # cost, not pair generation); each batch streams the pairs
-        # whose max endpoint falls in its doc range
         pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
 
         def _sym(pdf):
@@ -364,25 +367,33 @@ def run_maintenance(spark, sf_dir: str, name: str, n_shards: int) -> dict:
         edges_dir = os.path.join(root, "edges")
         delta_dir = os.path.join(root, "delta")
         os.makedirs(delta_dir)
-        _sym(
-            pairs.filter((F.col("doc_a") < split) & (F.col("doc_b") < split))
-        ).write.mode("overwrite").parquet(edges_dir)
-        pairs_pq = os.path.join(root, "pairs")
-        pairs.filter(
-            (F.col("doc_a") >= split) | (F.col("doc_b") >= split)
-        ).write.mode("overwrite").parquet(pairs_pq)
+        spark.createDataFrame([], "a bigint, b bigint").write.mode(
+            "overwrite"
+        ).parquet(edges_dir)
+        src = os.path.join(root, "pair_src")
+        os.makedirs(src)
+        sharded = pairs.withColumn(
+            "shard",
+            (F.xxhash64("doc_a", "doc_b") % n_shards + n_shards) % n_shards,
+        )
+        now = time.time()
+        for i in range(n_shards):
+            part_dir = os.path.join(root, f"ppart{i}")
+            sharded.filter(F.col("shard") == i).drop("shard").coalesce(
+                1
+            ).write.mode("overwrite").parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            dst = os.path.join(src, f"shard_{i:03d}.parquet")
+            shutil.move(os.path.join(part_dir, part), dst)
+            os.utime(dst, (now + i, now + i))
+            shutil.rmtree(part_dir, ignore_errors=True)
 
         def body(batch_df, bid):
             sp = batch_df.sparkSession
-            ids = [r.doc_id for r in batch_df.select("doc_id").collect()]
-            if not ids:
-                return
-            lo_b, hi_b = min(ids), max(ids)
-            batch_pairs = sp.read.parquet(pairs_pq).filter(
-                (F.greatest("doc_a", "doc_b") >= lo_b)
-                & (F.greatest("doc_a", "doc_b") <= hi_b)
-            )
-            new_edges = _sym(batch_pairs).localCheckpoint(eager=True)
+            new_edges = _sym(batch_df).localCheckpoint(eager=True)
             new_edges.write.mode("append").parquet(edges_dir)
             all_edges = sp.read.parquet(edges_dir).localCheckpoint(eager=True)
             snap = _resolve_snapshot(delta_dir)
@@ -416,7 +427,7 @@ def run_maintenance(spark, sf_dir: str, name: str, n_shards: int) -> dict:
             os.replace(tmp, os.path.join(delta_dir, "LATEST"))
 
         stream = (
-            spark.readStream.schema(docs.schema)
+            spark.readStream.schema("doc_a bigint, doc_b bigint")
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
