@@ -1052,6 +1052,52 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_tables(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(hashed-shingle sets, banded LSH index) for a doc slice —
+    identical arithmetic to dedup_minhash (same _MH16/_h60/P31
+    literals), so every persisted MinHash store (batch-incremental and
+    streaming alike) stays oracle-reproducible in DuckDB."""
+    from magictables_spark.functions import shingles as _sh
+
+    raw = df.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
+        "doc_id", _sh("text", n=3).alias("sh")
+    )
+    hs = raw.select(
+        "doc_id", F.expr(f"transform(sh, s -> {_h60_spark('s')})").alias("hs")
+    )
+    mh = hs.select(
+        "doc_id",
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(transform(hs, h -> ({a} * (h % {P31}) + {b}) % {P31}))"
+                )
+                for a, b in _MH16
+            ]
+        ).alias("sig"),
+    )
+
+    def _band_hash(bi: int):
+        i0, i1, i2, i3 = (bi * 4 + r for r in range(4))
+        return F.expr(
+            f"(((((sig[{i0}] * 31 + sig[{i1}]) % {P31}) * 31"
+            f" + sig[{i2}]) % {P31}) * 31 + sig[{i3}]) % {P31}"
+        )
+
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), _band_hash(bi).alias("bh"))
+                    for bi in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    return hs, bands
+
+
 @q(
     "dedup_minhash_incremental",
     oracle=f"""
@@ -1116,7 +1162,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    from magictables_spark.functions import shingles as _sh
     from magictables_spark.warehouse import (
         Warehouse,
         corpus_fingerprint as _wh_corpus_fingerprint,
@@ -1130,48 +1175,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(
         f"v2:{B}:{os.path.realpath(sf_dir)}:{n}:{cfp}".encode()
     ).hexdigest()[:16]
-
-    def _mh_tables(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(hashed-shingle sets, banded LSH index) for a doc slice —
-        identical arithmetic to dedup_minhash (same _MH16/_h60/P31
-        literals), so the persisted store stays oracle-reproducible."""
-        raw = df.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
-            "doc_id", _sh("text", n=3).alias("sh")
-        )
-        hs = raw.select(
-            "doc_id", F.expr(f"transform(sh, s -> {_h60_spark('s')})").alias("hs")
-        )
-        mh = hs.select(
-            "doc_id",
-            F.array(
-                *[
-                    F.expr(
-                        f"array_min(transform(hs, h -> ({a} * (h % {P31}) + {b}) % {P31}))"
-                    )
-                    for a, b in _MH16
-                ]
-            ).alias("sig"),
-        )
-
-        def _band_hash(bi: int):
-            i0, i1, i2, i3 = (bi * 4 + r for r in range(4))
-            return F.expr(
-                f"(((((sig[{i0}] * 31 + sig[{i1}]) % {P31}) * 31"
-                f" + sig[{i2}]) % {P31}) * 31 + sig[{i3}]) % {P31}"
-            )
-
-        bands = mh.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(bi).alias("band"), _band_hash(bi).alias("bh"))
-                        for bi in range(4)
-                    ]
-                )
-            ).alias("b"),
-        ).select("doc_id", "b.band", "b.bh")
-        return hs, bands
+    _mh_tables = _minhash_tables
 
     hk, bk = f"mh_hs_{key}", f"mh_bands_{key}"
     wh = Warehouse(store_root("minhash"))
@@ -2921,6 +2925,194 @@ def simhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(hits_dir)
         .distinct()
         .orderBy("doc_id", "dup_of")
+    )
+
+
+@q(
+    "minhash_store_stream",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), shng AS (
+      SELECT doc_id, list_distinct(
+               list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+                      || ' ' || string_split(text, ' ')[i+2])
+             ) AS sh
+      FROM raw
+    ), hs AS (
+      SELECT doc_id, list_transform(sh, s -> {_h60_duck('s')}) AS hs FROM shng
+    ), sig AS (
+      SELECT doc_id, [{_SIG_DUCK}] AS sig FROM hs
+    ), bands AS (
+      SELECT doc_id, band,
+             (((((sig[4*band+1] * 31 + sig[4*band+2]) % {P31}) * 31
+                + sig[4*band+3]) % {P31}) * 31 + sig[4*band+4]) % {P31} AS bh
+      FROM sig CROSS JOIN (FROM range(0, 4) t(band))
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS dup_of
+      FROM bands b JOIN bands h ON b.band = h.band AND b.bh = h.bh
+      WHERE b.doc_id >= 250
+        AND (h.doc_id < 250 OR (h.doc_id % 3) < (b.doc_id % 3))
+    ), scored AS (
+      SELECT c.doc_id, c.dup_of,
+             CAST(len(list_intersect(hb.hs, hh.hs)) AS DOUBLE)
+               / len(list_distinct(list_cat(hb.hs, hh.hs))) AS jaccard
+      FROM cand c
+      JOIN hs hb ON hb.doc_id = c.doc_id
+      JOIN hs hh ON hh.doc_id = c.dup_of
+    )
+    SELECT doc_id, dup_of, jaccard
+    FROM (
+      SELECT doc_id, dup_of, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY jaccard DESC, dup_of ASC) AS rn
+      FROM scored WHERE jaccard >= 0.5
+    ) WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    doc="STREAMING maintenance of the persisted MinHash-LSH store — "
+    "the fuzzy-dedup twin of simhash_store_stream and the streaming "
+    "form of dedup_minhash_incremental: the history corpus (doc_id < "
+    "250) seeds the banded index (band, bh) and hashed-shingle sets "
+    "once; the new-crawl side is split into 3 deterministic shards "
+    "(doc_id % 3) consumed via readStream + maxFilesPerTrigger=1, so "
+    "Trigger.AvailableNow executes THREE real micro-batches. Each "
+    "foreachBatch turn (a) shingles/signs ONLY its own micro-batch "
+    "(identical _MH16/_h60/P31 arithmetic to dedup_minhash, so the "
+    "whole streamed roundtrip stays DuckDB-reproducible), (b) probes "
+    "the CURRENT band store — history plus every earlier batch — for "
+    "candidates (ID-only exchange bounded by the batch), verifies "
+    "with exact hashed-shingle Jaccard against the stored sets, and "
+    "appends each batch doc's best match (jaccard >= 0.5, ties to "
+    "the lowest doc_id) to a results log, then (c) appends its own "
+    "band rows and shingle sets into the store, so later batches "
+    "dedup against earlier ones and the store stays query-fresh "
+    "BETWEEN batches. Per-batch cost is O(batch + touched bands) — "
+    "the index IS the state (foreachBatch holds zero state-store "
+    "rows) and it grows by exactly the increment, asserted in "
+    "tests/test_minhash_stream.py. The ORACLE is the full LSH "
+    "candidate join restricted to (history OR earlier-shard) x "
+    "batch — the batch dedup_minhash_incremental oracle generalized "
+    "to the prefix each micro-batch saw — so the entire streamed "
+    "store lifecycle is value-hash-checked cross-engine. "
+    "Re-invocation reuses the checkpoint: AvailableNow sees no new "
+    "files, runs zero batches, serves the accumulated results warm.",
+    tags=("text", "dedup", "streaming", "scale", "warehouse"),
+)
+def minhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import (
+        corpus_fingerprint as _cfp,
+        store_root,
+    )
+
+    B = 250
+    docs = _t(spark, sf_dir, "documents")
+    cfp = _cfp(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"v1:{B}:mh16x4:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"mhstream_{tag}")
+    src = os.path.join(root, "src")
+    bands_dir = os.path.join(root, "bands")
+    hs_dir = os.path.join(root, "hs")
+    hits_dir = os.path.join(root, "hits")
+    ready = os.path.join(root, "_READY")
+    out_schema = "doc_id bigint, dup_of bigint, jaccard double"
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        # seed: history shingle-set + band stores, empty results log
+        hs_h, bands_h = _minhash_tables(docs.filter(F.col("doc_id") < B))
+        bands_h.write.mode("overwrite").parquet(bands_dir)
+        hs_h.write.mode("overwrite").parquet(hs_dir)
+        spark.createDataFrame([], out_schema).write.mode("overwrite").parquet(
+            hits_dir
+        )
+        # 3 deterministic single-file shards of the new-crawl side
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                docs.filter((F.col("doc_id") >= B) & (F.col("doc_id") % 3 == shard))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]),
+                os.path.join(src, f"shard_{shard}.parquet"),
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _probe_and_append(batch_df: DataFrame, _batch_id: int) -> None:
+        # runs on the DRIVER once per micro-batch (foreachBatch
+        # contract): plain spark.read sees the current store snapshot
+        hs_b, bands_b = _minhash_tables(batch_df)
+        hs_b = hs_b.localCheckpoint(eager=True)
+        bands_b = bands_b.localCheckpoint(eager=True)
+        ss = batch_df.sparkSession
+        store_bands = ss.read.parquet(bands_dir).select(
+            "band", "bh", F.col("doc_id").alias("dup_of")
+        )
+        cand = (
+            bands_b.join(store_bands, ["band", "bh"])
+            .select("doc_id", "dup_of")
+            .dropDuplicates(["doc_id", "dup_of"])
+        )
+        store_hs = ss.read.parquet(hs_dir).select(
+            F.col("doc_id").alias("dup_of"), F.col("hs").alias("hh")
+        )
+        jac = (
+            F.size(F.array_intersect("hb", "hh")).cast("double")
+            / F.size(F.array_union("hb", "hh")).cast("double")
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("jaccard"), F.asc("dup_of")
+        )
+        (
+            cand.join(hs_b.select("doc_id", F.col("hs").alias("hb")), "doc_id")
+            .join(store_hs, "dup_of")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.5)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "dup_of", "jaccard")
+            .write.mode("append")
+            .parquet(hits_dir)
+        )
+        bands_b.write.mode("append").parquet(bands_dir)
+        hs_b.write.mode("append").parquet(hs_dir)
+
+    name = f"mts_mhstream_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_probe_and_append)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.read.schema(out_schema)
+        .parquet(hits_dir)
+        .orderBy("doc_id")
     )
 
 
