@@ -1271,6 +1271,166 @@ def rollup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "rollup_store_stream",
+    oracle=f"""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({VAL_I}) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+    doc="STREAMING maintenance of the materialized (day, event_type) "
+    "rollup — the streaming twin of rollup_incremental_store and the "
+    "production materialized-view shape: the history split (day < 16) "
+    "seeds a parquet store PARTITIONED BY day; the rest of the month "
+    "is sharded 3 ways on event_id % 3 (all shards hit the SAME days, "
+    "so the merge path genuinely sums partials rather than appending "
+    "disjoint keys) and consumed via readStream + maxFilesPerTrigger=1 "
+    "— Trigger.AvailableNow executes THREE real micro-batches. Each "
+    "foreachBatch turn (a) aggregates ONLY its own rows to (day, "
+    "event_type) partials, (b) reads the store pruned to the batch's "
+    "TOUCHED day-partitions only (isin filter -> partition pruning), "
+    "(c) merges group-wise (count/sum are associative+commutative "
+    "partials), and (d) rewrites ONLY the touched partitions via "
+    "dynamic partitionOverwriteMode — untouched history partitions "
+    "are never read NOR rewritten (file-mtime-asserted in "
+    "tests/test_rollup_stream.py), so per-batch cost is O(batch + "
+    "touched groups) regardless of store size. localCheckpoint cuts "
+    "the merged plan's lineage before the overwrite (you cannot "
+    "overwrite files an active plan still reads). A per-batch applied-"
+    "marker makes replay idempotent under foreachBatch's at-least-once "
+    "contract (merge is NOT naturally idempotent — the marker is the "
+    "guard; a transactional table format would close the remaining "
+    "crash window between overwrite and marker, documented boundary). "
+    "Because the merged partials are PROVABLY equal to a from-scratch "
+    "GROUP BY, the oracle is the full-table rollup — the entire "
+    "streamed merge lifecycle is value-hash-checked.",
+    tags=("events", "pipeline", "warehouse", "streaming", "scale"),
+)
+def rollup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    cfp = corpus_fingerprint(ev_path)
+    tag = hashlib.md5(
+        f"v1:16:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"rollstream_{tag}")
+    src = os.path.join(root, "src")
+    store_dir = os.path.join(root, "store")
+    applied_dir = os.path.join(root, "applied")
+    ready = os.path.join(root, "_READY")
+
+    ev = _t(spark, sf_dir, "events")
+
+    def _partials(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+                "event_type",
+                F.expr(VAL_I).alias("cents"),
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+        )
+
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        os.makedirs(applied_dir)
+        # seed: history partials, partitioned by day (the rollup key's
+        # coarse component — partition pruning + dynamic overwrite unit)
+        _partials(ev.filter(F.dayofmonth(F.col("ts").cast("date")) < 16)).write.partitionBy(
+            "day"
+        ).mode("overwrite").parquet(store_dir)
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                ev.filter(
+                    (F.dayofmonth(F.col("ts").cast("date")) >= 16)
+                    & (F.col("event_id") % 3 == shard)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]),
+                os.path.join(src, f"shard_{shard}.parquet"),
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):  # at-least-once replay guard
+            return
+        parts = _partials(batch_df).localCheckpoint(eager=True)
+        touched = [r.day for r in parts.select("day").distinct().collect()]
+        ss = batch_df.sparkSession
+        cur = ss.read.parquet(store_dir).filter(F.col("day").isin(touched))
+        merged = (
+            cur.unionByName(parts)
+            .groupBy("day", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_cents").alias("sum_cents"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage before overwrite
+        )
+        (
+            merged.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .mode("overwrite")
+            .parquet(store_dir)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    name = f"mts_rollstream_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.read.parquet(store_dir)
+        # partition-column inference types day back as DATE; the rollup
+        # key is the formatted string (oracle strftime parity)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@q(
     "pit_feature_join",
     oracle="""
     WITH feat AS (
