@@ -1087,6 +1087,161 @@ def scd2_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "scd2_store_stream",
+    oracle=_SCD2_ORACLE,
+    doc="STREAMING SCD2 dimension maintenance — the foreachBatch twin "
+    "of scd2_incremental_store and the terminal shape of the "
+    "dimension-maintenance triangle (SCD-1 streaming upsert landed as "
+    "stream_upsert_foreachbatch; this is the version-history leg): "
+    f"the history changelog (ts < {_SCD2_SPLIT_TS}) collapses once "
+    "into a run store PARTITIONED BY a 32-way user-hash bucket; the "
+    "rest of the month splits into 3 CONTIGUOUS TIME shards (days "
+    "16-20 / 21-25 / 26-31, mtime-ordered so the file source replays "
+    "them in changelog order — SCD2 merge REQUIRES in-order batches, "
+    "the same append-only contract a CDC feed gives you) consumed via "
+    "readStream + maxFilesPerTrigger=1: Trigger.AvailableNow executes "
+    "THREE real micro-batches. Each foreachBatch turn (a) finds the "
+    "batch's touched user-buckets, (b) reads the store pruned to those "
+    "partitions only, (c) replays each TOUCHED user's stored runs as "
+    "weighted pseudo-events (collapse-of-collapse is exact: stored "
+    "runs alternate status by construction — the scd2_incremental_"
+    "store proof), folds the batch after them, and (d) rewrites ONLY "
+    "the touched bucket-partitions via dynamic partitionOverwriteMode "
+    "— untouched users in a touched bucket pass through row-identical, "
+    "untouched buckets are never read nor written. Per-batch cost is "
+    "O(touched buckets + batch) regardless of dimension size; replay "
+    "is guarded by per-batch applied markers (at-least-once contract). "
+    "The ORACLE is the full-changelog gaps-and-islands recompute, so "
+    "the whole streamed merge lifecycle — three ordered merges over a "
+    "partitioned store — is value-hash-checked cross-engine.",
+    tags=("events", "pipeline", "merge", "warehouse", "streaming", "scale"),
+)
+def scd2_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import time as _time
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    NB = 32  # user-hash bucket partitions (the overwrite/pruning unit)
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit(_SCD2_SPLIT_TS).cast("timestamp")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"v1:scd2s:{NB}:{_SCD2_SPLIT_TS}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"scd2stream_{tag}")
+    src = os.path.join(root, "src")
+    store_dir = os.path.join(root, "store")
+    applied_dir = os.path.join(root, "applied")
+    ready = os.path.join(root, "_READY")
+
+    _ub = F.pmod(F.xxhash64("user_id"), F.lit(NB)).alias("ub")
+    run_cols = ["user_id", "version", "status", "vf", "vf_event_id", "n_events"]
+
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        os.makedirs(applied_dir)
+        hist = ev.filter(F.col("ts") < split).withColumn(
+            "weight", F.lit(1).cast("bigint")
+        )
+        _scd2_runs(hist).select(*run_cols, _ub).write.partitionBy("ub").mode(
+            "overwrite"
+        ).parquet(store_dir)
+        # 3 contiguous time shards — mtime-ordered (oldest first is the
+        # file source's replay order), because SCD2 merge is order-
+        # sensitive by contract
+        now = _time.time()
+        for shard, (lo, hi) in enumerate([(16, 21), (21, 26), (26, 32)]):
+            part_dir = os.path.join(root, f"part{shard}")
+            d = F.dayofmonth(F.col("ts").cast("date"))
+            (
+                ev.filter((F.col("ts") >= split) & (d >= lo) & (d < hi))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), dst)
+            os.utime(dst, (now - 300 + shard * 100, now - 300 + shard * 100))
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):  # at-least-once replay guard
+            return
+        b = (
+            batch_df.select(
+                "user_id", "ts", "event_id", "event_type",
+                F.lit(1).cast("bigint").alias("weight"), _ub,
+            )
+            .localCheckpoint(eager=True)
+        )
+        touched_b = [r.ub for r in b.select("ub").distinct().collect()]
+        if touched_b:
+            ss = batch_df.sparkSession
+            store = ss.read.parquet(store_dir).filter(F.col("ub").isin(touched_b))
+            touched_users = b.select("user_id").distinct()
+            keep = store.join(touched_users, "user_id", "left_anti")
+            synth = store.join(touched_users, "user_id", "left_semi").select(
+                "user_id",
+                F.col("vf").alias("ts"),
+                F.col("vf_event_id").alias("event_id"),
+                F.col("status").alias("event_type"),
+                F.col("n_events").alias("weight"),
+            )
+            new_runs = _scd2_runs(
+                synth.unionByName(
+                    b.select("user_id", "ts", "event_id", "event_type", "weight")
+                )
+            )
+            out = (
+                keep.select(*run_cols)
+                .unionByName(new_runs.select(*run_cols))
+                .select(*run_cols, _ub)
+                .localCheckpoint(eager=True)  # cut lineage before overwrite
+            )
+            (
+                out.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ub")
+                .mode("overwrite")
+                .parquet(store_dir)
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    name = f"mts_scd2stream_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _scd2_finalize(
+        spark.read.parquet(store_dir).select(
+            "user_id", "version", "status", "vf", "n_events"
+        )
+    )
+
+
+@q(
     "stream_upsert_foreachbatch",
     oracle="""
     SELECT user_id, event_type AS latest_status,
