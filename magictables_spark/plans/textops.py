@@ -224,6 +224,137 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_store_stream",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250
+    ), batch AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 250
+    ), fresh AS (
+      SELECT fp, doc_id FROM (
+        SELECT fp, doc_id,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY doc_id % 3, doc_id) AS rn
+        FROM batch
+      ) WHERE rn = 1
+    )
+    SELECT f.doc_id, f.fp
+    FROM fresh f LEFT JOIN base b ON f.fp = b.fp
+    WHERE b.fp IS NULL
+    ORDER BY doc_id
+    """,
+    doc="STREAMING admission dedup against the persisted fingerprint "
+    "store — the foreachBatch twin of dedup_incremental_store and the "
+    "last leg of the store-maintenance symmetry (every incremental "
+    "store family now has both a batch and a streaming driver: exact-"
+    "fp, MinHash, SimHash, IVF, LPA, rollup, SCD2, HLL): history "
+    "(doc_id < 250) seeds the md5 fingerprint set once; the new crawl "
+    "streams in 3 shards (doc_id % 3) via readStream + "
+    "maxFilesPerTrigger=1, and each micro-batch (a) self-dedups (min "
+    "doc_id per fp), (b) anti-joins the CURRENT store — history plus "
+    "every earlier batch — admitting only first-seen documents to the "
+    "results log, then (c) appends exactly its admitted fps to the "
+    "store, so the store remains a SET and later batches reject "
+    "re-crawls of earlier admissions. Per-batch cost is one "
+    "batch-sized exchange (the store is the state, grows by the "
+    "admitted increment — asserted in tests/test_dedup_stream.py). "
+    "The ORACLE ranks each fingerprint's claimants by (shard index, "
+    "doc_id) — exactly the stream admission order — so the whole "
+    "streamed store lifecycle is value-hash-checked. Re-invocation "
+    "reuses the checkpoint and serves the accumulated admissions "
+    "warm.",
+    tags=("text", "dedup", "streaming", "scale", "warehouse"),
+)
+def dedup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    B = 250
+    docs = _t(spark, sf_dir, "documents")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    tag = hashlib.md5(
+        f"v1:{B}:fps:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"fpstream_{tag}")
+    src = os.path.join(root, "src")
+    store_dir = os.path.join(root, "store")
+    admit_dir = os.path.join(root, "admitted")
+    ready = os.path.join(root, "_READY")
+    out_schema = "doc_id bigint, fp string"
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        (
+            docs.filter(F.col("doc_id") < B)
+            .select(F.md5("text").alias("fp"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(store_dir)
+        )
+        spark.createDataFrame([], out_schema).write.mode("overwrite").parquet(
+            admit_dir
+        )
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                docs.filter((F.col("doc_id") >= B) & (F.col("doc_id") % 3 == shard))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]),
+                os.path.join(src, f"shard_{shard}.parquet"),
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _admit_and_append(batch_df: DataFrame, _batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        fresh = (
+            batch_df.select(F.md5("text").alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .join(ss.read.parquet(store_dir), "fp", "left_anti")
+            .select("doc_id", "fp")
+            .localCheckpoint(eager=True)  # one admission set, two writes
+        )
+        fresh.write.mode("append").parquet(admit_dir)
+        fresh.select("fp").write.mode("append").parquet(store_dir)
+
+    name = f"mts_fpstream_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_admit_and_append)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.read.schema(out_schema)
+        .parquet(admit_dir)
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+@q(
     "dedup_ngram_jaccard",
     oracle="""
     WITH sh AS (
