@@ -1,0 +1,98 @@
+"""Product-quantization slugs (vector_quantize_pq / ann_pq_rescore).
+
+The hash oracles prove cross-engine exactness of election, Lloyd
+training, encoding, ADC and rescore; these tests gate the QUALITY
+properties the oracle can't see:
+- recall of the final top-10 vs the exact sim_cosine_topk;
+- the Lloyd rounds actually reduce total distortion vs the raw
+  md5-elected codebook (training does something);
+- code-space invariants: 16 codes per vector, each in [1, 16] — the
+  8-byte storage claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from magictables_spark.plans.queries import REGISTRY
+
+
+def test_pq_rescore_recall(spark, sf_dir):
+    """Trained-codebook ADC at max(100, n/10) candidates must recover
+    most of the exact top-10 (measured 0.94-0.96 on the 500-vector
+    draws and 0.88 on the 2000-vector sf0.1 draw; gate with margin)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_pq_rescore"].fn(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"PQ-rescore recall {recall:.2f}"
+
+
+def test_pq_codes_are_8_bytes_of_codespace(spark, sf_dir):
+    from magictables_spark.plans.similarity import _PQ_K, _PQ_M
+
+    rows = REGISTRY["vector_quantize_pq"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r.codes) == _PQ_M
+        assert all(1 <= c <= _PQ_K for c in r.codes), r.codes
+        assert r.recon_l2 >= 0
+
+
+def test_lloyd_rounds_reduce_distortion(spark, sf_dir):
+    """Total reconstruction error with the trained codebook must beat
+    the untrained md5-elected codebook — the property that lifted
+    recall 0.38 -> 0.96. Recomputes the untrained encode inline with
+    the same arithmetic, zero iterations."""
+    import magictables_spark.plans.similarity as S
+    from pyspark.sql.window import Window
+
+    trained = (
+        REGISTRY["vector_quantize_pq"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("recon_l2").alias("t"))
+        .collect()[0]
+        .t
+    )
+
+    e = S._quantized(spark, sf_dir)
+    ws = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(S._PQ_K)
+        .select(F.row_number().over(ws).alias("sid"), F.col("q").alias("sq"))
+    )
+    ms = spark.range(S._PQ_M).select(F.col("id").cast("int").alias("m"))
+    cb0 = seeds.crossJoin(F.broadcast(ms)).select(
+        "m", "sid", F.expr(f"slice(sq, {S._PQ_SUB}*m+1, {S._PQ_SUB})").alias("cw")
+    )
+    subs = (
+        e.select(
+            "vec_id", "q",
+            F.explode(F.sequence(F.lit(0), F.lit(S._PQ_M - 1))).alias("m"),
+        )
+        .select(
+            "vec_id", "m",
+            F.expr(f"slice(q, {S._PQ_SUB}*m+1, {S._PQ_SUB})").alias("x"),
+        )
+    )
+    d2 = F.expr(
+        " + ".join(
+            f"(x[{j}] - cw[{j}]) * (x[{j}] - cw[{j}])" for j in range(S._PQ_SUB)
+        )
+    ).cast("bigint")
+    untrained = (
+        subs.join(F.broadcast(cb0), "m")
+        .select("vec_id", "m", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("d2").alias("d2"))
+        .agg(F.sum("d2").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert trained < untrained, (trained, untrained)
