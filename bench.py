@@ -97,6 +97,11 @@ HEADLINE = [
     # round-7 addition: the persisted IVF index — the second ANN family
     # completing the build-once/serve-many lifecycle
     "ann_ivf_persisted",
+    # round-8 additions: the Lloyd-trained product-quantization ANN (8
+    # bytes/vector + ADC), and the streamed materialized-rollup
+    # maintenance (dynamic partition overwrite per micro-batch)
+    "ann_pq_rescore",
+    "rollup_store_stream",
 ]
 
 

@@ -78,6 +78,10 @@ WAIVERS: dict[str, dict[str, str]] = {
     },
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
     "ann_int8_rescore": {NLJ: "broadcast side is the 5-row int8 probe set"},
+    "ann_pq_rescore": {
+        NLJ: "broadcast side is the 5-row full-precision probe set "
+        "(ADC coarse pass); the re-rank joins are key-equi"
+    },
     "q11_important_parts": {NLJ: "broadcast side is the 1-row scalar-subquery threshold"},
     "q22_dormant_customers": {NLJ: "broadcast side is the 1-row average-balance scalar"},
     "range_join": {NLJ: "the residual band predicate after bucket-equi blocking"},
