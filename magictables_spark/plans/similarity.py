@@ -2384,25 +2384,38 @@ _PQ_CAND = 100  # ADC candidate FLOOR; effective width = max(100, n // 10)
 #                 Rescore cost stays bounded (5 probes x C cosines).
 
 
-def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, codes array<int>, recon array<bigint>, recon_l2) for
-    every embedding: md5-elect K=16 seed vectors, refine each of the
-    M=16 per-subspace codebooks with _PQ_ITERS Lloyd rounds
-    (floor-mean centroids, empty cells keep their codeword), then
-    quantize each subvector to its nearest codeword (exact int64
-    squared-L2, ties to the lowest seed id). recon is codes ⊗ codebook
-    — it exists so downstream ADC scoring is a plain _dot — and
-    recon_l2 is the total winning distance, i.e. the integer
-    reconstruction error, for free from the same aggregate. Plan: the
-    codebook loop joins n*M subvector rows against a BROADCAST 256-row
-    codebook and aggregates with map-side combine; per Lloyd round
-    that is one exchange of n*M skinny rows — the standard PQ training
-    cost, run on a sample at 100 TB while the final encode fuses into
-    the index-build scan."""
-    e = _quantized(spark, sf_dir)
+def _pq_subs(e: DataFrame) -> DataFrame:
+    """(vec_id, m, x): every vector exploded into its M subvectors."""
+    return (
+        e.select(
+            "vec_id",
+            "q",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
+        )
+        .select(
+            "vec_id", "m", F.expr(f"slice(q, {_PQ_SUB}*m+1, {_PQ_SUB})").alias("x")
+        )
+    )
+
+
+def _pq_d2():
+    # built lazily: F.expr needs an active session
+    return F.expr(
+        " + ".join(
+            f"(x[{j}] - cw[{j}]) * (x[{j}] - cw[{j}])" for j in range(_PQ_SUB)
+        )
+    ).cast("bigint")
+
+
+def _pq_codebook(spark: SparkSession, e_train: DataFrame) -> DataFrame:
+    """(m, sid, cw): md5-elect K seed vectors from the TRAINING slice,
+    slice them into per-subspace codewords, refine with _PQ_ITERS Lloyd
+    rounds (floor-mean centroids, empty cells keep their codeword).
+    The training slice is the quantizer's identity — the append path
+    pins it to the history corpus, exactly like the IVF quantizer."""
     ws = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
     seeds = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        e_train.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(_PQ_K)
         .select(F.row_number().over(ws).alias("sid"), F.col("q").alias("sq"))
     )
@@ -2410,24 +2423,11 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = seeds.crossJoin(F.broadcast(ms)).select(
         "m", "sid", F.expr(f"slice(sq, {_PQ_SUB}*m+1, {_PQ_SUB})").alias("cw")
     ).localCheckpoint(eager=True)
-    subs = (
-        e.select(
-            "vec_id",
-            "q",
-            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("m"),
-        )
-        .select("vec_id", "m", F.expr(f"slice(q, {_PQ_SUB}*m+1, {_PQ_SUB})").alias("x"))
-        .localCheckpoint(eager=True)  # reused every Lloyd round + encode
-    )
-    d2 = F.expr(
-        " + ".join(
-            f"(x[{j}] - cw[{j}]) * (x[{j}] - cw[{j}])" for j in range(_PQ_SUB)
-        )
-    ).cast("bigint")
+    subs_t = _pq_subs(e_train).localCheckpoint(eager=True)  # reused per round
     for _ in range(_PQ_ITERS):
         assign = (
-            subs.join(F.broadcast(cb), "m")
-            .select("vec_id", "m", d2.alias("d2"), "sid", "x")
+            subs_t.join(F.broadcast(cb), "m")
+            .select("vec_id", "m", _pq_d2().alias("d2"), "sid", "x")
             .groupBy("vec_id", "m")
             .agg(F.min(F.struct("d2", "sid", "x")).alias("b"))
             .select("m", F.col("b.sid").alias("sid"), F.col("b.x").alias("x"))
@@ -2436,9 +2436,7 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
             assign.groupBy("m", "sid")
             .agg(
                 *[
-                    F.floor(
-                        F.sum(F.col("x")[j]).cast("double") / F.count("*")
-                    )
+                    F.floor(F.sum(F.col("x")[j]).cast("double") / F.count("*"))
                     .cast("bigint")
                     .alias(f"c{j}")
                     for j in range(_PQ_SUB)
@@ -2453,9 +2451,17 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("m", "sid", F.coalesce("nw", "cw").alias("cw"))
             .localCheckpoint(eager=True)  # 256 rows; stops lineage growth
         )
+    return cb
+
+
+def _pq_encode_at(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Quantize every subvector to its nearest codeword of a GIVEN
+    codebook -> (vec_id, codes, recon, recon_l2). Deterministic and
+    per-vector independent, so encode-then-append ≡ rebuild at the
+    same codebook (the append-path proof)."""
     best = (
         subs.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", d2.alias("d2"), "sid", "cw")
+        .select("vec_id", "m", _pq_d2().alias("d2"), "sid", "cw")
         .groupBy("vec_id", "m")
         .agg(F.min(F.struct("d2", "sid", "cw")).alias("b"))
         .select(
@@ -2481,15 +2487,34 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_duck_ctes() -> str:
+def _pq_encoded(
+    spark: SparkSession, sf_dir: str, hist_limit: int | None = None
+) -> DataFrame:
+    """(vec_id, codes, recon, recon_l2) for every embedding: train the
+    codebook (on the history slice only when hist_limit pins the
+    quantizer), then encode the FULL corpus at it. Plan: the codebook
+    loop joins n*M subvector rows against a BROADCAST 256-row codebook
+    and aggregates with map-side combine; per Lloyd round that is one
+    exchange of n*M skinny rows — the standard PQ training cost, run
+    on a sample at 100 TB while the final encode fuses into the
+    index-build scan."""
+    e = _quantized(spark, sf_dir)
+    e_train = e if hist_limit is None else e.filter(F.col("vec_id") < hist_limit)
+    return _pq_encode_at(_pq_subs(e), _pq_codebook(spark, e_train))
+
+
+def _pq_duck_ctes(hist: int | None = None) -> str:
     """The DuckDB mirror of _pq_encoded: seeds -> cb0 -> _PQ_ITERS x
     (assign -> floor-mean -> coalesce) -> final encode, generated from
     the same constants so both engines always run the same unrolled
-    fixed point."""
+    fixed point. With ``hist`` the training side (seeds + Lloyd
+    assignments) is pinned to vec_id < hist while the encode still
+    covers everything — the append-path oracle."""
     d2 = " + ".join(
         f"(s.x[{j}] - c.cw[{j}]) * (s.x[{j}] - c.cw[{j}])"
         for j in range(1, _PQ_SUB + 1)
     )
+    hw = "" if hist is None else f" WHERE vec_id < {hist}"
     parts = [
         f"""e AS (
       SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
@@ -2498,12 +2523,14 @@ def _pq_duck_ctes() -> str:
         SELECT vec_id, q,
                ROW_NUMBER() OVER (
                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM e
+        FROM e{hw}
       ) WHERE rn <= {_PQ_K}
     ), subs AS (
       SELECT e.vec_id, m.m,
              list_slice(e.q, {_PQ_SUB}*m.m+1, {_PQ_SUB}*m.m+{_PQ_SUB}) AS x
       FROM e CROSS JOIN (FROM range(0, {_PQ_M}) t(m)) m
+    ), subs_t AS (
+      SELECT * FROM subs{hw}
     ), cb0 AS (
       SELECT m.m, s.sid,
              list_slice(s.sq, {_PQ_SUB}*m.m+1, {_PQ_SUB}*m.m+{_PQ_SUB}) AS cw
@@ -2521,7 +2548,7 @@ def _pq_duck_ctes() -> str:
         SELECT s.vec_id, s.m, c.sid, s.x,
                ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                                   ORDER BY ({d2}), c.sid) AS rn
-        FROM subs s JOIN cb{i} c ON s.m = c.m
+        FROM subs_t s JOIN cb{i} c ON s.m = c.m
       ) WHERE rn = 1
     ), mm{i} AS (
       SELECT m, sid, [{comps}] AS nw FROM a{i} GROUP BY m, sid
@@ -2549,6 +2576,46 @@ def _pq_duck_ctes() -> str:
 
 
 _PQ_ENC_DUCK = _pq_duck_ctes()
+
+# the ADC coarse -> exact rescore tail, shared by the direct, persisted
+# and append slugs (their results are provably identical at the same
+# codebook, so the SQL tail is literally the same text)
+_PQ_ADC_TAIL = f"""
+    , nrm AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i]))
+               AS BIGINT) AS nrm2
+      FROM e
+    ), coarse AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> p.q[i]*c.r[i]))
+               AS BIGINT) AS adc
+      FROM e p JOIN enc c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id) AS rc
+        FROM coarse
+      ) WHERE rc <= GREATEST({_PQ_CAND},
+                             (SELECT COUNT(*) FROM embeddings) // 10)
+    ), rescored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> a.q[i]*b.q[i]))
+               AS BIGINT)
+               / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE)))
+               AS cosine
+      FROM cand
+      JOIN nrm a ON a.vec_id = cand.query_id
+      JOIN nrm b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM rescored
+    ) WHERE rn <= 10
+    """
 
 
 @q(
@@ -2594,40 +2661,7 @@ def vector_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_pq_rescore",
     oracle=f"""
     WITH {_PQ_ENC_DUCK}
-    , nrm AS (
-      SELECT vec_id, q,
-             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i]))
-               AS BIGINT) AS nrm2
-      FROM e
-    ), coarse AS (
-      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-             CAST(list_sum(list_transform(range(1, 65), i -> p.q[i]*c.r[i]))
-               AS BIGINT) AS adc
-      FROM e p JOIN enc c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
-    ), cand AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id, adc,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY adc DESC, neighbor_id) AS rc
-        FROM coarse
-      ) WHERE rc <= GREATEST({_PQ_CAND},
-                             (SELECT COUNT(*) FROM embeddings) // 10)
-    ), rescored AS (
-      SELECT cand.query_id, cand.neighbor_id,
-             CAST(list_sum(list_transform(range(1, 65), i -> a.q[i]*b.q[i]))
-               AS BIGINT)
-               / (sqrt(CAST(a.nrm2 AS DOUBLE)) * sqrt(CAST(b.nrm2 AS DOUBLE)))
-               AS cosine
-      FROM cand
-      JOIN nrm a ON a.vec_id = cand.query_id
-      JOIN nrm b ON b.vec_id = cand.neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine FROM (
-      SELECT query_id, neighbor_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rn
-      FROM rescored
-    ) WHERE rn <= 10
+    {_PQ_ADC_TAIL}
     """,
     doc="The PQ-ADC -> exact-rescore ANN architecture end to end "
     "(Jégou et al. 2011): candidates score ASYMMETRICALLY — "
@@ -2700,6 +2734,199 @@ def ann_pq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         rescored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .drop("rn")
+    )
+
+
+def _pq_persisted_index(
+    spark: SparkSession, sf_dir: str, hist_limit: int | None = None
+):
+    """Build-once PQ index in the warehouse: the trained codebook
+    (m, sid, cw — 256 tiny rows, the 1KB artifact a serving scan keeps
+    in memory) and the CODE table (vec_id, codes — 8 logical bytes per
+    vector, the 32x-compressed scan target). recon is NOT stored: it
+    re-derives from codes ⊗ codebook at serve time, which is the whole
+    point of the format. With ``hist_limit`` both training and the
+    stored codes cover the history corpus only (the pinned quantizer
+    the append path extends). Returns (wh, cb_key, codes_key, tag,
+    n_vec)."""
+    import hashlib
+    import os
+
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
+
+    n_vec = _t(spark, sf_dir, "embeddings").count()
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    scope = f"h{hist_limit}" if hist_limit is not None else "full"
+    tag = hashlib.md5(
+        f"v1:pq:{_PQ_M}x{_PQ_K}i{_PQ_ITERS}:{scope}:"
+        f"{os.path.realpath(sf_dir)}:{n_vec}:{cfp}".encode()
+    ).hexdigest()[:16]
+    wh = Warehouse(store_root("ann"))
+    ck, ek = f"pqC_{tag}", f"pqE_{tag}"
+    if not (wh.has_table(ck) and wh.has_table(ek)):
+        e = _quantized(spark, sf_dir)
+        e_idx = e if hist_limit is None else e.filter(F.col("vec_id") < hist_limit)
+        cb = _pq_codebook(spark, e_idx)
+        wh.write_table(cb, ck, source_info={"scope": scope, "k": _PQ_K})
+        wh.write_table(
+            _pq_encode_at(_pq_subs(e_idx), cb).select("vec_id", "codes"),
+            ek,
+            source_info={"scope": scope, "m": _PQ_M},
+        )
+    return wh, ck, ek, tag, n_vec
+
+
+def _pq_serve(
+    spark: SparkSession, sf_dir: str, cb: DataFrame, codes: DataFrame
+) -> DataFrame:
+    """ADC coarse -> exact rescore over a STORED code table: the 256-row
+    codebook collects to the driver and inlines as a literal nested
+    array, so reconstruction is a pure projection over the 8-byte codes
+    — the production serving shape (codebook in memory, codes streamed,
+    zero joins on the scan side). Finalists fetch their full-precision
+    vectors by key for the exact re-rank."""
+    rows = cb.collect()  # 256 rows — bounded driver roundtrip by design
+    by_m: dict[int, dict[int, list[int]]] = {}
+    for r in rows:
+        by_m.setdefault(r.m, {})[r.sid] = list(r.cw)
+    lit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{v}L" for v in by_m[m][sid]) + ")"
+                for sid in range(1, _PQ_K + 1)
+            )
+            + ")"
+            for m in range(_PQ_M)
+        )
+        + ")"
+    )
+    e = _quantized(spark, sf_dir)
+    n_vec = _t(spark, sf_dir, "embeddings").count()
+    cand_n = max(_PQ_CAND, n_vec // 10)
+    # recon = codes ⊗ codebook, 0-based m / 1-based sid (codes store sid)
+    recon = F.expr(
+        f"flatten(transform(sequence(0, {_PQ_M - 1}),"
+        f" m -> {lit}[m][codes[m] - 1]))"
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("p")
+    )
+    coarse = (
+        codes.select(F.col("vec_id").alias("neighbor_id"), recon.alias("recon"))
+        .join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc", _dot("p", "recon"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        coarse.withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") <= cand_n)
+        .select("query_id", "neighbor_id")
+    )
+    full = e.withColumn("nrm2", _dot("q", "q"))
+    a = full.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("nrm2").alias("na"),
+    )
+    b = full.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("nrm2").alias("nb"),
+    )
+    rescored = (
+        cand.join(F.broadcast(a), "query_id")
+        .join(b, "neighbor_id")
+        .withColumn(
+            "cosine",
+            _dot("qa", "qb").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@q(
+    "ann_pq_persisted",
+    oracle=f"""
+    WITH {_PQ_ENC_DUCK}
+    {_PQ_ADC_TAIL}
+    """,
+    doc="Build-once/serve-many PQ index — the THIRD persisted ANN "
+    "lifecycle next to ann_lsh_persisted and ann_ivf_persisted: the "
+    "Lloyd-trained codebook (256 rows, ~1KB) and the 8-byte-per-vector "
+    "CODE table are built once and written to the warehouse; every "
+    "query then serves from the stored codes with the codebook inlined "
+    "as a literal — reconstruction is a pure projection, so the serve "
+    "side runs ZERO training and ZERO joins on the scan (the "
+    "production ADC shape: codebook in memory, codes streamed). "
+    "recon is NOT stored — it re-derives from codes ⊗ codebook, which "
+    "is what makes the index 32x smaller than the raw vectors, the "
+    "property that lets a 100 TB corpus's candidate scan fit in the "
+    "page cache of a modest cluster. Results are row-identical to "
+    "ann_pq_rescore (same oracle text — deterministic encode makes "
+    "store-roundtrip ≡ direct compute, hash-checked); warm "
+    "cross-session reuse + store-immutability asserted in "
+    "tests/test_pq.py.",
+    tags=("similarity", "ann", "scale", "warehouse"),
+)
+def ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh, ck, ek, _tag, _n = _pq_persisted_index(spark, sf_dir)
+    return _pq_serve(
+        spark, sf_dir, wh.read_table(spark, ck), wh.read_table(spark, ek)
+    )
+
+
+@q(
+    "ann_pq_index_append",
+    oracle=f"""
+    WITH {_pq_duck_ctes(hist=APPEND_SPLIT)}
+    {_PQ_ADC_TAIL}
+    """,
+    doc="INCREMENTAL update of the persisted PQ index (build once -> "
+    "serve many -> APPEND increments), completing the third ANN "
+    f"family's lifecycle: the history corpus (vec_id < {APPEND_SPLIT}) "
+    "trains the codebook and encodes its own codes exactly like "
+    "ann_pq_persisted — the codebook is a property of the index fixed "
+    "at creation (re-training it on the grown corpus is a rebuild by "
+    "definition, the same pinned-quantizer contract as "
+    "ann_ivf_index_append). A new vector batch then encodes ONLY its "
+    "own rows at the pinned broadcast codebook — O(batch), per-vector "
+    "independent — and the union lands as a NEW VERSION of the code "
+    "table (atomic pointer swap; readers never see a torn index). "
+    "Because the subspace argmin is deterministic, appended codes are "
+    "PROVABLY identical to a from-scratch encode at the pinned "
+    "codebook — exactly what the oracle computes (training CTEs "
+    "restricted to the history slice, encode over everything), so the "
+    "whole append lifecycle is value-hash-checked; on corpora where "
+    "the history codebook differs from a fresh full-corpus build's, "
+    "the check proves the Spark side really serves the history "
+    "geometry.",
+    tags=("similarity", "ann", "scale", "warehouse"),
+)
+def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = APPEND_SPLIT
+    wh, ck, ek, tag, _n = _pq_persisted_index(spark, sf_dir, hist_limit=B)
+    ak = f"pqA_{tag}"
+    if not wh.has_table(ak):
+        cb = wh.read_table(spark, ck)
+        batch = _quantized(spark, sf_dir).filter(F.col("vec_id") >= B)
+        merged = wh.read_table(spark, ek).unionByName(
+            _pq_encode_at(_pq_subs(batch), cb).select("vec_id", "codes")
+        )
+        wh.write_table(merged, ak, source_info={"appended_from": ek})
+    return _pq_serve(
+        spark, sf_dir, wh.read_table(spark, ck), wh.read_table(spark, ak)
     )
 
 

@@ -44,6 +44,53 @@ def test_pq_codes_are_8_bytes_of_codespace(spark, sf_dir):
         assert r.recon_l2 >= 0
 
 
+def test_pq_persisted_serves_identically_and_warm(spark, sf_dir):
+    """Store-roundtrip ≡ direct compute (deterministic encode), and a
+    second invocation serves from the existing store version (no
+    rebuild — the build-once/serve-many contract)."""
+    from magictables_spark.plans.similarity import _pq_persisted_index
+
+    direct = sorted(
+        tuple(r) for r in REGISTRY["ann_pq_rescore"].fn(spark, sf_dir).collect()
+    )
+    served = sorted(
+        tuple(r) for r in REGISTRY["ann_pq_persisted"].fn(spark, sf_dir).collect()
+    )
+    assert served == direct
+
+    wh, ck, ek, _tag, _n = _pq_persisted_index(spark, sf_dir)
+
+    def versions():
+        return (
+            [v["version"] for v in wh.list_versions(ck)],
+            [v["version"] for v in wh.list_versions(ek)],
+        )
+
+    v1 = versions()
+    REGISTRY["ann_pq_persisted"].fn(spark, sf_dir).collect()
+    assert versions() == v1
+
+
+def test_pq_append_store_covers_the_grown_corpus(spark, sf_dir):
+    """After the append, the code table holds one row per corpus
+    vector (history encode + O(batch) increment), and every vector's
+    code row exists exactly once."""
+    from magictables_spark.plans.similarity import (
+        APPEND_SPLIT,
+        _pq_persisted_index,
+    )
+
+    REGISTRY["ann_pq_index_append"].fn(spark, sf_dir).collect()
+    wh, ck, ek, tag, n_vec = _pq_persisted_index(
+        spark, sf_dir, hist_limit=APPEND_SPLIT
+    )
+    hist = wh.read_table(spark, ek)
+    appended = wh.read_table(spark, f"pqA_{tag}")
+    assert hist.count() == min(APPEND_SPLIT, n_vec)
+    assert appended.count() == n_vec
+    assert appended.select("vec_id").distinct().count() == n_vec
+
+
 def test_lloyd_rounds_reduce_distortion(spark, sf_dir):
     """Total reconstruction error with the trained codebook must beat
     the untrained md5-elected codebook — the property that lifted

@@ -82,6 +82,14 @@ WAIVERS: dict[str, dict[str, str]] = {
         NLJ: "broadcast side is the 5-row full-precision probe set "
         "(ADC coarse pass); the re-rank joins are key-equi"
     },
+    "ann_pq_persisted": {
+        NLJ: "broadcast side is the 5-row probe set over the stored "
+        "8-byte code scan (serve-side ADC); re-rank joins are key-equi"
+    },
+    "ann_pq_index_append": {
+        NLJ: "broadcast side is the 5-row probe set over the appended "
+        "code table (serve-side ADC); re-rank joins are key-equi"
+    },
     "q11_important_parts": {NLJ: "broadcast side is the 1-row scalar-subquery threshold"},
     "q22_dormant_customers": {NLJ: "broadcast side is the 1-row average-balance scalar"},
     "range_join": {NLJ: "the residual band predicate after bucket-equi blocking"},
