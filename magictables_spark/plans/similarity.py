@@ -2930,6 +2930,110 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "pq_store_stream",
+    oracle=f"""
+    WITH {_pq_duck_ctes(hist=APPEND_SPLIT)}
+    {_PQ_ADC_TAIL}
+    """,
+    doc="STREAMING maintenance of the persisted PQ index — the third "
+    "vector index to join the foreachBatch store-maintenance family "
+    "(ivf_store_stream is the IVF twin): the history corpus "
+    f"(vec_id < {APPEND_SPLIT}) trains the codebook and seeds the "
+    "code store once (pinned geometry, exactly like "
+    "ann_pq_index_append); new embedding batches stream in as 3 "
+    "deterministic shards (readStream + maxFilesPerTrigger=1 under "
+    "Trigger.AvailableNow), and each micro-batch encodes ONLY ITS OWN "
+    "vectors at the pinned broadcast codebook — O(batch) subspace "
+    "argmin, per-vector independent — appending 8-byte code rows to "
+    "the accumulated store, which serves ADC queries between batches. "
+    "Because encoding at a fixed codebook is deterministic and "
+    "order-independent, the final streamed index is PROVABLY "
+    "identical to a from-scratch encode at the pinned codebook no "
+    "matter how the batches split — exactly what the oracle computes "
+    "(training CTEs restricted to history, encode over everything), "
+    "so the whole streamed-append path is value-hash-checked. Warm "
+    "re-invocation replays the checkpoint, appends nothing, serves "
+    "the accumulated index.",
+    tags=("similarity", "ann", "streaming", "scale", "warehouse"),
+)
+def pq_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    B = APPEND_SPLIT
+    wh, ck, ek, tag, _n = _pq_persisted_index(spark, sf_dir, hist_limit=B)
+    emb = _t(spark, sf_dir, "embeddings")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    stag = hashlib.md5(
+        f"v1:pqstream:{B}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"pqstream_{stag}")
+    src = os.path.join(root, "src")
+    codes_dir = os.path.join(root, "codes")
+    ready = os.path.join(root, "_READY")
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        # seed the code store with the HISTORY encode (same rows the
+        # persisted table holds; plain parquet because the store is
+        # append-maintained between batches)
+        wh.read_table(spark, ek).write.mode("overwrite").parquet(codes_dir)
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                emb.filter((F.col("vec_id") >= B) & (F.col("vec_id") % 3 == shard))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]),
+                os.path.join(src, f"shard_{shard}.parquet"),
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _encode_append(batch_df: DataFrame, _bid: int) -> None:
+        sp = batch_df.sparkSession
+        batch = batch_df.select("vec_id", F.expr(QUANT_SPARK).alias("q"))
+        # pinned codebook: re-read the tiny table (broadcast in encode)
+        (
+            _pq_encode_at(_pq_subs(batch), wh.read_table(sp, ck))
+            .select("vec_id", "codes")
+            .write.mode("append")
+            .parquet(codes_dir)
+        )
+
+    name = f"mts_pqstream_{stag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_encode_append)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _pq_serve(
+        spark, sf_dir, wh.read_table(spark, ck), spark.read.parquet(codes_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup (Abbas et al. 2023): semantic dedup at scale = cluster the
 # embedding space first, then run exact pairwise cosine ONLY within each

@@ -91,6 +91,45 @@ def test_pq_append_store_covers_the_grown_corpus(spark, sf_dir):
     assert appended.select("vec_id").distinct().count() == n_vec
 
 
+def test_pq_store_stream_grows_by_the_increment_and_serves_warm(spark, sf_dir):
+    """The streamed code store ends holding one code row per corpus
+    vector (history seed + one append per shard), and a warm
+    re-invocation replays the checkpoint without touching the store."""
+    import hashlib
+    import os
+
+    from magictables_spark.plans.similarity import APPEND_SPLIT
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    r1 = sorted(
+        tuple(r) for r in REGISTRY["pq_store_stream"].fn(spark, sf_dir).collect()
+    )
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    stag = hashlib.md5(
+        f"v1:pqstream:{APPEND_SPLIT}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"pqstream_{stag}")
+    codes_dir = os.path.join(root, "codes")
+    n_vec = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    codes = spark.read.parquet(codes_dir)
+    assert codes.count() == n_vec
+    assert codes.select("vec_id").distinct().count() == n_vec
+
+    def snap():
+        return sorted(
+            (f, os.stat(os.path.join(codes_dir, f)).st_mtime_ns)
+            for f in os.listdir(codes_dir)
+            if f.endswith(".parquet")
+        )
+
+    s1 = snap()
+    r2 = sorted(
+        tuple(r) for r in REGISTRY["pq_store_stream"].fn(spark, sf_dir).collect()
+    )
+    assert r1 == r2
+    assert snap() == s1
+
+
 def test_lloyd_rounds_reduce_distortion(spark, sf_dir):
     """Total reconstruction error with the trained codebook must beat
     the untrained md5-elected codebook — the property that lifted

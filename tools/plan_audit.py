@@ -90,6 +90,11 @@ WAIVERS: dict[str, dict[str, str]] = {
         NLJ: "broadcast side is the 5-row probe set over the appended "
         "code table (serve-side ADC); re-rank joins are key-equi"
     },
+    "pq_store_stream": {
+        NLJ: "broadcast side is the 5-row probe set over the streamed "
+        "code store (serve-side ADC; appends happened inside "
+        "foreachBatch); re-rank joins are key-equi"
+    },
     "q11_important_parts": {NLJ: "broadcast side is the 1-row scalar-subquery threshold"},
     "q22_dormant_customers": {NLJ: "broadcast side is the 1-row average-balance scalar"},
     "range_join": {NLJ: "the residual band predicate after bucket-equi blocking"},
