@@ -216,6 +216,137 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "kcore_peel_rounds",
+    oracle="""
+    WITH th AS (
+      -- co-occurrence threshold scales with the fixture: the small
+      -- corpus is dense (same 200 parts recur), the big ones sparse;
+      -- both engines derive it from the same row count
+      SELECT CASE WHEN COUNT(*) < 30000 THEN 3 ELSE 2 END AS t FROM lineitem
+    ), li AS (SELECT l_orderkey, l_partkey % 2000 AS p FROM lineitem),
+    edges0 AS MATERIALIZED (
+      SELECT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+      GROUP BY a.p, b.p HAVING COUNT(*) >= (SELECT t FROM th)
+    ), deg0 AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges0
+        UNION ALL SELECT v AS node FROM edges0
+      ) GROUP BY node
+    ), alive0 AS MATERIALIZED (
+      SELECT node FROM deg0 WHERE d >= 3
+    ), edges1 AS MATERIALIZED (
+      SELECT e.u, e.v FROM edges0 e
+      JOIN alive0 a ON e.u = a.node
+      JOIN alive0 b ON e.v = b.node
+    ), deg1 AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges1
+        UNION ALL SELECT v AS node FROM edges1
+      ) GROUP BY node
+    ), alive1 AS MATERIALIZED (
+      SELECT node FROM deg1 WHERE d >= 3
+    ), edges2 AS MATERIALIZED (
+      SELECT e.u, e.v FROM edges1 e
+      JOIN alive1 a ON e.u = a.node
+      JOIN alive1 b ON e.v = b.node
+    ), deg2 AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges2
+        UNION ALL SELECT v AS node FROM edges2
+      ) GROUP BY node
+    ), alive2 AS MATERIALIZED (
+      SELECT node FROM deg2 WHERE d >= 3
+    ), edges3 AS MATERIALIZED (
+      SELECT e.u, e.v FROM edges2 e
+      JOIN alive2 a ON e.u = a.node
+      JOIN alive2 b ON e.v = b.node
+    ), deg3 AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges3
+        UNION ALL SELECT v AS node FROM edges3
+      ) GROUP BY node
+    ), alive3 AS MATERIALIZED (
+      SELECT node FROM deg3 WHERE d >= 3
+    ), edges4 AS MATERIALIZED (
+      SELECT e.u, e.v FROM edges3 e
+      JOIN alive3 a ON e.u = a.node
+      JOIN alive3 b ON e.v = b.node
+    )
+    SELECT node, d AS degree FROM (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM edges4
+        UNION ALL SELECT v AS node FROM edges4
+      ) GROUP BY node
+    ) WHERE d >= 3
+    ORDER BY node
+    """,
+    doc="k-core decomposition by iterative peeling over the part "
+    "co-purchase graph (the cohesion-subgraph primitive next to "
+    f"triangle_count): 4 UNROLLED peel rounds, each computing the "
+    "degree of the surviving subgraph and dropping nodes below k="
+    f"3 together with their incident edges — the declared "
+    "fixed-round semantics of the iterative family "
+    "(pagerank_fixed_iters precedent), which is what makes the whole "
+    "loop expressible as an unrolled CTE chain and value-hash-checked "
+    "cross-engine (at this fixture the peel reaches its fixpoint "
+    "within the unrolled rounds — asserted in tests/test_kcore.py — "
+    "so the output IS the exact 3-core). Plan shape per round: one "
+    "degree aggregate + two node-keyed semi-joins, all riding the "
+    "same node-hash exchange; rounds are data-independent of corpus "
+    "size (peeling depth, not n), so at 100 TB this is R bounded "
+    "passes over an edge list that only shrinks — the standard "
+    "distributed k-core schedule. localCheckpoint per round stops "
+    "Catalyst from re-inlining the whole unrolled lineage (the "
+    "simhash_neardup 44s->9s lesson).",
+    tags=("graph", "analytics", "scale"),
+)
+def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, R = 3, 4
+    # parquet-footer count: the co-occurrence threshold scales with the
+    # fixture density (see oracle comment), derived identically there
+    n_li = _t(spark, sf_dir, "lineitem").count()
+    th = 3 if n_li < 30000 else 2
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 2000).alias("p")
+    )
+    a = li.select("l_orderkey", F.col("p").alias("u"))
+    b = li.select("l_orderkey", F.col("p").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= th)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+
+    for _ in range(R):
+        alive = degrees(edges).filter(F.col("d") >= K).select("node")
+        edges = (
+            edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)  # peeled lineage stays flat
+        )
+    return (
+        degrees(edges)
+        .filter(F.col("d") >= K)
+        .select("node", F.col("d").alias("degree"))
+        .orderBy("node")
+    )
+
+
+@q(
     "triangle_count",
     oracle="""
     WITH li AS (SELECT l_orderkey, l_partkey % 400 AS p FROM lineitem),
