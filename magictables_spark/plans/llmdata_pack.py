@@ -298,3 +298,81 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_sampled"), F.sum("n_chars").alias("sum_chars"))
     )
+
+
+@q(
+    "token_id_encode",
+    oracle="""
+    WITH tok AS (
+      -- (token, 1-based position) pairs; this DuckDB build lacks WITH
+      -- ORDINALITY, so the ordinal rides a list_zip against range()
+      SELECT doc_id, z[1] AS token, z[2] AS ord FROM (
+        SELECT d.doc_id,
+               unnest(list_zip(string_split(d.text, ' '),
+                 range(1, len(string_split(d.text, ' ')) + 1))) AS z
+        FROM documents d
+      )
+    ), vocab AS (
+      SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token) - 1 AS id
+      FROM (SELECT token, COUNT(*) AS c FROM tok GROUP BY token)
+      QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, token) <= 1000
+    )
+    SELECT tok.doc_id,
+           list(COALESCE(v.id, -1) ORDER BY tok.ord) AS ids,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk
+    FROM tok LEFT JOIN vocab v ON tok.token = v.token
+    GROUP BY tok.doc_id
+    ORDER BY tok.doc_id
+    """,
+    doc="Token-to-id encoding — the last text-side step before a "
+    "training pipeline writes tensors: build the vocabulary (top-1000 "
+    "tokens by frequency, ties broken lexically so the id assignment "
+    "is deterministic on any engine; ids are dense 0..V-1 in rank "
+    "order), then encode every document as its ORDERED id sequence "
+    "with out-of-vocabulary tokens mapped to -1 (the unk id) plus "
+    "per-doc token/unk counts for coverage monitoring. Plan shape: "
+    "the vocab is a VOCAB-sized dim built with one token-count "
+    "aggregate and joined back BROADCAST, so the corpus pays one "
+    "posexplode + one doc_id exchange to reassemble ordered arrays — "
+    "no global sort, no shuffle keyed on the token. At 100 TB the "
+    "vocab build runs on a sample or a count-min sketch and the "
+    "encode stays the same broadcast join; pairs with "
+    "sequence_packing (bins) and reproducible_shard_shuffle (order) "
+    "to complete the tensor-prep chain. Fully value-hash-oracled "
+    "including the array column (position-exact id sequences).",
+    tags=("text", "pipeline", "llm", "scale"),
+)
+def token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "id",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token"))) - 1,
+        )
+        .filter(F.col("id") < 1000)
+        .select("token", "id")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce("id", F.lit(-1)).alias("id"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, id))), s -> s.id)"
+            ).alias("ids"),
+            F.count("*").alias("n_tokens"),
+            F.sum((F.col("id") == -1).cast("bigint")).alias("n_unk"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1339,3 +1339,134 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_bits.alias("mean_bits"),
         (mean_bits >= 2.0).alias("keep"),
     ).orderBy("doc_id")
+
+
+@q(
+    "bigram_surprisal_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS token FROM toks
+    ), c1 AS (
+      SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ), n1 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM c1
+    ), pairs AS (
+      SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_zip(list_slice(t, 1, len(t) - 1),
+                               list_slice(t, 2, len(t)))) AS z
+        FROM toks WHERE len(t) >= 2
+      )
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c FROM pairs GROUP BY w1, w2
+    ), n2 AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM c2
+    ), b2 AS (
+      SELECT w1, w2, length(bin((SELECT n FROM n2) // c)) - 1 AS bits
+      FROM c2 WHERE c >= 2
+    ), b1 AS (
+      SELECT token, length(bin((SELECT n FROM n1) // c)) - 1 + 2 AS bits
+      FROM c1
+    ), scored AS (
+      SELECT p.doc_id, COALESCE(b2.bits, b1.bits) AS bits
+      FROM pairs p
+      LEFT JOIN b2 ON p.w1 = b2.w1 AND p.w2 = b2.w2
+      JOIN b1 ON p.w2 = b1.token
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_pairs,
+             CAST(SUM(bits) AS BIGINT) AS sum_bits
+      FROM scored GROUP BY doc_id
+    ), corpus AS (
+      SELECT CAST(SUM(sum_bits) AS BIGINT) AS all_bits,
+             CAST(SUM(n_pairs) AS BIGINT) AS all_pairs
+      FROM per_doc
+    )
+    SELECT d.doc_id, d.n_pairs,
+           CAST(d.sum_bits AS DOUBLE) / d.n_pairs AS mean_bits,
+           CASE
+             WHEN CAST(d.sum_bits AS DOUBLE) / d.n_pairs
+                  < CAST(c.all_bits AS DOUBLE) / c.all_pairs - 1.0 THEN 'head'
+             WHEN CAST(d.sum_bits AS DOUBLE) / d.n_pairs
+                  > CAST(c.all_bits AS DOUBLE) / c.all_pairs + 1.0 THEN 'tail'
+             ELSE 'middle'
+           END AS lm_bucket
+    FROM per_doc d CROSS JOIN corpus c
+    """,
+    doc="Bigram-LM quality scoring with STUPID BACKOFF (Brants et al. "
+    "2007) in exact integer bits — the context-aware tier above "
+    "unigram_surprisal_quality: each consecutive token pair scores "
+    "floor(log2(N_pairs / c(w1,w2))) when the bigram was seen at "
+    "least twice, else it BACKS OFF to the unigram surprisal of w2 "
+    "plus a flat 2-bit penalty (the integer stand-in for stupid "
+    "backoff's alpha=0.4 discount). Every log2 is the binary-digit "
+    "count of an integer quotient (length(bin(q)) - 1 — the "
+    "unigram_surprisal trick), so no libm and the WHOLE two-level LM "
+    "is bit-identical cross-engine and value-hash-oracled. Docs "
+    "bucket head/middle/tail around the pair-weighted corpus mean "
+    "(+-1 bit). Plan shape at 100 TB: the bigram dim is bounded by "
+    "DISTINCT pairs (not n); seen-once pairs drop out of it (the "
+    "backoff route), which is exactly the pruning a production LM "
+    "table applies; corpus scalars collect as two bounded driver "
+    "roundtrips from pre-aggregated dims and re-enter as literals — "
+    "no single-partition exchange; the per-doc side is one explode, "
+    "one pair-keyed join, one unigram broadcast, one doc_id agg.",
+    tags=("text", "quality", "pretrain", "scale"),
+)
+def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    tok = toks.select("doc_id", F.explode("t").alias("token"))
+    c1 = tok.groupBy("token").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=True
+    )
+    n1 = c1.agg(F.sum("c").cast("bigint").alias("n")).collect()[0]["n"] or 1
+    pairs = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=True
+    )
+    n2 = c2.agg(F.sum("c").cast("bigint").alias("n")).collect()[0]["n"] or 1
+    b2 = c2.filter(F.col("c") >= 2).select(
+        "w1",
+        "w2",
+        (F.length(F.bin(F.expr(f"CAST({n2} AS BIGINT) div c"))) - 1).alias("bits2"),
+    )
+    b1 = c1.select(
+        "token",
+        (F.length(F.bin(F.expr(f"CAST({n1} AS BIGINT) div c"))) - 1 + 2).alias(
+            "bits1"
+        ),
+    )
+    scored = (
+        pairs.join(b2, ["w1", "w2"], "left")
+        .join(F.broadcast(b1.withColumnRenamed("token", "w2")), "w2")
+        .select("doc_id", F.coalesce("bits2", "bits1").alias("bits"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("bits").cast("bigint").alias("sum_bits"),
+    ).localCheckpoint(eager=True)
+    stats = per_doc.agg(
+        F.sum("sum_bits").cast("bigint").alias("all_bits"),
+        F.sum("n_pairs").cast("bigint").alias("all_pairs"),
+    ).collect()[0]
+    corpus_mean = (stats["all_bits"] or 0) / (stats["all_pairs"] or 1)
+    mean_bits = F.col("sum_bits").cast("double") / F.col("n_pairs")
+    return per_doc.select(
+        "doc_id",
+        "n_pairs",
+        mean_bits.alias("mean_bits"),
+        F.when(mean_bits < F.lit(corpus_mean) - 1.0, "head")
+        .when(mean_bits > F.lit(corpus_mean) + 1.0, "tail")
+        .otherwise("middle")
+        .alias("lm_bucket"),
+    )

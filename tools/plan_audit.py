@@ -47,6 +47,11 @@ WAIVERS: dict[str, dict[str, str]] = {
         NLJ: "broadcast side is the pinned ~sqrt(n_hist) centroid table (5-probe cross)"
     },
     "vocab_growth_curve": {SPE: "cumulative sum over the 10-row decile spine; the data-sized aggs are distributed upstream"},
+    "token_id_encode": {
+        SPE: "dense-id rank over the VOCAB-sized token-count dim "
+        "(distinct tokens, not n; the corpus-sized explode/join/agg "
+        "stages are all keyed exchanges)"
+    },
     "mannwhitney_u": {SPE: "running below-count over DISTINCT cents values — bounded by the value domain (<=56k rows), not n; the per-row rank collapse happens in the upstream keyed agg"},
     "contamination_check": {NLJ: "broadcast side is the bounded held-out shingle set"},
     "embed_neardup": {NLJ: "declared exact quadratic baseline, guarded >50k rows; ann_lsh_topk is the scale path"},

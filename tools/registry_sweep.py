@@ -74,6 +74,7 @@ def main() -> int:
     sf = "/root/testdata/sf0.1"
     spill = False
     out = None
+    only: list[str] = []
     for a in sys.argv[1:]:
         if a.startswith("--sf"):
             sf = a.split("=", 1)[1]
@@ -82,6 +83,8 @@ def main() -> int:
             os.environ["SPARK_GRAFT_UI"] = "true"
         elif a.startswith("--out="):
             out = a.split("=", 1)[1]
+        elif not a.startswith("--"):
+            only.append(a)  # slug filter: sweep just these
 
     from magictables_spark.plans.queries import REGISTRY
     from magictables_spark.session import get_spark
@@ -108,7 +111,8 @@ def main() -> int:
 
     times: dict[str, object] = {}
     metrics: dict[str, dict] = {}
-    for slug, spec in sorted(REGISTRY.items()):
+    todo = {s: REGISTRY[s] for s in only} if only else REGISTRY
+    for slug, spec in sorted(todo.items()):
         t = time.perf_counter()
         try:
             spec.fn(spark, sf).write.format("noop").mode("overwrite").save()
