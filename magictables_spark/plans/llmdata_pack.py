@@ -376,3 +376,83 @@ def token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "feature_hash_vectorize",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 64
+               AS bucket,
+             CASE WHEN ((CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT)
+                         >> 6) & 1) = 1 THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    ), sums AS (
+      SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS s
+      FROM hashed GROUP BY doc_id, bucket
+    ), dense AS (
+      SELECT d.doc_id, b.b AS bucket, COALESCE(s.s, 0) AS v
+      FROM (SELECT DISTINCT doc_id FROM sums) d
+      CROSS JOIN (FROM range(0, 64) t(b)) b
+      LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.bucket = b.b
+    )
+    SELECT doc_id,
+           list(v ORDER BY bucket) AS vec,
+           CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
+    FROM dense
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Feature hashing (Weinberger et al. 2009, the 'hashing trick') "
+    "— the vectorizer that scales where a vocabulary dictionary "
+    "cannot: each token hashes straight to one of 64 buckets "
+    "(md5-derived 60-bit hash % D, so NO vocab build, no dictionary "
+    "broadcast, no OOV concept) with a SIGNED contribution (an "
+    "independent bit of the same hash -> ±1), which keeps the "
+    "hash-collision noise zero-mean — the property that makes hashed "
+    "features usable for linear models at any corpus size. Output: "
+    "the dense 64-bucket signed-count vector per document + its nnz. "
+    "Entirely integer arithmetic on a cross-engine-identical hash, so "
+    "the WHOLE vectorization is value-hash-oracled (position-exact "
+    "arrays). Plan shape: one explode, one (doc, bucket) partial agg, "
+    "one doc-keyed map-assembly — zero joins, zero driver state; at "
+    "100 TB this is the map-side-combinable shape that replaces "
+    "token_id_encode's vocab broadcast when the vocabulary itself "
+    "would not fit (the classic trade: ids are invertible, hashes "
+    "are not).",
+    tags=("text", "pipeline", "llm", "ml", "scale"),
+)
+def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = "CAST(CONV(SUBSTRING(md5(token), 1, 15), 16, 10) AS BIGINT)"
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    hashed = tok.select(
+        "doc_id",
+        F.expr(f"{h} % 64").alias("bucket"),
+        F.expr(f"CASE WHEN (({h} >> 6) & 1) = 1 THEN 1 ELSE -1 END").alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("bucket", "s"))).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 63),"
+                " i -> coalesce(element_at(m, CAST(i AS BIGINT)), CAST(0 AS BIGINT)))"
+            ).alias("vec"),
+            F.expr(
+                "CAST(aggregate(transform(sequence(0, 63),"
+                " i -> CASE WHEN coalesce(element_at(m, CAST(i AS BIGINT)), 0L)"
+                " <> 0 THEN 1 ELSE 0 END), 0L, (a, x) -> a + x) AS BIGINT)"
+            ).alias("nnz"),
+        )
+        .orderBy("doc_id")
+    )

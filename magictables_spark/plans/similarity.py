@@ -2777,7 +2777,11 @@ def _pq_persisted_index(
 
 
 def _pq_serve(
-    spark: SparkSession, sf_dir: str, cb: DataFrame, codes: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    cb: DataFrame,
+    codes: DataFrame,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC coarse -> exact rescore over a STORED code table: the 256-row
     codebook collects to the driver and inlines as a literal nested
@@ -2810,9 +2814,9 @@ def _pq_serve(
         f"flatten(transform(sequence(0, {_PQ_M - 1}),"
         f" m -> {lit}[m][codes[m] - 1]))"
     )
-    probes = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("p")
-    )
+    if probes is None:
+        probes = e.filter(F.col("vec_id") < 5)
+    probes = probes.select(F.col("vec_id").alias("query_id"), F.col("q").alias("p"))
     coarse = (
         codes.select(F.col("vec_id").alias("neighbor_id"), recon.alias("recon"))
         .join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
@@ -3031,6 +3035,117 @@ def pq_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     return _pq_serve(
         spark, sf_dir, wh.read_table(spark, ck), spark.read.parquet(codes_dir)
+    )
+
+
+@q(
+    "stream_ann_serve",
+    oracle=f"""
+    WITH {_PQ_ENC_DUCK}
+    {_PQ_ADC_TAIL.replace("p.vec_id < 5", "p.vec_id < 15")}
+    """,
+    doc="ONLINE vector serving: the QUERY side of the streaming "
+    "similarity story (every store-stream slug streams INSERTS; this "
+    "one streams the probes) — the shape a production retrieval "
+    "service runs when queries arrive continuously against a "
+    "build-once index: 15 probe vectors split into 3 micro-batches "
+    "(readStream + maxFilesPerTrigger=1, Trigger.AvailableNow) each "
+    "serve top-10 from the PERSISTED full-corpus PQ index "
+    "(ann_pq_persisted's codebook + 8-byte code table — zero "
+    "training, zero index mutation; the index read is the same "
+    "literal-codebook pure projection) and append their results. "
+    "Because serving is stateless per probe, the accumulated results "
+    "are INDEPENDENT of the batch split — exactly the batch ADC+"
+    "rescore over all 15 probes, which is what the oracle computes, "
+    "so the whole streamed serving path is value-hash-checked. At "
+    "100 TB the per-batch cost is O(batch_probes x code-scan) with "
+    "the code scan 32x smaller than the raw vectors — the "
+    "memory-bound regime PQ exists for; foreachBatch holds zero "
+    "state (results log is the only output). Warm re-invocation "
+    "replays the checkpoint and serves the accumulated results.",
+    tags=("similarity", "ann", "streaming", "scale", "warehouse"),
+)
+def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    NP = 15  # streamed probe set; 3 micro-batches of 5
+    wh, ck, ek, _tag, _n = _pq_persisted_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    stag = hashlib.md5(
+        f"v1:annserve:{NP}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"annserve_{stag}")
+    src = os.path.join(root, "src")
+    out_dir = os.path.join(root, "results")
+    ready = os.path.join(root, "_READY")
+    out_schema = "query_id bigint, neighbor_id bigint, cosine double"
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        spark.createDataFrame([], out_schema).write.mode("overwrite").parquet(
+            out_dir
+        )
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                emb.filter((F.col("vec_id") < NP) & (F.col("vec_id") % 3 == shard))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]),
+                os.path.join(src, f"shard_{shard}.parquet"),
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _serve_batch(batch_df: DataFrame, _bid: int) -> None:
+        sp = batch_df.sparkSession
+        probes = batch_df.select("vec_id", F.expr(QUANT_SPARK).alias("q"))
+        (
+            _pq_serve(
+                sp,
+                sf_dir,
+                wh.read_table(sp, ck),
+                wh.read_table(sp, ek),
+                probes=probes,
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    name = f"mts_annserve_{stag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_serve_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.read.schema(out_schema)
+        .parquet(out_dir)
+        .distinct()
+        .orderBy("query_id", F.desc("cosine"), "neighbor_id")
     )
 
 
