@@ -3149,6 +3149,250 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle() -> str:
+    """IVFPQ oracle: the _ivf_oracle coarse CTEs (stride-elected
+    centroids, exact-L2 cell assignment, 4-probe cell selection)
+    composed with the _pq_duck_ctes trained-quantizer fragments
+    applied to RESIDUALS (q - assigned centroid) — the real FAISS
+    IVFPQ layout. Multiply-referenced CTEs are MATERIALIZED (the
+    kcore lesson: DuckDB inlines shared CTEs and re-evaluates the
+    n x sqrt(n) distance table once per consumer otherwise)."""
+    d2 = " + ".join(
+        f"(s.x[{j}] - c.cw[{j}]) * (s.x[{j}] - c.cw[{j}])"
+        for j in range(1, _PQ_SUB + 1)
+    )
+    lloyd = []
+    for i in range(_PQ_ITERS):
+        comps = ", ".join(
+            f"CAST(FLOOR(CAST(SUM(x[{j}]) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            for j in range(1, _PQ_SUB + 1)
+        )
+        lloyd.append(f"""a{i} AS MATERIALIZED (
+      SELECT vec_id, m, sid, x FROM (
+        SELECT s.vec_id, s.m, c.sid, s.x,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY ({d2}), c.sid) AS rn
+        FROM subs s JOIN cb{i} c ON s.m = c.m
+      ) WHERE rn = 1
+    ), mm{i} AS (
+      SELECT m, sid, [{comps}] AS nw FROM a{i} GROUP BY m, sid
+    ), cb{i + 1} AS MATERIALIZED (
+      SELECT c.m, c.sid, COALESCE(n.nw, c.cw) AS cw
+      FROM cb{i} c LEFT JOIN mm{i} n ON c.m = n.m AND c.sid = n.sid
+    )""")
+    lloyd_sql = ", ".join(lloyd)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), norms AS MATERIALIZED (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i]))
+               AS BIGINT) AS nrm
+      FROM e
+    ), stride AS (
+      SELECT GREATEST(31, CAST(ROUND(SQRT(COUNT(*))) AS BIGINT)) AS s
+      FROM embeddings
+    ), cents AS MATERIALIZED (
+      SELECT vec_id AS cent_id, q AS cq
+      FROM norms CROSS JOIN stride WHERE vec_id % stride.s = 0
+    ), dists AS MATERIALIZED (
+      SELECT n.vec_id, n.q, n.nrm, c.cent_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (n.q[i] - c.cq[i]) * (n.q[i] - c.cq[i]))) AS BIGINT) AS d2
+      FROM norms n CROSS JOIN cents c
+    ), assigned AS MATERIALIZED (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), resid AS MATERIALIZED (
+      SELECT n.vec_id, a.cell,
+             list_transform(range(1, 65), i -> n.q[i] - c.cq[i]) AS r
+      FROM norms n JOIN assigned a USING (vec_id)
+      JOIN cents c ON a.cell = c.cent_id
+    ), seeds AS (
+      SELECT rn AS sid, r AS sq FROM (
+        SELECT vec_id, r,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM resid
+      ) WHERE rn <= {_PQ_K}
+    ), subs AS MATERIALIZED (
+      SELECT resid.vec_id, m.m,
+             list_slice(resid.r, {_PQ_SUB}*m.m+1, {_PQ_SUB}*m.m+{_PQ_SUB}) AS x
+      FROM resid CROSS JOIN (FROM range(0, {_PQ_M}) t(m)) m
+    ), cb0 AS MATERIALIZED (
+      SELECT m.m, s.sid,
+             list_slice(s.sq, {_PQ_SUB}*m.m+1, {_PQ_SUB}*m.m+{_PQ_SUB}) AS cw
+      FROM seeds s CROSS JOIN (FROM range(0, {_PQ_M}) t(m)) m
+    ), {lloyd_sql}, best AS MATERIALIZED (
+      SELECT vec_id, m, cw FROM (
+        SELECT s.vec_id, s.m, c.cw,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY ({d2}), c.sid) AS rn
+        FROM subs s JOIN cb{_PQ_ITERS} c ON s.m = c.m
+      ) WHERE rn = 1
+    ), enc_r AS MATERIALIZED (
+      SELECT vec_id, flatten(list(cw ORDER BY m)) AS r2
+      FROM best GROUP BY vec_id
+    ), idx AS MATERIALIZED (
+      SELECT resid.vec_id AS neighbor_id, resid.cell,
+             list_transform(range(1, 65), i -> c.cq[i] + e2.r2[i]) AS rv
+      FROM resid JOIN enc_r e2 USING (vec_id)
+      JOIN cents c ON resid.cell = c.cent_id
+    ), pcell AS (
+      SELECT vec_id AS query_id, q AS p, cent_id AS cell FROM (
+        SELECT d.*,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+        FROM dists d WHERE vec_id < 5
+      ) WHERE rn <= 4
+    ), coarse AS (
+      SELECT p.query_id, i.neighbor_id, p.p,
+             CAST(list_sum(list_transform(range(1, 65), k -> p.p[k]*i.rv[k]))
+               AS BIGINT) AS adc
+      FROM pcell p JOIN idx i USING (cell)
+      WHERE p.query_id <> i.neighbor_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id) AS rc
+        FROM coarse
+      ) WHERE rc <= GREATEST({_PQ_CAND},
+                             (SELECT COUNT(*) FROM embeddings) // 10)
+    ), rescored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65), i -> a.q[i]*b.q[i]))
+               AS BIGINT)
+               / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+               AS cosine
+      FROM cand
+      JOIN norms a ON a.vec_id = cand.query_id
+      JOIN norms b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM rescored
+    ) WHERE rn <= 10
+    """
+
+
+@q(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    doc="IVFPQ — the two prunings composed the way FAISS composes "
+    "them (Jégou et al. 2011, the workhorse architecture of "
+    "billion-scale vector search): the IVF coarse quantizer "
+    "(stride-elected centroids, exact int64-L2 assignment) partitions "
+    "the corpus into cells, and each vector's RESIDUAL against its "
+    "centroid — residuals are integer-exact here, so the whole "
+    "composition stays hash-oracle-able — is product-quantized with "
+    "the Lloyd-trained codebook (M=16 x 4 dims, K=16 -> 8-byte "
+    "codes). A query probes its 4 nearest cells ONLY (the IVF "
+    "pruning: |corpus| x nprobe/k candidates, never the whole code "
+    "table), ADC-scores candidates as <p, centroid + PQ-recon of "
+    "residual> (the PQ pruning: 8-byte reads instead of 256B "
+    "vectors), then exact-rescores the top max(100, n/10) into the "
+    "final top-10. Residual quantization is why IVFPQ beats flat PQ: "
+    "residual norms are much smaller than vector norms, so the same "
+    "code budget spends on a tighter distribution. Every stage — "
+    "election, assignment, residuals, TRAINING, encode, ADC, rescore "
+    "— is deterministic integer or identical-IEEE arithmetic, so the "
+    "full pipeline is value-hash-checked cross-engine; recall vs the "
+    "exact top-10 is gated in tests/test_pq.py. Plan: two broadcast "
+    "dims (centroids, codebook), one cell-keyed exchange for the "
+    "candidate join — the 100 TB serving shape.",
+    tags=("similarity", "ann", "scale"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = _quantized(spark, sf_dir)
+    norms = e.withColumn("nrm", _dot("q", "q"))
+    n_vec = _t(spark, sf_dir, "embeddings").count()
+    stride = max(31, round(math.sqrt(max(1, n_vec))))
+    cents = norms.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
+    )
+    cells = _ivf_assign(norms, cents)  # (cell, neighbor_id, q, nrm)
+    resid = (
+        cells.join(F.broadcast(cents), cells["cell"] == cents["cent_id"])
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            "cell",
+            F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("q"),
+        )
+        .localCheckpoint(eager=True)  # feeds training AND encode
+    )
+    cb = _pq_codebook(spark, resid.select("vec_id", "q"))
+    enc = _pq_encode_at(_pq_subs(resid.select("vec_id", "q")), cb)
+    idx = (
+        enc.join(resid.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.expr("zip_with(cq, recon, (a, b) -> a + b)").alias("rv"),
+        )
+    )
+    probes = norms.filter(F.col("vec_id") < 5)
+    pd = probes.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_l2())
+    wp = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    pcell = (
+        pd.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("p"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cand_n = max(_PQ_CAND, n_vec // 10)
+    coarse = (
+        pcell.join(idx, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", _dot("p", "rv"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        coarse.withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") <= cand_n)
+        .select("query_id", "neighbor_id")
+    )
+    a = norms.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    b = norms.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    rescored = (
+        cand.join(F.broadcast(a), "query_id")
+        .join(b, "neighbor_id")
+        .withColumn(
+            "cosine",
+            _dot("qa", "qb").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup (Abbas et al. 2023): semantic dedup at scale = cluster the
 # embedding space first, then run exact pairwise cosine ONLY within each

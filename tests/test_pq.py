@@ -130,6 +130,31 @@ def test_pq_store_stream_grows_by_the_increment_and_serves_warm(spark, sf_dir):
     assert snap() == s1
 
 
+def test_ivfpq_compression_is_recall_free(spark, sf_dir):
+    """IVFPQ's recall must not fall below plain IVF's on the same
+    4-probe cell selection: the 8-byte residual codes + exact rescore
+    at width max(100, n/10) should recover everything the IVF pruning
+    lets through (measured EQUAL — 0.66/0.56/0.48 at
+    sf0.001/0.01/0.1, identical to ann_ivf_topk; the probe pruning is
+    the only recall loss, the PQ stage costs nothing)."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivf_topk"].fn(spark, sf_dir).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_ivfpq_topk"].fn(spark, sf_dir).collect()
+    }
+    r_ivf = len(exact & ivf) / len(exact)
+    r_ivfpq = len(exact & ivfpq) / len(exact)
+    assert r_ivfpq >= r_ivf, f"PQ stage lost recall: {r_ivfpq:.2f} < {r_ivf:.2f}"
+    assert r_ivfpq >= 0.4, f"IVFPQ recall {r_ivfpq:.2f}"
+
+
 def test_lloyd_rounds_reduce_distortion(spark, sf_dir):
     """Total reconstruction error with the trained codebook must beat
     the untrained md5-elected codebook — the property that lifted
