@@ -123,6 +123,9 @@ WAIVERS: dict[str, dict[str, str]] = {
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.001"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf="):
+            sf_dir = a.split("=", 1)[1]
 
     from magictables_spark.plans.queries import REGISTRY
     from magictables_spark.session import get_spark
