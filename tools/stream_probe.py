@@ -274,6 +274,50 @@ def stage_doc_shards(spark, sf_dir: str, n_shards: int, split: int) -> str:
     return src
 
 
+def stage_event_shards(spark, sf_dir: str, n_shards: int) -> str:
+    """Split the events fixture's day>=16 side into ``n_shards`` files
+    by event_id % n_shards (mixes days across shards, so every rollup
+    micro-batch genuinely MERGES into already-written day partitions
+    instead of appending disjoint keys)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"v1:events:{n_shards}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"stream_probe_ev_{tag}")
+    src = os.path.join(root, "src")
+    marker = os.path.join(root, "_READY")
+    if os.path.exists(marker):
+        return src
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(src)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).filter(
+        F.dayofmonth(F.col("ts").cast("date")) >= 16
+    )
+    now = time.time()
+    for i in range(n_shards):
+        part_dir = os.path.join(root, f"part{i}")
+        ev.filter(F.col("event_id") % n_shards == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        part = next(
+            f for f in os.listdir(part_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        dst = os.path.join(src, f"shard_{i:03d}.parquet")
+        shutil.move(os.path.join(part_dir, part), dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(part_dir, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return src
+
+
 def run_maintenance(spark, sf_dir: str, name: str, n_shards: int) -> dict:
     """Sustained probe for the foreachBatch STORE-MAINTENANCE families
     (simhash band store / LPA label store). These hold zero
@@ -290,9 +334,11 @@ def run_maintenance(spark, sf_dir: str, name: str, n_shards: int) -> dict:
 
     from magictables_spark.warehouse import corpus_fingerprint, store_root
 
-    split = 250 if name == "simhash_store" else 150
-    if name == "simhash_store":
+    split = 150 if name == "lpa_store" else 250
+    if name in ("simhash_store", "minhash_store"):
         src = stage_doc_shards(spark, sf_dir, n_shards, split)
+    elif name == "rollup_store":
+        src = stage_event_shards(spark, sf_dir, n_shards)
     cfp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     tag = hashlib.md5(
         f"probe:{name}:{n_shards}:{os.path.realpath(sf_dir)}:{cfp}:{time.time()}".encode()
@@ -342,6 +388,118 @@ def run_maintenance(spark, sf_dir: str, name: str, n_shards: int) -> dict:
 
         stream = (
             spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        store_count = lambda: spark.read.parquet(store_dir).count()  # noqa: E731
+    elif name == "minhash_store":
+        from magictables_spark.plans.similarity import _minhash_tables
+        from pyspark.sql.window import Window
+
+        bands_dir = os.path.join(root, "bands")
+        hs_dir = os.path.join(root, "hs")
+        hits_dir = os.path.join(root, "hits")
+        hs_h, bands_h = _minhash_tables(docs.filter(F.col("doc_id") < split))
+        bands_h.write.mode("overwrite").parquet(bands_dir)
+        hs_h.write.mode("overwrite").parquet(hs_dir)
+        spark.createDataFrame(
+            [], "doc_id bigint, dup_of bigint, jaccard double"
+        ).write.mode("overwrite").parquet(hits_dir)
+
+        def body(batch_df, _bid):
+            hs_b, bands_b = _minhash_tables(batch_df)
+            hs_b = hs_b.localCheckpoint(eager=True)
+            bands_b = bands_b.localCheckpoint(eager=True)
+            ss = batch_df.sparkSession
+            store_bands = ss.read.parquet(bands_dir).select(
+                "band", "bh", F.col("doc_id").alias("dup_of")
+            )
+            cand = (
+                bands_b.join(store_bands, ["band", "bh"])
+                .select("doc_id", "dup_of")
+                .dropDuplicates(["doc_id", "dup_of"])
+            )
+            store_hs = ss.read.parquet(hs_dir).select(
+                F.col("doc_id").alias("dup_of"), F.col("hs").alias("hh")
+            )
+            jac = (
+                F.size(F.array_intersect("hb", "hh")).cast("double")
+                / F.size(F.array_union("hb", "hh")).cast("double")
+            )
+            w = Window.partitionBy("doc_id").orderBy(
+                F.desc("jaccard"), F.asc("dup_of")
+            )
+            (
+                cand.join(hs_b.select("doc_id", F.col("hs").alias("hb")), "doc_id")
+                .join(store_hs, "dup_of")
+                .withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= 0.5)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", "dup_of", "jaccard")
+                .write.mode("append")
+                .parquet(hits_dir)
+            )
+            bands_b.write.mode("append").parquet(bands_dir)
+            hs_b.write.mode("append").parquet(hs_dir)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        store_count = lambda: spark.read.parquet(bands_dir).count()  # noqa: E731
+    elif name == "rollup_store":
+        from magictables_spark.plans.events_pack import VAL_I
+
+        store_dir = os.path.join(root, "store")
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+        def _partials(df):
+            return (
+                df.select(
+                    F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+                        "day"
+                    ),
+                    "event_type",
+                    F.expr(VAL_I).alias("cents"),
+                )
+                .groupBy("day", "event_type")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum("cents").alias("sum_cents"),
+                )
+            )
+
+        _partials(
+            ev.filter(F.dayofmonth(F.col("ts").cast("date")) < 16)
+        ).write.partitionBy("day").mode("overwrite").parquet(store_dir)
+
+        def body(batch_df, _bid):
+            parts = _partials(batch_df).localCheckpoint(eager=True)
+            touched = [r.day for r in parts.select("day").distinct().collect()]
+            if not touched:
+                return
+            ss = batch_df.sparkSession
+            cur = ss.read.parquet(store_dir).filter(F.col("day").isin(touched))
+            merged = (
+                cur.unionByName(parts)
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_cents").alias("sum_cents"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            (
+                merged.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day")
+                .mode("overwrite")
+                .parquet(store_dir)
+            )
+
+        stream = (
+            spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
         )
@@ -486,7 +644,7 @@ def main() -> None:
         elif a.startswith("--families="):
             fams = a.split("=", 1)[1].split(",")
         elif a == "--maintenance":
-            fams = ["simhash_store", "lpa_store"]
+            fams = ["simhash_store", "lpa_store", "minhash_store", "rollup_store"]
         elif a.startswith("--out="):
             out = a.split("=", 1)[1]
 
@@ -500,7 +658,7 @@ def main() -> None:
     )
     results = {}
     for name in fams:
-        if name in ("simhash_store", "lpa_store"):
+        if name in ("simhash_store", "lpa_store", "minhash_store", "rollup_store"):
             r = run_maintenance(spark, sf_dir, name, shards)
             results[name] = r
             s = r["summary"]
