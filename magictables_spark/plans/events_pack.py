@@ -1139,6 +1139,12 @@ def scd2_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ub = F.pmod(F.xxhash64("user_id"), F.lit(NB)).alias("ub")
     run_cols = ["user_id", "version", "status", "vf", "vf_event_id", "n_events"]
+    # explicit schema: an empty-history store has no partition dirs to
+    # infer from
+    store_schema = (
+        "user_id bigint, version int, status string, vf timestamp, "
+        "vf_event_id bigint, n_events bigint, ub bigint"
+    )
 
     if not os.path.exists(ready):
         shutil.rmtree(root, ignore_errors=True)
@@ -1185,7 +1191,9 @@ def scd2_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         touched_b = [r.ub for r in b.select("ub").distinct().collect()]
         if touched_b:
             ss = batch_df.sparkSession
-            store = ss.read.parquet(store_dir).filter(F.col("ub").isin(touched_b))
+            store = ss.read.schema(store_schema).parquet(store_dir).filter(
+                F.col("ub").isin(touched_b)
+            )
             touched_users = b.select("user_id").distinct()
             keep = store.join(touched_users, "user_id", "left_anti")
             synth = store.join(touched_users, "user_id", "left_semi").select(
@@ -1235,9 +1243,9 @@ def scd2_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return _scd2_finalize(
-        spark.read.parquet(store_dir).select(
-            "user_id", "version", "status", "vf", "n_events"
-        )
+        spark.read.schema(store_schema)
+        .parquet(store_dir)
+        .select("user_id", "version", "status", "vf", "n_events")
     )
 
 
@@ -1526,14 +1534,25 @@ def rollup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(ready, "w") as f:
             f.write("ok")
 
+    # explicit schema: a store seeded from an EMPTY history has no
+    # partition dirs to infer from (day comes back as the formatted
+    # string either way — it was written as one)
+    store_schema = "event_type string, n_events bigint, sum_cents bigint, day string"
+
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(applied_dir, f"batch_{batch_id}")
         if os.path.exists(marker):  # at-least-once replay guard
             return
         parts = _partials(batch_df).localCheckpoint(eager=True)
         touched = [r.day for r in parts.select("day").distinct().collect()]
+        if not touched:
+            with open(marker, "w") as f:
+                f.write("ok")
+            return
         ss = batch_df.sparkSession
-        cur = ss.read.parquet(store_dir).filter(F.col("day").isin(touched))
+        cur = ss.read.schema(store_schema).parquet(store_dir).filter(
+            F.col("day").isin(touched)
+        )
         merged = (
             cur.unionByName(parts)
             .groupBy("day", "event_type")
@@ -1572,15 +1591,12 @@ def rollup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return (
-        spark.read.parquet(store_dir)
-        # partition-column inference types day back as DATE; the rollup
-        # key is the formatted string (oracle strftime parity)
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "event_type",
-            "n_events",
-            "sum_cents",
-        )
+        spark.read.schema(store_schema)
+        .parquet(store_dir)
+        # explicit schema keeps day as the formatted string it was
+        # written as (inference would type the partition col DATE; an
+        # empty store has nothing to infer from at all)
+        .select("day", "event_type", "n_events", "sum_cents")
         .orderBy("day", "event_type")
     )
 

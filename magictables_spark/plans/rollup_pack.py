@@ -422,3 +422,141 @@ def cdc_apply_changelog(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+_QH_W = 1024  # histogram bin width in cents; 64 bins cover [0, 65536)
+_QH_B = 64
+
+
+@q(
+    "quantile_hist_incremental",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             LEAST({_QH_B - 1},
+                   CAST(ROUND(value * 100) AS BIGINT) // {_QH_W}) AS bin
+      FROM events
+    ), hist AS (
+      SELECT event_type, bin, COUNT(*) AS c FROM ev GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ), est AS (
+      SELECT event_type, n, q.q,
+             -- the CROSSING bin is the unique one with
+             -- cum-c < target <= cum; every other bin yields NULL
+             MIN(CASE WHEN cum >= CAST(CEIL(q.q * n) AS BIGINT)
+                       AND cum - c < CAST(CEIL(q.q * n) AS BIGINT)
+                      THEN bin * {_QH_W}
+                        + (CAST(CEIL(q.q * n) AS BIGINT) - (cum - c))
+                          / CAST(c AS DOUBLE) * {_QH_W}
+                 END) AS v
+      FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) q(q)
+      GROUP BY event_type, n, q.q
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           MAX(CASE WHEN q = 0.5 THEN v END) AS p50_cents,
+           MAX(CASE WHEN q = 0.9 THEN v END) AS p90_cents,
+           MAX(CASE WHEN q = 0.99 THEN v END) AS p99_cents
+    FROM est
+    GROUP BY event_type, n
+    ORDER BY event_type
+    """,
+    doc="INCREMENTAL quantile maintenance via a persisted MERGEABLE "
+    "histogram store — closing the non-mergeable-aggregate boundary "
+    "rollup_incremental_store documents (exact medians can't maintain "
+    "incrementally; fixed-bin COUNTS can, exactly): per-event_type "
+    f"counts over {_QH_B} fixed {_QH_W}-cent bins are built once for "
+    "the history half (ts < Jan 16) and persisted; a new batch "
+    "histograms ONLY ITSELF and merges by summing bin counts — "
+    "associative/commutative integer partials, so the merged "
+    "histogram is PROVABLY identical to a full-scan histogram, and "
+    "the p50/p90/p99 estimates (deterministic linear interpolation "
+    "inside the crossing bin, identical IEEE divide in both engines) "
+    "are hash-oracled against the full-scan oracle — unlike a "
+    "t-digest, nothing here is approximate ABOUT THE MERGE; only the "
+    "bin width bounds the estimate error, and that error is gated "
+    "against exact percentile_disc in tests/test_quantile_hist.py. "
+    "At 100 TB this is how latency/price dashboards maintain "
+    "percentiles O(batch) per refresh: the store is |keys| x "
+    f"{_QH_B} small ints, the merge is a group-sum, and the estimate "
+    "is a window over the tiny store — never a rescan, never a "
+    "global sort.",
+    tags=("stats", "sketch", "scale", "warehouse", "events"),
+)
+def quantile_hist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    n = ev.count()
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    key = "qhist_" + hashlib.md5(
+        f"v1:{_QH_B}x{_QH_W}:{os.path.realpath(sf_dir)}:{n}:{cfp}".encode()
+    ).hexdigest()[:16]
+
+    def _hist(df: DataFrame) -> DataFrame:
+        b = F.least(
+            F.lit(_QH_B - 1),
+            F.expr(f"CAST(ROUND(value * 100) AS BIGINT) div {_QH_W}"),
+        )
+        return df.select("event_type", b.alias("bin")).groupBy(
+            "event_type", "bin"
+        ).agg(F.count("*").alias("c"))
+
+    wh = Warehouse(store_root("qhist"))
+    if not wh.has_table(key):
+        wh.write_table(
+            _hist(ev.filter(F.col("ts") < split)),
+            key,
+            source_info={"bins": _QH_B, "width": _QH_W},
+        )
+    stored = wh.read_table(spark, key)
+    batch = _hist(ev.filter(F.col("ts") >= split))
+    merged = (
+        stored.unionByName(batch)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    wb = Window.partitionBy("event_type").orderBy("bin")
+    wn = Window.partitionBy("event_type")
+    cum = merged.withColumn("cum", F.sum("c").over(wb)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    target = F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    est = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "v",
+            # the CROSSING bin only: cum-c < target <= cum
+            F.when(
+                (F.col("cum") >= target)
+                & (F.col("cum") - F.col("c") < target),
+                F.col("bin") * _QH_W
+                + (target - (F.col("cum") - F.col("c")))
+                / F.col("c").cast("double")
+                * _QH_W,
+            ),
+        )
+        .groupBy("event_type", "n", "q")
+        .agg(F.min("v").alias("v"))
+    )
+    return (
+        est.groupBy("event_type", "n")
+        .agg(
+            F.max(F.when(F.col("q") == 0.5, F.col("v"))).alias("p50_cents"),
+            F.max(F.when(F.col("q") == 0.9, F.col("v"))).alias("p90_cents"),
+            F.max(F.when(F.col("q") == 0.99, F.col("v"))).alias("p99_cents"),
+        )
+        .select(
+            "event_type", F.col("n").cast("bigint").alias("n"),
+            "p50_cents", "p90_cents", "p99_cents",
+        )
+        .orderBy("event_type")
+    )

@@ -2790,6 +2790,10 @@ def _pq_serve(
     zero joins on the scan side). Finalists fetch their full-precision
     vectors by key for the exact re-rank."""
     rows = cb.collect()  # 256 rows — bounded driver roundtrip by design
+    if not rows:  # empty corpus -> empty codebook -> no servable index
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine double"
+        )
     by_m: dict[int, dict[int, list[int]]] = {}
     for r in rows:
         by_m.setdefault(r.m, {})[r.sid] = list(r.cw)
