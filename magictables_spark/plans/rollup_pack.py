@@ -560,3 +560,187 @@ def quantile_hist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "quantile_hist_store_stream",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             LEAST({_QH_B - 1},
+                   CAST(ROUND(value * 100) AS BIGINT) // {_QH_W}) AS bin
+      FROM events
+    ), hist AS (
+      SELECT event_type, bin, COUNT(*) AS c FROM ev GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ), est AS (
+      SELECT event_type, n, q.q,
+             MIN(CASE WHEN cum >= CAST(CEIL(q.q * n) AS BIGINT)
+                       AND cum - c < CAST(CEIL(q.q * n) AS BIGINT)
+                      THEN bin * {_QH_W}
+                        + (CAST(CEIL(q.q * n) AS BIGINT) - (cum - c))
+                          / CAST(c AS DOUBLE) * {_QH_W}
+                 END) AS v
+      FROM cum CROSS JOIN (VALUES (0.5), (0.9), (0.99)) q(q)
+      GROUP BY event_type, n, q.q
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           MAX(CASE WHEN q = 0.5 THEN v END) AS p50_cents,
+           MAX(CASE WHEN q = 0.9 THEN v END) AS p90_cents,
+           MAX(CASE WHEN q = 0.99 THEN v END) AS p99_cents
+    FROM est
+    GROUP BY event_type, n
+    ORDER BY event_type
+    """,
+    doc="STREAMING maintenance of the mergeable histogram store — the "
+    "foreachBatch twin of quantile_hist_incremental, keeping the "
+    "store-maintenance symmetry complete (every persisted incremental "
+    "store ships with both a batch and a streaming driver): history "
+    "(ts < Jan 16) seeds the per-(event_type, bin) count store; the "
+    "rest streams in 3 shards (event_id % 3) and each micro-batch "
+    "histograms ONLY ITSELF and group-sums into the store (an "
+    "O(|keys| x 64) integer frame — the rewrite is the size of the "
+    "SKETCH, never the data). Count-merge is associative+commutative "
+    "but NOT idempotent, so replay is guarded by per-batch applied "
+    "markers (the rollup_store_stream contract; contrast "
+    "hll_store_stream, whose register-max union needs no guard — the "
+    "two slugs bracket the idempotence spectrum of mergeable state). "
+    "Because merged counts are provably the full-scan histogram, the "
+    "streamed store's p50/p90/p99 interpolations hash-match the "
+    "full-scan oracle exactly — the whole streamed lifecycle is "
+    "value-hash-checked.",
+    tags=("stats", "sketch", "scale", "warehouse", "streaming", "events"),
+)
+def quantile_hist_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"v1:qhs:{_QH_B}x{_QH_W}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"qhstream_{tag}")
+    src = os.path.join(root, "src")
+    store_dir = os.path.join(root, "store")
+    applied_dir = os.path.join(root, "applied")
+    ready = os.path.join(root, "_READY")
+    store_schema = "event_type string, bin bigint, c bigint"
+
+    def _hist(df: DataFrame) -> DataFrame:
+        b = F.least(
+            F.lit(_QH_B - 1),
+            F.expr(f"CAST(ROUND(value * 100) AS BIGINT) div {_QH_W}"),
+        )
+        return df.select("event_type", b.alias("bin")).groupBy(
+            "event_type", "bin"
+        ).agg(F.count("*").cast("bigint").alias("c"))
+
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        os.makedirs(applied_dir)
+        _hist(ev.filter(F.col("ts") < split)).write.mode("overwrite").parquet(
+            store_dir
+        )
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                ev.filter((F.col("ts") >= split) & (F.col("event_id") % 3 == shard))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]),
+                os.path.join(src, f"shard_{shard}.parquet"),
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):  # count-merge is NOT idempotent
+            return
+        ss = batch_df.sparkSession
+        merged = (
+            ss.read.schema(store_schema)
+            .parquet(store_dir)
+            .unionByName(_hist(batch_df))
+            .groupBy("event_type", "bin")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=True)  # cut lineage before overwrite
+        )
+        merged.write.mode("overwrite").parquet(store_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    name = f"mts_qhstream_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    cum = (
+        spark.read.schema(store_schema)
+        .parquet(store_dir)
+        .withColumn(
+            "cum", F.sum("c").over(Window.partitionBy("event_type").orderBy("bin"))
+        )
+        .withColumn("n", F.sum("c").over(Window.partitionBy("event_type")))
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    target = F.ceil(F.col("q") * F.col("n")).cast("bigint")
+    est = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "v",
+            F.when(
+                (F.col("cum") >= target)
+                & (F.col("cum") - F.col("c") < target),
+                F.col("bin") * _QH_W
+                + (target - (F.col("cum") - F.col("c")))
+                / F.col("c").cast("double")
+                * _QH_W,
+            ),
+        )
+        .groupBy("event_type", "n", "q")
+        .agg(F.min("v").alias("v"))
+    )
+    return (
+        est.groupBy("event_type", "n")
+        .agg(
+            F.max(F.when(F.col("q") == 0.5, F.col("v"))).alias("p50_cents"),
+            F.max(F.when(F.col("q") == 0.9, F.col("v"))).alias("p90_cents"),
+            F.max(F.when(F.col("q") == 0.99, F.col("v"))).alias("p99_cents"),
+        )
+        .select(
+            "event_type", F.col("n").cast("bigint").alias("n"),
+            "p50_cents", "p90_cents", "p99_cents",
+        )
+        .orderBy("event_type")
+    )

@@ -114,6 +114,10 @@ WAIVERS: dict[str, dict[str, str]] = {
         NLJ: "broadcast side is the 3-row quantile spine crossed into "
         "the |keys| x 64-bin store frame — both bounded dims"
     },
+    "quantile_hist_store_stream": {
+        NLJ: "broadcast side is the 3-row quantile spine crossed into "
+        "the |keys| x 64-bin store frame — both bounded dims"
+    },
     "triangle_count": {NLJ: "broadcast side is the bounded oriented-edge set of the demo graph; production pagerank/components paths are equi-join only"},
     "cumulative_distinct": {SPE: "global running-distinct IS a total-order op; keyed twin: window_rolling/lag_features"},
     "pct_change_global": {SPE: "declared single-series variant; LAG runs over the aggregated ~24-row monthly series — the keyed `pct_change` is the registered default"},
