@@ -3397,6 +3397,190 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_persisted_index(spark: SparkSession, sf_dir: str):
+    """Build-once IVFPQ index in the warehouse: centroid table (tiny),
+    residual codebook (256 rows), and the (cell, vec_id, codes) table
+    bucketed+sorted on `cell` — the probe join key, so serving reads
+    ONLY the probed cells' buckets/row-groups (the ann_ivf_persisted
+    pruning) and each candidate costs 8 logical bytes (the PQ
+    compression). Returns (wh, cents_key, cb_key, codes_key, tag,
+    n_vec)."""
+    import hashlib
+    import math
+    import os
+
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
+
+    n_vec = _t(spark, sf_dir, "embeddings").count()
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = hashlib.md5(
+        f"v1:ivfpq:{_PQ_M}x{_PQ_K}i{_PQ_ITERS}:"
+        f"{os.path.realpath(sf_dir)}:{n_vec}:{cfp}".encode()
+    ).hexdigest()[:16]
+    wh = Warehouse(store_root("ann"))
+    ck, bk, ek = f"ivfpqC_{tag}", f"ivfpqB_{tag}", f"ivfpqE_{tag}"
+    if not (wh.has_table(ck) and wh.has_table(bk) and wh.has_table(ek)):
+        e = _quantized(spark, sf_dir)
+        norms = e.withColumn("nrm", _dot("q", "q"))
+        stride = max(31, round(math.sqrt(max(1, n_vec))))
+        cents = norms.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("cent_id"), F.col("q").alias("cq")
+        )
+        cells = _ivf_assign(norms, cents)
+        resid = (
+            cells.join(F.broadcast(cents), cells["cell"] == cents["cent_id"])
+            .select(
+                F.col("neighbor_id").alias("vec_id"),
+                "cell",
+                F.expr("zip_with(q, cq, (a, b) -> a - b)").alias("q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cb = _pq_codebook(spark, resid.select("vec_id", "q"))
+        wh.write_table(cents, ck, source_info={"stride": stride})
+        wh.write_table(cb, bk, source_info={"k": _PQ_K, "m": _PQ_M})
+        codes = _pq_encode_at(_pq_subs(resid.select("vec_id", "q")), cb).join(
+            resid.select("vec_id", "cell"), "vec_id"
+        ).select("cell", "vec_id", "codes")
+        wh.write_table(
+            codes,
+            ek,
+            source_info={"stride": stride},
+            # probe-key bucketing: a query's IN(cell,...) filter prunes
+            # to SelectedBucketsCount k out of 32 (the IVF-persisted
+            # serving lesson), and each surviving row is 8 bytes of code
+            bucket_by=["cell"],
+            n_buckets=32,
+            sort_by=["cell", "vec_id"],
+        )
+    return wh, ck, bk, ek, tag, n_vec
+
+
+@q(
+    "ann_ivfpq_persisted",
+    oracle=_ivfpq_oracle(),
+    doc="Build-once/serve-many IVFPQ — the serving twin that makes "
+    "ann_ivfpq_topk's inline training an OFFLINE cost (the "
+    "knn_label_vote lesson: every super-linear build needs a "
+    "registered amortized path serving the same output): centroids, "
+    "residual codebook and the (cell, codes) table persist "
+    "bucketed+sorted on `cell`, and a query (a) picks its 4 probe "
+    "cells against the broadcast centroid table, (b) reads ONLY those "
+    "cells' buckets/row-groups from the code table (pushed-down IN "
+    "filter — the ann_ivf_persisted pruning), (c) reconstructs "
+    "candidates as centroid + codes ⊗ literal-inlined codebook (pure "
+    "projection, 8 bytes per candidate — the PQ compression), and (d) "
+    "ADC-ranks then exact-rescores. ZERO training, ZERO assignment at "
+    "serve time; results are row-identical to ann_ivfpq_topk (same "
+    "oracle, hash-checked); warm store reuse and result identity are "
+    "asserted in tests/test_pq.py. This is the 100 TB vector-serving "
+    "endgame: "
+    "both prunings (cell selection × 32x code compression) compose on "
+    "a store a modest cluster can keep hot.",
+    tags=("similarity", "ann", "scale", "warehouse"),
+)
+def ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wh, ck, bk, ek, _tag, n_vec = _ivfpq_persisted_index(spark, sf_dir)
+    cents = wh.read_table(spark, ck)
+    cb = wh.read_table(spark, bk)
+    codes = wh.read_table(spark, ek)
+
+    rows = cb.collect()  # 256 rows — bounded driver roundtrip by design
+    if not rows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine double"
+        )
+    by_m: dict[int, dict[int, list[int]]] = {}
+    for r in rows:
+        by_m.setdefault(r.m, {})[r.sid] = list(r.cw)
+    lit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{v}L" for v in by_m[m][sid]) + ")"
+                for sid in range(1, _PQ_K + 1)
+            )
+            + ")"
+            for m in range(_PQ_M)
+        )
+        + ")"
+    )
+    e = _quantized(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < 5).withColumn("nrm", _dot("q", "q"))
+    pd = probes.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_l2())
+    wp = Window.partitionBy("vec_id").orderBy("d2", "cent_id")
+    pcell = (
+        pd.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 4)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("p"),
+            F.col("cent_id").alias("cell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # bounded driver roundtrip (<= 5 probes x 4 cells): the probed-cell
+    # list re-enters as an IN filter the bucketed store read prunes on
+    probe_cells = [r.cell for r in pcell.select("cell").distinct().collect()]
+    recon_r = F.expr(
+        f"flatten(transform(sequence(0, {_PQ_M - 1}),"
+        f" m -> {lit}[m][codes[m] - 1]))"
+    )
+    idx = (
+        codes.filter(F.col("cell").isin(probe_cells))
+        .withColumn("recon_r", recon_r)
+        .join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.expr("zip_with(cq, recon_r, (a, b) -> a + b)").alias("rv"),
+        )
+    )
+    cand_n = max(_PQ_CAND, n_vec // 10)
+    coarse = (
+        pcell.join(idx, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", _dot("p", "rv"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        coarse.withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") <= cand_n)
+        .select("query_id", "neighbor_id")
+    )
+    full = e.withColumn("nrm2", _dot("q", "q"))
+    a = full.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("nrm2").alias("na"),
+    )
+    b = full.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("nrm2").alias("nb"),
+    )
+    rescored = (
+        cand.join(F.broadcast(a), "query_id")
+        .join(b, "neighbor_id")
+        .withColumn(
+            "cosine",
+            _dot("qa", "qb").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup (Abbas et al. 2023): semantic dedup at scale = cluster the
 # embedding space first, then run exact pairwise cosine ONLY within each

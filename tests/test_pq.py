@@ -207,3 +207,29 @@ def test_lloyd_rounds_reduce_distortion(spark, sf_dir):
         .t
     )
     assert trained < untrained, (trained, untrained)
+
+
+def test_ivfpq_persisted_serves_identically_and_warm(spark, sf_dir):
+    """Store-roundtrip ≡ inline compute for the composed index, and a
+    second invocation serves from the existing store versions (no
+    rebuild — same contract as the LSH/IVF/PQ persisted tests)."""
+    from magictables_spark.plans.similarity import _ivfpq_persisted_index
+
+    direct = sorted(
+        tuple(r) for r in REGISTRY["ann_ivfpq_topk"].fn(spark, sf_dir).collect()
+    )
+    served = sorted(
+        tuple(r) for r in REGISTRY["ann_ivfpq_persisted"].fn(spark, sf_dir).collect()
+    )
+    assert served == direct
+
+    wh, ck, bk, ek, _tag, _n = _ivfpq_persisted_index(spark, sf_dir)
+
+    def versions():
+        return [
+            [v["version"] for v in wh.list_versions(k)] for k in (ck, bk, ek)
+        ]
+
+    v1 = versions()
+    REGISTRY["ann_ivfpq_persisted"].fn(spark, sf_dir).collect()
+    assert versions() == v1

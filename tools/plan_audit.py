@@ -35,6 +35,11 @@ SPE = "SINGLE_PARTITION_EXCHANGE"
 # pattern is safe (what bounds the broadcast side / the exchanged rows).
 WAIVERS: dict[str, dict[str, str]] = {
     "ann_ivf_topk": {NLJ: "broadcast side is the ~sqrt(n) centroid table"},
+    "ann_ivfpq_persisted": {
+        NLJ: "broadcast sides are the persisted ~sqrt(n) centroid "
+        "table (probe-cell cross) and the 5-row probe set; the "
+        "candidate join is cell-keyed equi over the IN-pruned store"
+    },
     "ann_ivfpq_topk": {
         NLJ: "broadcast sides are the ~sqrt(n) centroid table "
         "(assignment + probe-cell cross) and the 5-row probe set; the "
