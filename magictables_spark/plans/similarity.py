@@ -907,6 +907,178 @@ def ann_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "lsh_store_stream",
+    oracle=_append_oracle(),
+    doc="STREAMING maintenance of the persisted vector-LSH index — "
+    "the last store family to gain a foreachBatch driver (with IVF, "
+    "PQ, simhash, MinHash, exact-fp, LPA, rollup, SCD2, HLL and the "
+    "quantile histogram, EVERY persisted incremental store now has "
+    "both a batch and a streaming maintainer): the history corpus "
+    f"(vec_id < {APPEND_SPLIT}) builds the index at its pinned bucket "
+    "geometry and seeds a store PARTITIONED BY a 16-way bucket-group "
+    "key; new vector batches stream in 3 shards, and each micro-batch "
+    "(a) signs ONLY its own vectors at the pinned geometry, (b) reads "
+    "the store pruned to its TOUCHED bucket-groups, (c) re-elects the "
+    "hot-bucket rank rb only inside the touched (tbl, bucket) cells "
+    "(the md5 election is insertion-order-independent, so streamed "
+    "appends end PROVABLY row-identical to a from-scratch build at "
+    "the pinned geometry — the ann_lsh_index_append proof, which is "
+    "exactly what the oracle computes), and (d) rewrites ONLY the "
+    "touched partitions via dynamic partitionOverwriteMode — "
+    "untouched bucket-groups are never read nor written (the "
+    "scd2_store_stream layout applied to an index). Serving between "
+    "batches is ann_lsh_persisted's shape: bucket-pruned scan, cap as "
+    "a pushed-down rb filter. Per-batch applied markers guard the "
+    "non-idempotent re-rank against at-least-once replay.",
+    tags=("similarity", "ann", "streaming", "scale", "warehouse"),
+)
+def lsh_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    B = APPEND_SPLIT
+    NPG = 16  # bucket-group partitions (the overwrite/pruning unit)
+    quant = _quantized(spark, sf_dir).filter(F.col("vec_id") < APPEND_DEMO_MAX)
+    n_vec = quant.count()
+    n_hist = min(B, n_vec)
+    emb = _t(spark, sf_dir, "embeddings")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = hashlib.md5(
+        f"v1:lshstream:{N_TABLES}:{N_PROBES}:{B}:"
+        f"{os.path.realpath(sf_dir)}:{n_vec}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"lshstream_{tag}")
+    src = os.path.join(root, "src")
+    store_dir = os.path.join(root, "store")
+    applied_dir = os.path.join(root, "applied")
+    ready = os.path.join(root, "_READY")
+    store_schema = (
+        "tbl int, bucket bigint, vec_id bigint, masks array<bigint>, "
+        "rb int, pg bigint"
+    )
+    _pg = F.pmod(F.col("bucket"), F.lit(NPG)).alias("pg")
+    wb = Window.partitionBy("tbl", "bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        os.makedirs(applied_dir)
+        hist = _lsh_index_core(
+            spark, quant.filter(F.col("vec_id") < B), n_hist, N_TABLES, N_PROBES
+        ).withColumnRenamed("table", "tbl")
+        (
+            hist.withColumn("rb", F.row_number().over(wb))
+            .select("tbl", "bucket", "vec_id", "masks", "rb", _pg)
+            .write.partitionBy("pg")
+            .mode("overwrite")
+            .parquet(store_dir)
+        )
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                emb.filter(
+                    (F.col("vec_id") >= B)
+                    & (F.col("vec_id") < APPEND_DEMO_MAX)
+                    & (F.col("vec_id") % 3 == shard)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]),
+                os.path.join(src, f"shard_{shard}.parquet"),
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _sign_merge(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):  # re-rank is not idempotent
+            return
+        sp = batch_df.sparkSession
+        bq = batch_df.select("vec_id", F.expr(QUANT_SPARK).alias("q"))
+        batch = (
+            _lsh_index_core(sp, bq, n_hist, N_TABLES, N_PROBES)
+            .withColumnRenamed("table", "tbl")
+            .localCheckpoint(eager=True)
+        )
+        touched_pg = [
+            r.pg for r in batch.select(_pg).distinct().collect()
+        ]
+        if touched_pg:
+            store = (
+                sp.read.schema(store_schema)
+                .parquet(store_dir)
+                .filter(F.col("pg").isin(touched_pg))
+            )
+            touched = batch.select("tbl", "bucket").distinct()
+            untouched = store.join(touched, ["tbl", "bucket"], "left_anti").drop(
+                "pg"
+            )
+            merged = (
+                store.join(touched, ["tbl", "bucket"], "left_semi")
+                .drop("rb", "pg")
+                .unionByName(batch)
+                .withColumn("rb", F.row_number().over(wb))
+            )
+            out = (
+                untouched.unionByName(merged)
+                .select("tbl", "bucket", "vec_id", "masks", "rb", _pg)
+                .localCheckpoint(eager=True)  # cut lineage before overwrite
+            )
+            (
+                out.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pg")
+                .mode("overwrite")
+                .parquet(store_dir)
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    name = f"mts_lshstream_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_sign_merge)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    T = spark.read.schema(store_schema).parquet(store_dir)
+    a = T.select(
+        F.col("tbl").alias("table"),
+        F.explode(
+            F.expr("concat(array(bucket), transform(masks, m -> bucket ^ m))")
+        ).alias("bucket"),
+        F.col("vec_id").alias("lo"),
+    )
+    b = T
+    if n_vec > CAP_MIN_N:
+        b = b.filter(F.col("rb") <= HOT_BUCKET_CAP)
+    b = b.select(F.col("tbl").alias("table"), "bucket", F.col("vec_id").alias("hi"))
+    return _ann_serve(spark, sf_dir, a, b, n_vec)
+
+
+@q(
     "dedup_minhash",
     oracle=f"""
     WITH raw AS (
