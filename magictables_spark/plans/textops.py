@@ -1291,3 +1291,150 @@ def lpa_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = base.join(delta, "v", "left_anti").unionByName(delta)
     return _lpa_communities(merged)
+
+
+@q(
+    "rrf_hybrid_rank",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM t
+    ), df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM t
+      WHERE token IN {_QUERY_TERMS!r}
+      GROUP BY token
+    ), idf AS (
+      SELECT token, length(bin(n_docs // df)) - 1 AS idf_bits
+      FROM df CROSS JOIN n
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM t
+      WHERE token IN {_QUERY_TERMS!r}
+      GROUP BY doc_id, token
+    ), lex AS (
+      SELECT doc_id AS item_id, rank_lex FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY SUM(tf * idf_bits) DESC, doc_id) AS rank_lex
+        FROM tf JOIN idf USING (token) GROUP BY doc_id
+      ) WHERE rank_lex <= 50
+    ), e AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ), nrm AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i]))
+               AS BIGINT) AS n2
+      FROM e
+    ), sem AS (
+      SELECT vec_id AS item_id, rank_sem FROM (
+        SELECT c.vec_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 CAST(list_sum(list_transform(range(1, 65),
+                   i -> p.q[i]*c.q[i])) AS BIGINT)
+                   / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+                 DESC, c.vec_id) AS rank_sem
+        FROM nrm p JOIN nrm c ON p.vec_id = 0 AND c.vec_id <> 0
+      ) WHERE rank_sem <= 50
+    ), fused AS (
+      SELECT COALESCE(l.item_id, s.item_id) AS item_id,
+             l.rank_lex, s.rank_sem,
+             COALESCE(1.0 / (60 + l.rank_lex), 0)
+               + COALESCE(1.0 / (60 + s.rank_sem), 0) AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s ON l.item_id = s.item_id
+    )
+    SELECT item_id, rank_lex, rank_sem, rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, item_id LIMIT 20
+    """,
+    doc="Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-"
+    "retrieval primitive every RAG pipeline runs: a LEXICAL ranking "
+    "(the exact-integer tf-idf-bits scorer of tfidf_bits_topk over "
+    "the fixed query terms) and a SEMANTIC ranking (exact int64 "
+    "cosine to the probe embedding) each contribute 1/(60 + rank) "
+    "for their top-50, and items sum their contributions — rank-"
+    "based fusion needs NO score calibration between the two "
+    "systems, which is why RRF beats score interpolation in "
+    "practice. Both component rankings are deterministic (integer "
+    "scores, id tiebreaks) and the fusion arithmetic is two IEEE "
+    "divides and an add run identically in DuckDB, so the ENTIRE "
+    "hybrid pipeline — two retrievers + fusion — is value-hash-"
+    "checked cross-engine. Plan shape: the lexical leg is a pushed-"
+    "down 3-term IN scan + doc-keyed agg; the semantic leg is a "
+    "1-probe broadcast over the vector scan; the fusion joins two "
+    "50-row frames — at 100 TB each leg scales like its standalone "
+    "slug (ann_*_persisted serves the semantic leg from an index) "
+    "and fusion cost is ~top-k only.",
+    tags=("text", "similarity", "analytics", "llm", "scale"),
+)
+def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token").isin(*_QUERY_TERMS))
+    n_docs = docs.select("doc_id").distinct().count()
+    df = t.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    idf = df.select(
+        "token",
+        (F.length(F.bin(F.expr(f"CAST({n_docs} AS BIGINT) div df"))) - 1).alias(
+            "idf_bits"
+        ),
+    )
+    tf = t.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    wl = Window.orderBy(F.desc("score_bits"), F.asc("doc_id"))
+    # top-50 via TakeOrdered FIRST; the rank window then runs over a
+    # 50-row frame, not the full matched-doc set
+    lex = (
+        tf.join(F.broadcast(idf), "token")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_bits")).alias("score_bits"))
+        .orderBy(F.desc("score_bits"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn("rank_lex", F.row_number().over(wl))
+        .select(F.col("doc_id").alias("item_id"), "rank_lex")
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)"
+            " AS BIGINT))"
+        ).alias("q"),
+    )
+    nrm = e.withColumn(
+        "n2",
+        F.expr(
+            "aggregate(zip_with(q, q, (a, b) -> a * b), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x)"
+        ),
+    )
+    p = nrm.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("pq"), F.col("n2").alias("pn2")
+    )
+    cos = F.expr(
+        "aggregate(zip_with(pq, q, (a, b) -> a * b), CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x)"
+    ).cast("double") / (
+        F.sqrt(F.col("pn2").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    ws = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    sem = (
+        nrm.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(p))
+        .withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(50)
+        .withColumn("rank_sem", F.row_number().over(ws))
+        .select(F.col("vec_id").alias("item_id"), "rank_sem")
+    )
+    fused = lex.join(sem, "item_id", "full_outer").select(
+        "item_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rank_sem")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("item_id")).limit(20)

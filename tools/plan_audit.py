@@ -92,6 +92,10 @@ WAIVERS: dict[str, dict[str, str]] = {
         "IN-pruned bucketed index read)"
     },
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
+    "rrf_hybrid_rank": {
+        NLJ: "broadcast side is the 1-row probe embedding (semantic "
+        "leg); the fusion join is a 50x50-row full-outer"
+    },
     "ann_int8_rescore": {NLJ: "broadcast side is the 5-row int8 probe set"},
     "ann_pq_rescore": {
         NLJ: "broadcast side is the 5-row full-precision probe set "
