@@ -744,3 +744,105 @@ def quantile_hist_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_CMS_D, _CMS_W = 4, 256  # depth x width; ~2.7k ints per store
+
+
+@q(
+    "cms_topk_incremental",
+    oracle=f"""
+    WITH js AS (FROM range(0, {_CMS_D}) t(j)),
+    cells AS (
+      SELECT j.j,
+             CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':'
+               || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % {_CMS_W}
+               AS col,
+             COUNT(*) AS c
+      FROM events CROSS JOIN js j
+      GROUP BY 1, 2
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), est AS (
+      SELECT u.user_id, MIN(c.c) AS est_count
+      FROM users u CROSS JOIN js j
+      JOIN cells c ON c.j = j.j
+        AND c.col = CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':'
+              || CAST(u.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % {_CMS_W}
+      GROUP BY u.user_id
+    )
+    SELECT user_id, CAST(est_count AS BIGINT) AS est_count
+    FROM est
+    ORDER BY est_count DESC, user_id LIMIT 15
+    """,
+    doc="INCREMENTAL heavy-hitters via a persisted COUNT-MIN sketch "
+    "store (Cormode & Muthukrishnan 2005) — the frequency leg of the "
+    "mergeable-sketch family (HLL = distinct counts, fixed-bin "
+    f"histogram = quantiles, CMS = frequencies): a {_CMS_D} x "
+    f"{_CMS_W} counter matrix (md5-derived row hashes, identical hex "
+    "cross-engine) is built once for the history half of the month "
+    "and persisted; a new batch sketches ONLY ITSELF and merges by "
+    "summing counters — integer partials, so the merged sketch is "
+    "PROVABLY the full-scan sketch and the per-key estimates "
+    "(min over the d rows — the CMS query) are fully value-hash-"
+    "oracled, not merely gated. The declared approximation is the "
+    "ESTIMATE vs the true count (est >= truth always, inflated only "
+    "by collisions — asserted in tests/test_cms.py together with the "
+    "top-set overlap against exact heavy hitters). At 100 TB: the "
+    "store is ~1k ints regardless of key cardinality, refresh is "
+    "O(batch), and any key's frequency answers from d lookups — the "
+    "reason count-min backs every streaming top-k dashboard; "
+    "heavy_hitters_exact remains the exact sibling.",
+    tags=("stats", "sketch", "scale", "warehouse", "events"),
+)
+def cms_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    n = ev.count()
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    key = "cms_" + hashlib.md5(
+        f"v1:{_CMS_D}x{_CMS_W}:{os.path.realpath(sf_dir)}:{n}:{cfp}".encode()
+    ).hexdigest()[:16]
+
+    js = spark.range(_CMS_D).select(F.col("id").alias("j"))
+    col_expr = F.expr(
+        "CAST(CONV(SUBSTRING(md5(CONCAT(CAST(j AS STRING), ':',"
+        f" CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+    def _sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select("user_id")
+            .crossJoin(F.broadcast(js))
+            .select("j", col_expr.alias("col"))
+            .groupBy("j", "col")
+            .agg(F.count("*").alias("c"))
+        )
+
+    wh = Warehouse(store_root("cms"))
+    if not wh.has_table(key):
+        wh.write_table(
+            _sketch(ev.filter(F.col("ts") < split)),
+            key,
+            source_info={"d": _CMS_D, "w": _CMS_W},
+        )
+    merged = (
+        wh.read_table(spark, key)
+        .unionByName(_sketch(ev.filter(F.col("ts") >= split)))
+        .groupBy("j", "col")
+        .agg(F.sum("c").alias("c"))
+    )
+    users = ev.select("user_id").distinct()
+    est = (
+        users.crossJoin(F.broadcast(js))
+        .select("user_id", "j", col_expr.alias("col"))
+        .join(merged, ["j", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), F.asc("user_id")).limit(15)

@@ -119,6 +119,10 @@ WAIVERS: dict[str, dict[str, str]] = {
     "range_join": {NLJ: "the residual band predicate after bucket-equi blocking"},
     "target_encoding": {NLJ: "broadcast side is the 1-row global-prior scalar"},
     "value_counts_share": {NLJ: "broadcast side is the 1-row total-count scalar"},
+    "cms_topk_incremental": {
+        NLJ: "broadcast side is the 4-row sketch-depth spine crossed "
+        "into the event scan and the distinct-user dim"
+    },
     "quantile_hist_incremental": {
         NLJ: "broadcast side is the 3-row quantile spine crossed into "
         "the |keys| x 64-bin store frame — both bounded dims"
