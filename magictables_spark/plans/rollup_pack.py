@@ -846,3 +846,152 @@ def cms_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("bigint").alias("est_count"))
     )
     return est.orderBy(F.desc("est_count"), F.asc("user_id")).limit(15)
+
+
+@q(
+    "cms_store_stream",
+    oracle=f"""
+    WITH js AS (FROM range(0, {_CMS_D}) t(j)),
+    cells AS (
+      SELECT j.j,
+             CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':'
+               || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % {_CMS_W}
+               AS col,
+             COUNT(*) AS c
+      FROM events CROSS JOIN js j
+      GROUP BY 1, 2
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), est AS (
+      SELECT u.user_id, MIN(c.c) AS est_count
+      FROM users u CROSS JOIN js j
+      JOIN cells c ON c.j = j.j
+        AND c.col = CAST(('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':'
+              || CAST(u.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % {_CMS_W}
+      GROUP BY u.user_id
+    )
+    SELECT user_id, CAST(est_count AS BIGINT) AS est_count
+    FROM est
+    ORDER BY est_count DESC, user_id LIMIT 15
+    """,
+    doc="STREAMING maintenance of the count-min sketch store — the "
+    "foreachBatch twin of cms_topk_incremental (symmetry preserved "
+    "across the whole mergeable-sketch family): history seeds the "
+    f"{_CMS_D} x {_CMS_W} counter matrix; the rest of the month "
+    "streams in 3 shards (event_id % 3) and each micro-batch sketches "
+    "ONLY ITSELF then counter-sums into the store — an O(d*w) integer "
+    "frame rewrite, the size of the SKETCH, never the data. Counter "
+    "merge is mergeable-but-NOT-idempotent (the quantile-histogram "
+    "side of the idempotence spectrum), so replay takes per-batch "
+    "applied markers. The streamed store is provably the full-scan "
+    "sketch, so the top-15 estimates hash-match the full-scan oracle "
+    "exactly; the est >= truth guarantee carries over unchanged "
+    "(tests/test_cms.py).",
+    tags=("stats", "sketch", "scale", "warehouse", "streaming", "events"),
+)
+def cms_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(
+        f"v1:cmss:{_CMS_D}x{_CMS_W}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"cmsstream_{tag}")
+    src = os.path.join(root, "src")
+    store_dir = os.path.join(root, "store")
+    applied_dir = os.path.join(root, "applied")
+    ready = os.path.join(root, "_READY")
+    store_schema = "j bigint, col bigint, c bigint"
+
+    js = spark.range(_CMS_D).select(F.col("id").alias("j"))
+    col_expr = F.expr(
+        "CAST(CONV(SUBSTRING(md5(CONCAT(CAST(j AS STRING), ':',"
+        f" CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+    def _sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select("user_id")
+            .crossJoin(F.broadcast(js))
+            .select("j", col_expr.alias("col"))
+            .groupBy("j", "col")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        os.makedirs(applied_dir)
+        _sketch(ev.filter(F.col("ts") < split)).write.mode("overwrite").parquet(
+            store_dir
+        )
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                ev.filter((F.col("ts") >= split) & (F.col("event_id") % 3 == shard))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]),
+                os.path.join(src, f"shard_{shard}.parquet"),
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):  # counter merge is NOT idempotent
+            return
+        ss = batch_df.sparkSession
+        merged = (
+            ss.read.schema(store_schema)
+            .parquet(store_dir)
+            .unionByName(_sketch(batch_df))
+            .groupBy("j", "col")
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=True)  # cut lineage before overwrite
+        )
+        merged.write.mode("overwrite").parquet(store_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    name = f"mts_cmsstream_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    merged = spark.read.schema(store_schema).parquet(store_dir)
+    users = ev.select("user_id").distinct()
+    est = (
+        users.crossJoin(F.broadcast(js))
+        .select("user_id", "j", col_expr.alias("col"))
+        .join(merged, ["j", "col"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), F.asc("user_id")).limit(15)

@@ -123,6 +123,11 @@ WAIVERS: dict[str, dict[str, str]] = {
         NLJ: "broadcast side is the 4-row sketch-depth spine crossed "
         "into the event scan and the distinct-user dim"
     },
+    "cms_store_stream": {
+        NLJ: "broadcast side is the 4-row sketch-depth spine crossed "
+        "into the distinct-user dim at serve (batch sketching happened "
+        "inside foreachBatch)"
+    },
     "quantile_hist_incremental": {
         NLJ: "broadcast side is the 3-row quantile spine crossed into "
         "the |keys| x 64-bin store frame — both bounded dims"
