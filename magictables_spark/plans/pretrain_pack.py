@@ -493,6 +493,175 @@ def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HILBERT_S = [128, 64, 32, 16, 8, 4, 2, 1]  # 8-bit coords, 2^16 cells
+
+
+def _hilbert_key_frame(df):
+    """(l_orderkey, l_linenumber, hkey): 16-bit Hilbert index of the
+    (l_partkey%256, l_suppkey%256) cell via the standard xy2d walk,
+    unrolled 8 levels — per level: quadrant digit d += s^2*((3*rx)^ry),
+    then reflect+swap the frame when ry=0. Pure integer CASE/AND/XOR
+    arithmetic, identical in DuckDB (the oracle unrolls the same 8
+    steps), so the whole curve is hash-checked against an engine that
+    never saw this code."""
+    out = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_partkey % 256").alias("x"),
+        F.expr("l_suppkey % 256").alias("y"),
+        F.lit(0).cast("bigint").alias("d"),
+    )
+    for s in _HILBERT_S:
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        out = out.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                f"CASE WHEN (y & {s}) = 0"
+                f" THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END)"
+                f" ELSE x END"
+            ).alias("x"),
+            F.expr(
+                f"CASE WHEN (y & {s}) = 0"
+                f" THEN (CASE WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END)"
+                f" ELSE y END"
+            ).alias("y"),
+            F.expr(f"d + {s * s} * ((3 * {rx}) ^ {ry})").alias("d"),
+        )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("d").alias("hkey")
+    )
+
+
+@q(
+    "hilbert_cluster_key",
+    oracle="""
+    WITH h0 AS (
+      SELECT l_orderkey, l_linenumber,
+             l_partkey % 256 AS x, l_suppkey % 256 AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM lineitem
+    ), h1 AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN (y & 128) = 0
+                  THEN (CASE WHEN (x & 128) > 0 THEN 127 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 128) = 0
+                  THEN (CASE WHEN (x & 128) > 0 THEN 127 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 16384 * xor(3 * (CASE WHEN (x & 128) > 0 THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & 128) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM h0
+    ), h2 AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN (y & 64) = 0
+                  THEN (CASE WHEN (x & 64) > 0 THEN 63 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 64) = 0
+                  THEN (CASE WHEN (x & 64) > 0 THEN 63 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 4096 * xor(3 * (CASE WHEN (x & 64) > 0 THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & 64) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM h1
+    ), h3 AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN (y & 32) = 0
+                  THEN (CASE WHEN (x & 32) > 0 THEN 31 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 32) = 0
+                  THEN (CASE WHEN (x & 32) > 0 THEN 31 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 1024 * xor(3 * (CASE WHEN (x & 32) > 0 THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & 32) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM h2
+    ), h4 AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN (y & 16) = 0
+                  THEN (CASE WHEN (x & 16) > 0 THEN 15 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 16) = 0
+                  THEN (CASE WHEN (x & 16) > 0 THEN 15 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 256 * xor(3 * (CASE WHEN (x & 16) > 0 THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & 16) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM h3
+    ), h5 AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN (y & 8) = 0
+                  THEN (CASE WHEN (x & 8) > 0 THEN 7 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 8) = 0
+                  THEN (CASE WHEN (x & 8) > 0 THEN 7 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 64 * xor(3 * (CASE WHEN (x & 8) > 0 THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & 8) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM h4
+    ), h6 AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN (y & 4) = 0
+                  THEN (CASE WHEN (x & 4) > 0 THEN 3 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 4) = 0
+                  THEN (CASE WHEN (x & 4) > 0 THEN 3 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 16 * xor(3 * (CASE WHEN (x & 4) > 0 THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & 4) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM h5
+    ), h7 AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN (y & 2) = 0
+                  THEN (CASE WHEN (x & 2) > 0 THEN 1 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 2) = 0
+                  THEN (CASE WHEN (x & 2) > 0 THEN 1 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 4 * xor(3 * (CASE WHEN (x & 2) > 0 THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & 2) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM h6
+    ), h8 AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN (y & 1) = 0
+                  THEN (CASE WHEN (x & 1) > 0 THEN 0 - y ELSE y END)
+                  ELSE x END AS x,
+             CASE WHEN (y & 1) = 0
+                  THEN (CASE WHEN (x & 1) > 0 THEN 0 - x ELSE x END)
+                  ELSE y END AS y,
+             d + 1 * xor(3 * (CASE WHEN (x & 1) > 0 THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & 1) > 0 THEN 1 ELSE 0 END)) AS d
+      FROM h7
+    )
+    SELECT d // 4096 AS hbucket,
+           COUNT(*) AS n_rows,
+           MIN(d) AS hmin, MAX(d) AS hmax
+    FROM h8 GROUP BY hbucket
+    """,
+    doc="Two-column HILBERT clustering key over the same (l_partkey, "
+    "l_suppkey) low bytes as zorder_cluster_key — the better-locality "
+    "sibling: the Hilbert curve is CONTINUOUS (consecutive indices "
+    "are always grid neighbors, verified against an independent "
+    "Python xy2d in tests/test_hilbert.py), so equal-size index "
+    "ranges cut tighter bounding boxes than Morton's quadrant jumps — "
+    "measurably fewer files touched per 2-D range predicate at the "
+    "same file count, the reason modern layout clustering favors "
+    "Hilbert over Z-order. Implemented as the "
+    "standard xy2d walk unrolled 8 levels in pure integer CASE/AND/"
+    "XOR arithmetic (no UDF — the whole key is one codegen'd "
+    "projection), with the DuckDB oracle unrolling the identical 8 "
+    "steps, so the full curve mapping is value-hash-checked. Same "
+    "write-side pattern as zorder: repartitionByRange(hkey) + "
+    "sortWithinPartitions; map-side only before the bucket agg.",
+    tags=("scale", "layout"),
+)
+def hilbert_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _hilbert_key_frame(_t(spark, sf_dir, "lineitem"))
+    return k.groupBy(F.expr("hkey div 4096").alias("hbucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("hkey").alias("hmin"),
+        F.max("hkey").alias("hmax"),
+    )
+
+
 @q(
     "pretrain_corpus_funnel",
     oracle=f"""
