@@ -90,3 +90,32 @@ def test_spark_walk_matches_reference(spark, sf_dir):
             r.l_linenumber,
             r.hkey,
         )
+
+
+def test_hilbert_ranges_cut_tighter_boxes_than_morton():
+    """The locality claim, measured: over UNALIGNED equal-size index
+    ranges (aligned power-of-4 ranges are perfect quadrants for both
+    curves), Hilbert's continuity yields strictly smaller mean
+    bounding boxes than Morton's quadrant jumps (measured 384 vs 512
+    cells for 256-cell ranges) — the property that makes Hilbert file
+    ranges prune more 2-D predicates at the same file count."""
+    import statistics
+
+    def d2xy_z(d):
+        x = y = 0
+        for b in range(8):
+            x |= ((d >> (2 * b)) & 1) << b
+            y |= ((d >> (2 * b + 1)) & 1) << b
+        return x, y
+
+    def mean_area(f):
+        areas = []
+        for start in range(128, 65536 - 256, 512):
+            pts = [f(d) for d in range(start, start + 256)]
+            xs = [p[0] for p in pts]
+            ys = [p[1] for p in pts]
+            areas.append((max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1))
+        return statistics.mean(areas)
+
+    h, z = mean_area(_d2xy), mean_area(d2xy_z)
+    assert h < z, (h, z)
