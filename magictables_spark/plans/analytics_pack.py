@@ -391,3 +391,67 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
     ).select("n_edges", "n_triangles")
+
+
+@q(
+    "pareto_frontier_2d",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             p_size
+      FROM part
+    )
+    SELECT a.p_partkey, a.price_cents, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size < a.p_size)
+    )
+    ORDER BY a.p_partkey
+    """,
+    doc="2-D Pareto frontier (skyline): parts no other part weakly "
+    "dominates on (price, size) with a strict improvement in at least "
+    "one — the multi-objective shortlist query. The ORACLE states the "
+    "semantics as the textbook NOT EXISTS all-pairs (quadratic); the "
+    "Spark plan is the SORTED-WINDOW reformulation that makes skyline "
+    "linear-after-sort: dominated-by-strictly-cheaper iff the running "
+    "MIN(size) over RANGE (-inf, price-1] is <= your size, and "
+    "dominated-within-a-price-tie iff a same-price row has strictly "
+    "smaller size — two window passes riding ONE price-ordered "
+    "exchange replace the n^2 pair join (equal duplicate points "
+    "survive together under the strict-in-one rule, which both forms "
+    "honor). The global RANGE window is a total-order op by the "
+    "problem's definition (the skyline is a global property); at "
+    "100 TB you pre-prune with a coarse grid (only cells on the "
+    "grid's own staircase can hold frontier points) and run this "
+    "window over the ~sqrt-sized residual — the plan shape is "
+    "unchanged. Value-hash-checked: window form ≡ quadratic "
+    "definition on every fixture.",
+    tags=("analytics", "scale"),
+)
+def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("price_cents"),
+        "p_size",
+    )
+    w_lt = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_tie = Window.partitionBy("price_cents")
+    return (
+        p.withColumn("min_size_cheaper", F.min("p_size").over(w_lt))
+        .withColumn("min_size_tie", F.min("p_size").over(w_tie))
+        .filter(
+            (
+                F.col("min_size_cheaper").isNull()
+                | (F.col("min_size_cheaper") > F.col("p_size"))
+            )
+            & (F.col("p_size") == F.col("min_size_tie"))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+        .orderBy("p_partkey")
+    )

@@ -138,6 +138,11 @@ WAIVERS: dict[str, dict[str, str]] = {
     },
     "triangle_count": {NLJ: "broadcast side is the bounded oriented-edge set of the demo graph; production pagerank/components paths are equi-join only"},
     "cumulative_distinct": {SPE: "global running-distinct IS a total-order op; keyed twin: window_rolling/lag_features"},
+    "pareto_frontier_2d": {
+        SPE: "the skyline is a GLOBAL property by definition (one "
+        "price-ordered window replaces the n^2 pair join); at scale a "
+        "coarse-grid pre-prune bounds the windowed residual (doc)"
+    },
     "pct_change_global": {SPE: "declared single-series variant; LAG runs over the aggregated ~24-row monthly series — the keyed `pct_change` is the registered default"},
     "period_over_period_global": {SPE: "declared single-series variant; LAG runs over the aggregated ~24-row monthly series — the keyed `period_over_period` is the registered default"},
     "sequence_packing": {SPE: "exact-parity baseline; sequence_packing_sharded is the registered scale path"},
