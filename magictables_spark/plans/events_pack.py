@@ -1825,3 +1825,100 @@ def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vc = vc.select(F.countDistinct("u").alias("n_view_click"))
     n_vcp = vcp.select(F.countDistinct("u").alias("n_full_funnel"))
     return n_view.crossJoin(n_vc).crossJoin(n_vcp)
+
+
+@q(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT user_id, event_type AS status,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_id
+      FROM (SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+      WHERE rn = 1
+    ), new AS (
+      SELECT user_id, event_type AS status,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_id
+      FROM (SELECT user_id, event_type, ts, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+           CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           o.status AS old_status, n.status AS new_status,
+           o.event_id AS old_event_id, n.event_id AS new_event_id
+    FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+    WHERE o.user_id IS NULL OR n.user_id IS NULL
+       OR o.event_id <> n.event_id
+    ORDER BY user_id
+    """,
+    doc="Snapshot DIFF — the table_changes/CDC-read primitive every "
+    "warehouse audit runs between two versions of a dimension: the "
+    "SCD-1 latest-per-user snapshot AS OF the mid-month boundary vs "
+    "the current one, full-outer-joined on the key, emitting "
+    "added/removed/changed rows with before/after values (rows whose "
+    "winning event is unchanged drop out — the diff is the DELTA, "
+    "not the table). Both snapshots derive from the same "
+    "row_number-latest spec the upsert family uses, so at 100 TB "
+    "this is two key-partitioned windows + ONE key-keyed full-outer "
+    "join — the diff costs one exchange regardless of how many "
+    "columns changed, and in practice the old side reads a "
+    "time-travel version (warehouse.read_table(version=...)) rather "
+    "than recomputing; here both sides recompute from the changelog "
+    "so the WHOLE diff is value-hash-checked cross-engine.",
+    tags=("events", "pipeline", "merge", "warehouse"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def _snap(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("status"),
+                F.date_format("ts", TS_US_FMT).alias("ts"),
+                "event_id",
+            )
+        )
+
+    old = _snap(
+        ev.filter(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"))
+    ).select(
+        F.col("user_id").alias("o_user"),
+        F.col("status").alias("old_status"),
+        F.col("event_id").alias("old_event_id"),
+    )
+    new = _snap(ev).select(
+        F.col("user_id").alias("n_user"),
+        F.col("status").alias("new_status"),
+        F.col("event_id").alias("new_event_id"),
+    )
+    return (
+        old.join(new, old["o_user"] == new["n_user"], "full_outer")
+        .filter(
+            F.col("o_user").isNull()
+            | F.col("n_user").isNull()
+            | (F.col("old_event_id") != F.col("new_event_id"))
+        )
+        .select(
+            F.coalesce("n_user", "o_user").alias("user_id"),
+            F.when(F.col("o_user").isNull(), "added")
+            .when(F.col("n_user").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change"),
+            "old_status",
+            "new_status",
+            "old_event_id",
+            "new_event_id",
+        )
+        .orderBy("user_id")
+    )
