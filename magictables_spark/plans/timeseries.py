@@ -530,3 +530,69 @@ def seasonal_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "ses_forecast_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             strftime(MAX(day), '%Y-%m-%d') AS last_day,
+             list(v ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, last_day,
+           list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc)
+             AS forecast_cents
+    FROM series
+    ORDER BY event_type
+    """,
+    doc="Simple exponential smoothing (alpha=0.3) one-step-ahead "
+    "forecast of daily revenue per event type — the recursive "
+    "time-series recurrence l_t = a*x_t + (1-a)*l_{t-1} expressed as "
+    "an ORDERED LEFT FOLD over the per-key daily array: Spark's "
+    "aggregate() and DuckDB's list_reduce() both fold left from the "
+    "first element with the IDENTICAL '0.3*x + 0.7*acc' IEEE op "
+    "sequence, so even though smoothing is a float recurrence (the "
+    "class usually declared rows-only) the whole forecast is "
+    "value-hash-checked cross-engine. The daily sums enter the fold "
+    "as exact-integer-valued doubles (< 2^53). Plan shape: one "
+    "(key, day) aggregate, one key-level ordered collect of a "
+    "~31-element array, one map-side fold — recursions over BOUNDED "
+    "per-key series belong in an array fold, not a self-join chain "
+    "or a Python loop; unbounded series would window into fixed "
+    "chunks first (the ewma_windowed variant).",
+    tags=("timeseries", "forecast", "stats"),
+)
+def ses_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        F.expr("transform(array_sort(collect_list(struct(day, v))), s -> s.v)")
+        .alias("vals"),
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+            " (acc, x) -> 0.3 * x + 0.7 * acc)"
+        ).alias("forecast_cents"),
+    ).orderBy("event_type")
