@@ -596,3 +596,85 @@ def ses_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> 0.3 * x + 0.7 * acc)"
         ).alias("forecast_cents"),
     ).orderBy("event_type")
+
+
+@q(
+    "holt_forecast_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             list(v ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    ), folded AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_transform(vals, x -> [x, 0.0]),
+               (acc, e) -> [
+                 0.3 * e[1] + 0.7 * (acc[1] + acc[2]),
+                 0.2 * ((0.3 * e[1] + 0.7 * (acc[1] + acc[2])) - acc[1])
+                   + 0.8 * acc[2]
+               ]) AS lb
+      FROM series
+    )
+    SELECT event_type, n_days,
+           lb[1] AS level_cents, lb[2] AS trend_cents,
+           lb[1] + lb[2] AS forecast_cents
+    FROM folded
+    ORDER BY event_type
+    """,
+    doc="Holt linear-trend forecast (double exponential smoothing, "
+    "alpha=0.3 beta=0.2) — the COUPLED two-state recurrence "
+    "(l_t = a*x + (1-a)*(l+b); b_t = B*(l_t-l) + (1-B)*b) that "
+    "normally forces row-at-a-time code, expressed as a single "
+    "ordered left fold whose accumulator is a 2-ELEMENT ARRAY "
+    "[level, trend]: DuckDB's list_reduce requires the accumulator "
+    "to share the element type, so values lift to [x, 0] and both "
+    "engines fold the identical op sequence (the repeated l_t "
+    "subexpression re-evaluates to the same IEEE double in both) — "
+    "making even a coupled float recursion value-hash-checked "
+    "cross-engine, one structural step beyond ses_forecast_daily's "
+    "scalar fold. Same plan shape: keyed daily aggregate, ordered "
+    "bounded collect, map-side fold.",
+    tags=("timeseries", "forecast", "stats"),
+)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.expr("transform(array_sort(collect_list(struct(day, v))), s -> s.v)")
+        .alias("vals"),
+    )
+    # 0-based element access in Spark (the oracle's duck form is
+    # 1-based); same fold, same float op order
+    lt = "0.3 * e[0] + 0.7 * (acc[0] + acc[1])"
+    folded = series.select(
+        "event_type",
+        "n_days",
+        # init = [x1, 0] (list_reduce's first-element seed), fold the rest
+        F.expr(
+            "aggregate(transform(slice(vals, 2, size(vals) - 1),"
+            " x -> array(x, CAST(0.0 AS DOUBLE))),"
+            " array(vals[0], CAST(0.0 AS DOUBLE)),"
+            f" (acc, e) -> array({lt},"
+            f" 0.2 * (({lt}) - acc[0]) + 0.8 * acc[1]))"
+        ).alias("lb"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.expr("lb[0]").alias("level_cents"),
+        F.expr("lb[1]").alias("trend_cents"),
+        F.expr("lb[0] + lb[1]").alias("forecast_cents"),
+    ).orderBy("event_type")
