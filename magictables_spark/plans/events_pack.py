@@ -1922,3 +1922,81 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), sizes AS (
+      SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_overlap,
+           sa.n AS n_a, sb.n AS n_b,
+           CAST(COUNT(*) AS DOUBLE)
+             / (sa.n + sb.n - COUNT(*)) AS jaccard
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN sizes sa ON sa.event_type = a.event_type
+    JOIN sizes sb ON sb.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type, sa.n, sb.n
+    ORDER BY type_a, type_b
+    """,
+    doc="Audience-overlap matrix: distinct-user intersection, segment "
+    "sizes and Jaccard for every pair of event types — the "
+    "co-engagement query behind every audience-planning dashboard. "
+    "Plan shape is the key: the per-(user, type) DISTINCT collapses "
+    "the event stream FIRST (the only data-sized exchange), then the "
+    "pair join runs user-keyed over rows bounded by |users| x "
+    "|types| — with T segments each user contributes at most "
+    "T(T-1)/2 pairs, so the matrix costs O(n*T^2) with tiny T, never "
+    "O(n^2); segment sizes ride a broadcast dim. The canonical "
+    "a < b ordering halves the matrix and makes output deterministic. "
+    "Fully value-hash-oracled (counts + one exact IEEE divide); at "
+    "billions of users the same shape runs sketch-backed "
+    "(hll_sketch_rollup's union + inclusion-exclusion) at O(T^2) "
+    "sketch merges — the documented approximate sibling.",
+    tags=("events", "analytics", "scale"),
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)  # shared by the pair join + sizes
+    )
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "type_a")
+                        .withColumnRenamed("n", "n_a")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("event_type", "type_b")
+                        .withColumnRenamed("n", "n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_overlap",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_overlap").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_overlap"))
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
