@@ -193,7 +193,6 @@ def _media_fixture_dir() -> str:
     the package); fall back to a one-time tempdir materialization so
     the query still runs in a stripped checkout."""
     import os
-    import tempfile
 
     import magictables_spark
     from magictables_spark.operators.media_codecs import ensure_media_fixture_dir
@@ -202,7 +201,9 @@ def _media_fixture_dir() -> str:
     committed = os.path.join(repo_root, "tests", "fixtures", "media")
     if os.path.exists(os.path.join(committed, ".complete")):
         return committed
-    return ensure_media_fixture_dir(os.path.join(tempfile.gettempdir(), "mts_media_fixture_v6"))
+    from magictables_spark.warehouse import store_root
+
+    return ensure_media_fixture_dir(store_root("media_fixture_v6"))
 
 
 @q(
@@ -268,7 +269,6 @@ def _phash_fixture_dir() -> str:
     (tests/fixtures/media_phash); tempdir materialization fallback for
     stripped checkouts."""
     import os
-    import tempfile
 
     import magictables_spark
     from magictables_spark.operators.media_codecs import ensure_phash_fixture_dir
@@ -277,7 +277,9 @@ def _phash_fixture_dir() -> str:
     committed = os.path.join(repo_root, "tests", "fixtures", "media_phash")
     if os.path.exists(os.path.join(committed, ".complete")):
         return committed
-    return ensure_phash_fixture_dir(os.path.join(tempfile.gettempdir(), "mts_phash_fixture_v1"))
+    from magictables_spark.warehouse import store_root
+
+    return ensure_phash_fixture_dir(store_root("phash_fixture_v1"))
 
 
 @q(
@@ -340,7 +342,6 @@ def _afp_fixture_dir() -> str:
     """Resolve the committed near-dup audio corpus
     (tests/fixtures/media_afp); tempdir materialization fallback."""
     import os
-    import tempfile
 
     import magictables_spark
     from magictables_spark.operators.media_codecs import ensure_afp_fixture_dir
@@ -349,7 +350,9 @@ def _afp_fixture_dir() -> str:
     committed = os.path.join(repo_root, "tests", "fixtures", "media_afp")
     if os.path.exists(os.path.join(committed, ".complete")):
         return committed
-    return ensure_afp_fixture_dir(os.path.join(tempfile.gettempdir(), "mts_afp_fixture_v1"))
+    from magictables_spark.warehouse import store_root
+
+    return ensure_afp_fixture_dir(store_root("afp_fixture_v1"))
 
 
 @q(

@@ -22,12 +22,22 @@ schemas (schema inference at 100 TB means reading the data twice).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from magictables_spark.plans.registry import _t, q
+from magictables_spark.warehouse import store_root
+
+
+def _scratch(name: str) -> str:
+    """Per-process scratch dir for write-then-read-back slugs, under
+    the ownership-verified per-user store base (never a predictable
+    shared-/tmp path — round-7 advisory class), pid-suffixed so two
+    concurrent sessions on one host can never rmtree each other's
+    staged files mid-commit (observed: a devcheck sweep and a pytest
+    run racing on the fixed jsonl-roundtrip path)."""
+    return os.path.join(store_root("scratch"), f"{name}_{os.getpid()}")
 
 # ---------------------------------------------------------------------------
 # deterministic (content-hash) sampling and splits
@@ -170,7 +180,7 @@ def quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _roundtrip_dir(fmt: str) -> str:
-    return os.path.join(tempfile.gettempdir(), f"mts_roundtrip_{fmt}")
+    return _scratch(f"roundtrip_{fmt}")
 
 
 @q(
@@ -428,7 +438,7 @@ def chain_enrich_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scale", "joins", "formats"),
 )
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wh = os.path.join(tempfile.gettempdir(), "mts_bucketed")
+    wh = _scratch("bucketed")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     for name, df, key in (
@@ -481,7 +491,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scale", "formats", "sources"),
 )
 def partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(tempfile.gettempdir(), "mts_partitioned_events")
+    out = _scratch("partitioned_events")
     ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
     # explicit schema on the read-back: the op's own doc preaches it
@@ -526,7 +536,7 @@ def partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("formats", "sources", "scale"),
 )
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(tempfile.gettempdir(), "mts_schema_evolution")
+    out = _scratch("schema_evolution")
     orders = _t(spark, sf_dir, "orders")
     old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_orderstatus"
@@ -682,7 +692,7 @@ def python_datasource_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         if active.name == "mts_pyds_stream_q":
             active.stop()
             active.awaitTermination()
-    ckpt = os.path.join(tempfile.gettempdir(), "mts_pyds_stream_ckpt")
+    ckpt = _scratch("pyds_stream_ckpt")
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -802,7 +812,7 @@ def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         spark.dataSource.register(_Sink)
     except Exception:
         pass
-    out = os.path.join(tempfile.gettempdir(), "mts_jsonl_roundtrip")
+    out = _scratch("jsonl_roundtrip")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")

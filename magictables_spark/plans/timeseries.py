@@ -678,3 +678,184 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("lb[1]").alias("trend_cents"),
         F.expr("lb[0] + lb[1]").alias("forecast_cents"),
     ).orderBy("event_type")
+
+
+# Holt-Winters additive step (0-based Spark form; the oracle repeats the
+# identical arithmetic 1-based). acc = [level, trend, s_now, s_next .. ]:
+# acc[2] is the seasonal component applying to the CURRENT step; each
+# step shifts the 7-slot seasonal ring left and appends the freshly
+# updated seasonal at the end, so acc[2] is always the one due next.
+_HW_LT = "0.25 * (e[0] - acc[2]) + 0.75 * (acc[0] + acc[1])"
+_HW_BT = f"0.1 * (({_HW_LT}) - acc[0]) + 0.9 * acc[1]"
+_HW_ST = f"0.3 * (e[0] - ({_HW_LT})) + 0.7 * acc[2]"
+
+_HW_LT_1 = "0.25 * (e[1] - acc[3]) + 0.75 * (acc[1] + acc[2])"
+_HW_BT_1 = f"0.1 * (({_HW_LT_1}) - acc[1]) + 0.9 * acc[2]"
+_HW_ST_1 = f"0.3 * (e[1] - ({_HW_LT_1})) + 0.7 * acc[3]"
+
+
+@q(
+    "hw_forecast_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             list(v ORDER BY day) AS vals
+      FROM daily GROUP BY event_type
+    ), folded AS (
+      SELECT event_type, n_days,
+             list_reduce(
+               list_transform(vals, x -> [x, 0.0, 0.0, 0.0, 0.0, 0.0,
+                                          0.0, 0.0, 0.0]),
+               (acc, e) -> [
+                 {_HW_LT_1},
+                 {_HW_BT_1},
+                 acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+                 {_HW_ST_1}
+               ]) AS st
+      FROM series
+    )
+    SELECT event_type, n_days,
+           st[1] AS level_cents, st[2] AS trend_cents,
+           st[3] AS season_next_cents,
+           st[1] + st[2] + st[3] AS forecast_cents
+    FROM folded
+    ORDER BY event_type
+    """,
+    doc="Holt-Winters additive triple smoothing (alpha=0.25 beta=0.1 "
+    "gamma=0.3, weekly season m=7) one-step forecast of daily revenue "
+    "per event type — completes the fold-forecast family "
+    "(ses_forecast_daily scalar state -> holt_forecast_daily 2-state "
+    "-> here a 9-STATE accumulator [level, trend, 7-slot seasonal "
+    "ring]). The seasonal ring rotates inside the fold: acc[2] is "
+    "always the seasonal due at the current step, each step shifts "
+    "the ring left and appends the gamma-updated seasonal, so the "
+    "recurrence never needs a position index. Init is the documented "
+    "zero-seasonal variant (l0 = x1, b0 = 0, s = 0): seasonals are "
+    "LEARNED through the gamma term over the fixture's ~4 weekly "
+    "cycles rather than pre-estimated, which keeps the fold seed a "
+    "pure literal and the whole recursion one expression. Spark's "
+    "aggregate() folds scalar elements into the array accumulator; "
+    "DuckDB's list_reduce needs element type == acc type, so values "
+    "lift to 9-element arrays — both engines execute the IDENTICAL "
+    "IEEE op sequence (the repeated l_t subexpression re-evaluates "
+    "bit-equal), making a coupled 9-state float recursion fully "
+    "value-hash-checked cross-engine. Plan shape unchanged from the "
+    "siblings: keyed daily int64 aggregate, ordered bounded collect "
+    "(~31 elements), map-side fold — per-key bounded series fold, "
+    "no self-join chain, no Python.",
+    tags=("timeseries", "forecast", "stats"),
+)
+def hw_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.expr("transform(array_sort(collect_list(struct(day, v))), s -> s.v)")
+        .alias("vals"),
+    )
+    zeros = ", ".join(["CAST(0.0 AS DOUBLE)"] * 8)
+    folded = series.select(
+        "event_type",
+        "n_days",
+        # seed = [x1, 0, 0x7] (list_reduce's lifted-first-element seed);
+        # fold the remaining days with the rotating-ring step
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1),"
+            f" array(vals[0], {zeros}),"
+            f" (acc, x) -> array({_HW_LT.replace('e[0]', 'x')},"
+            f" {_HW_BT.replace('e[0]', 'x')},"
+            " acc[3], acc[4], acc[5], acc[6], acc[7], acc[8],"
+            f" {_HW_ST.replace('e[0]', 'x')}))"
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.expr("st[0]").alias("level_cents"),
+        F.expr("st[1]").alias("trend_cents"),
+        F.expr("st[2]").alias("season_next_cents"),
+        F.expr("st[0] + st[1] + st[2]").alias("forecast_cents"),
+    ).orderBy("event_type")
+
+
+@q(
+    "rolling_distinct_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT strftime(dd.d, '%Y-%m-%d') AS day,
+           (SELECT COUNT(DISTINCT u.user_id) FROM ud u
+            WHERE u.d BETWEEN dd.d - 6 AND dd.d) AS users_7d,
+           (SELECT CAST(SUM(x.n) AS BIGINT) FROM daily x
+            WHERE x.d BETWEEN dd.d - 6 AND dd.d) AS events_7d
+    FROM (SELECT d FROM daily) dd
+    ORDER BY 1
+    """,
+    doc="Trailing 7-day rolling DISTINCT active users (plus rolling "
+    "event volume) per day — the WAU curve, and the one rolling "
+    "metric a plain window CANNOT express (COUNT(DISTINCT) over a "
+    "moving frame is not an associative window aggregate; "
+    "cumulative_distinct covers the from-day-one variant, this is "
+    "the bounded-window one). Spark-first shape: dedup to (user, "
+    "day) FIRST (the heavy, key-partitioned shuffle — bounded by "
+    "|users| x |days| regardless of event volume), then each "
+    "user-day CONTRIBUTES itself to the 7 calendar days it keeps "
+    "the user active in via explode(sequence(day, day+6)) — a "
+    "static x7 row multiplier on the already-deduped set — and a "
+    "two-phase countDistinct per target day finishes. The rolling "
+    "event count rides the same explode over the tiny daily "
+    "aggregate. Target days outside the observed domain are "
+    "dropped by a semi-join against observed days, so the output "
+    "domain matches the oracle's correlated range scan exactly. "
+    "At 100 TB the x7 explode happens strictly after both "
+    "aggregates, never on raw events; the alternative (range self "
+    "-join of days x events) re-scans the fact 7x.",
+    tags=("timeseries", "events", "window"),
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    ud = ev.distinct()
+    daily = ev.groupBy("d").agg(F.count("*").alias("n"))
+    days = daily.select("d")
+    users = (
+        ud.select(
+            "user_id",
+            F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("wd"),
+        )
+        .join(days.withColumnRenamed("d", "wd"), "wd", "left_semi")
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )
+    volume = (
+        daily.select(
+            "n", F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("wd")
+        )
+        .join(days.withColumnRenamed("d", "wd"), "wd", "left_semi")
+        .groupBy("wd")
+        .agg(F.sum("n").alias("events_7d"))
+    )
+    return (
+        users.join(volume, "wd")
+        .select(
+            F.date_format("wd", "yyyy-MM-dd").alias("day"),
+            "users_7d",
+            "events_7d",
+        )
+        .orderBy("day")
+    )
