@@ -455,3 +455,207 @@ def pareto_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price_cents", "p_size")
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# customer-value and market-basket analytics
+# ---------------------------------------------------------------------------
+
+_RFM_SEG = (
+    "CASE WHEN r_score = 4 AND f_score >= 3 THEN 'champion' "
+    "WHEN r_score = 4 AND f_score = 1 THEN 'new' "
+    "WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk' "
+    "WHEN r_score = 1 AND f_score = 1 THEN 'lost' "
+    "ELSE 'core' END"
+)
+
+
+@q(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                       (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), cuts AS (
+      SELECT
+        PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY recency_days) AS r1,
+        PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY recency_days) AS r2,
+        PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY recency_days) AS r3,
+        PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY frequency) AS f1,
+        PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY frequency) AS f2,
+        PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY frequency) AS f3,
+        PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY monetary_cents) AS m1,
+        PERCENTILE_CONT(0.50) WITHIN GROUP (ORDER BY monetary_cents) AS m2,
+        PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY monetary_cents) AS m3
+      FROM cust
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
+             4 - (CAST(recency_days > r1 AS INT)
+                  + CAST(recency_days > r2 AS INT)
+                  + CAST(recency_days > r3 AS INT)) AS r_score,
+             1 + (CAST(frequency > f1 AS INT)
+                  + CAST(frequency > f2 AS INT)
+                  + CAST(frequency > f3 AS INT)) AS f_score,
+             1 + (CAST(monetary_cents > m1 AS INT)
+                  + CAST(monetary_cents > m2 AS INT)
+                  + CAST(monetary_cents > m3 AS INT)) AS m_score
+      FROM cust, cuts
+    )
+    SELECT o_custkey AS c_custkey, recency_days, frequency, monetary_cents,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           {_RFM_SEG} AS segment
+    FROM scored
+    ORDER BY c_custkey
+    """,
+    doc="RFM (recency / frequency / monetary) customer segmentation — "
+    "the canonical CRM scoring query. Each metric is quartile-scored "
+    "1..4 by VALUE BREAKPOINTS (exact interpolated percentiles at "
+    "0.25/0.5/0.75 — binary fractions, the only quantile positions "
+    "where cross-engine double interpolation is bit-exact, per the "
+    "quantiles_cont note) rather than NTILE: value-bucketing keeps "
+    "ties in one bucket (the statistically honest choice), avoids a "
+    "global single-partition rank window entirely, and makes scoring "
+    "a MAP-SIDE comparison against a broadcast 1-row cut table. Plan: "
+    "one custkey-partitioned aggregate over orders, a 1-row exact "
+    "percentile aggregate (partial-merged, same shape at any scale), "
+    "broadcast cross join, pure projection scoring — no window, no "
+    "second shuffle. r_score inverts (small recency = recently active "
+    "= 4). The segment CASE runs the identical text in both engines.",
+    tags=("analytics", "stats"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    anchor = orders.agg(F.max("od").alias("anchor"))
+    cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("anchor"), F.max("od")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary_cents"),
+        )
+    )
+    cuts = cust.agg(
+        F.expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))").alias("rc"),
+        F.expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").alias("fc"),
+        F.expr("percentile(monetary_cents, array(0.25D, 0.5D, 0.75D))").alias("mc"),
+    )
+    scored = cust.crossJoin(F.broadcast(cuts)).select(
+        F.col("o_custkey").alias("c_custkey"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.expr(
+            "CAST(4 - (CAST(recency_days > rc[0] AS INT)"
+            " + CAST(recency_days > rc[1] AS INT)"
+            " + CAST(recency_days > rc[2] AS INT)) AS INT)"
+        ).alias("r_score"),
+        F.expr(
+            "CAST(1 + (CAST(frequency > fc[0] AS INT)"
+            " + CAST(frequency > fc[1] AS INT)"
+            " + CAST(frequency > fc[2] AS INT)) AS INT)"
+        ).alias("f_score"),
+        F.expr(
+            "CAST(1 + (CAST(monetary_cents > mc[0] AS INT)"
+            " + CAST(monetary_cents > mc[1] AS INT)"
+            " + CAST(monetary_cents > mc[2] AS INT)) AS INT)"
+        ).alias("m_score"),
+    )
+    return scored.withColumn("segment", F.expr(_RFM_SEG)).orderBy("c_custkey")
+
+
+@q(
+    "basket_pair_lift",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li
+    ), brand AS (
+      SELECT p_brand, COUNT(*) AS n_brand FROM li GROUP BY p_brand
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS n_co
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT brand_a, brand_b, n_co, ba.n_brand AS n_a, bb.n_brand AS n_b,
+           CAST(n_co * n_orders AS DOUBLE) / (ba.n_brand * bb.n_brand)
+             AS lift,
+           CAST(n_co AS DOUBLE) / ba.n_brand AS confidence_ab
+    FROM pairs
+    JOIN brand ba ON brand_a = ba.p_brand
+    JOIN brand bb ON brand_b = bb.p_brand
+    CROSS JOIN n
+    ORDER BY lift DESC, brand_a, brand_b
+    """,
+    doc="Market-basket association mining: brand-pair co-occurrence "
+    "with support, lift and confidence — the classic 'frequently "
+    "bought together' query. Baskets collapse to DISTINCT (order, "
+    "brand) FIRST (part dim broadcast into the collapse), so the "
+    "pair self-join on l_orderkey is bounded by sum(k_i^2) with k = "
+    "per-order distinct brands (~small constant), never |lineitem|^2 "
+    "— the same basket-bounded-quadratic argument as "
+    "audience_overlap_matrix. Lift computes as an exact integer "
+    "product ratio: n_co * N and n_a * n_b are exact int64s, ONE "
+    "double division at the end — bit-identical cross-engine, no "
+    "float accumulation. The 1-row order count broadcasts; the "
+    "support floor (co >= 3) prunes before the count-dim joins. At "
+    "100 TB the orderkey shuffle is the only data-sized exchange; "
+    "brand marginals broadcast.",
+    tags=("analytics", "joins"),
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    brand = li.groupBy("p_brand").agg(F.count("*").alias("n_brand"))
+    a = li.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = li.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    ba = brand.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    bb = brand.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            F.expr("CAST(n_co * n_orders AS DOUBLE) / (n_a * n_b)").alias("lift"),
+            F.expr("CAST(n_co AS DOUBLE) / n_a").alias("confidence_ab"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+    )

@@ -70,6 +70,8 @@ WAIVERS: dict[str, dict[str, str]] = {
     "resample_gapfill": {NLJ: "range join against the bounded resample calendar"},
     "join_cross": {NLJ: "the op IS a cross join; registered on tiny dims by contract"},
     "key_skew_gini": {NLJ: "cross join over the count-of-counts frame — bounded by the distinct-load domain (hundreds of rows at any n); the data-sized agg is keyed upstream"},
+    "rfm_segmentation": {NLJ: "broadcast sides are 1-row aggregates (global anchor date, the 9-value quartile-cut row); the customer aggregate is keyed upstream"},
+    "basket_pair_lift": {NLJ: "broadcast side is the 1-row order count crossed into the already-reduced pair table; marginals broadcast-hash-join"},
     "bootstrap_ci_mean": {NLJ: "1-row point-estimate frame cross-joined to the 1-row CI frame; the data-sized work is the map-side x32 reweight + 32-group agg"},
     "diff_in_diff": {NLJ: "1-row period-midpoint scalar broadcast-crossed into the scan; the data-sized work is one conditional aggregate"},
     "acf_volume": {NLJ: "dense-grid build: distinct keys x 1-row bounds (the resample-calendar pattern); the data-sized count agg is keyed upstream"},
