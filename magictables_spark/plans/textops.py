@@ -1438,3 +1438,99 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("item_id")).limit(20)
+
+
+# BM25 per-term score, shared verbatim by both engines: ratio-idf
+# (N - df + .5)/(df + .5) — the monotone pre-log Robertson–Sparck-Jones
+# form, written as the exact integer ratio (2(N-df)+1)/(2df+1); ln()
+# is the ONE transcendental whose last-ulp rounding differs between
+# libm and the JVM, and dropping it is what makes the whole ranker
+# value-hash-checkable — times the k1/b saturation term with k1 = 1.2,
+# b = 0.75. Every fractional constant is CAST to DOUBLE: Spark parses
+# bare decimal literals as DECIMAL and runs DECIMAL division (diverges
+# from DuckDB's double promotion at ~1e-8 relative).
+_BM25_TERM = (
+    "(CAST(2 * (n_docs - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))"
+    " * (tf * CAST(2.2 AS DOUBLE))"
+    " / (tf + CAST(1.2 AS DOUBLE)"
+    " * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / avgdl)))"
+)
+
+
+@q(
+    "bm25_ratio_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), n AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM d
+    ), t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM t
+      WHERE token IN {_QUERY_TERMS!r} GROUP BY 1, 2
+    ), dfx AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM t
+      WHERE token IN {_QUERY_TERMS!r} GROUP BY 1
+    ), sc AS (
+      SELECT doc_id, token, {_BM25_TERM} AS s
+      FROM tf JOIN dfx USING (token) JOIN d USING (doc_id) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+           list_reduce(list(s ORDER BY token), (a, x) -> a + x) AS score
+    FROM sc GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 lexical retrieval (Robertson-Walker Okapi weighting, "
+    "k1=1.2 b=0.75) over the documents corpus for the fixed query — "
+    "the standard search ranker, upgrading tfidf_bits_topk's integer "
+    "surrogate with true tf SATURATION (k1) and document-LENGTH "
+    "normalization (b), the two effects that make BM25 beat raw "
+    "tf-idf. Determinism engineering: (1) idf uses the monotone "
+    "pre-log RSJ ratio (N-df+.5)/(df+.5) — documented divergence "
+    "from ln-idf; ln is the one op whose last-ulp differs across "
+    "engines, everything else here is IEEE-exact +-*/ on identical "
+    "inputs in identical order; (2) the per-doc score SUM folds over "
+    "the token-sorted score list (list_reduce / aggregate) because a "
+    "3-term double sum is already order-sensitive and engine hash "
+    "aggregation orders differ. Plan: query terms push into the "
+    "token scan as an IN filter (3-term), df + dl + avgdl are "
+    "standard partial aggregates, the 1-row (n_docs, avgdl) frame "
+    "broadcasts, per-term scoring is map-side, top-20 is "
+    "TakeOrderedAndProject. At 100 TB the df/tf aggregates read the "
+    "inverted_index store instead of re-tokenizing — same plan from "
+    "the join on.",
+    tags=("text", "analytics", "llm", "scale"),
+)
+def bm25_ratio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    n = d.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("CAST(SUM(dl) AS DOUBLE) / COUNT(*)").alias("avgdl"),
+    )
+    t = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token").isin(*_QUERY_TERMS))
+    tf = t.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfx = t.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    sc = (
+        tf.join(F.broadcast(dfx), "token")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", F.expr(_BM25_TERM).alias("s"))
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(token, s))),"
+                " p -> p.s), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

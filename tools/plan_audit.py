@@ -71,6 +71,7 @@ WAIVERS: dict[str, dict[str, str]] = {
     "join_cross": {NLJ: "the op IS a cross join; registered on tiny dims by contract"},
     "key_skew_gini": {NLJ: "cross join over the count-of-counts frame — bounded by the distinct-load domain (hundreds of rows at any n); the data-sized agg is keyed upstream"},
     "rfm_segmentation": {NLJ: "broadcast sides are 1-row aggregates (global anchor date, the 9-value quartile-cut row); the customer aggregate is keyed upstream"},
+    "bm25_ratio_topk": {NLJ: "broadcast side is the 1-row (n_docs, avgdl) corpus-stats frame crossed into the 3-term matched set"},
     "basket_pair_lift": {NLJ: "broadcast side is the 1-row order count crossed into the already-reduced pair table; marginals broadcast-hash-join"},
     "bootstrap_ci_mean": {NLJ: "1-row point-estimate frame cross-joined to the 1-row CI frame; the data-sized work is the map-side x32 reweight + 32-group agg"},
     "diff_in_diff": {NLJ: "1-row period-midpoint scalar broadcast-crossed into the scan; the data-sized work is one conditional aggregate"},
