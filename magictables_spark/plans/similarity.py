@@ -4620,3 +4620,164 @@ def simhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select(
         F.col("min_id").alias("doc_id"), F.col("s").alias("simhash")
     ).orderBy("doc_id")
+
+
+
+_MMR_SCORE = "CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * max_sim"
+
+
+@q(
+    "mmr_diversify_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), nrm AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
+      FROM e
+    ), q0 AS (
+      SELECT q, nrm FROM nrm WHERE vec_id = 0
+    ), rel AS (
+      SELECT p.vec_id, p.q, p.nrm,
+             CAST(list_sum(list_transform(range(1, 65), i -> p.q[i]*s.q[i])) AS BIGINT)
+               / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(s.nrm AS DOUBLE))) AS rel
+      FROM nrm p, q0 s WHERE p.vec_id <> 0
+    ), pool AS (
+      SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT 30
+    ),
+    s1 AS (
+      SELECT vec_id, q, nrm, rel, CAST(0.0 AS DOUBLE) AS max_sim,
+             CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS mmr,
+             1 AS pick
+      FROM pool ORDER BY mmr DESC, vec_id LIMIT 1
+    ), sel1 AS (SELECT * FROM s1),
+    p2 AS (
+      SELECT p.vec_id, p.q, p.nrm, p.rel,
+             MAX(CAST(list_sum(list_transform(range(1, 65), i -> p.q[i]*s.q[i])) AS BIGINT) / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(s.nrm AS DOUBLE)))) AS max_sim
+      FROM pool p JOIN sel1 s ON true
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel1)
+      GROUP BY p.vec_id, p.q, p.nrm, p.rel
+    ), s2 AS (
+      SELECT vec_id, q, nrm, rel, max_sim, CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * max_sim AS mmr, 2 AS pick
+      FROM p2 ORDER BY mmr DESC, vec_id LIMIT 1
+    ), sel2 AS (SELECT * FROM sel1 UNION ALL SELECT * FROM s2),
+    p3 AS (
+      SELECT p.vec_id, p.q, p.nrm, p.rel,
+             MAX(CAST(list_sum(list_transform(range(1, 65), i -> p.q[i]*s.q[i])) AS BIGINT) / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(s.nrm AS DOUBLE)))) AS max_sim
+      FROM pool p JOIN sel2 s ON true
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel2)
+      GROUP BY p.vec_id, p.q, p.nrm, p.rel
+    ), s3 AS (
+      SELECT vec_id, q, nrm, rel, max_sim, CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * max_sim AS mmr, 3 AS pick
+      FROM p3 ORDER BY mmr DESC, vec_id LIMIT 1
+    ), sel3 AS (SELECT * FROM sel2 UNION ALL SELECT * FROM s3),
+    p4 AS (
+      SELECT p.vec_id, p.q, p.nrm, p.rel,
+             MAX(CAST(list_sum(list_transform(range(1, 65), i -> p.q[i]*s.q[i])) AS BIGINT) / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(s.nrm AS DOUBLE)))) AS max_sim
+      FROM pool p JOIN sel3 s ON true
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel3)
+      GROUP BY p.vec_id, p.q, p.nrm, p.rel
+    ), s4 AS (
+      SELECT vec_id, q, nrm, rel, max_sim, CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * max_sim AS mmr, 4 AS pick
+      FROM p4 ORDER BY mmr DESC, vec_id LIMIT 1
+    ), sel4 AS (SELECT * FROM sel3 UNION ALL SELECT * FROM s4),
+    p5 AS (
+      SELECT p.vec_id, p.q, p.nrm, p.rel,
+             MAX(CAST(list_sum(list_transform(range(1, 65), i -> p.q[i]*s.q[i])) AS BIGINT) / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(s.nrm AS DOUBLE)))) AS max_sim
+      FROM pool p JOIN sel4 s ON true
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM sel4)
+      GROUP BY p.vec_id, p.q, p.nrm, p.rel
+    ), s5 AS (
+      SELECT vec_id, q, nrm, rel, max_sim, CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * max_sim AS mmr, 5 AS pick
+      FROM p5 ORDER BY mmr DESC, vec_id LIMIT 1
+    ), sel5 AS (SELECT * FROM sel4 UNION ALL SELECT * FROM s5)
+    SELECT pick AS pick_rank, vec_id, rel AS relevance,
+           max_sim AS max_sim_prior, mmr AS mmr_score
+    FROM sel5 ORDER BY pick
+    """,
+    doc="Maximal Marginal Relevance (Carbonell-Goldstein 1998) "
+    "diversified top-5 for the probe vector: greedily pick "
+    "argmax(0.7*relevance - 0.3*max-sim-to-already-picked) from a "
+    "top-30 relevance pool — THE standard reranker for RAG context "
+    "assembly and dedup-aware retrieval, where plain top-k returns "
+    "five copies of the same near-dup cluster. Every quantity is "
+    "derived from exact int64 dot products (cosines via two "
+    "correctly-rounded sqrts and one divide; the 0.7/0.3 blend CAST "
+    "to DOUBLE against the decimal-literal trap), and every argmax "
+    "carries a vec_id tiebreak, so the greedy TRAJECTORY — not just "
+    "the final set — is deterministic and the 5-step recursion "
+    "value-hash-checks against a 5-level unrolled CTE chain (the "
+    "pagerank_fixed_iters trick applied to a data-dependent greedy "
+    "selection). Spark plan: relevance scan is one broadcast-probe "
+    "map pass (sim_cosine_topk shape), the pool is 30 rows "
+    "localCheckpointed, and each of the 4 refinement steps is a "
+    "pool x selected (<=30 x 4) nested-loop + 1-row TakeOrdered — "
+    "selection cost is independent of corpus size; only the "
+    "relevance pass scales, and at 100 TB that pass serves from the "
+    "persisted ANN index (ann_*_persisted) instead of a full scan.",
+    tags=("similarity", "ann", "llm", "scale"),
+)
+def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norms = _quantized(spark, sf_dir).withColumn("nrm", _dot("q", "q"))
+    q0 = norms.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("sq"), F.col("nrm").alias("snrm")
+    )
+    cos_to = (
+        _dot("q", "sq").cast("double")
+        / (F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("snrm").cast("double")))
+    )
+    pool = (
+        norms.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .withColumn("rel", cos_to)
+        .select("vec_id", "q", "nrm", "rel")
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(30)
+        .localCheckpoint(eager=True)  # 30 rows feed 4 greedy refinements
+    )
+    first = (
+        pool.withColumn("max_sim", F.lit(0.0).cast("double"))
+        .withColumn("mmr", F.expr(_MMR_SCORE))
+        .orderBy(F.desc("mmr"), "vec_id")
+        .limit(1)
+        .withColumn("pick", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    picks = [first]
+    for k in range(2, 6):
+        prior = picks[0]
+        for extra in picks[1:]:
+            prior = prior.unionAll(extra)
+        sel = prior.select(
+            F.col("q").alias("sq"), F.col("nrm").alias("snrm")
+        )
+        cand = pool.join(prior.select("vec_id"), "vec_id", "left_anti")
+        step = (
+            cand.crossJoin(sel)
+            .withColumn(
+                "sim",
+                _dot("q", "sq").cast("double")
+                / (
+                    F.sqrt(F.col("nrm").cast("double"))
+                    * F.sqrt(F.col("snrm").cast("double"))
+                ),
+            )
+            .groupBy("vec_id", "q", "nrm", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+            .withColumn("mmr", F.expr(_MMR_SCORE))
+            .orderBy(F.desc("mmr"), "vec_id")
+            .limit(1)
+            .withColumn("pick", F.lit(k))
+            .localCheckpoint(eager=True)
+        )
+        picks.append(step)
+    out = picks[0]
+    for extra in picks[1:]:
+        out = out.unionAll(extra)
+    return out.select(
+        F.col("pick").alias("pick_rank"),
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        F.col("max_sim").alias("max_sim_prior"),
+        F.col("mmr").alias("mmr_score"),
+    ).orderBy("pick_rank")
