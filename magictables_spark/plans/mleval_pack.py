@@ -1,0 +1,503 @@
+"""Model-evaluation & second-tier statistics pack.
+
+The reference's analytics surface (describe/corr via Polars,
+magictable.py:214-259) stops short of the evaluation loop every
+training-data pipeline closes: you score a candidate corpus with a
+model, then ask *how good the scores are* — ROC-AUC against held-out
+labels, gains/lift tables for threshold picking, calibration
+(reliability) tables, and the two-sample / higher-moment tests that
+decide whether a data shift is real. This pack adds that family as
+exact-arithmetic, hash-oracled queries:
+
+  roc_auc                 binned rank-sum AUC (ties exact) on embeddings
+  welch_ttest             unequal-variance two-sample t on event values
+  moments_skew_kurtosis   exact 3rd/4th standardized moments per group
+  gains_decile_table      score-band gains/lift table (capture curves)
+  calibration_bins        reliability table: predicted vs observed rate
+
+Determinism strategy (registry.py rules, applied hard):
+- every sufficient statistic is an exact integer (cents, int64 dot
+  scores, count frames); higher moments accumulate in DECIMAL(38,0) /
+  HUGEINT so nothing overflows before the final conversion;
+- doubles appear only in a FIXED chain of IEEE ops (*, /, sqrt are
+  correctly rounded; no libm ln/exp anywhere) whose expression text is
+  SHARED between the Spark plan and the DuckDB oracle via the
+  fragment builders below — so AUC, t, g1/g2 hash-match bit-for-bit;
+- ordered frames run over DOMAIN-bounded key sets (score bins, cents
+  values, band ids), never over n rows — the mannwhitney_u scale
+  pattern.
+
+Scale notes: every slug is one keyed map-side-combining aggregate plus
+a window over a domain-bounded frame. No per-row Python, no global
+sort of data-sized inputs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from magictables_spark.plans.joins_advanced import _dec_dbl_duck, _dec_dbl_spark
+from magictables_spark.plans.registry import _t, q
+from magictables_spark.plans.similarity import QUANT_DUCK, QUANT_SPARK
+
+VAL_I = "CAST(ROUND(value * 100) AS BIGINT)"  # exact cents
+
+# ---------------------------------------------------------------------------
+# roc_auc — binned rank-sum AUC over embeddings
+# ---------------------------------------------------------------------------
+
+# Fixed integer "model" weights (a deterministic linear scorer): the
+# Knuth multiplicative hash of the dimension index folded into
+# [-500, 500]. The score is an EXACT int64 dot with the 1e6-quantized
+# embedding — both engines compute identical integers.
+_AUC_W = [((i + 1) * 2654435761) % 1001 - 500 for i in range(64)]
+_AUC_SCORE_SPARK = "(" + " + ".join(f"q[{i}] * ({w})" for i, w in enumerate(_AUC_W)) + ")"
+_AUC_SCORE_DUCK = "(" + " + ".join(f"q[{i+1}] * ({w})" for i, w in enumerate(_AUC_W)) + ")"
+
+# Bin width 2^24: scores land in a value-domain-bounded range (unit-ish
+# embeddings x |w|<=500 x 64 dims => |score| <~ 2^32), so the distinct
+# bin count is a few hundred REGARDLESS of row count — the ordered
+# below-count frame is bounded by the score domain, not n. Binned AUC
+# (ROC from a histogram) is the standard big-data estimator; ties
+# inside a bin get the exact average-rank (trapezoidal) treatment via
+# the doubled-rank trick shared with mannwhitney_u.
+_AUC = (
+    "(CAST(r1d - n1 * (n1 + 1) AS DOUBLE)"
+    " / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))"
+)
+
+
+@q(
+    "roc_auc",
+    oracle=f"""
+    WITH e AS (
+      SELECT {QUANT_DUCK} AS q, label % 2 AS y FROM embeddings
+    ), b AS (
+      SELECT {_AUC_SCORE_DUCK} // 16777216 AS bin, y FROM e
+    ), per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS c1
+      FROM b GROUP BY bin
+    ), w AS (
+      SELECT bin, c, c1,
+             COALESCE(SUM(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM per_bin
+    ), agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n0,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(c1 * (2 * below + c + 1)) AS BIGINT) AS r1d
+      FROM w
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg, n_bins,
+           {_AUC} AS auc,
+           (2.0 * {_AUC} - 1.0) AS gini
+    FROM agg
+    """,
+    doc="ROC-AUC of a fixed linear scorer against the label%2 split of "
+    "`embeddings` — the held-out-eval primitive of every quality/"
+    "filter-model loop. Scores are exact int64 dots (1e6-quantized "
+    "vectors x fixed integer weights), binned at width 2^24 so the "
+    "rank frame is bounded by the SCORE DOMAIN (a few hundred bins), "
+    "not n; within-bin ties get exact average ranks via the doubled-"
+    "rank collapse (AUC = U1/(n1*n0), the Mann-Whitney identity), so "
+    "the result is the trapezoidal ROC area of the binned curve, "
+    "reproducible bit-for-bit. Plan: one map-side-combining agg keyed "
+    "on bin, one domain-bounded ordered frame, a 1-row final agg.",
+    tags=("embeddings", "mleval", "stats"),
+)
+def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        f"{QUANT_SPARK} AS q", "label % 2 AS y"
+    )
+    b = e.selectExpr(f"{_AUC_SCORE_SPARK} div 16777216 AS bin", "y")
+    per_bin = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("c"),
+        F.count_if(F.col("y") == 1).cast("long").alias("c1"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    wdf = per_bin.withColumn("below", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    agg = wdf.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.expr("c - c1")).cast("long").alias("n0"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum(F.expr("c1 * (2 * below + c + 1)")).cast("long").alias("r1d"),
+    )
+    return agg.selectExpr(
+        "n1 AS n_pos",
+        "n0 AS n_neg",
+        "n_bins",
+        f"{_AUC} AS auc",
+        f"(2.0 * {_AUC} - 1.0) AS gini",
+    )
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest — unequal-variance two-sample t on purchase values
+# ---------------------------------------------------------------------------
+
+
+def _welch_frags(dd) -> tuple[str, str, str, str, str]:
+    """(mean0, mean1, t, df, se) fragments over columns n0,n1 (BIGINT),
+    s0,s1 (BIGINT sums of cents), q0,q1 (DECIMAL(38,0)/HUGEINT sums of
+    squared cents); ``dd`` renders the wide integer as a
+    deterministically-converted double."""
+    n0d, n1d = "CAST(n0 AS DOUBLE)", "CAST(n1 AS DOUBLE)"
+    m0 = f"(CAST(s0 AS DOUBLE) / {n0d})"
+    m1 = f"(CAST(s1 AS DOUBLE) / {n1d})"
+    v0 = f"(({dd('q0')} - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / {n0d}) / ({n0d} - 1.0))"
+    v1 = f"(({dd('q1')} - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / {n1d}) / ({n1d} - 1.0))"
+    a = f"({v0} / {n0d})"
+    b = f"({v1} / {n1d})"
+    se2 = f"({a} + {b})"
+    t = f"(({m0} - {m1}) / NULLIF(sqrt({se2}), 0.0))"
+    df = (
+        f"(({se2} * {se2}) / NULLIF("
+        f"{a} * {a} / ({n0d} - 1.0) + {b} * {b} / ({n1d} - 1.0), 0.0))"
+    )
+    return m0, m1, t, df, f"sqrt({se2})"
+
+
+_WT_DUCK = _welch_frags(_dec_dbl_duck)
+_WT_SPARK = _welch_frags(_dec_dbl_spark)
+
+
+@q(
+    "welch_ttest",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id % 2 AS grp, {VAL_I} AS y
+      FROM events WHERE event_type = 'purchase'
+    ), agg AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS n1,
+             CAST(SUM(y) FILTER (WHERE grp = 0) AS BIGINT) AS s0,
+             CAST(SUM(y) FILTER (WHERE grp = 1) AS BIGINT) AS s1,
+             SUM(CAST(y AS HUGEINT) * y) FILTER (WHERE grp = 0) AS q0,
+             SUM(CAST(y AS HUGEINT) * y) FILTER (WHERE grp = 1) AS q1
+      FROM s
+    )
+    SELECT n0, n1,
+           {_WT_DUCK[0]} AS mean0_cents,
+           {_WT_DUCK[1]} AS mean1_cents,
+           {_WT_DUCK[2]} AS t_stat,
+           {_WT_DUCK[3]} AS df_welch,
+           ABS({_WT_DUCK[2]}) > 1.959963984540054 AS significant_95
+    FROM agg
+    """,
+    doc="Welch's unequal-variance two-sample t-test on purchase cents "
+    "between the user_id%2 experiment arms — the parametric sibling "
+    "of mannwhitney_u (and the default test when arm sizes/variances "
+    "differ). One pass: per-arm n / sum / sum-of-squares via FILTER "
+    "aggregates (sums exact BIGINT, squares in DECIMAL(38,0)//HUGEINT "
+    "so ~5e17-per-million-rows never overflows), then mean, sample "
+    "variance, t and the Welch-Satterthwaite df through the shared "
+    "fixed IEEE chain (*, /, sqrt only — all correctly rounded, so "
+    "both engines emit identical doubles). The 5%% verdict uses the "
+    "normal critical value (df is in the thousands at every sf). "
+    "Plan: one map-side-combining global agg, 1-row result — no "
+    "shuffle of data-sized rows at any scale.",
+    tags=("events", "mleval", "stats", "hypothesis-test"),
+)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id % 2 AS grp", f"{VAL_I} AS y")
+    )
+    dec = "DECIMAL(38, 0)"
+    agg = s.agg(
+        F.count_if(F.col("grp") == 0).cast("long").alias("n0"),
+        F.count_if(F.col("grp") == 1).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y"))).cast("long").alias("s0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y"))).cast("long").alias("s1"),
+        F.sum(F.when(F.col("grp") == 0, F.expr(f"CAST(y AS {dec}) * y"))).alias("q0"),
+        F.sum(F.when(F.col("grp") == 1, F.expr(f"CAST(y AS {dec}) * y"))).alias("q1"),
+    )
+    return agg.selectExpr(
+        "n0",
+        "n1",
+        f"{_WT_SPARK[0]} AS mean0_cents",
+        f"{_WT_SPARK[1]} AS mean1_cents",
+        f"{_WT_SPARK[2]} AS t_stat",
+        f"{_WT_SPARK[3]} AS df_welch",
+        f"ABS({_WT_SPARK[2]}) > 1.959963984540054 AS significant_95",
+    )
+
+
+# ---------------------------------------------------------------------------
+# moments_skew_kurtosis — exact standardized 3rd/4th moments per group
+# ---------------------------------------------------------------------------
+
+
+def _moment_frags(dd) -> tuple[str, str, str, str]:
+    """(mean, var_pop, skewness, kurtosis_excess) over columns n
+    (BIGINT), s1 (BIGINT), s2/s3/s4 (DECIMAL(38,0)/HUGEINT power
+    sums). Central moments come from the raw-moment expansion in one
+    fixed order; g1 = m3/m2^1.5 (via m2*sqrt(m2)), g2 = m4/m2^2 - 3."""
+    nd = "CAST(n AS DOUBLE)"
+    m = f"(CAST(s1 AS DOUBLE) / {nd})"
+    r2 = f"({dd('s2')} / {nd})"
+    r3 = f"({dd('s3')} / {nd})"
+    r4 = f"({dd('s4')} / {nd})"
+    m2 = f"({r2} - {m} * {m})"
+    m3 = f"({r3} - 3.0 * {m} * {r2} + 2.0 * {m} * {m} * {m})"
+    m4 = (
+        f"({r4} - 4.0 * {m} * {r3} + 6.0 * {m} * {m} * {r2}"
+        f" - 3.0 * {m} * {m} * {m} * {m})"
+    )
+    g1 = f"({m3} / NULLIF({m2} * sqrt({m2}), 0.0))"
+    g2 = f"({m4} / NULLIF({m2} * {m2}, 0.0) - 3.0)"
+    return m, m2, g1, g2
+
+
+_MOM_DUCK = _moment_frags(_dec_dbl_duck)
+_MOM_SPARK = _moment_frags(_dec_dbl_spark)
+
+
+@q(
+    "moments_skew_kurtosis",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, {VAL_I} AS y FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s1,
+             SUM(CAST(y AS HUGEINT) * y) AS s2,
+             SUM(CAST(y AS HUGEINT) * y * y) AS s3,
+             SUM(CAST(y AS HUGEINT) * y * y * y) AS s4
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {_MOM_DUCK[0]} AS mean_cents,
+           {_MOM_DUCK[1]} AS var_pop,
+           {_MOM_DUCK[2]} AS skewness,
+           {_MOM_DUCK[3]} AS kurtosis_excess
+    FROM s ORDER BY event_type
+    """,
+    doc="Exact population skewness (g1) and excess kurtosis (g2) of "
+    "value-cents per event_type — the distribution-shape profile "
+    "describe() stops short of, and the drift diagnostic that "
+    "catches a shifted tail when means/variances still match. Power "
+    "sums s1..s4 accumulate exactly (cents^4 <= 5.8e18 per row rides "
+    "DECIMAL(38,0)//HUGEINT, so ~1e10 rows fit with 9 digits to "
+    "spare) in ONE map-side-combining keyed agg; the central-moment "
+    "expansion m2/m3/m4 and the standardized ratios run in the shared "
+    "fixed IEEE chain (m2^1.5 as m2*sqrt(m2) — no libm pow). Plan: "
+    "one keyed exchange, 5-row result.",
+    tags=("events", "mleval", "stats"),
+)
+def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _t(spark, sf_dir, "events").selectExpr("event_type", f"{VAL_I} AS y")
+    dec = "DECIMAL(38, 0)"
+    s = b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s1"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y")).alias("s2"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y * y")).alias("s3"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y * y * y")).alias("s4"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "n",
+        f"{_MOM_SPARK[0]} AS mean_cents",
+        f"{_MOM_SPARK[1]} AS var_pop",
+        f"{_MOM_SPARK[2]} AS skewness",
+        f"{_MOM_SPARK[3]} AS kurtosis_excess",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# gains_decile_table — score-band gains/lift (capture curve)
+# ---------------------------------------------------------------------------
+
+@q(
+    "gains_decile_table",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) FILTER (WHERE event_type IN ('click', 'view'))
+                  AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM events GROUP BY user_id
+    ), per_score AS (
+      SELECT score,
+             CAST(COUNT(*) AS BIGINT) AS nu,
+             CAST(SUM(pos) AS BIGINT) AS np
+      FROM u GROUP BY score
+    ), ranked AS (
+      SELECT score, nu, np,
+             COALESCE(SUM(nu) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above,
+             SUM(nu) OVER () AS tot_u,
+             SUM(np) OVER () AS tot_p
+      FROM per_score
+    ), banded AS (
+      SELECT CAST(above * 10 // tot_u AS BIGINT) AS band,
+             CAST(SUM(nu) AS BIGINT) AS n_users,
+             CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(MAX(tot_u) AS BIGINT) AS tot_u,
+             CAST(MAX(tot_p) AS BIGINT) AS tot_p
+      FROM ranked GROUP BY 1
+    )
+    SELECT band, n_users, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY band
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_pos,
+           (CAST(SUM(n_pos) OVER (ORDER BY band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(tot_p AS DOUBLE)) AS cum_capture,
+           ((CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))
+            / (CAST(tot_p AS DOUBLE) / CAST(tot_u AS DOUBLE))) AS lift
+    FROM banded ORDER BY band
+    """,
+    doc="Gains/lift table of an engagement scorer (click+view count "
+    "per user) against the purchase label — the threshold-picking "
+    "table every targeting/quality-cut decision reads. Bands are "
+    "SCORE-GROUP deciles: users sort by score descending, and each "
+    "distinct score lands wholly in the band where its group starts "
+    "(above*10 div total) — the grouped-gains convention, which "
+    "keeps every ordered frame bounded by the SCORE DOMAIN (event "
+    "counts, a few hundred distinct values) instead of user count. "
+    "cum_capture is the fraction of all positives caught at-or-above "
+    "the band; lift is the band's positive rate over the base rate. "
+    "All counts exact int64; the two divisions per row are the only "
+    "doubles. Plan: user-keyed agg, score-keyed agg, two domain-"
+    "bounded windows (<=10-row band spine at the end).",
+    tags=("events", "mleval", "stats"),
+)
+def gains_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type").isin("click", "view"))
+            .cast("long")
+            .alias("score"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    per_score = u.groupBy("score").agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum("pos").cast("long").alias("np"),
+    )
+    w_above = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_score.select(
+        "score",
+        "nu",
+        "np",
+        F.coalesce(F.sum("nu").over(w_above), F.lit(0)).alias("above"),
+        F.sum("nu").over(w_all).alias("tot_u"),
+        F.sum("np").over(w_all).alias("tot_p"),
+    )
+    banded = ranked.groupBy(
+        F.expr("CAST(above * 10 div tot_u AS BIGINT)").alias("band")
+    ).agg(
+        F.sum("nu").cast("long").alias("n_users"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.max("tot_u").cast("long").alias("tot_u"),
+        F.max("tot_p").cast("long").alias("tot_p"),
+    )
+    w_cum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        banded.withColumn("cum_pos", F.sum("n_pos").over(w_cum).cast("long"))
+        .selectExpr(
+            "band",
+            "n_users",
+            "n_pos",
+            "cum_pos",
+            "(CAST(cum_pos AS DOUBLE) / CAST(tot_p AS DOUBLE)) AS cum_capture",
+            "((CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))"
+            " / (CAST(tot_p AS DOUBLE) / CAST(tot_u AS DOUBLE))) AS lift",
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins — reliability table (predicted vs observed rate)
+# ---------------------------------------------------------------------------
+
+@q(
+    "calibration_bins",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) FILTER (WHERE event_type IN ('click', 'view'))
+                  AS BIGINT) AS s,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM events GROUP BY user_id
+    ), p AS (
+      -- saturating "model probability" s/(s+5) on an exact milli grid:
+      -- integer division keeps every per-user value an exact integer,
+      -- so bin sums are order-independent
+      SELECT CAST(s * 1000 // (s + 5) AS BIGINT) AS p_milli, pos FROM u
+    ), b AS (
+      SELECT p_milli // 100 AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(p_milli) AS BIGINT) AS sum_milli,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM p GROUP BY 1
+    )
+    SELECT bin, n_users, n_pos,
+           (CAST(sum_milli AS DOUBLE) / (1000.0 * CAST(n_users AS DOUBLE)))
+             AS avg_predicted,
+           (CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE)) AS observed_rate,
+           ((CAST(sum_milli AS DOUBLE) / (1000.0 * CAST(n_users AS DOUBLE)))
+            - (CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))) AS calib_gap
+    FROM b ORDER BY bin
+    """,
+    doc="Calibration (reliability) table: users score a saturating "
+    "engagement probability s/(s+5) — held on an exact integer milli "
+    "grid via integer division, so the per-bin mean prediction is a "
+    "ratio of exact int64 sums, never an order-dependent double sum — "
+    "bucketed into 10 probability bins and compared with the observed "
+    "purchase rate. calib_gap > 0 means the scorer overpredicts in "
+    "that bin (the table a Platt/isotonic recalibration would consume). "
+    "Plan: user-keyed agg then bin-keyed agg, both map-side-"
+    "combining; <=11-row result, no windows, no data-sized sort.",
+    tags=("events", "mleval", "stats"),
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type").isin("click", "view"))
+            .cast("long")
+            .alias("s"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    p = u.selectExpr("CAST(s * 1000 div (s + 5) AS BIGINT) AS p_milli", "pos")
+    b = p.groupBy(F.expr("p_milli div 100").alias("bin")).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("p_milli").cast("long").alias("sum_milli"),
+        F.sum("pos").cast("long").alias("n_pos"),
+    )
+    return b.selectExpr(
+        "bin",
+        "n_users",
+        "n_pos",
+        "(CAST(sum_milli AS DOUBLE) / (1000.0 * CAST(n_users AS DOUBLE)))"
+        " AS avg_predicted",
+        "(CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE)) AS observed_rate",
+        "((CAST(sum_milli AS DOUBLE) / (1000.0 * CAST(n_users AS DOUBLE)))"
+        " - (CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))) AS calib_gap",
+    ).orderBy("bin")

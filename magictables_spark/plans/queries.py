@@ -15,6 +15,7 @@ from magictables_spark.plans import (  # noqa: F401  (import = registration)
     features,
     joins_advanced,
     llmdata_pack,
+    mleval_pack,
     mllib_pack,
     nested,
     pipeline_ops,

@@ -1,0 +1,189 @@
+"""Independent-math checks for the model-evaluation pack.
+
+The DuckDB oracles prove Spark and DuckDB compute the same thing, but
+both sides share the formula text — a transcription error would
+hash-match and still be wrong. These tests re-derive every statistic
+from first principles in numpy/pure Python on a synthetic corpus with
+engineered signal (a real arm shift, a genuinely predictive scorer,
+heavy ties) and compare within 1e-9, closing that loop.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from magictables_spark.plans.queries import REGISTRY
+
+from tests.test_regression_pack import tiny_events_dir  # noqa: F401  (fixture reuse)
+
+
+# ---------------------------------------------------------------------------
+# embeddings fixture for roc_auc
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_embed_dir(tmp_path_factory):
+    """Embeddings whose label correlates with the pack's fixed linear
+    scorer: positives get a bump along the weight direction, so AUC
+    must land well above 0.5 (plus exact-tie bins via duplication)."""
+    rng = np.random.default_rng(77)
+    n, d = 1200, 64
+    w = np.array([((i + 1) * 2654435761) % 1001 - 500 for i in range(d)], float)
+    w_unit = w / np.linalg.norm(w)
+    base = rng.normal(0, 0.25, (n, d))
+    label = rng.integers(0, 10, n)
+    y = (label % 2 == 1).astype(float)
+    emb = base + np.outer(y * 0.35 + rng.normal(0, 0.1, n), w_unit)
+    emb[n // 2 :] = emb[: n // 2]  # exact duplicates => guaranteed bin ties
+    label[n // 2 :] = label[: n // 2]
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in emb],
+            "label": label.astype(np.int32),
+        }
+    )
+    dirp = tmp_path_factory.mktemp("tiny_embed")
+    df.to_parquet(os.path.join(str(dirp), "embeddings.parquet"), index=False)
+    return str(dirp), df
+
+
+def _binned_scores(df) -> tuple[np.ndarray, np.ndarray]:
+    w = np.array([((i + 1) * 2654435761) % 1001 - 500 for i in range(64)], np.int64)
+    q = np.stack(
+        [np.round(np.asarray(e, np.float64) * 1_000_000).astype(np.int64) for e in df["embedding"]]
+    )
+    score = (q * w).sum(axis=1)
+    # int64 `div` truncates toward zero (both engines)
+    bins = np.trunc(score / 16777216.0).astype(np.int64)
+    y = (df["label"].to_numpy() % 2 == 1).astype(np.int64)
+    return bins, y
+
+
+def test_roc_auc_matches_rank_formula(spark, tiny_embed_dir):
+    d, df = tiny_embed_dir
+    out = REGISTRY["roc_auc"].fn(spark, d).toPandas().iloc[0]
+    bins, y = _binned_scores(df)
+    # average-rank AUC over the binned scores, pure numpy
+    order = np.argsort(bins, kind="stable")
+    ranks = np.empty(len(bins), float)
+    sb = bins[order]
+    i = 0
+    while i < len(bins):
+        j = i
+        while j < len(bins) and sb[j] == sb[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n1, n0 = int(y.sum()), int((1 - y).sum())
+    u1 = ranks[y == 1].sum() - n1 * (n1 + 1) / 2.0
+    auc = u1 / (n1 * n0)
+    assert out["n_pos"] == n1 and out["n_neg"] == n0
+    assert out["n_bins"] == len(np.unique(bins))
+    assert out["auc"] == pytest.approx(auc, rel=1e-12)
+    assert out["gini"] == pytest.approx(2 * auc - 1, rel=1e-9)
+    # the engineered signal must be detected, ties notwithstanding
+    assert out["auc"] > 0.75
+
+
+def test_welch_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["welch_ttest"].fn(spark, d).toPandas().iloc[0]
+    sub = df[df["event_type"] == "purchase"]
+    y = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+    grp = (sub["user_id"].to_numpy() % 2).astype(np.int64)
+    a, b = y[grp == 0].astype(float), y[grp == 1].astype(float)
+    n0, n1 = len(a), len(b)
+    v0, v1 = a.var(ddof=1), b.var(ddof=1)
+    se2 = v0 / n0 + v1 / n1
+    t = (a.mean() - b.mean()) / math.sqrt(se2)
+    dfw = se2**2 / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
+    assert out["n0"] == n0 and out["n1"] == n1
+    assert out["mean0_cents"] == pytest.approx(a.mean(), rel=1e-12)
+    assert out["mean1_cents"] == pytest.approx(b.mean(), rel=1e-12)
+    assert out["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert out["df_welch"] == pytest.approx(dfw, rel=1e-9)
+    # the engineered +2500-cent arm-1 shift must be detected
+    assert bool(out["significant_95"]) and out["t_stat"] < 0
+
+
+def test_moments_match_numpy(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = (
+        REGISTRY["moments_skew_kurtosis"].fn(spark, d).toPandas().set_index("event_type")
+    )
+    y_all = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    for t in sorted(df["event_type"].unique()):
+        y = y_all[(df["event_type"] == t).to_numpy()].astype(float)
+        m, m2 = y.mean(), y.var()  # population moments
+        m3 = ((y - m) ** 3).mean()
+        m4 = ((y - m) ** 4).mean()
+        row = out.loc[t]
+        assert row["n"] == len(y)
+        assert row["mean_cents"] == pytest.approx(m, rel=1e-12)
+        assert row["var_pop"] == pytest.approx(m2, rel=1e-9)
+        assert row["skewness"] == pytest.approx(m3 / m2**1.5, rel=1e-7)
+        assert row["kurtosis_excess"] == pytest.approx(m4 / m2**2 - 3.0, rel=1e-7)
+
+
+def _user_frame(df) -> pd.DataFrame:
+    g = df.groupby("user_id")
+    score = g["event_type"].apply(lambda s: int(s.isin(["click", "view"]).sum()))
+    pos = g["event_type"].apply(lambda s: int((s == "purchase").any()))
+    return pd.DataFrame({"score": score, "pos": pos})
+
+
+def test_gains_table_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["gains_decile_table"].fn(spark, d).toPandas()
+    u = _user_frame(df)
+    tot_u, tot_p = len(u), int(u["pos"].sum())
+    per = (
+        u.groupby("score")
+        .agg(nu=("pos", "size"), np_=("pos", "sum"))
+        .sort_index(ascending=False)
+    )
+    above = per["nu"].cumsum().shift(fill_value=0)
+    band = (above * 10 // tot_u).astype(int)
+    ref = per.assign(band=band).groupby("band").agg(n_users=("nu", "sum"), n_pos=("np_", "sum"))
+    assert list(out["band"]) == list(ref.index)
+    assert list(out["n_users"]) == list(ref["n_users"])
+    assert list(out["n_pos"]) == list(ref["n_pos"])
+    cum = ref["n_pos"].cumsum()
+    for i, (_, r) in enumerate(ref.iterrows()):
+        assert out["cum_capture"].iloc[i] == pytest.approx(
+            cum.iloc[i] / tot_p, rel=1e-12
+        )
+        assert out["lift"].iloc[i] == pytest.approx(
+            (r["n_pos"] / r["n_users"]) / (tot_p / tot_u), rel=1e-12
+        )
+    # capture is monotone and ends at 100%
+    assert out["cum_capture"].is_monotonic_increasing
+    assert out["cum_capture"].iloc[-1] == pytest.approx(1.0)
+
+
+def test_calibration_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["calibration_bins"].fn(spark, d).toPandas()
+    u = _user_frame(df)
+    p_milli = (u["score"] * 1000 // (u["score"] + 5)).astype(int)
+    ref = (
+        pd.DataFrame({"bin": p_milli // 100, "p": p_milli, "pos": u["pos"]})
+        .groupby("bin")
+        .agg(n_users=("p", "size"), sum_milli=("p", "sum"), n_pos=("pos", "sum"))
+    )
+    assert list(out["bin"]) == list(ref.index)
+    for i, (_, r) in enumerate(ref.iterrows()):
+        assert out["n_users"].iloc[i] == r["n_users"]
+        assert out["avg_predicted"].iloc[i] == pytest.approx(
+            r["sum_milli"] / (1000.0 * r["n_users"]), rel=1e-12
+        )
+        assert out["observed_rate"].iloc[i] == pytest.approx(
+            r["n_pos"] / r["n_users"], rel=1e-12
+        )
