@@ -44,6 +44,16 @@ from magictables_spark.plans.similarity import QUANT_DUCK, QUANT_SPARK
 
 VAL_I = "CAST(ROUND(value * 100) AS BIGINT)"  # exact cents
 
+__all__ = [
+    "roc_auc",
+    "welch_ttest",
+    "moments_skew_kurtosis",
+    "gains_decile_table",
+    "calibration_bins",
+    "ndcg_at_k",
+    "kaplan_meier_retention",
+]
+
 # ---------------------------------------------------------------------------
 # roc_auc — binned rank-sum AUC over embeddings
 # ---------------------------------------------------------------------------
@@ -501,3 +511,257 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((CAST(sum_milli AS DOUBLE) / (1000.0 * CAST(n_users AS DOUBLE)))"
         " - (CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))) AS calib_gap",
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# ndcg_at_k — graded retrieval quality of the exact-cosine ranker
+# ---------------------------------------------------------------------------
+
+# Literal DCG discounts 1/log2(i+1), i = 1..10: Python-computed ONCE and
+# embedded as identical double literals in both engines — no libm log in
+# either plan, so the weighted sums are bit-identical.
+_NDCG_K = 10
+# Discounts held on an exact FEMTO grid (round(1/log2(i+1) * 1e15)):
+# a float addition chain proved 1-ulp engine-divergent at sf0.01
+# (reassociation/FMA differences are allowed by SQL engines), so the
+# weighted sums accumulate as exact int64 (<= 4.6e15 < 2^53, so even
+# the final doubles are exact) and touch doubles in ONE division.
+_NDCG_W_FEMTO = [
+    round(1e15 / __import__("math").log2(i + 1)) for i in range(1, _NDCG_K + 1)
+]
+_DCG_S = "(" + " + ".join(
+    f"SUM(CASE WHEN rn = {i+1} THEN rel ELSE 0 END) * {w}"
+    for i, w in enumerate(_NDCG_W_FEMTO)
+) + ")"
+_IDCG_PREFIX = [0]
+for _w in _NDCG_W_FEMTO:
+    _IDCG_PREFIX.append(_IDCG_PREFIX[-1] + _w)
+_IDCG_S = (
+    "(CASE "
+    + " ".join(
+        f"WHEN n_rel = {m} THEN {_IDCG_PREFIX[m]}" for m in range(_NDCG_K)
+    )
+    + f" ELSE {_IDCG_PREFIX[_NDCG_K]} END)"
+)
+_DCG = f"(CAST({_DCG_S} AS DOUBLE) / 1e15)"
+
+
+@q(
+    "ndcg_at_k",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q, label FROM embeddings
+    ), norms AS (
+      SELECT vec_id, q, label,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
+      FROM e
+    ), scored AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CASE WHEN c.label = p.label THEN 1 ELSE 0 END AS rel,
+             CAST(list_sum(list_transform(range(1, 65), i -> p.q[i]*c.q[i])) AS BIGINT)
+               / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+      FROM norms p JOIN norms c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+    ), ranked AS (
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ), nrel AS (
+      SELECT p.vec_id AS query_id,
+             CAST(COUNT(*) FILTER (WHERE c.label = p.label
+                                   AND c.vec_id <> p.vec_id) AS BIGINT) AS n_rel
+      FROM norms p JOIN norms c ON p.vec_id < 5
+      GROUP BY p.vec_id
+    ), dcg AS (
+      SELECT query_id, {_DCG_S} AS dcg_s
+      FROM ranked WHERE rn <= {_NDCG_K} GROUP BY query_id
+    )
+    SELECT d.query_id, n.n_rel,
+           (CAST(d.dcg_s AS DOUBLE) / 1e15) AS dcg,
+           (CAST({_IDCG_S} AS DOUBLE) / 1e15) AS idcg,
+           (CAST(d.dcg_s AS DOUBLE)
+            / NULLIF(CAST({_IDCG_S} AS DOUBLE), 0.0)) AS ndcg
+    FROM dcg d JOIN nrel n USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="NDCG@10 of the exact-cosine retriever against same-label "
+    "relevance — the ranking-quality gate every retrieval/RAG change "
+    "ships behind (sibling of the recall gates on the ANN family, but "
+    "position-sensitive). Rankings come from exact int64-quantized "
+    "dots (identical doubles => identical order, neighbor_id "
+    "tie-break); the DCG discounts 1/log2(i+1) and the ideal-DCG "
+    "prefix table are Python-computed INTEGER literals on an exact "
+    "femto grid (round(w*1e15) — a plain double addition chain "
+    "measured 1-ulp engine-divergent, and sums stay < 2^53 so even "
+    "the final doubles are exact) — no libm log in either plan; "
+    "doubles appear in one division, so NDCG hash-matches "
+    "bit-for-bit. n_rel "
+    "counts corpus-wide relevant docs (ideal ranking fills the top-k "
+    "when n_rel >= k, a prefix of it otherwise — the CASE lookup). "
+    "Plan: 5-probe broadcast over the candidate scan (the "
+    "sim_cosine_topk shape), one window per probe partition, "
+    "5-row result.",
+    tags=("embeddings", "mleval", "similarity"),
+)
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.plans.similarity import _dot_unrolled, _quantized
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(QUANT_SPARK).alias("q"), "label"
+    )
+    norms = e.withColumn("nrm", _dot_unrolled("q", "q"))
+    probes = norms.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("pq"),
+        F.col("label").alias("plabel"),
+        F.col("nrm").alias("pnrm"),
+    )
+    cand = norms.select(
+        F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm"
+    )
+    scored = cand.join(
+        F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("label") == F.col("plabel"), 1).otherwise(0).alias("rel"),
+        (
+            _dot_unrolled("pq", "q").cast("double")
+            / (F.sqrt(F.col("pnrm").cast("double")) * F.sqrt(F.col("nrm").cast("double")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    nrel = (
+        cand.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(
+            F.count_if(F.col("label") == F.col("plabel")).cast("long").alias("n_rel")
+        )
+    )
+    dcg = (
+        ranked.filter(F.col("rn") <= _NDCG_K)
+        .groupBy("query_id")
+        .agg(F.expr(f"{_DCG_S} AS dcg_s"))
+    )
+    return (
+        dcg.join(nrel, "query_id")
+        .selectExpr(
+            "query_id",
+            "n_rel",
+            "(CAST(dcg_s AS DOUBLE) / 1e15) AS dcg",
+            f"(CAST({_IDCG_S} AS DOUBLE) / 1e15) AS idcg",
+            f"(CAST(dcg_s AS DOUBLE) / NULLIF(CAST({_IDCG_S} AS DOUBLE), 0.0)) AS ndcg",
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_retention — survival curve over user lifetimes
+# ---------------------------------------------------------------------------
+
+@q(
+    "kaplan_meier_retention",
+    oracle="""
+    WITH byu AS (
+      SELECT user_id,
+             MIN(CAST(ts AS DATE)) AS fd,
+             MAX(CAST(ts AS DATE)) AS ld
+      FROM events GROUP BY user_id
+    ), mx AS (
+      SELECT MAX(ld) AS mxd FROM byu
+    ), u AS (
+      SELECT date_diff('day', fd, ld) AS d,
+             CASE WHEN ld >= mxd - INTERVAL 2 DAY THEN 0 ELSE 1 END AS ev
+      FROM byu CROSS JOIN mx
+    ), per_d AS (
+      SELECT CAST(d AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n_at,
+             CAST(SUM(ev) AS BIGINT) AS n_events
+      FROM u GROUP BY 1
+    ), w AS (
+      SELECT d, n_at, n_events,
+             CAST(SUM(n_at) OVER (ORDER BY d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk
+      FROM per_d
+    ), arr AS (
+      SELECT list(struct_pack(
+               d := d,
+               f := CAST(n_risk - n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+             ) ORDER BY d) AS a
+      FROM w
+    )
+    SELECT w.d AS lifetime_days, w.n_risk, w.n_events,
+           (w.n_at - w.n_events) AS n_censored,
+           list_reduce(
+             list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(list_filter(arr.a, x -> x.d <= w.d), x -> x.f)),
+             (acc, x) -> acc * x) AS survival
+    FROM w CROSS JOIN arr
+    ORDER BY lifetime_days
+    """,
+    doc="Kaplan-Meier survival curve over user lifetimes (days between "
+    "first and last event), right-censoring users still active in the "
+    "final 3 days of the corpus — the retention estimator that "
+    "handles not-yet-churned users correctly where naive churn rates "
+    "undercount. The product-limit estimator S(d) = prod_{d'<=d} "
+    "(1 - deaths/at-risk) is an ORDERED LEFT FOLD over the "
+    "lifetime-day factor list (sort_array + aggregate in Spark, "
+    "list(ORDER BY) + list_reduce in DuckDB): multiplication is a "
+    "correctly-rounded IEEE op, so the identical fold order makes "
+    "both engines emit identical doubles — no libm exp/ln laundering "
+    "of the product. Every frame after the user-keyed agg is bounded "
+    "by the LIFETIME-DAY DOMAIN (<= corpus-span rows, ~30): the "
+    "reverse-cumulative risk window, the factor list (one tiny "
+    "broadcast cross), and the fold are all constant-size at any n. "
+    "Plan: one user-keyed exchange; 1-row max-date broadcast.",
+    tags=("events", "mleval", "stats", "timeseries"),
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    byu = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("fd"),
+            F.max(F.col("ts").cast("date")).alias("ld"),
+        )
+    )
+    mx = byu.agg(F.max("ld").alias("mxd"))
+    u = byu.crossJoin(F.broadcast(mx)).select(
+        F.datediff("ld", "fd").cast("long").alias("d"),
+        F.when(F.col("ld") >= F.date_sub(F.col("mxd"), 2), 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("ev"),
+    )
+    per_d = u.groupBy("d").agg(
+        F.count("*").cast("long").alias("n_at"),
+        F.sum("ev").cast("long").alias("n_events"),
+    )
+    w_risk = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, 0)
+    w = per_d.withColumn("n_risk", F.sum("n_at").over(w_risk).cast("long"))
+    # per-day hazard factor as ONE division, gathered into the (tiny)
+    # ordered factor list the product-limit fold consumes
+    factors = w.select(
+        "d",
+        (
+            (F.col("n_risk") - F.col("n_events")).cast("double")
+            / F.col("n_risk").cast("double")
+        ).alias("f"),
+    ).agg(F.sort_array(F.collect_list(F.struct("d", "f"))).alias("a"))
+    return (
+        w.crossJoin(F.broadcast(factors))
+        .select(
+            F.col("d").alias("lifetime_days"),
+            "n_risk",
+            "n_events",
+            (F.col("n_at") - F.col("n_events")).alias("n_censored"),
+            F.expr(
+                "aggregate(filter(a, x -> x.d <= d), CAST(1.0 AS DOUBLE),"
+                " (acc, x) -> acc * x.f)"
+            ).alias("survival"),
+        )
+        .orderBy("lifetime_days")
+    )

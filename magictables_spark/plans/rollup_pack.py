@@ -995,3 +995,86 @@ def cms_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").cast("bigint").alias("est_count"))
     )
     return est.orderBy(F.desc("est_count"), F.asc("user_id")).limit(15)
+
+
+@q(
+    "join_view_incremental_store",
+    oracle="""
+    SELECT o.o_orderkey,
+           c.c_name AS cust_name,
+           c.c_nationkey,
+           c.c_mktsegment,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+    doc="INCREMENTAL materialized JOIN-VIEW maintenance — the join leg "
+    "of the incremental-warehouse family (rollup_incremental_store "
+    "maintains aggregates; this maintains an enriched orders-customer "
+    "view, the shape every feature/serving pipeline materializes). "
+    "The bilinear delta rule for insert-only deltas: with O = Oh u dO "
+    "and C = Ch u dC (disjoint splits: o_orderkey%5, c_custkey%10), "
+    "O JOIN C = (Oh JOIN Ch) u (dO JOIN C) u (Oh JOIN dC). The first "
+    "term is computed ONCE and persisted bucketed+sorted on "
+    "o_orderkey; each refresh computes only the two delta legs — "
+    "dO JOIN C is batch-sized, and Oh JOIN dC broadcasts the tiny "
+    "customer delta against the history scan (map-side, no shuffle "
+    "of history) — so maintenance cost scales with the DELTAS, and "
+    "dim-side changes cost one broadcast pass, never a re-join of "
+    "the whole view. Keys are unique per side, so the three legs are "
+    "provably disjoint and their union is row-identical to the "
+    "from-scratch join the oracle computes — the entire incremental "
+    "path is value-hash-checked. Same versioned warehouse machinery "
+    "as rollup_incremental_store / ann_lsh_persisted.",
+    tags=("tpch", "pipeline", "warehouse", "scale"),
+)
+def join_view_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from magictables_spark.warehouse import Warehouse, corpus_fingerprint, store_root
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def _view(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "o_orderkey",
+            F.col("c_name").alias("cust_name"),
+            "c_nationkey",
+            "c_mktsegment",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+        )
+
+    o_hist = orders.filter(F.col("o_orderkey") % 5 < 4)
+    o_delta = orders.filter(F.col("o_orderkey") % 5 == 4)
+    c_hist = cust.filter(F.col("c_custkey") % 10 < 9)
+    c_delta = cust.filter(F.col("c_custkey") % 10 == 9)
+
+    n = orders.count()
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    key = "joinview_" + hashlib.md5(
+        f"v1:5:10:{os.path.realpath(sf_dir)}:{n}:{cfp}".encode()
+    ).hexdigest()[:16]
+    wh = Warehouse(store_root("joinview"))
+    if not wh.has_table(key):
+        wh.write_table(
+            _view(o_hist, c_hist),
+            key,
+            source_info={"n_orders": n, "split": "o%5<4, c%10<9"},
+            bucket_by=["o_orderkey"],
+            n_buckets=32,
+            sort_by=["o_orderkey"],
+        )
+    store = wh.read_table(spark, key)
+    # delta legs: batch-sized dO against the full dim; history against
+    # the broadcast dim delta (map-side — history never shuffles)
+    leg_do = _view(o_delta, cust)
+    leg_dc = _view(o_hist, F.broadcast(c_delta))
+    return (
+        store.unionByName(leg_do)
+        .unionByName(leg_dc)
+        .orderBy("o_orderkey")
+    )

@@ -187,3 +187,74 @@ def test_calibration_matches_reference(spark, tiny_events_dir):  # noqa: F811
         assert out["observed_rate"].iloc[i] == pytest.approx(
             r["n_pos"] / r["n_users"], rel=1e-12
         )
+
+
+def test_ndcg_matches_reference(spark, tiny_embed_dir):
+    d, df = tiny_embed_dir
+    out = REGISTRY["ndcg_at_k"].fn(spark, d).toPandas().set_index("query_id")
+    q = np.stack(
+        [np.round(np.asarray(e, np.float64) * 1_000_000).astype(np.int64) for e in df["embedding"]]
+    )
+    labels = df["label"].to_numpy()
+    w = [round(1e15 / math.log2(i + 1)) for i in range(1, 11)]
+    for qid in range(5):
+        dots = (q @ q[qid]).astype(np.float64)
+        nrm = np.sqrt((q.astype(np.float64) ** 2).sum(axis=1))
+        cos = dots / (nrm * nrm[qid])
+        order = sorted(
+            (i for i in range(len(q)) if i != qid),
+            key=lambda i: (-cos[i], i),
+        )
+        rel = [int(labels[i] == labels[qid]) for i in order[:10]]
+        dcg_s = sum(r * wi for r, wi in zip(rel, w))
+        n_rel = int(sum(labels[i] == labels[qid] for i in range(len(q)) if i != qid))
+        idcg_s = sum(w[: min(n_rel, 10)])
+        row = out.loc[qid]
+        assert row["n_rel"] == n_rel
+        assert row["dcg"] == pytest.approx(dcg_s / 1e15, rel=1e-12)
+        assert row["idcg"] == pytest.approx(idcg_s / 1e15, rel=1e-12)
+        assert row["ndcg"] == pytest.approx(dcg_s / idcg_s, rel=1e-12)
+        # engineered same-label bump => ranking beats random
+        assert row["ndcg"] > 0.2
+
+
+def test_kaplan_meier_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["kaplan_meier_retention"].fn(spark, d).toPandas()
+    by = df.groupby("user_id")["ts"]
+    fd, ld = by.min().dt.normalize(), by.max().dt.normalize()
+    mxd = ld.max()
+    life = (ld - fd).dt.days.to_numpy()
+    ev = (ld < mxd - pd.Timedelta(days=2)).astype(int).to_numpy()
+    surv_ref, risk_ref = {}, {}
+    s = 1.0
+    for dd in sorted(set(life)):
+        at_risk = int((life >= dd).sum())
+        deaths = int(ev[life == dd].sum())
+        s *= (at_risk - deaths) / at_risk
+        surv_ref[dd] = s
+        risk_ref[dd] = (at_risk, deaths)
+    assert list(out["lifetime_days"]) == sorted(surv_ref)
+    for _, row in out.iterrows():
+        at_risk, deaths = risk_ref[row["lifetime_days"]]
+        assert row["n_risk"] == at_risk and row["n_events"] == deaths
+        assert row["survival"] == pytest.approx(surv_ref[row["lifetime_days"]], rel=1e-12)
+    # survival is a monotone non-increasing curve from <=1.0
+    sv = out["survival"].to_numpy()
+    assert (np.diff(sv) <= 1e-15).all() and sv[0] <= 1.0
+
+
+def test_join_view_incremental_matches_full_join(spark):
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["join_view_incremental_store"].fn(spark, sf).toPandas()
+    o = pd.read_parquet(os.path.join(sf, "orders.parquet"))
+    c = pd.read_parquet(os.path.join(sf, "customer.parquet"))
+    ref = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    assert len(out) == len(ref)
+    # row-identical maintenance: same keyset and same per-key payloads
+    ref_sorted = ref.sort_values("o_orderkey")
+    assert list(out["o_orderkey"]) == list(ref_sorted["o_orderkey"])
+    assert list(out["cust_name"]) == list(ref_sorted["c_name"])
+    assert list(out["price_cents"]) == list(
+        np.round(ref_sorted["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    )

@@ -97,6 +97,14 @@ WAIVERS: dict[str, dict[str, str]] = {
         "IN-pruned bucketed index read)"
     },
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
+    "ndcg_at_k": {NLJ: "broadcast side is the 5-row query-probe set (ranking + n_rel legs)"},
+    "kaplan_meier_retention": {
+        NLJ: "broadcast sides are the 1-row max-date scalar and the "
+        "lifetime-day factor list (one ~30-element array row)",
+        SPE: "reverse-cumulative risk window and factor-list collect "
+        "over the LIFETIME-DAY domain (<= corpus-span rows, ~30), "
+        "not n; the data-sized agg is user-keyed upstream",
+    },
     "rrf_hybrid_rank": {
         NLJ: "broadcast side is the 1-row probe embedding (semantic "
         "leg); the fusion join is a 50x50-row full-outer"
