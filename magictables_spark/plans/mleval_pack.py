@@ -765,3 +765,243 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lifetime_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# avg_precision_at_k — exact-rational mean of precision at hit ranks
+# ---------------------------------------------------------------------------
+
+# AP@10 = (1/min(n_rel,10)) * sum_{i<=10, rel_i=1} precision@i, with
+# precision@i = cumrel_i / i. Every term is a rational with denominator
+# i in 1..10, so scaling by LCM(1..10) = 2520 keeps the WHOLE numerator
+# an exact int64: num = sum(rel_i * cumrel_i * (2520/i)); AP is then
+# ONE division of exact integers — no float accumulation at all.
+_AP_K = 10
+_AP_LCM = 2520
+_AP_NUM = (
+    "CAST(SUM(rel * cumrel * (" + str(_AP_LCM) + " div rn)) AS BIGINT)"
+)
+_AP_NUM_DUCK = (
+    "CAST(SUM(rel * cumrel * (" + str(_AP_LCM) + " // rn)) AS BIGINT)"
+)
+
+
+@q(
+    "avg_precision_at_k",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q, label FROM embeddings
+    ), norms AS (
+      SELECT vec_id, q, label,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
+      FROM e
+    ), scored AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CASE WHEN c.label = p.label THEN 1 ELSE 0 END AS rel,
+             CAST(list_sum(list_transform(range(1, 65), i -> p.q[i]*c.q[i])) AS BIGINT)
+               / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+      FROM norms p JOIN norms c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+    ), ranked AS (
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ), topk AS (
+      SELECT query_id, rel, rn,
+             CAST(SUM(rel) OVER (PARTITION BY query_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumrel
+      FROM ranked WHERE rn <= {_AP_K}
+    ), nrel AS (
+      SELECT p.vec_id AS query_id,
+             CAST(COUNT(*) FILTER (WHERE c.label = p.label
+                                   AND c.vec_id <> p.vec_id) AS BIGINT) AS n_rel
+      FROM norms p JOIN norms c ON p.vec_id < 5
+      GROUP BY p.vec_id
+    ), num AS (
+      SELECT query_id, {_AP_NUM_DUCK} AS ap_num
+      FROM topk GROUP BY query_id
+    )
+    SELECT n.query_id, n.n_rel,
+           (CAST(ap_num AS DOUBLE)
+            / CAST({_AP_LCM} * LEAST(n.n_rel, {_AP_K}) AS DOUBLE)) AS ap_at_k
+    FROM num JOIN nrel n USING (query_id)
+    ORDER BY query_id
+    """,
+    doc="Average Precision @10 of the exact-cosine retriever against "
+    "same-label relevance — the area-under-PR-curve companion to "
+    "ndcg_at_k (AP rewards putting ALL hits early; NDCG discounts "
+    "positionally). Arithmetic is EXACT end-to-end: precision@i is "
+    "the rational cumrel_i/i with i <= 10, so scaling by LCM(1..10) "
+    "= 2520 makes the whole AP numerator one int64 sum "
+    "(rel*cumrel*(2520 div rn)); AP emerges in ONE division of exact "
+    "integers — nothing to reassociate, so both engines are "
+    "bit-identical by construction. The cumrel window is bounded at "
+    "10 rows per query partition. Plan: the sim_cosine_topk "
+    "broadcast-probe shape + one bounded window + a 5-row join.",
+    tags=("embeddings", "mleval", "similarity"),
+)
+def avg_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.plans.similarity import _dot_unrolled
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(QUANT_SPARK).alias("q"), "label"
+    )
+    norms = e.withColumn("nrm", _dot_unrolled("q", "q"))
+    probes = norms.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("pq"),
+        F.col("label").alias("plabel"),
+        F.col("nrm").alias("pnrm"),
+    )
+    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm")
+    joined = cand.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("label") == F.col("plabel"), 1).otherwise(0).alias("rel"),
+        (
+            _dot_unrolled("pq", "q").cast("double")
+            / (F.sqrt(F.col("pnrm").cast("double")) * F.sqrt(F.col("nrm").cast("double")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _AP_K
+    )
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    topk = ranked.withColumn("cumrel", F.sum("rel").over(w_cum).cast("long"))
+    num = topk.groupBy("query_id").agg(F.expr(f"{_AP_NUM} AS ap_num"))
+    nrel = joined.groupBy("query_id").agg(
+        F.count_if(F.col("label") == F.col("plabel")).cast("long").alias("n_rel")
+    )
+    return (
+        num.join(nrel, "query_id")
+        .selectExpr(
+            "query_id",
+            "n_rel",
+            f"(CAST(ap_num AS DOUBLE)"
+            f" / CAST({_AP_LCM} * LEAST(n_rel, {_AP_K}) AS DOUBLE)) AS ap_at_k",
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# uplift_by_band — treatment-vs-control outcome lift per score band
+# ---------------------------------------------------------------------------
+
+@q(
+    "uplift_by_band",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             CAST(COUNT(*) FILTER (WHERE event_type IN ('click', 'view'))
+                  AS BIGINT) AS score,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM events GROUP BY user_id
+    ), per_score AS (
+      SELECT score,
+             CAST(COUNT(*) AS BIGINT) AS nu,
+             CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS nt,
+             CAST(COALESCE(SUM(pos) FILTER (WHERE arm = 1), 0) AS BIGINT) AS pt,
+             CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS nc,
+             CAST(COALESCE(SUM(pos) FILTER (WHERE arm = 0), 0) AS BIGINT) AS pc
+      FROM u GROUP BY score
+    ), ranked AS (
+      SELECT score, nu, nt, pt, nc, pc,
+             COALESCE(SUM(nu) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above,
+             SUM(nu) OVER () AS tot_u
+      FROM per_score
+    )
+    SELECT CAST(above * 10 // tot_u AS BIGINT) AS band,
+           CAST(SUM(nt) AS BIGINT) AS n_treat,
+           CAST(SUM(nc) AS BIGINT) AS n_ctrl,
+           CAST(SUM(pt) AS BIGINT) AS pos_treat,
+           CAST(SUM(pc) AS BIGINT) AS pos_ctrl,
+           (CAST(SUM(pt) AS DOUBLE) / NULLIF(CAST(SUM(nt) AS DOUBLE), 0.0)
+            - CAST(SUM(pc) AS DOUBLE) / NULLIF(CAST(SUM(nc) AS DOUBLE), 0.0)) AS uplift
+    FROM ranked
+    GROUP BY 1 ORDER BY band
+    """,
+    doc="Uplift (incremental-response) table: within each engagement-"
+    "score band (the SAME arm-agnostic grouped-decile construction as "
+    "gains_decile_table, so bands don't leak treatment information), "
+    "the purchase-rate difference between the user_id%2 arms — the "
+    "heterogeneous-treatment-effect readout a targeting policy is "
+    "built from (treat the bands with positive uplift), complementing "
+    "the single-number diff_in_diff (COALESCE keeps one-arm score "
+    "groups at 0, matching the Spark otherwise(0) semantics). A band "
+    "holding only one arm "
+    "(possible at tiny scales) yields NULL uplift via NULLIF in BOTH "
+    "engines rather than a divide-by-zero; rates are exact-int "
+    "ratios, uplift one fixed subtraction. All ordered frames are bounded by the score "
+    "domain; the final spine is <=10 bands.",
+    tags=("events", "mleval", "stats", "causal"),
+)
+def uplift_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type").isin("click", "view"))
+            .cast("long")
+            .alias("score"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+        .withColumn("arm", F.expr("user_id % 2"))
+    )
+    per_score = u.groupBy("score").agg(
+        F.count("*").cast("long").alias("nu"),
+        F.count_if(F.col("arm") == 1).cast("long").alias("nt"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pos")).otherwise(0))
+        .cast("long")
+        .alias("pt"),
+        F.count_if(F.col("arm") == 0).cast("long").alias("nc"),
+        F.sum(F.when(F.col("arm") == 0, F.col("pos")).otherwise(0))
+        .cast("long")
+        .alias("pc"),
+    )
+    w_above = Window.orderBy(F.desc("score")).rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_score.select(
+        "score",
+        "nu",
+        "nt",
+        "pt",
+        "nc",
+        "pc",
+        F.coalesce(F.sum("nu").over(w_above), F.lit(0)).alias("above"),
+        F.sum("nu").over(w_all).alias("tot_u"),
+    )
+    return (
+        ranked.groupBy(F.expr("CAST(above * 10 div tot_u AS BIGINT)").alias("band"))
+        .agg(
+            F.sum("nt").cast("long").alias("n_treat"),
+            F.sum("nc").cast("long").alias("n_ctrl"),
+            F.sum("pt").cast("long").alias("pos_treat"),
+            F.sum("pc").cast("long").alias("pos_ctrl"),
+        )
+        .selectExpr(
+            "band",
+            "n_treat",
+            "n_ctrl",
+            "pos_treat",
+            "pos_ctrl",
+            "(CAST(pos_treat AS DOUBLE) / NULLIF(CAST(n_treat AS DOUBLE), 0.0)"
+            " - CAST(pos_ctrl AS DOUBLE) / NULLIF(CAST(n_ctrl AS DOUBLE), 0.0))"
+            " AS uplift",
+        )
+        .orderBy("band")
+    )

@@ -1534,3 +1534,86 @@ def bm25_ratio_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+_KHOP_ORACLE = (
+    "WITH "
+    + _LPA_EDGES_CTE
+    + """
+    , r0 AS (
+      SELECT doc_id AS v, CAST(0 AS BIGINT) AS hop
+      FROM documents WHERE doc_id < 5
+    ), f1 AS (
+      SELECT DISTINCT e.a AS v FROM edges e JOIN r0 ON e.b = r0.v
+      WHERE e.a NOT IN (SELECT v FROM r0)
+    ), r1 AS (
+      SELECT v, hop FROM r0
+      UNION ALL SELECT v, CAST(1 AS BIGINT) FROM f1
+    ), f2 AS (
+      SELECT DISTINCT e.a AS v FROM edges e JOIN r1 ON e.b = r1.v
+      WHERE e.a NOT IN (SELECT v FROM r1)
+    ), r2 AS (
+      SELECT v, hop FROM r1
+      UNION ALL SELECT v, CAST(2 AS BIGINT) FROM f2
+    ), f3 AS (
+      SELECT DISTINCT e.a AS v FROM edges e JOIN r2 ON e.b = r2.v
+      WHERE e.a NOT IN (SELECT v FROM r2)
+    ), r3 AS (
+      SELECT v, hop FROM r2
+      UNION ALL SELECT v, CAST(3 AS BIGINT) FROM f3
+    )
+    SELECT v AS doc_id, hop FROM r3 ORDER BY doc_id
+    """
+)
+
+
+@q(
+    "khop_reachability",
+    oracle=_KHOP_ORACLE,
+    doc="Contamination blast radius: multi-source BFS from a seed set "
+    "(doc_id < 5 — think 'known benchmark documents') over the same "
+    ">= 0.5 shingle-Jaccard near-dup graph as dedup_clusters / LPA, "
+    "reporting every document within 3 hops and its minimum hop "
+    "distance. This is the decontamination question a training "
+    "pipeline actually asks: paraphrases-of-paraphrases leak "
+    "benchmarks even when the direct near-dup check is clean, so the "
+    "radius must follow TRANSITIVE near-dup edges, not just the "
+    "1-hop candidates contamination_check screens. Spark plan: 3 "
+    "unrolled frontier expansions (the pagerank_fixed_iters "
+    "fixed-point discipline — one edge equi-join + anti-join vs the "
+    "reached set per hop, frontier-sized not graph-sized; edges "
+    "localCheckpointed once so Catalyst doesn't re-inline the "
+    "shingle-join per hop); the oracle replays the identical "
+    "expansion as an unrolled CTE chain. At 100 TB the per-hop cost "
+    "is |frontier edges| keyed exchanges — the iterative-graph shape "
+    "that generalizes to any bounded-depth closure.",
+    tags=("text", "dedup", "graph"),
+)
+def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    seeds = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("v"), F.lit(0).cast("long").alias("hop"))
+    )
+    reached = seeds
+    frontier = seeds.select("v")
+    for h in (1, 2, 3):
+        nxt = (
+            edges.join(frontier, edges["b"] == frontier["v"])
+            .select(F.col("a").alias("v"))
+            .distinct()
+            .join(reached.select("v"), "v", "left_anti")
+        )
+        reached = reached.unionByName(
+            nxt.select("v", F.lit(h).cast("long").alias("hop"))
+        )
+        frontier = nxt
+    return reached.select(F.col("v").alias("doc_id"), "hop").orderBy("doc_id")

@@ -258,3 +258,96 @@ def test_join_view_incremental_matches_full_join(spark):
     assert list(out["price_cents"]) == list(
         np.round(ref_sorted["o_totalprice"].to_numpy() * 100).astype(np.int64)
     )
+
+
+def test_avg_precision_matches_reference(spark, tiny_embed_dir):
+    d, df = tiny_embed_dir
+    out = REGISTRY["avg_precision_at_k"].fn(spark, d).toPandas().set_index("query_id")
+    q = np.stack(
+        [np.round(np.asarray(e, np.float64) * 1_000_000).astype(np.int64) for e in df["embedding"]]
+    )
+    labels = df["label"].to_numpy()
+    for qid in range(5):
+        dots = (q @ q[qid]).astype(np.float64)
+        nrm = np.sqrt((q.astype(np.float64) ** 2).sum(axis=1))
+        cos = dots / (nrm * nrm[qid])
+        order = sorted(
+            (i for i in range(len(q)) if i != qid),
+            key=lambda i: (-cos[i], i),
+        )
+        rel = [int(labels[i] == labels[qid]) for i in order[:10]]
+        n_rel = int(sum(labels[i] == labels[qid] for i in range(len(q)) if i != qid))
+        cum, ap_terms = 0, []
+        for i, r in enumerate(rel, start=1):
+            cum += r
+            if r:
+                ap_terms.append(cum / i)
+        ap = sum(ap_terms) / min(n_rel, 10) if n_rel else 0.0
+        row = out.loc[qid]
+        assert row["n_rel"] == n_rel
+        assert row["ap_at_k"] == pytest.approx(ap, rel=1e-12)
+
+
+def test_uplift_bands_match_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["uplift_by_band"].fn(spark, d).toPandas()
+    g = df.groupby("user_id")
+    u = pd.DataFrame(
+        {
+            "score": g["event_type"].apply(lambda s: int(s.isin(["click", "view"]).sum())),
+            "pos": g["event_type"].apply(lambda s: int((s == "purchase").any())),
+        }
+    )
+    u["arm"] = (u.index % 2).astype(int)
+    tot_u = len(u)
+    per = (
+        u.groupby("score")
+        .agg(
+            nu=("pos", "size"),
+            nt=("arm", "sum"),
+            pt=("pos", lambda s: int(s[u.loc[s.index, "arm"] == 1].sum())),
+            pc=("pos", lambda s: int(s[u.loc[s.index, "arm"] == 0].sum())),
+        )
+        .sort_index(ascending=False)
+    )
+    per["nc"] = per["nu"] - per["nt"]
+    above = per["nu"].cumsum().shift(fill_value=0)
+    per["band"] = (above * 10 // tot_u).astype(int)
+    ref = per.groupby("band").agg(
+        n_treat=("nt", "sum"), n_ctrl=("nc", "sum"),
+        pos_treat=("pt", "sum"), pos_ctrl=("pc", "sum"),
+    )
+    assert list(out["band"]) == list(ref.index)
+    for i, (_, r) in enumerate(ref.iterrows()):
+        assert out["n_treat"].iloc[i] == r["n_treat"]
+        assert out["n_ctrl"].iloc[i] == r["n_ctrl"]
+        assert out["pos_treat"].iloc[i] == r["pos_treat"]
+        assert out["pos_ctrl"].iloc[i] == r["pos_ctrl"]
+        if r["n_treat"] and r["n_ctrl"]:
+            assert out["uplift"].iloc[i] == pytest.approx(
+                r["pos_treat"] / r["n_treat"] - r["pos_ctrl"] / r["n_ctrl"], rel=1e-12
+            )
+
+
+def test_khop_bfs_matches_networkx_free_reference(spark):
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["khop_reachability"].fn(spark, sf).toPandas()
+    pairs = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf).toPandas()
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    hops = {v: 0 for v in range(5)}
+    frontier = set(hops)
+    for h in (1, 2, 3):
+        nxt = set()
+        for v in frontier:
+            nxt |= adj.get(v, set())
+        nxt -= set(hops)
+        for v in nxt:
+            hops[v] = h
+        frontier = nxt
+    got = dict(zip(out["doc_id"].astype(int), out["hop"].astype(int)))
+    assert got == hops
+    # hop-0 seeds always present
+    assert all(got.get(v) == 0 for v in range(5))

@@ -98,6 +98,8 @@ WAIVERS: dict[str, dict[str, str]] = {
     },
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
     "ndcg_at_k": {NLJ: "broadcast side is the 5-row query-probe set (ranking + n_rel legs)"},
+    "avg_precision_at_k": {NLJ: "broadcast side is the 5-row query-probe set (ranking + n_rel legs)"},
+    "uplift_by_band": {SPE: "band windows over the DISTINCT engagement-score frame (bounded by the per-user event-count domain); the data-sized aggs are user-/score-keyed upstream"},
     "kaplan_meier_retention": {
         NLJ: "broadcast sides are the 1-row max-date scalar and the "
         "lifetime-day factor list (one ~30-element array row)",
