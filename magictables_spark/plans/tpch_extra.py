@@ -287,3 +287,192 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_pct")
         )
     )
+
+
+# --- the three remaining TPC-H shapes: Q1 / Q4 / Q17 -----------------------
+# (completing the 22-query suite; Q4/Q17 are ADAPTED to the fixture's
+# reduced schema — no l_commitdate/l_receiptdate/p_container — with the
+# adaptation pinned in the doc so parity with the spec query is explicit)
+
+from magictables_spark.plans.joins_advanced import (  # noqa: E402
+    _dec_dbl_duck,
+    _dec_dbl_spark,
+)
+from magictables_spark.plans.registry import (  # noqa: E402
+    CHARGE_I,
+    DISC_I,
+    PRICE_I,
+)
+
+_Q1_CUT = "TIMESTAMP '1997-12-01'"
+
+
+def _q1_cols(dd) -> list[str]:
+    nd = "CAST(n AS DOUBLE)"
+    return [
+        "l_returnflag",
+        "l_linestatus",
+        "(CAST(sq AS DOUBLE) / 100.0) AS sum_qty",
+        "(CAST(sp AS DOUBLE) / 100.0) AS sum_base_price",
+        f"({dd('sr')} / 10000.0) AS sum_disc_price",
+        f"({dd('sc')} / 1000000.0) AS sum_charge",
+        f"(CAST(sq AS DOUBLE) / 100.0 / {nd}) AS avg_qty",
+        f"(CAST(sp AS DOUBLE) / 100.0 / {nd}) AS avg_price",
+        f"(CAST(sd AS DOUBLE) / 100.0 / {nd}) AS avg_disc",
+        "n AS count_order",
+    ]
+
+
+@q(
+    "q1_pricing_summary",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM({QTY_I}) AS BIGINT) AS sq,
+             CAST(SUM({PRICE_I}) AS BIGINT) AS sp,
+             CAST(SUM({DISC_I}) AS BIGINT) AS sd,
+             SUM(CAST({REV_I} AS HUGEINT)) AS sr,
+             SUM(CAST({CHARGE_I} AS HUGEINT)) AS sc
+      FROM lineitem WHERE l_shipdate <= {_Q1_CUT}
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT {', '.join(_q1_cols(_dec_dbl_duck))}
+    FROM s ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary (the canonical scan-agg benchmark "
+    "query), completing the 22-query suite: per (returnflag, "
+    "linestatus), sum/avg of quantity, base price, discounted price "
+    "sum(price*(1-disc)) and charge sum(price*(1-disc)*(1+tax)). All "
+    "eight aggregates ride ONE map-side-combining keyed agg over "
+    "exact scaled integers — qty/price/disc in int64, the 10^4- and "
+    "10^6-scaled rev/charge products in DECIMAL(38,0)/HUGEINT (a "
+    "charge row is ~1e11, so int64 would overflow near 1e8 rows — "
+    "the corr_exact overflow lesson applied up front); averages are "
+    "the shared fixed IEEE chain over exact sums. Plan: one shuffle "
+    "keyed on the 4-6 group keys, pushed shipdate filter, ~6-row "
+    "result at any scale.",
+    tags=("tpch", "relational"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38, 0)"
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.expr(f"l_shipdate <= {_Q1_CUT}"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.expr(QTY_I)).cast("long").alias("sq"),
+            F.sum(F.expr(PRICE_I)).cast("long").alias("sp"),
+            F.sum(F.expr(DISC_I)).cast("long").alias("sd"),
+            F.sum(F.expr(f"CAST({REV_I} AS {dec})")).alias("sr"),
+            F.sum(F.expr(f"CAST({CHARGE_I} AS {dec})")).alias("sc"),
+        )
+    )
+    return s.selectExpr(*_q1_cols(_dec_dbl_spark)).orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+@q(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 order-priority checking, ADAPTED to the fixture "
+    "schema: the spec's late-commit predicate (l_commitdate < "
+    "l_receiptdate) uses columns the synthetic lineitem does not "
+    "carry, so the late-shipment proxy l_shipdate > o_orderdate + 60 "
+    "days keeps the exact query SHAPE — a quarter-window filter on "
+    "orders and a correlated EXISTS against the fact table that "
+    "Catalyst decorrelates to a LEFT SEMI hash join (only the order "
+    "key + dates shuffle, never lineitem payload), then a 5-row "
+    "priority count. The semi-join-after-decorrelation plan is the "
+    "point of Q4; the filter constant is pinned for the oracle.",
+    tags=("tpch", "relational", "subquery"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-04-01'"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "q17_small_quantity",
+    oracle=f"""
+    WITH pl AS (
+      SELECT l.l_partkey, {QTY_I} AS qty_i, {PRICE_I} AS price_i
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#13' AND p.p_size <= 10
+    ), avgq AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qty_i) AS BIGINT) AS sq
+      FROM pl GROUP BY l_partkey
+    )
+    SELECT (CAST(SUM(price_i) AS DOUBLE) / 100.0 / 7.0) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines
+    FROM pl JOIN avgq USING (l_partkey)
+    WHERE 5 * qty_i * n < sq
+    """,
+    doc="TPC-H Q17 small-quantity-order revenue, ADAPTED to the "
+    "fixture schema (no p_container; the brand + size<=10 filter "
+    "keeps a comparable selectivity): for filtered parts, revenue "
+    "from lineitems whose quantity is below 20%% of that part's "
+    "average quantity, divided by 7 (the spec's yearly scaling). The "
+    "correlated scalar subquery avg(l_quantity)-per-part is "
+    "decorrelated into one keyed agg + a self-join on l_partkey, and "
+    "the 20%%-of-average predicate is cross-multiplied into EXACT "
+    "integers (5*qty*n < sum_qty) — no division, no doubles, no "
+    "epsilon. Plan: the part dim filter broadcasts into the fact "
+    "scan; the avg frame is per-part (bounded by the filtered part "
+    "count) and joins back broadcast; one final 1-row agg.",
+    tags=("tpch", "relational", "subquery"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    pl = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .selectExpr("l_partkey", f"{QTY_I} AS qty_i", f"{PRICE_I} AS price_i")
+    )
+    avgq = pl.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qty_i").cast("long").alias("sq"),
+    )
+    return (
+        pl.join(F.broadcast(avgq), "l_partkey")
+        .filter(F.expr("5 * qty_i * n < sq"))
+        .agg(
+            F.expr("(CAST(SUM(price_i) AS DOUBLE) / 100.0 / 7.0) AS avg_yearly"),
+            F.count("*").cast("long").alias("n_small_lines"),
+        )
+    )
