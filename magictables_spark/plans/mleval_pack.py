@@ -14,6 +14,10 @@ exact-arithmetic, hash-oracled queries:
   moments_skew_kurtosis   exact 3rd/4th standardized moments per group
   gains_decile_table      score-band gains/lift table (capture curves)
   calibration_bins        reliability table: predicted vs observed rate
+  ndcg_at_k               NDCG@10 of the exact-cosine retriever
+  avg_precision_at_k      AP@10 on an exact LCM(1..10) integer grid
+  kaplan_meier_retention  product-limit survival over user lifetimes
+  uplift_by_band          treatment-vs-control lift per score band
 
 Determinism strategy (registry.py rules, applied hard):
 - every sufficient statistic is an exact integer (cents, int64 dot
@@ -51,7 +55,9 @@ __all__ = [
     "gains_decile_table",
     "calibration_bins",
     "ndcg_at_k",
+    "avg_precision_at_k",
     "kaplan_meier_retention",
+    "uplift_by_band",
 ]
 
 # ---------------------------------------------------------------------------
@@ -1005,3 +1011,173 @@ def uplift_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# permutation_test_diff — deterministic-relabel permutation test
+# ---------------------------------------------------------------------------
+
+# 32 deterministic pseudo-permutations: each relabels users by a Knuth
+# multiplicative hash of (user_id, perm) — pure int64 ops, so both
+# engines assign identical arms. user_id*2654435761 <= ~4e15 « 2^63:
+# no overflow; the +j*40503 stream offset decorrelates the perms.
+# The arm is the hash's TOP bit: the low bit of u*ODD + j*ODD is just
+# parity(u+j), which mirrors the observed split every time (caught by
+# the first-principles unit test as p_value = 1.0 on a real effect).
+_PERM_N = 32
+_PERM_ARM_SPARK = "((user_id * 2654435761 + j * 40503) % 4294967296) div 2147483648"
+_PERM_ARM_DUCK = "((user_id * 2654435761 + j * 40503) % 4294967296) // 2147483648"
+
+
+@q(
+    "permutation_test_diff",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, {VAL_I} AS y
+      FROM events WHERE event_type = 'purchase'
+    ), obs AS (
+      SELECT CAST(SUM(y) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS s1,
+             CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n1,
+             CAST(SUM(y) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS s0,
+             CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n0
+      FROM s
+    ), perms AS (
+      SELECT unnest(range(0, {_PERM_N})) AS j
+    ), rel AS (
+      SELECT j, {_PERM_ARM_DUCK} AS arm, y FROM s CROSS JOIN perms
+    ), per_perm AS (
+      SELECT j,
+             CAST(SUM(y) FILTER (WHERE arm = 1) AS BIGINT) AS s1,
+             CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
+             CAST(SUM(y) FILTER (WHERE arm = 0) AS BIGINT) AS s0,
+             CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0
+      FROM rel GROUP BY j
+    ), d AS (
+      SELECT (SELECT CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM obs) AS d_obs,
+             (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS d_j
+      FROM per_perm
+    )
+    SELECT MAX(d_obs) AS diff_obs_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_perms,
+           CAST(COUNT(*) FILTER (WHERE ABS(d_j) >= ABS(d_obs)) AS BIGINT) AS n_ge,
+           ((1.0 + CAST(COUNT(*) FILTER (WHERE ABS(d_j) >= ABS(d_obs)) AS DOUBLE))
+            / (1.0 + CAST(COUNT(*) AS DOUBLE))) AS p_value
+    FROM d
+    """,
+    doc="Permutation test of the purchase-value difference between the "
+    "user_id%2 arms — the assumption-free companion to welch_ttest / "
+    "mannwhitney_u (and the standard validity check when neither "
+    "normality nor rank assumptions hold). True random relabeling is "
+    "oracle-hostile, so the 32 permutations are DETERMINISTIC "
+    "pseudo-relabels: arm_j(u) = knuth_hash(u, j) % 2 — pure int64 "
+    "ops both engines replay bit-for-bit (the bootstrap_ci_mean "
+    "deterministic-resampling discipline). The plan is ONE map-side "
+    "x32 fan-out (explode over the perm spine, no data re-scan per "
+    "perm) into a 64-group exact-integer agg; per-perm mean diffs "
+    "and the add-one p-value come from the shared fixed IEEE chain. "
+    "At 100 TB: cost = 32x one keyed agg, zero extra scans, zero "
+    "driver loops.",
+    tags=("events", "mleval", "stats", "hypothesis-test"),
+)
+def permutation_test_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id", f"{VAL_I} AS y")
+    )
+    obs = s.agg(
+        F.sum(F.when(F.expr("user_id % 2 = 1"), F.col("y"))).cast("long").alias("s1"),
+        F.count_if(F.expr("user_id % 2 = 1")).cast("long").alias("n1"),
+        F.sum(F.when(F.expr("user_id % 2 = 0"), F.col("y"))).cast("long").alias("s0"),
+        F.count_if(F.expr("user_id % 2 = 0")).cast("long").alias("n0"),
+    ).selectExpr(
+        "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS d_obs"
+    )
+    rel = s.select(
+        "user_id", "y", F.explode(F.expr(f"sequence(0, {_PERM_N - 1})")).alias("j")
+    ).selectExpr("j", f"{_PERM_ARM_SPARK} AS arm", "y")
+    per_perm = rel.groupBy("j").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("y"))).cast("long").alias("s1"),
+        F.count_if(F.col("arm") == 1).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y"))).cast("long").alias("s0"),
+        F.count_if(F.col("arm") == 0).cast("long").alias("n0"),
+    )
+    d = per_perm.selectExpr(
+        "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS d_j"
+    ).crossJoin(F.broadcast(obs))
+    return d.agg(
+        F.max("d_obs").alias("diff_obs_cents"),
+        F.count("*").cast("long").alias("n_perms"),
+        F.count_if(F.expr("ABS(d_j) >= ABS(d_obs)")).cast("long").alias("n_ge"),
+        F.expr(
+            "((1.0 + CAST(COUNT_IF(ABS(d_j) >= ABS(d_obs)) AS DOUBLE))"
+            " / (1.0 + CAST(COUNT(*) AS DOUBLE))) AS p_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hhi_concentration — Herfindahl concentration of activity per group
+# ---------------------------------------------------------------------------
+
+@q(
+    "hhi_concentration",
+    oracle=f"""
+    WITH cu AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(c) AS BIGINT) AS total_events,
+             SUM(CAST(c AS HUGEINT) * c) AS sum_sq
+      FROM cu GROUP BY event_type
+    )
+    SELECT event_type, n_users, total_events,
+           ({_dec_dbl_duck('sum_sq')}
+            / (CAST(total_events AS DOUBLE) * CAST(total_events AS DOUBLE)))
+             AS hhi,
+           ((CAST(total_events AS DOUBLE) * CAST(total_events AS DOUBLE))
+            / {_dec_dbl_duck('sum_sq')}) AS effective_users
+    FROM s ORDER BY event_type
+    """,
+    doc="Herfindahl-Hirschman concentration of per-user activity "
+    "within each event_type: HHI = sum(share_u^2) = sum(c_u^2) / "
+    "(sum c_u)^2, plus its reciprocal (the 'effective number of "
+    "users' — the inverse-Simpson diversity index). The skew "
+    "diagnostic that tells a pipeline whether a key's traffic is a "
+    "broad base or three whales (key_skew_gini's quadratic-form "
+    "sibling; HHI is the one that decomposes under rollups). "
+    "sum(c^2) rides DECIMAL(38,0)/HUGEINT (a 1e9-event user "
+    "contributes 1e18 — int64 would overflow at one whale), entering "
+    "doubles once via the deterministic hi/lo split; HHI and its "
+    "reciprocal are fixed chains of those exact values. Plan: two "
+    "keyed map-side-combining aggs, 5-row result.",
+    tags=("events", "stats", "scale"),
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    dec = "DECIMAL(38, 0)"
+    s = cu.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("total_events"),
+        F.sum(F.expr(f"CAST(c AS {dec}) * c")).alias("sum_sq"),
+    )
+    return s.selectExpr(
+        "event_type",
+        "n_users",
+        "total_events",
+        f"({_dec_dbl_spark('sum_sq')}"
+        " / (CAST(total_events AS DOUBLE) * CAST(total_events AS DOUBLE)))"
+        " AS hhi",
+        "((CAST(total_events AS DOUBLE) * CAST(total_events AS DOUBLE))"
+        f" / {_dec_dbl_spark('sum_sq')}) AS effective_users",
+    ).orderBy("event_type")

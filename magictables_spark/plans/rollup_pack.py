@@ -1078,3 +1078,128 @@ def join_view_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg_dc)
         .orderBy("o_orderkey")
     )
+
+
+@q(
+    "join_view_store_stream",
+    oracle="""
+    SELECT o.o_orderkey,
+           c.c_name AS cust_name,
+           c.c_nationkey,
+           c.c_mktsegment,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_orderkey
+    """,
+    doc="STREAMING maintenance of the materialized join view — the "
+    "foreachBatch twin of join_view_incremental_store, preserving the "
+    "round's store symmetry (every persisted incremental store has "
+    "BOTH a batch and a streaming maintainer). The order history "
+    "(o_orderkey%5 < 4) joined to the customer dim seeds the store; "
+    "the delta orders stream in 3 shards via maxFilesPerTrigger=1 "
+    "(three REAL micro-batches under Trigger.AvailableNow), and each "
+    "foreachBatch turn joins ONLY its batch rows against the static "
+    "dim (broadcast — batch-sized work, the store is never read or "
+    "rewritten) and appends to a per-batch subdirectory: overwrite-"
+    "into-own-subdir makes replay under the at-least-once contract "
+    "naturally idempotent with NO marker files (insert-only views "
+    "need no merge — the contrast with rollup_store_stream's marker-"
+    "guarded group merge is the point of the pair). Dim-side deltas "
+    "are the batch twin's bilinear leg; a streamed dim would need the "
+    "same broadcast pass, documented boundary. Because the legs "
+    "partition the orders rows, seed + batches equal the from-scratch "
+    "join — which IS the oracle, so the streamed lifecycle is "
+    "value-hash-checked end to end.",
+    tags=("tpch", "pipeline", "warehouse", "streaming", "scale"),
+)
+def join_view_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    orders = _t(spark, sf_dir, "orders")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    tag = hashlib.md5(
+        f"v1:5:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"jvstream_{tag}")
+    src = os.path.join(root, "src")
+    store_dir = os.path.join(root, "store")
+    ready = os.path.join(root, "_READY")
+
+    def _view(o: DataFrame, c: DataFrame) -> DataFrame:
+        return o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+            "o_orderkey",
+            F.col("c_name").alias("cust_name"),
+            "c_nationkey",
+            "c_mktsegment",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+        )
+
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        _view(
+            orders.filter(F.col("o_orderkey") % 5 < 4),
+            _t(spark, sf_dir, "customer"),
+        ).write.mode("overwrite").parquet(os.path.join(store_dir, "seed"))
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                orders.filter(
+                    (F.col("o_orderkey") % 5 == 4)
+                    & (F.col("o_orderkey") % 3 == shard)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]), os.path.join(src, f"shard_{shard}.parquet")
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    def _append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        cust = ss.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        # own-subdir overwrite = idempotent replay, no marker needed
+        _view(batch_df, F.broadcast(cust)).write.mode("overwrite").parquet(
+            os.path.join(store_dir, f"b{batch_id}")
+        )
+
+    name = f"mts_jvstream_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_append_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    view_schema = (
+        "o_orderkey bigint, cust_name string, c_nationkey int, "
+        "c_mktsegment string, order_date string, price_cents bigint"
+    )
+    return (
+        spark.read.schema(view_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(store_dir)
+        .orderBy("o_orderkey")
+    )

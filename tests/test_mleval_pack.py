@@ -351,3 +351,39 @@ def test_khop_bfs_matches_networkx_free_reference(spark):
     assert got == hops
     # hop-0 seeds always present
     assert all(got.get(v) == 0 for v in range(5))
+
+
+def test_permutation_test_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["permutation_test_diff"].fn(spark, d).toPandas().iloc[0]
+    sub = df[df["event_type"] == "purchase"]
+    y = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+    u = sub["user_id"].to_numpy().astype(np.int64)
+    d_obs = y[u % 2 == 1].mean() - y[u % 2 == 0].mean()
+    n_ge = 0
+    for j in range(32):
+        arm = ((u * 2654435761 + j * 40503) % 4294967296) // 2147483648
+        d_j = y[arm == 1].mean() - y[arm == 0].mean()
+        if abs(d_j) >= abs(d_obs):
+            n_ge += 1
+    assert out["diff_obs_cents"] == pytest.approx(d_obs, rel=1e-12)
+    assert out["n_perms"] == 32
+    assert out["n_ge"] == n_ge
+    assert out["p_value"] == pytest.approx((1 + n_ge) / 33.0, rel=1e-12)
+    # the engineered +2500-cent arm shift dwarfs hash-permuted diffs
+    assert out["p_value"] == pytest.approx(1 / 33.0, rel=1e-12)
+
+
+def test_hhi_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["hhi_concentration"].fn(spark, d).toPandas().set_index("event_type")
+    for t in sorted(df["event_type"].unique()):
+        c = df[df["event_type"] == t].groupby("user_id").size().to_numpy().astype(float)
+        hhi = (c**2).sum() / c.sum() ** 2
+        row = out.loc[t]
+        assert row["n_users"] == len(c)
+        assert row["total_events"] == int(c.sum())
+        assert row["hhi"] == pytest.approx(hhi, rel=1e-12)
+        assert row["effective_users"] == pytest.approx(1.0 / hhi, rel=1e-12)
+        # bounds: 1/n <= HHI <= 1
+        assert 1.0 / len(c) - 1e-12 <= row["hhi"] <= 1.0 + 1e-12
