@@ -1181,3 +1181,208 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((CAST(total_events AS DOUBLE) * CAST(total_events AS DOUBLE))"
         f" / {_dec_dbl_spark('sum_sq')}) AS effective_users",
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# cramervonmises_2sample — integrated-CDF-gap drift statistic
+# ---------------------------------------------------------------------------
+
+# Two-sample Cramer-von-Mises with ties, on EXACT integers: over the
+# distinct-cents frame, the CDF gap F-G = (cum1*m - cum2*n)/(n*m) is a
+# rational; the integrated square sums S = sum_v (c1+c2)*(cum1*m -
+# cum2*n)^2 as one DECIMAL(38,0)/HUGEINT aggregate, and
+# T = n*m/(n+m)^2 * S/(n*m)^2 collapses to S/(n*m*(n+m)^2) — ONE fixed
+# double chain at the end. |cum1*m - cum2*n| <= n*m, so S <=
+# (n+m)*(n*m)^2: n = m = 1e7 rows/side still fits 38 digits (6.4e36);
+# the ~1e8-per-side ceiling is the documented fixed-point boundary.
+_CVM_T = (
+    "({dd} / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " * (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE))))"
+)
+
+
+@q(
+    "cramervonmises_2sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id % 2 AS grp, {VAL_I} AS y
+      FROM events WHERE event_type = 'purchase'
+    ), per_y AS (
+      SELECT y,
+             CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS c2
+      FROM s GROUP BY y
+    ), w AS (
+      SELECT y, c1, c2,
+             CAST(SUM(c1) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+             CAST(SUM(c2) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM per_y
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             SUM(CAST(c1 + c2 AS HUGEINT)
+                 * (cum1 * (SELECT CAST(SUM(c2) AS BIGINT) FROM per_y)
+                    - cum2 * (SELECT CAST(SUM(c1) AS BIGINT) FROM per_y))
+                 * (cum1 * (SELECT CAST(SUM(c2) AS BIGINT) FROM per_y)
+                    - cum2 * (SELECT CAST(SUM(c1) AS BIGINT) FROM per_y))) AS s_int
+      FROM w
+    )
+    SELECT n1, n2,
+           {_CVM_T.format(dd=_dec_dbl_duck('s_int'))} AS cvm_t
+    FROM tot
+    """,
+    doc="Two-sample Cramer-von-Mises statistic on purchase cents "
+    "between the user_id%2 arms — the INTEGRATED CDF-gap drift "
+    "measure (ks_test_2sample takes the supremum; CvM integrates the "
+    "whole squared gap, so a broad small shift that never crosses the "
+    "KS threshold still registers). Tie-exact on integers: the gap at "
+    "each distinct cents value is the rational (cum1*m - cum2*n)/"
+    "(n*m); its weighted square sum accumulates in DECIMAL(38,0)/"
+    "HUGEINT (fits two 1e7-row samples; the fixed-point ceiling is "
+    "documented above) and T = S/(n*m*(n+m)^2) is ONE shared IEEE "
+    "chain. The ordered frame is bounded by the VALUE DOMAIN (<=56k "
+    "distinct cents), not n — the mannwhitney_u collapse. Plan: one "
+    "cents-keyed agg, one domain-bounded window, a 1-row result.",
+    tags=("events", "mleval", "stats", "hypothesis-test"),
+)
+def cramervonmises_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id % 2 AS grp", f"{VAL_I} AS y")
+    )
+    per_y = s.groupBy("y").agg(
+        F.count_if(F.col("grp") == 0).cast("long").alias("c1"),
+        F.count_if(F.col("grp") == 1).cast("long").alias("c2"),
+    )
+    w_cum = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    w = per_y.select(
+        "y",
+        "c1",
+        "c2",
+        F.sum("c1").over(w_cum).cast("long").alias("cum1"),
+        F.sum("c2").over(w_cum).cast("long").alias("cum2"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w2 = w.withColumn("n1", F.sum("c1").over(w_all).cast("long")).withColumn(
+        "n2", F.sum("c2").over(w_all).cast("long")
+    )
+    dec = "DECIMAL(38, 0)"
+    tot = w2.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(
+            F.expr(
+                f"CAST(c1 + c2 AS {dec})"
+                " * (cum1 * n2 - cum2 * n1) * (cum1 * n2 - cum2 * n1)"
+            )
+        ).alias("s_int"),
+    )
+    return tot.selectExpr(
+        "n1",
+        "n2",
+        f"{_CVM_T.format(dd=_dec_dbl_spark('s_int'))} AS cvm_t",
+    )
+
+
+# ---------------------------------------------------------------------------
+# energy_distance_2sample — pairwise-gap drift statistic, closed form
+# ---------------------------------------------------------------------------
+
+# All three pairwise-mean terms E|X-Y|, E|X-X'|, E|Y-Y'| come from ONE
+# sorted pass over the distinct-value frame: for counts c_v with
+# cumulative count C and cumulative value-sum S strictly below v,
+# sum over pairs |a - b| = sum_v c_v * (v*C_below - S_below) doubled
+# into unordered-pair form by the closed expressions below. Exact
+# integers end-to-end (v*C_below <= vmax*n, summed in DECIMAL(38,0));
+# the energy distance 2*Exy - Exx - Eyy is three divisions and a
+# fixed chain.
+def _energy_frags(dd) -> str:
+    exy = f"({dd('sxy')} / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    exx = f"(2.0 * {dd('sxx')} / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)))"
+    eyy = f"(2.0 * {dd('syy')} / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+    return f"(2.0 * {exy} - {exx} - {eyy})"
+
+
+@q(
+    "energy_distance_2sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id % 2 AS grp, {VAL_I} AS y
+      FROM events WHERE event_type = 'purchase'
+    ), per_y AS (
+      SELECT y,
+             CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS c2
+      FROM s GROUP BY y
+    ), w AS (
+      SELECT y, c1, c2,
+             COALESCE(CAST(SUM(c1) OVER bw AS BIGINT), 0) AS cb1,
+             COALESCE(CAST(SUM(c2) OVER bw AS BIGINT), 0) AS cb2,
+             COALESCE(CAST(SUM(c1 * y) OVER bw AS BIGINT), 0) AS sb1,
+             COALESCE(CAST(SUM(c2 * y) OVER bw AS BIGINT), 0) AS sb2
+      FROM per_y
+      WINDOW bw AS (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             SUM(CAST(c1 AS HUGEINT) * (y * cb2 - sb2)
+                 + CAST(c2 AS HUGEINT) * (y * cb1 - sb1)) AS sxy,
+             SUM(CAST(c1 AS HUGEINT) * (y * cb1 - sb1)) AS sxx,
+             SUM(CAST(c2 AS HUGEINT) * (y * cb2 - sb2)) AS syy
+      FROM w
+    )
+    SELECT n1, n2, {_energy_frags(_dec_dbl_duck)} AS energy_distance
+    FROM tot
+    """,
+    doc="Two-sample energy distance on purchase cents (Szekely-Rizzo "
+    "2*E|X-Y| - E|X-X'| - E|Y-Y'|) — zero iff the distributions are "
+    "identical, the drift statistic that generalizes to embeddings "
+    "where CDF tests don't. The O(n^2) pairwise means collapse to ONE "
+    "sorted pass: with below-v cumulative counts/sums, sum of "
+    "|a-b| over pairs = sum_v c_v*(v*C_below - S_below) — three such "
+    "sums (cross, within-X doubled, within-Y doubled) accumulate "
+    "exactly in DECIMAL(38,0)/HUGEINT in the same frame, and the "
+    "distance is a fixed chain of three divisions. Ordered frame "
+    "bounded by the VALUE DOMAIN, not n; no pair materialization "
+    "anywhere. Plan: one cents-keyed agg + one domain-bounded window "
+    "+ a 1-row result.",
+    tags=("events", "mleval", "stats", "hypothesis-test"),
+)
+def energy_distance_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id % 2 AS grp", f"{VAL_I} AS y")
+    )
+    per_y = s.groupBy("y").agg(
+        F.count_if(F.col("grp") == 0).cast("long").alias("c1"),
+        F.count_if(F.col("grp") == 1).cast("long").alias("c2"),
+    )
+    bw = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    w = per_y.select(
+        "y",
+        "c1",
+        "c2",
+        F.coalesce(F.sum("c1").over(bw), F.lit(0)).cast("long").alias("cb1"),
+        F.coalesce(F.sum("c2").over(bw), F.lit(0)).cast("long").alias("cb2"),
+        F.coalesce(F.sum(F.expr("c1 * y")).over(bw), F.lit(0)).cast("long").alias("sb1"),
+        F.coalesce(F.sum(F.expr("c2 * y")).over(bw), F.lit(0)).cast("long").alias("sb2"),
+    )
+    dec = "DECIMAL(38, 0)"
+    tot = w.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.expr(
+                f"CAST(c1 AS {dec}) * (y * cb2 - sb2)"
+                f" + CAST(c2 AS {dec}) * (y * cb1 - sb1)"
+            )
+        ).alias("sxy"),
+        F.sum(F.expr(f"CAST(c1 AS {dec}) * (y * cb1 - sb1)")).alias("sxx"),
+        F.sum(F.expr(f"CAST(c2 AS {dec}) * (y * cb2 - sb2)")).alias("syy"),
+    )
+    return tot.selectExpr(
+        "n1", "n2", f"{_energy_frags(_dec_dbl_spark)} AS energy_distance"
+    )

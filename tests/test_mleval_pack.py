@@ -387,3 +387,39 @@ def test_hhi_matches_reference(spark, tiny_events_dir):  # noqa: F811
         assert row["effective_users"] == pytest.approx(1.0 / hhi, rel=1e-12)
         # bounds: 1/n <= HHI <= 1
         assert 1.0 / len(c) - 1e-12 <= row["hhi"] <= 1.0 + 1e-12
+
+
+def test_cramervonmises_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["cramervonmises_2sample"].fn(spark, d).toPandas().iloc[0]
+    sub = df[df["event_type"] == "purchase"]
+    y = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+    grp = (sub["user_id"].to_numpy() % 2).astype(np.int64)
+    x1, x2 = np.sort(y[grp == 0]), np.sort(y[grp == 1])
+    n1, n2 = len(x1), len(x2)
+    vals = np.unique(y)
+    f1 = np.searchsorted(x1, vals, side="right") / n1
+    f2 = np.searchsorted(x2, vals, side="right") / n2
+    wts = np.array([(y == v).sum() for v in vals], float) / (n1 + n2)
+    # T = n*m/(n+m) * integral (F-G)^2 dH
+    t_ref = n1 * n2 / (n1 + n2) * ((f1 - f2) ** 2 * wts).sum()
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert out["cvm_t"] == pytest.approx(t_ref, rel=1e-9)
+    # the engineered arm shift must register
+    assert out["cvm_t"] > 1.0
+
+
+def test_energy_distance_matches_bruteforce(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["energy_distance_2sample"].fn(spark, d).toPandas().iloc[0]
+    sub = df[df["event_type"] == "purchase"]
+    y = np.round(sub["value"].to_numpy() * 100).astype(np.float64)
+    grp = (sub["user_id"].to_numpy() % 2).astype(np.int64)
+    a, b = y[grp == 0], y[grp == 1]
+    exy = np.abs(a[:, None] - b[None, :]).mean()
+    exx = np.abs(a[:, None] - a[None, :]).mean()
+    eyy = np.abs(b[:, None] - b[None, :]).mean()
+    e_ref = 2 * exy - exx - eyy
+    assert out["n1"] == len(a) and out["n2"] == len(b)
+    assert out["energy_distance"] == pytest.approx(e_ref, rel=1e-9)
+    assert out["energy_distance"] > 0  # distributions engineered distinct
