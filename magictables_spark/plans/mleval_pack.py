@@ -1386,3 +1386,261 @@ def energy_distance_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.selectExpr(
         "n1", "n2", f"{_energy_frags(_dec_dbl_spark)} AS energy_distance"
     )
+
+
+# ---------------------------------------------------------------------------
+# brier_score_decomposition — Murphy reliability/resolution/uncertainty
+# ---------------------------------------------------------------------------
+
+# The probability bins form a FIXED domain (p_milli = s*1000//(s+5) <
+# 1000 => bin 0..9), so the over-bins sums pivot into ONE left-to-right
+# expression per statistic (the chi2/ANOVA fixed-vocabulary trick) —
+# no SUM() over a bin frame whose accumulation order an engine could
+# choose. Per-bin terms are rationals of exact integers; each enters
+# doubles through the same two divisions in both engines.
+_BRIER_BINS = list(range(10))
+
+
+def _brier_pivots() -> tuple[str, str]:
+    rel_terms, res_terms = [], []
+    for k in _BRIER_BINS:
+        n_k = f"CAST(n{k} AS DOUBLE)"
+        gap = f"(CAST(sm{k} - 1000 * pos{k} AS DOUBLE) / (1000.0 * {n_k}))"
+        rel_terms.append(f"(CASE WHEN n{k} = 0 THEN 0.0 ELSE {n_k} * {gap} * {gap} END)")
+        dev = f"(CAST(pos{k} AS DOUBLE) / {n_k} - CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE))"
+        res_terms.append(f"(CASE WHEN n{k} = 0 THEN 0.0 ELSE {n_k} * {dev} * {dev} END)")
+    return (
+        "((" + " + ".join(rel_terms) + ") / CAST(n_all AS DOUBLE))",
+        "((" + " + ".join(res_terms) + ") / CAST(n_all AS DOUBLE))",
+    )
+
+
+_BRIER_REL, _BRIER_RES = _brier_pivots()
+_BRIER = "(CAST(sq_all AS DOUBLE) / (1000000.0 * CAST(n_all AS DOUBLE)))"
+_BRIER_UNC = (
+    "((CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE))"
+    " * (1.0 - CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE)))"
+)
+
+
+def _brier_agg_cols_duck() -> str:
+    cols = [
+        "CAST(COUNT(*) AS BIGINT) AS n_all",
+        "CAST(SUM(pos) AS BIGINT) AS pos_all",
+        "CAST(SUM((p_milli - 1000 * pos) * (p_milli - 1000 * pos)) AS BIGINT) AS sq_all",
+    ]
+    for k in _BRIER_BINS:
+        cols.append(f"CAST(COUNT(*) FILTER (WHERE bin = {k}) AS BIGINT) AS n{k}")
+        cols.append(
+            f"CAST(COALESCE(SUM(p_milli) FILTER (WHERE bin = {k}), 0) AS BIGINT) AS sm{k}"
+        )
+        cols.append(
+            f"CAST(COALESCE(SUM(pos) FILTER (WHERE bin = {k}), 0) AS BIGINT) AS pos{k}"
+        )
+    return ",\n             ".join(cols)
+
+
+@q(
+    "brier_score_decomposition",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) FILTER (WHERE event_type IN ('click', 'view'))
+                  AS BIGINT) AS s,
+             CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM events GROUP BY user_id
+    ), p AS (
+      SELECT CAST(s * 1000 // (s + 5) AS BIGINT) AS p_milli,
+             CAST(s * 1000 // (s + 5) AS BIGINT) // 100 AS bin,
+             pos
+      FROM u
+    ), agg AS (
+      SELECT {_brier_agg_cols_duck()}
+      FROM p
+    )
+    SELECT n_all AS n_users, pos_all AS n_pos,
+           {_BRIER} AS brier,
+           {_BRIER_REL} AS reliability,
+           {_BRIER_RES} AS resolution,
+           {_BRIER_UNC} AS uncertainty
+    FROM agg
+    """,
+    doc="Brier score of the saturating engagement scorer against the "
+    "purchase label, with the Murphy decomposition brier = "
+    "reliability - resolution + uncertainty — the one-row summary "
+    "behind calibration_bins (reliability = how far the reliability "
+    "curve sits from the diagonal; resolution = how much the bins "
+    "separate outcomes; uncertainty = base-rate variance). The raw "
+    "Brier sum is exact int64 ((p_milli - 1000y)^2 on the milli "
+    "grid); the over-bins sums exploit the FIXED 0..9 bin domain to "
+    "pivot into one left-to-right expression per statistic (the "
+    "chi2/ANOVA fixed-vocabulary trick), so no engine ever chooses a "
+    "double accumulation order. The identity rel - res + unc equals "
+    "the BINNED forecaster's Brier exactly (asserted in numpy in the "
+    "unit test); the gap to the raw Brier is the within-bin "
+    "variance/covariance remainder of the generalized (Stephenson) "
+    "decomposition. Plan: user-keyed agg then ONE global agg (33 "
+    "pivoted exact-int columns), 1-row result.",
+    tags=("events", "mleval", "stats"),
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count_if(F.col("event_type").isin("click", "view"))
+            .cast("long")
+            .alias("s"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    p = u.selectExpr(
+        "CAST(s * 1000 div (s + 5) AS BIGINT) AS p_milli",
+        "CAST(s * 1000 div (s + 5) AS BIGINT) div 100 AS bin",
+        "pos",
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_all"),
+        F.sum("pos").cast("long").alias("pos_all"),
+        F.sum(F.expr("(p_milli - 1000 * pos) * (p_milli - 1000 * pos)"))
+        .cast("long")
+        .alias("sq_all"),
+    ]
+    for k in _BRIER_BINS:
+        aggs.append(F.count_if(F.col("bin") == k).cast("long").alias(f"n{k}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("bin") == k, F.col("p_milli"))), F.lit(0))
+            .cast("long")
+            .alias(f"sm{k}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("bin") == k, F.col("pos"))), F.lit(0))
+            .cast("long")
+            .alias(f"pos{k}")
+        )
+    agg = p.agg(*aggs)
+    return agg.selectExpr(
+        "n_all AS n_users",
+        "pos_all AS n_pos",
+        f"{_BRIER} AS brier",
+        f"{_BRIER_REL} AS reliability",
+        f"{_BRIER_RES} AS resolution",
+        f"{_BRIER_UNC} AS uncertainty",
+    )
+
+
+# ---------------------------------------------------------------------------
+# forecast_eval_mase — scaled forecast-accuracy backtest
+# ---------------------------------------------------------------------------
+
+@q(
+    "forecast_eval_mase",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM({VAL_I}) AS BIGINT) AS tot
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, day, tot,
+             LAG(tot, 7) OVER w AS season_pred,
+             LAG(tot, 1) OVER w AS prev_tot
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), split AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE day >= DATE '2024-01-25'
+                                   AND season_pred IS NOT NULL) AS BIGINT) AS n_test,
+             CAST(COALESCE(SUM(ABS(tot - season_pred))
+                  FILTER (WHERE day >= DATE '2024-01-25'
+                          AND season_pred IS NOT NULL), 0) AS BIGINT) AS ae_fcst,
+             CAST(COUNT(*) FILTER (WHERE day < DATE '2024-01-25'
+                                   AND prev_tot IS NOT NULL) AS BIGINT) AS n_train,
+             CAST(COALESCE(SUM(ABS(tot - prev_tot))
+                  FILTER (WHERE day < DATE '2024-01-25'
+                          AND prev_tot IS NOT NULL), 0) AS BIGINT) AS ae_naive
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n_test, n_train,
+           (CAST(ae_fcst AS DOUBLE) / NULLIF(CAST(n_test AS DOUBLE), 0.0))
+             AS mae_forecast,
+           (CAST(ae_naive AS DOUBLE) / NULLIF(CAST(n_train AS DOUBLE), 0.0))
+             AS mae_naive_insample,
+           ((CAST(ae_fcst AS DOUBLE) / NULLIF(CAST(n_test AS DOUBLE), 0.0))
+            / NULLIF(CAST(ae_naive AS DOUBLE)
+                     / NULLIF(CAST(n_train AS DOUBLE), 0.0), 0.0)) AS mase
+    FROM split ORDER BY event_type
+    """,
+    doc="MASE forecast backtest (Hyndman-Koehler mean-absolute-scaled "
+    "error) — the metric that makes forecast accuracy comparable "
+    "across series of different volume, closing the eval loop for the "
+    "forecasting family (ses/holt/hw/seasonal_naive produce the "
+    "forecasts; this grades one): the weekly seasonal-naive predictor "
+    "(lag-7 daily total) is backtested on the last corpus week, "
+    "scaled by the IN-SAMPLE one-step naive MAE (lag-1, pre-cutoff) — "
+    "MASE < 1 beats naive. Absolute errors are exact int64 cents "
+    "sums; the three ratios are a fixed chain. Frames are per-type "
+    "DAY series (<=31 rows each, keyed window); an empty split "
+    "yields NULL (NULLIF) identically in both engines. The 2024-01-25 "
+    "cutoff is the fixture's final week (TESTDATA contract, same "
+    "anchor family as the funnel stages).",
+    tags=("events", "mleval", "timeseries"),
+)
+def forecast_eval_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.expr(VAL_I)).cast("long").alias("tot"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "tot",
+        F.lag("tot", 7).over(w).alias("season_pred"),
+        F.lag("tot", 1).over(w).alias("prev_tot"),
+    )
+    cutoff = "DATE '2024-01-25'"
+    split = lagged.groupBy("event_type").agg(
+        F.count_if(F.expr(f"day >= {cutoff} AND season_pred IS NOT NULL"))
+        .cast("long")
+        .alias("n_test"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.expr(f"day >= {cutoff} AND season_pred IS NOT NULL"),
+                    F.expr("ABS(tot - season_pred)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("ae_fcst"),
+        F.count_if(F.expr(f"day < {cutoff} AND prev_tot IS NOT NULL"))
+        .cast("long")
+        .alias("n_train"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.expr(f"day < {cutoff} AND prev_tot IS NOT NULL"),
+                    F.expr("ABS(tot - prev_tot)"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("ae_naive"),
+    )
+    return split.selectExpr(
+        "event_type",
+        "n_test",
+        "n_train",
+        "(CAST(ae_fcst AS DOUBLE) / NULLIF(CAST(n_test AS DOUBLE), 0.0))"
+        " AS mae_forecast",
+        "(CAST(ae_naive AS DOUBLE) / NULLIF(CAST(n_train AS DOUBLE), 0.0))"
+        " AS mae_naive_insample",
+        "((CAST(ae_fcst AS DOUBLE) / NULLIF(CAST(n_test AS DOUBLE), 0.0))"
+        " / NULLIF(CAST(ae_naive AS DOUBLE)"
+        " / NULLIF(CAST(n_train AS DOUBLE), 0.0), 0.0)) AS mase",
+    ).orderBy("event_type")

@@ -423,3 +423,69 @@ def test_energy_distance_matches_bruteforce(spark, tiny_events_dir):  # noqa: F8
     assert out["n1"] == len(a) and out["n2"] == len(b)
     assert out["energy_distance"] == pytest.approx(e_ref, rel=1e-9)
     assert out["energy_distance"] > 0  # distributions engineered distinct
+
+
+def test_brier_murphy_identity_and_values(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["brier_score_decomposition"].fn(spark, d).toPandas().iloc[0]
+    u = _user_frame(df)
+    p_milli = (u["score"] * 1000 // (u["score"] + 5)).astype(int)
+    p = p_milli.to_numpy() / 1000.0
+    y = u["pos"].to_numpy().astype(float)
+    n = len(y)
+    brier = ((p - y) ** 2).mean()
+    ybar = y.mean()
+    bins = (p_milli // 100).to_numpy()
+    rel = res = 0.0
+    for k in range(10):
+        m = bins == k
+        if m.sum():
+            rel += m.sum() * (p[m].mean() - y[m].mean()) ** 2
+            res += m.sum() * (y[m].mean() - ybar) ** 2
+    rel, res = rel / n, res / n
+    assert out["n_users"] == n and out["n_pos"] == int(y.sum())
+    assert out["brier"] == pytest.approx(brier, rel=1e-12)
+    assert out["reliability"] == pytest.approx(rel, rel=1e-9)
+    assert out["resolution"] == pytest.approx(res, rel=1e-9)
+    assert out["uncertainty"] == pytest.approx(ybar * (1 - ybar), rel=1e-12)
+    # Murphy identity holds exactly for the BINNED forecaster: the
+    # decomposition must reconstruct numpy's binned Brier to 1e-12
+    pbin = np.empty_like(p)
+    for k in range(10):
+        m = bins == k
+        if m.sum():
+            pbin[m] = p[m].mean()
+    brier_binned = ((pbin - y) ** 2).mean()
+    assert out["reliability"] - out["resolution"] + out["uncertainty"] == pytest.approx(
+        brier_binned, abs=1e-12
+    )
+
+
+def test_mase_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = (
+        REGISTRY["forecast_eval_mase"].fn(spark, d).toPandas().set_index("event_type")
+    )
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    daily = (
+        pd.DataFrame(
+            {"t": df["event_type"], "day": df["ts"].dt.normalize(), "c": cents}
+        )
+        .groupby(["t", "day"])["c"]
+        .sum()
+    )
+    cutoff = pd.Timestamp("2024-01-25")
+    for t in sorted(df["event_type"].unique()):
+        s = daily.loc[t].sort_index()
+        season = s.shift(7)
+        prev = s.shift(1)
+        test_m = (s.index >= cutoff) & season.notna()
+        train_m = (s.index < cutoff) & prev.notna()
+        if not test_m.any() or not train_m.any():
+            continue
+        mae_f = (s[test_m] - season[test_m]).abs().mean()
+        mae_n = (s[train_m] - prev[train_m]).abs().mean()
+        row = out.loc[t]
+        assert row["mae_forecast"] == pytest.approx(mae_f, rel=1e-12)
+        assert row["mae_naive_insample"] == pytest.approx(mae_n, rel=1e-12)
+        assert row["mase"] == pytest.approx(mae_f / mae_n, rel=1e-12)
