@@ -1644,3 +1644,407 @@ def forecast_eval_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / NULLIF(CAST(ae_naive AS DOUBLE)"
         " / NULLIF(CAST(n_train AS DOUBLE), 0.0), 0.0)) AS mase",
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift_by_label — centroid shift between corpus halves
+# ---------------------------------------------------------------------------
+
+# ||mu_a - mu_b||^2 per label on EXACT integers: with per-half
+# coordinate sums s_a, s_b (int64 of 1e6-quantized values) and counts
+# n_a, n_b, the squared centroid gap along dim i is
+# (s_a[i]*n_b - s_b[i]*n_a)^2 / (n_a*n_b)^2 — the numerator sums over
+# the 64 dims in HUGEINT/DECIMAL(38,0) and ONE division lands the
+# distance. s*n <= 3e6*64? s[i] <= n*3e6, times n_b => ~n^2*3e6:
+# 20k-vector halves give ~1.2e15, squared 1.4e30, x64 dims ~9e31 —
+# inside 38 digits through ~300k vectors/label; documented ceiling.
+_DRIFT_NUM_SPARK = "(" + " + ".join(
+    f"CAST(sa[{i}] * nb - sb[{i}] * na AS DECIMAL(38, 0))"
+    f" * (sa[{i}] * nb - sb[{i}] * na)"
+    for i in range(64)
+) + ")"
+_DRIFT_NUM_DUCK = "(" + " + ".join(
+    f"CAST(sa[{i+1}] * nb - sb[{i+1}] * na AS HUGEINT)"
+    f" * (sa[{i+1}] * nb - sb[{i+1}] * na)"
+    for i in range(64)
+) + ")"
+
+
+@q(
+    "embedding_drift_by_label",
+    oracle=f"""
+    WITH e AS (
+      SELECT label, vec_id % 2 AS half, {QUANT_DUCK} AS q FROM embeddings
+    ), sums AS (
+      SELECT label,
+             CAST(COUNT(*) FILTER (WHERE half = 0) AS BIGINT) AS na,
+             CAST(COUNT(*) FILTER (WHERE half = 1) AS BIGINT) AS nb,
+             list_value(CAST(COALESCE(SUM(q[1]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[2]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[3]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[4]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[5]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[6]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[7]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[8]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[9]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[10]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[11]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[12]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[13]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[14]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[15]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[16]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[17]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[18]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[19]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[20]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[21]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[22]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[23]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[24]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[25]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[26]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[27]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[28]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[29]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[30]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[31]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[32]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[33]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[34]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[35]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[36]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[37]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[38]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[39]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[40]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[41]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[42]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[43]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[44]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[45]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[46]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[47]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[48]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[49]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[50]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[51]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[52]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[53]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[54]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[55]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[56]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[57]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[58]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[59]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[60]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[61]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[62]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[63]) FILTER (WHERE half = 0), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[64]) FILTER (WHERE half = 0), 0) AS BIGINT)) AS sa,
+             list_value(CAST(COALESCE(SUM(q[1]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[2]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[3]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[4]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[5]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[6]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[7]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[8]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[9]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[10]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[11]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[12]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[13]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[14]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[15]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[16]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[17]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[18]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[19]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[20]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[21]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[22]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[23]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[24]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[25]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[26]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[27]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[28]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[29]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[30]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[31]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[32]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[33]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[34]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[35]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[36]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[37]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[38]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[39]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[40]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[41]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[42]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[43]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[44]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[45]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[46]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[47]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[48]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[49]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[50]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[51]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[52]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[53]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[54]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[55]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[56]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[57]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[58]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[59]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[60]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[61]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[62]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[63]) FILTER (WHERE half = 1), 0) AS BIGINT),
+               CAST(COALESCE(SUM(q[64]) FILTER (WHERE half = 1), 0) AS BIGINT)) AS sb
+      FROM e GROUP BY label
+    )
+    SELECT label, na, nb,
+           ({_dec_dbl_duck(_DRIFT_NUM_DUCK)}
+            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+               * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e12)
+             AS centroid_gap_sq
+    FROM sums ORDER BY label
+    """,
+    doc="Embedding drift per label: squared distance between the "
+    "class centroids of the two corpus halves (vec_id%2 — the "
+    "deterministic stand-in for train/serve snapshots) — the "
+    "embedding-space drift monitor that catches a re-embedded or "
+    "shifted class before a CDF test on any single scalar can. The "
+    "whole statistic is exact integers until ONE division: per-dim "
+    "centroid gaps cross-multiply to (sa_i*nb - sb_i*na), square and "
+    "sum across 64 dims in DECIMAL(38,0)/HUGEINT (ceiling ~3e5 "
+    "vectors/label, documented above), then normalize by (na*nb)^2 "
+    "and the 1e12 quantization scale. The per-label coordinate sums "
+    "are ONE map-side agg over the quantized arrays (vector sum = 64 "
+    "independent int sums — no shuffle of vectors, only of 10 "
+    "64-long sum rows). Plan: one label-keyed agg, 10-row result.",
+    tags=("embeddings", "mleval", "stats", "scale"),
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "label", "vec_id % 2 AS half", f"{QUANT_SPARK} AS q"
+    )
+    sums = e.groupBy("label").agg(
+        F.count_if(F.col("half") == 0).cast("long").alias("na"),
+        F.count_if(F.col("half") == 1).cast("long").alias("nb"),
+        *[
+            F.coalesce(F.sum(F.when(F.col("half") == 0, F.expr(f"q[{i}]"))), F.lit(0))
+            .cast("long")
+            .alias(f"sa_{i}")
+            for i in range(64)
+        ],
+        *[
+            F.coalesce(F.sum(F.when(F.col("half") == 1, F.expr(f"q[{i}]"))), F.lit(0))
+            .cast("long")
+            .alias(f"sb_{i}")
+            for i in range(64)
+        ],
+    ).selectExpr(
+        "label",
+        "na",
+        "nb",
+        "array(" + ", ".join(f"sa_{i}" for i in range(64)) + ") AS sa",
+        "array(" + ", ".join(f"sb_{i}" for i in range(64)) + ") AS sb",
+    )
+    return sums.selectExpr(
+        "label",
+        "na",
+        "nb",
+        f"({_dec_dbl_spark(_DRIFT_NUM_SPARK)}"
+        " / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e12)"
+        " AS centroid_gap_sq",
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# mcnemar_paired — paired binary outcome test (behavior change)
+# ---------------------------------------------------------------------------
+
+@q(
+    "mcnemar_paired",
+    oracle="""
+    WITH byu AS (
+      SELECT user_id,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 100.0
+                           AND CAST(ts AS DATE) <  DATE '2024-01-16'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+             CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 100.0
+                           AND CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS p2
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE p1 = 1 AND p2 = 1) AS BIGINT) AS both_,
+             CAST(COUNT(*) FILTER (WHERE p1 = 1 AND p2 = 0) AS BIGINT) AS only_first,
+             CAST(COUNT(*) FILTER (WHERE p1 = 0 AND p2 = 1) AS BIGINT) AS only_second,
+             CAST(COUNT(*) FILTER (WHERE p1 = 0 AND p2 = 0) AS BIGINT) AS neither
+      FROM byu
+    )
+    SELECT both_, only_first, only_second, neither,
+           (CAST((only_first - only_second) * (only_first - only_second) AS DOUBLE)
+            / NULLIF(CAST(only_first + only_second AS DOUBLE), 0.0)) AS chi2_stat,
+           ((CAST((only_first - only_second) * (only_first - only_second) AS DOUBLE)
+             / NULLIF(CAST(only_first + only_second AS DOUBLE), 0.0))
+            > 3.841458820694124) AS significant_95
+    FROM cells
+    """,
+    doc="McNemar's test on PAIRED binary outcomes: did each user make "
+    "a HIGH-VALUE (>100) purchase in the first vs second half-month (the within-subject "
+    "before/after question chi2_independence cannot answer — it "
+    "assumes independent samples; McNemar conditions on the "
+    "discordant pairs only). The 2x2 concordance cells are one "
+    "user-keyed agg + one global FILTER agg; the statistic "
+    "(b-c)^2/(b+c) (no continuity correction) and the chi2(1) 5% "
+    "verdict (literal critical value 3.8415) are a fixed chain of "
+    "exact integers. NULLIF degrades the no-discordant-pairs corpus "
+    "to NULL identically in both engines. Plan: two map-side aggs, "
+    "1-row result at any scale.",
+    tags=("events", "mleval", "stats", "hypothesis-test"),
+)
+def mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    byu = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr(
+                        "event_type = 'purchase' AND value > 100.0"
+                        " AND CAST(ts AS DATE) < DATE '2024-01-16'"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("p1"),
+            F.max(
+                F.when(
+                    F.expr(
+                        "event_type = 'purchase' AND value > 100.0"
+                        " AND CAST(ts AS DATE) >= DATE '2024-01-16'"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("p2"),
+        )
+    )
+    cells = byu.agg(
+        F.count_if(F.expr("p1 = 1 AND p2 = 1")).cast("long").alias("both_"),
+        F.count_if(F.expr("p1 = 1 AND p2 = 0")).cast("long").alias("only_first"),
+        F.count_if(F.expr("p1 = 0 AND p2 = 1")).cast("long").alias("only_second"),
+        F.count_if(F.expr("p1 = 0 AND p2 = 0")).cast("long").alias("neither"),
+    )
+    chi2 = (
+        "(CAST((only_first - only_second) * (only_first - only_second) AS DOUBLE)"
+        " / NULLIF(CAST(only_first + only_second AS DOUBLE), 0.0))"
+    )
+    return cells.selectExpr(
+        "both_",
+        "only_first",
+        "only_second",
+        "neither",
+        f"{chi2} AS chi2_stat",
+        f"({chi2} > 3.841458820694124) AS significant_95",
+    )
+
+
+# ---------------------------------------------------------------------------
+# lorenz_curve_table — cumulative value-share inequality curve
+# ---------------------------------------------------------------------------
+
+@q(
+    "lorenz_curve_table",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY user_id
+    ), per_v AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS nu FROM u GROUP BY v
+    ), ranked AS (
+      SELECT v, nu,
+             COALESCE(SUM(nu) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_u,
+             SUM(nu) OVER () AS tot_u,
+             SUM(v * nu) OVER () AS tot_v
+      FROM per_v
+    ), banded AS (
+      SELECT CAST(below_u * 10 // tot_u AS BIGINT) AS decile,
+             CAST(SUM(nu) AS BIGINT) AS n_users,
+             CAST(SUM(v * nu) AS BIGINT) AS value_cents,
+             CAST(MAX(tot_u) AS BIGINT) AS tot_u,
+             CAST(MAX(tot_v) AS BIGINT) AS tot_v
+      FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_users, value_cents,
+           (CAST(value_cents AS DOUBLE) / CAST(tot_v AS DOUBLE)) AS value_share,
+           (CAST(SUM(value_cents) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(tot_v AS DOUBLE)) AS cum_value_share
+    FROM banded ORDER BY decile
+    """,
+    doc="Lorenz curve table: users sorted by total spend ASCENDING, "
+    "grouped into value-band deciles (the gains_decile_table "
+    "construction mirrored — each distinct spend value lands wholly "
+    "in the band where its group starts), with each band's share and "
+    "cumulative share of total value. The curve key_skew_gini "
+    "summarizes to one number, materialized so 'the bottom 50%% of "
+    "users hold X%% of spend' reads off a row — the whale-exposure "
+    "readout capacity planning and monetization both consume. All "
+    "counts/sums exact int64; two divisions per row. Ordered frames "
+    "bounded by the DISTINCT-SPEND domain and the 10-row decile "
+    "spine.",
+    tags=("events", "stats"),
+)
+def lorenz_curve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sum(F.expr(VAL_I)).cast("long").alias("v"))
+    )
+    per_v = u.groupBy("v").agg(F.count("*").cast("long").alias("nu"))
+    w_below = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_v.select(
+        "v",
+        "nu",
+        F.coalesce(F.sum("nu").over(w_below), F.lit(0)).alias("below_u"),
+        F.sum("nu").over(w_all).alias("tot_u"),
+        F.sum(F.expr("v * nu")).over(w_all).alias("tot_v"),
+    )
+    banded = ranked.groupBy(
+        F.expr("CAST(below_u * 10 div tot_u AS BIGINT)").alias("decile")
+    ).agg(
+        F.sum("nu").cast("long").alias("n_users"),
+        F.sum(F.expr("v * nu")).cast("long").alias("value_cents"),
+        F.max("tot_u").cast("long").alias("tot_u"),
+        F.max("tot_v").cast("long").alias("tot_v"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        banded.withColumn(
+            "cum_v", F.sum("value_cents").over(w_cum).cast("long")
+        )
+        .selectExpr(
+            "decile",
+            "n_users",
+            "value_cents",
+            "(CAST(value_cents AS DOUBLE) / CAST(tot_v AS DOUBLE)) AS value_share",
+            "(CAST(cum_v AS DOUBLE) / CAST(tot_v AS DOUBLE)) AS cum_value_share",
+        )
+        .orderBy("decile")
+    )

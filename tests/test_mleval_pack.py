@@ -489,3 +489,85 @@ def test_mase_matches_reference(spark, tiny_events_dir):  # noqa: F811
         assert row["mae_forecast"] == pytest.approx(mae_f, rel=1e-12)
         assert row["mae_naive_insample"] == pytest.approx(mae_n, rel=1e-12)
         assert row["mase"] == pytest.approx(mae_f / mae_n, rel=1e-12)
+
+
+def test_embedding_drift_matches_numpy(spark, tiny_embed_dir):
+    d, df = tiny_embed_dir
+    out = REGISTRY["embedding_drift_by_label"].fn(spark, d).toPandas().set_index("label")
+    q = np.stack(
+        [np.round(np.asarray(e, np.float64) * 1_000_000).astype(np.int64) for e in df["embedding"]]
+    )
+    labels = df["label"].to_numpy()
+    half = (df["vec_id"].to_numpy() % 2).astype(int)
+    for lab in sorted(np.unique(labels)):
+        a = q[(labels == lab) & (half == 0)].astype(float)
+        b = q[(labels == lab) & (half == 1)].astype(float)
+        gap = ((a.mean(axis=0) - b.mean(axis=0)) ** 2).sum() / 1e12
+        row = out.loc[lab]
+        assert row["na"] == len(a) and row["nb"] == len(b)
+        assert row["centroid_gap_sq"] == pytest.approx(gap, rel=1e-9)
+    # the fixture duplicates halves => per-label drift is small but >= 0
+    assert (out["centroid_gap_sq"] >= 0).all()
+
+
+def test_mcnemar_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["mcnemar_paired"].fn(spark, d).toPandas().iloc[0]
+    cutoff = pd.Timestamp("2024-01-16")
+    g = df.groupby("user_id")
+    p1 = g.apply(
+        lambda s: int(
+            (
+                (s["event_type"] == "purchase")
+                & (s["value"] > 100.0)
+                & (s["ts"] < cutoff)
+            ).any()
+        ),
+        include_groups=False,
+    )
+    p2 = g.apply(
+        lambda s: int(
+            (
+                (s["event_type"] == "purchase")
+                & (s["value"] > 100.0)
+                & (s["ts"] >= cutoff)
+            ).any()
+        ),
+        include_groups=False,
+    )
+    b = int(((p1 == 1) & (p2 == 0)).sum())
+    c = int(((p1 == 0) & (p2 == 1)).sum())
+    assert out["only_first"] == b and out["only_second"] == c
+    assert out["both_"] == int(((p1 == 1) & (p2 == 1)).sum())
+    assert out["neither"] == int(((p1 == 0) & (p2 == 0)).sum())
+    if b + c:
+        assert out["chi2_stat"] == pytest.approx((b - c) ** 2 / (b + c), rel=1e-12)
+
+
+def test_lorenz_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["lorenz_curve_table"].fn(spark, d).toPandas()
+    v = (
+        pd.DataFrame(
+            {"u": df["user_id"], "c": np.round(df["value"].to_numpy() * 100).astype(np.int64)}
+        )
+        .groupby("u")["c"]
+        .sum()
+    )
+    per = v.groupby(v).size().sort_index()  # distinct spend -> user count
+    tot_u, tot_v = len(v), int(v.sum())
+    below = per.cumsum().shift(fill_value=0)
+    band = (below * 10 // tot_u).astype(int)
+    ref = (
+        pd.DataFrame({"band": band, "nu": per.values, "val": per.index * per.values})
+        .groupby("band")
+        .agg(n_users=("nu", "sum"), value_cents=("val", "sum"))
+    )
+    assert list(out["decile"]) == list(ref.index)
+    assert list(out["n_users"]) == list(ref["n_users"])
+    assert list(out["value_cents"]) == list(ref["value_cents"])
+    # Lorenz curve properties: monotone, convex-ish, ends at 1
+    cs = out["cum_value_share"].to_numpy()
+    assert (np.diff(cs) >= -1e-15).all() and cs[-1] == pytest.approx(1.0)
+    # ascending-spend deciles: later bands hold larger shares
+    assert out["value_share"].iloc[-1] >= out["value_share"].iloc[0]
