@@ -1407,19 +1407,25 @@ def _brier_pivots() -> tuple[str, str]:
         n_k = f"CAST(n{k} AS DOUBLE)"
         gap = f"(CAST(sm{k} - 1000 * pos{k} AS DOUBLE) / (1000.0 * {n_k}))"
         rel_terms.append(f"(CASE WHEN n{k} = 0 THEN 0.0 ELSE {n_k} * {gap} * {gap} END)")
-        dev = f"(CAST(pos{k} AS DOUBLE) / {n_k} - CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE))"
+        dev = (
+            f"(CAST(pos{k} AS DOUBLE) / {n_k}"
+            " - CAST(pos_all AS DOUBLE) / NULLIF(CAST(n_all AS DOUBLE), 0.0))"
+        )
         res_terms.append(f"(CASE WHEN n{k} = 0 THEN 0.0 ELSE {n_k} * {dev} * {dev} END)")
     return (
-        "((" + " + ".join(rel_terms) + ") / CAST(n_all AS DOUBLE))",
-        "((" + " + ".join(res_terms) + ") / CAST(n_all AS DOUBLE))",
+        "((" + " + ".join(rel_terms) + ") / NULLIF(CAST(n_all AS DOUBLE), 0.0))",
+        "((" + " + ".join(res_terms) + ") / NULLIF(CAST(n_all AS DOUBLE), 0.0))",
     )
 
 
 _BRIER_REL, _BRIER_RES = _brier_pivots()
-_BRIER = "(CAST(sq_all AS DOUBLE) / (1000000.0 * CAST(n_all AS DOUBLE)))"
+_BRIER = (
+    "(CAST(sq_all AS DOUBLE)"
+    " / NULLIF(1000000.0 * CAST(n_all AS DOUBLE), 0.0))"
+)
 _BRIER_UNC = (
-    "((CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE))"
-    " * (1.0 - CAST(pos_all AS DOUBLE) / CAST(n_all AS DOUBLE)))"
+    "((CAST(pos_all AS DOUBLE) / NULLIF(CAST(n_all AS DOUBLE), 0.0))"
+    " * (1.0 - CAST(pos_all AS DOUBLE) / NULLIF(CAST(n_all AS DOUBLE), 0.0)))"
 )
 
 
@@ -2047,4 +2053,229 @@ def lorenz_curve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CAST(cum_v AS DOUBLE) / CAST(tot_v AS DOUBLE)) AS cum_value_share",
         )
         .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pinball_loss_eval — quantile-forecast evaluation (P50/P90 backtest)
+# ---------------------------------------------------------------------------
+
+@q(
+    "pinball_loss_eval",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {VAL_I} AS y FROM events
+    ), train_y AS (
+      SELECT event_type, y, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base WHERE day < DATE '2024-01-25' GROUP BY event_type, y
+    ), cum AS (
+      SELECT event_type, y,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM train_y
+    ), preds AS (
+      SELECT event_type,
+             CAST(MIN(CASE WHEN 2 * cum >= n THEN y END) AS BIGINT) AS q50,
+             CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN y END) AS BIGINT) AS q90
+      FROM cum GROUP BY event_type
+    ), test AS (
+      SELECT b.event_type, b.y, p.q50, p.q90
+      FROM base b JOIN preds p USING (event_type)
+      WHERE b.day >= DATE '2024-01-25'
+    ), loss AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(MAX(q50) AS BIGINT) AS q50,
+             CAST(MAX(q90) AS BIGINT) AS q90,
+             CAST(SUM(CASE WHEN y >= q50 THEN 5 * (y - q50)
+                           ELSE 5 * (q50 - y) END) AS BIGINT) AS l50x10,
+             CAST(SUM(CASE WHEN y >= q90 THEN 9 * (y - q90)
+                           ELSE 1 * (q90 - y) END) AS BIGINT) AS l90x10
+      FROM test GROUP BY event_type
+    )
+    SELECT event_type, n_test, q50 AS q50_pred_cents, q90 AS q90_pred_cents,
+           (CAST(l50x10 AS DOUBLE) / (10.0 * CAST(n_test AS DOUBLE)))
+             AS pinball50,
+           (CAST(l90x10 AS DOUBLE) / (10.0 * CAST(n_test AS DOUBLE)))
+             AS pinball90
+    FROM loss ORDER BY event_type
+    """,
+    doc="Pinball (quantile) loss backtest: the train split's exact "
+    "discrete P50/P90 of value-cents per event_type serve as constant "
+    "quantile forecasts for the final corpus week, scored with the "
+    "losses that are MINIMIZED by true quantiles — the eval that "
+    "grades approx_quantiles/quantile_hist outputs as predictors, "
+    "completing the quantile family's loop the way forecast_eval_mase "
+    "does the point-forecast family's. Both quantile selection "
+    "(2*cum >= n, 10*cum >= 9*n — cross-multiplied integer "
+    "predicates, no double quantile math) and the losses (x10-scaled "
+    "integer pinball: 5/5 and 9/1 asymmetric weights) are exact "
+    "int64; two divisions land the per-type means. The train "
+    "quantile frame is value-domain-bounded per type; the 5-row pred "
+    "dim broadcasts back into the test scan.",
+    tags=("events", "mleval", "timeseries", "stats"),
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(ts AS DATE) AS day", f"{VAL_I} AS y"
+    )
+    train_y = (
+        base.filter(F.expr("day < DATE '2024-01-25'"))
+        .groupBy("event_type", "y")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = train_y.select(
+        "event_type",
+        "y",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    preds = cum.groupBy("event_type").agg(
+        F.min(F.when(F.expr("2 * cum >= n"), F.col("y"))).cast("long").alias("q50"),
+        F.min(F.when(F.expr("10 * cum >= 9 * n"), F.col("y"))).cast("long").alias("q90"),
+    )
+    test = base.filter(F.expr("day >= DATE '2024-01-25'")).join(
+        F.broadcast(preds), "event_type"
+    )
+    loss = test.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.max("q50").cast("long").alias("q50"),
+        F.max("q90").cast("long").alias("q90"),
+        F.sum(
+            F.expr("CASE WHEN y >= q50 THEN 5 * (y - q50) ELSE 5 * (q50 - y) END")
+        )
+        .cast("long")
+        .alias("l50x10"),
+        F.sum(
+            F.expr("CASE WHEN y >= q90 THEN 9 * (y - q90) ELSE 1 * (q90 - y) END")
+        )
+        .cast("long")
+        .alias("l90x10"),
+    )
+    return loss.selectExpr(
+        "event_type",
+        "n_test",
+        "q50 AS q50_pred_cents",
+        "q90 AS q90_pred_cents",
+        "(CAST(l50x10 AS DOUBLE) / (10.0 * CAST(n_test AS DOUBLE))) AS pinball50",
+        "(CAST(l90x10 AS DOUBLE) / (10.0 * CAST(n_test AS DOUBLE))) AS pinball90",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# multiple_testing_bh — Benjamini-Hochberg over the per-type test family
+# ---------------------------------------------------------------------------
+
+# BH on the FIXED 5-type family at FDR q = 0.10 without any libm in
+# either engine: p_(i) <= (i/5)q  <=>  |z|_(i) >= PHI^-1(1 - (i/5)q/2),
+# and the five critical values are Python-stdlib literals
+# (statistics.NormalDist().inv_cdf — computed once at import, embedded
+# in both SQL texts).
+from statistics import NormalDist  # noqa: E402
+
+_BH_M, _BH_Q = 5, 0.10
+_BH_THR = [
+    NormalDist().inv_cdf(1.0 - (i / _BH_M) * _BH_Q / 2.0) for i in range(1, _BH_M + 1)
+]
+# exponent syntax ({t!r}e0) forces a DOUBLE literal in BOTH engines:
+# a bare 17-digit decimal literal binds as DECIMAL(17,16) in DuckDB,
+# whose decimal->double cast is 1 ulp off (measured) — the same class
+# of issue _dec_dbl_duck exists for.
+_BH_THR_CASE = (
+    "(CASE rank "
+    + " ".join(f"WHEN {i+1} THEN {t!r}e0" for i, t in enumerate(_BH_THR))
+    + " END)"
+)
+
+
+@q(
+    "multiple_testing_bh",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, user_id % 2 AS grp, {VAL_I} AS y FROM events
+    ), agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE grp = 0) AS BIGINT) AS n0,
+             CAST(COUNT(*) FILTER (WHERE grp = 1) AS BIGINT) AS n1,
+             CAST(SUM(y) FILTER (WHERE grp = 0) AS BIGINT) AS s0,
+             CAST(SUM(y) FILTER (WHERE grp = 1) AS BIGINT) AS s1,
+             SUM(CAST(y AS HUGEINT) * y) FILTER (WHERE grp = 0) AS q0,
+             SUM(CAST(y AS HUGEINT) * y) FILTER (WHERE grp = 1) AS q1
+      FROM s GROUP BY event_type
+    ), z AS (
+      SELECT event_type, {_WT_DUCK[2]} AS z_stat FROM agg
+    ), ranked AS (
+      SELECT event_type, z_stat,
+             CAST(ROW_NUMBER() OVER (ORDER BY ABS(z_stat) DESC, event_type)
+                  AS BIGINT) AS rank
+      FROM z
+    ), marked AS (
+      SELECT event_type, z_stat, rank,
+             {_BH_THR_CASE} AS z_threshold,
+             (ABS(z_stat) >= {_BH_THR_CASE}) AS passes
+      FROM ranked
+    ), kstar AS (
+      SELECT COALESCE(MAX(rank) FILTER (WHERE passes), 0) AS k FROM marked
+    )
+    SELECT event_type, z_stat, rank, z_threshold,
+           (rank <= (SELECT k FROM kstar)) AS rejected
+    FROM marked ORDER BY event_type
+    """,
+    doc="Benjamini-Hochberg FDR control over the per-event-type family "
+    "of arm-difference tests (5 simultaneous Welch z's at q = 0.10) — "
+    "the correction every metrics platform applies before declaring "
+    "any of a dashboard's K tests significant. The step-up rule runs "
+    "entirely in the z domain: p_(i) <= (i/m)q iff |z|_(i) >= "
+    "PHI^-1(1-(i/m)q/2), and the five critical values are stdlib-"
+    "computed double LITERALS shared by both engines (no erf/CDF in "
+    "either plan). Per-type z's reuse the welch_ttest exact-moment "
+    "chain; the rank window and the step-up max run on the FIXED "
+    "5-row family frame. Rejected = rank <= k* where k* is the "
+    "largest passing rank — the step-up subtlety (a rank can be "
+    "rejected without passing its own threshold) is preserved.",
+    tags=("events", "mleval", "stats", "hypothesis-test"),
+)
+def multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "events").selectExpr(
+        "event_type", "user_id % 2 AS grp", f"{VAL_I} AS y"
+    )
+    dec = "DECIMAL(38, 0)"
+    agg = s.groupBy("event_type").agg(
+        F.count_if(F.col("grp") == 0).cast("long").alias("n0"),
+        F.count_if(F.col("grp") == 1).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y"))).cast("long").alias("s0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y"))).cast("long").alias("s1"),
+        F.sum(F.when(F.col("grp") == 0, F.expr(f"CAST(y AS {dec}) * y"))).alias("q0"),
+        F.sum(F.when(F.col("grp") == 1, F.expr(f"CAST(y AS {dec}) * y"))).alias("q1"),
+    )
+    z = agg.selectExpr("event_type", f"{_WT_SPARK[2]} AS z_stat")
+    w = Window.orderBy(F.expr("ABS(z_stat)").desc(), F.col("event_type"))
+    ranked = z.withColumn("rank", F.row_number().over(w).cast("long"))
+    marked = ranked.selectExpr(
+        "event_type",
+        "z_stat",
+        "rank",
+        f"{_BH_THR_CASE} AS z_threshold",
+        f"(ABS(z_stat) >= {_BH_THR_CASE}) AS passes",
+    )
+    kstar = marked.agg(
+        F.coalesce(F.max(F.when(F.col("passes"), F.col("rank"))), F.lit(0)).alias("k")
+    )
+    return (
+        marked.crossJoin(F.broadcast(kstar))
+        .selectExpr(
+            "event_type",
+            "z_stat",
+            "rank",
+            "z_threshold",
+            "(rank <= k) AS rejected",
+        )
+        .orderBy("event_type")
     )

@@ -571,3 +571,63 @@ def test_lorenz_matches_reference(spark, tiny_events_dir):  # noqa: F811
     assert (np.diff(cs) >= -1e-15).all() and cs[-1] == pytest.approx(1.0)
     # ascending-spend deciles: later bands hold larger shares
     assert out["value_share"].iloc[-1] >= out["value_share"].iloc[0]
+
+
+def test_pinball_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["pinball_loss_eval"].fn(spark, d).toPandas()
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    day = df["ts"].dt.normalize()
+    cutoff = pd.Timestamp("2024-01-25")
+    # tiny fixture spans < Jan 25 — empty test split means empty result
+    if (day >= cutoff).sum() == 0:
+        assert len(out) == 0
+        return
+    for t in out["event_type"]:
+        m = (df["event_type"] == t).to_numpy()
+        tr = cents[m & (day < cutoff).to_numpy()]
+        te = cents[m & (day >= cutoff).to_numpy()]
+        q50 = np.sort(tr)[int(np.ceil(len(tr) * 0.5)) - 1]
+        q90 = np.sort(tr)[int(np.ceil(len(tr) * 0.9)) - 1]
+        row = out.set_index("event_type").loc[t]
+        assert row["q50_pred_cents"] == q50 and row["q90_pred_cents"] == q90
+        p50 = np.where(te >= q50, 0.5 * (te - q50), 0.5 * (q50 - te)).mean()
+        p90 = np.where(te >= q90, 0.9 * (te - q90), 0.1 * (q90 - te)).mean()
+        assert row["pinball50"] == pytest.approx(p50, rel=1e-12)
+        assert row["pinball90"] == pytest.approx(p90, rel=1e-12)
+
+
+def test_pinball_on_real_fixture(spark, sf_dir):
+    out = REGISTRY["pinball_loss_eval"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 5
+    # true quantiles minimize pinball loss: the P90 predictor must not
+    # beat the P50 predictor at the 0.5 loss, and vice versa (weak
+    # sanity — equality possible on degenerate splits)
+    assert (out["pinball50"] >= 0).all() and (out["pinball90"] >= 0).all()
+    assert (out["q90_pred_cents"] >= out["q50_pred_cents"]).all()
+
+
+def test_bh_stepup_matches_reference(spark, tiny_events_dir):  # noqa: F811
+    from statistics import NormalDist
+
+    d, df = tiny_events_dir
+    out = REGISTRY["multiple_testing_bh"].fn(spark, d).toPandas()
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    grp = (df["user_id"].to_numpy() % 2).astype(int)
+    zs = {}
+    for t in sorted(df["event_type"].unique()):
+        m = (df["event_type"] == t).to_numpy()
+        a, b = cents[m & (grp == 0)].astype(float), cents[m & (grp == 1)].astype(float)
+        se2 = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        zs[t] = (a.mean() - b.mean()) / np.sqrt(se2)
+    ordered = sorted(zs, key=lambda t: (-abs(zs[t]), t))
+    thr = [NormalDist().inv_cdf(1 - (i / 5) * 0.10 / 2) for i in range(1, 6)]
+    passes = [abs(zs[t]) >= thr[i] for i, t in enumerate(ordered)]
+    kstar = max((i + 1 for i, p in enumerate(passes) if p), default=0)
+    ref_rej = {t: (i + 1 <= kstar) for i, t in enumerate(ordered)}
+    got = out.set_index("event_type")
+    for t, z in zs.items():
+        assert got.loc[t, "z_stat"] == pytest.approx(z, rel=1e-9)
+        assert bool(got.loc[t, "rejected"]) == ref_rej[t]
+    # the engineered arm shift must reject at least one test
+    assert out["rejected"].any()

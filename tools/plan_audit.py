@@ -101,6 +101,10 @@ WAIVERS: dict[str, dict[str, str]] = {
     "avg_precision_at_k": {NLJ: "broadcast side is the 5-row query-probe set (ranking + n_rel legs)"},
     "uplift_by_band": {SPE: "band windows over the DISTINCT engagement-score frame (bounded by the per-user event-count domain); the data-sized aggs are user-/score-keyed upstream"},
     "permutation_test_diff": {NLJ: "broadcast side is the 1-row observed-diff scalar crossed into the 32-row per-perm frame"},
+    "multiple_testing_bh": {
+        NLJ: "broadcast side is the 1-row step-up k* scalar crossed into the fixed 5-row family frame",
+        SPE: "rank window over the FIXED 5-test family frame (one row per event type); the data-sized moment aggs are type-keyed upstream",
+    },
     "lorenz_curve_table": {SPE: "value-band windows over the DISTINCT per-user-spend frame (bounded by the spend domain) and the 10-row decile spine; the data-sized agg is user-keyed upstream"},
     "cramervonmises_2sample": {SPE: "cumulative CDF gap over DISTINCT cents values — bounded by the value domain (<=56k rows), not n; the per-row collapse is the upstream cents-keyed agg"},
     "energy_distance_2sample": {SPE: "below-value cumulative count/sum window over DISTINCT cents values — bounded by the value domain, not n; the per-row collapse is the upstream cents-keyed agg"},
