@@ -389,7 +389,13 @@ def dedup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "similarity"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = F.split(F.col("text"), " ")
+    return _jaccard_pairs(spark, sf_dir, threshold=0.5)
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Shingle-Jaccard pairs over the guarded doc_id < 200 subgraph at
+    the given threshold (0.5 = the dedup graph; 0.02 = the looser
+    relatedness graph link_prediction_jaccard predicts on)."""
     from magictables_spark.functions import shingles as _sh
 
     shingles = _sh("text", n=3)
@@ -418,7 +424,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -1617,3 +1623,171 @@ def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         frontier = nxt
     return reached.select(F.col("v").alias("doc_id"), "hop").orderBy("doc_id")
+
+
+# Link-prediction edges use a MUCH looser 0.025 Jaccard threshold than
+# the dedup graph: the fixture's pairwise-Jaccard distribution is
+# bimodal (planted dups >= 0.95, topical background <= 0.037 — measured
+# before registration), so every mid threshold yields a PERFECT
+# MATCHING (each doc one partner, no open 2-paths, empty predictions).
+# 0.02 is inside the background mode: the relatedness graph has real
+# multi-neighbor structure, which is what link prediction consumes.
+_LINKPRED_EDGES_CTE = _LPA_EDGES_CTE.replace(">= 0.5", ">= 0.02")
+
+_LINKPRED_ORACLE = (
+    "WITH "
+    + _LINKPRED_EDGES_CTE
+    + """
+    , deg AS (
+      SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY a
+    ), two_path AS (
+      -- common-neighbor counts of NON-adjacent pairs via the 2-path
+      -- join; u < w canonicalizes the unordered pair
+      SELECT e1.a AS u, e2.a AS w, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM edges e1 JOIN edges e2 ON e1.b = e2.b AND e1.a < e2.a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges x WHERE x.a = e1.a AND x.b = e2.a
+      )
+      GROUP BY e1.a, e2.a
+    )
+    SELECT u, w, cn,
+           (CAST(cn AS DOUBLE)
+            / CAST(du.d + dw.d - cn AS DOUBLE)) AS jaccard_score
+    FROM two_path
+    JOIN deg du ON du.v = u
+    JOIN deg dw ON dw.v = w
+    ORDER BY jaccard_score DESC, u, w
+    LIMIT 20
+    """
+)
+
+
+@q(
+    "link_prediction_jaccard",
+    oracle=_LINKPRED_ORACLE,
+    doc="Neighborhood-Jaccard link prediction over the near-dup graph: "
+    "for every NON-adjacent pair with at least one common neighbor, "
+    "score |N(u) n N(w)| / |N(u) u N(w)| and emit the top-20 "
+    "predicted links — the 'these two docs are probably dups too' "
+    "candidates that the pairwise threshold missed (a transitive-"
+    "evidence sibling of khop_reachability: that one spreads known "
+    "contamination, this one predicts missing edges). Candidate "
+    "pairs come from the 2-PATH equi-join on the shared endpoint — "
+    "never all pairs — so candidate mass is sum-of-degree-squares "
+    "bounded (the triangle_count shape); adjacency is excluded by an "
+    "anti-join on the canonicalized edge; the Jaccard is exact "
+    "integers until one division (|union| = d_u + d_w - cn by "
+    "inclusion-exclusion — no set materialization). Ranking "
+    "deterministic via (score, u, w) tie-breaks.",
+    tags=("text", "dedup", "graph", "similarity"),
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.02).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("a").alias("v")).agg(F.count("*").cast("long").alias("d"))
+    e1 = edges.select(F.col("a").alias("u"), F.col("b").alias("m"))
+    e2 = edges.select(F.col("a").alias("w"), F.col("b").alias("m2"))
+    two_path = (
+        e1.join(e2, (F.col("m") == F.col("m2")) & (F.col("u") < F.col("w")))
+        .groupBy("u", "w")
+        .agg(F.count("*").cast("long").alias("cn"))
+        .join(
+            edges.select(F.col("a").alias("u"), F.col("b").alias("w")),
+            ["u", "w"],
+            "left_anti",
+        )
+    )
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("d_u"))
+    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("d_w"))
+    return (
+        two_path.join(du, "u")
+        .join(dw, "w")
+        .selectExpr(
+            "u",
+            "w",
+            "cn",
+            "(CAST(cn AS DOUBLE) / CAST(d_u + d_w - cn AS DOUBLE)) AS jaccard_score",
+        )
+        .orderBy(F.desc("jaccard_score"), "u", "w")
+        .limit(20)
+    )
+
+
+@q(
+    "collocation_lift_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM tok, unnest(range(1, len(ws))) AS t(i)
+    ), big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    ), uni AS (
+      SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg
+    )
+    SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+           (CAST(b.c12 AS DOUBLE) * CAST(t.n AS DOUBLE)
+            / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))) AS lift
+    FROM big b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN tot t
+    ORDER BY lift DESC, b.w1, b.w2
+    LIMIT 20
+    """,
+    doc="Collocation mining by pointwise LIFT: bigrams occurring >= 5 "
+    "times ranked by P(w1 w2)/(P(w1)P(w2)) — the association measure "
+    "behind PMI, kept on the EXACT rational c12*N/(c1*c2) (lift is a "
+    "monotone transform of PMI, so the ranking is identical with no "
+    "libm log and no cross-engine drift). Complements the lexical "
+    "family: tfidf/bm25 rank terms per DOCUMENT; collocations rank "
+    "word PAIRS corpus-wide — the phrase-vocabulary builder for "
+    "tokenizer curation (which multi-word units deserve merges). "
+    "Bigram positions come from a map-side adjacent-zip explode; the "
+    "count frames are VOCAB^2-bounded after the min-count filter; "
+    "unigram dims broadcast-join; the 1-row total broadcasts. "
+    "Deterministic top-20 via (lift, w1, w2).",
+    tags=("text", "pretrain", "stats"),
+)
+def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _t(spark, sf_dir, "documents").select(F.split("text", " ").alias("ws"))
+    bg = tok.select(
+        F.explode(
+            F.expr("transform(slice(ws, 1, size(ws) - 1), (w, i) -> struct(w AS w1, ws[i + 1] AS w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    uni = bg.groupBy(F.col("w1").alias("w")).agg(F.count("*").cast("long").alias("c"))
+    tot = bg.agg(F.count("*").cast("long").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            "(CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE)"
+            " / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) AS lift",
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )

@@ -631,3 +631,56 @@ def test_bh_stepup_matches_reference(spark, tiny_events_dir):  # noqa: F811
         assert bool(got.loc[t, "rejected"]) == ref_rej[t]
     # the engineered arm shift must reject at least one test
     assert out["rejected"].any()
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    from magictables_spark.plans.textops import _jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["link_prediction_jaccard"].fn(spark, sf).toPandas()
+    pairs = _jaccard_pairs(spark, sf, threshold=0.02).toPandas()
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    scores = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1 :]:
+            if w in adj[u]:
+                continue
+            cn = len(adj[u] & adj[w])
+            if cn:
+                scores[(u, w)] = (cn, cn / len(adj[u] | adj[w]))
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    assert len(out) == min(20, len(scores))
+    for i, ((u, w), (cn, js)) in enumerate(ref):
+        assert (out["u"].iloc[i], out["w"].iloc[i]) == (u, w)
+        assert out["cn"].iloc[i] == cn
+        assert out["jaccard_score"].iloc[i] == pytest.approx(js, rel=1e-12)
+
+
+def test_collocation_lift_matches_reference(spark):
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["collocation_lift_topk"].fn(spark, sf).toPandas()
+    import collections
+
+    docs = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+    bg = collections.Counter()
+    uni = collections.Counter()
+    for text in docs["text"]:
+        ws = text.split(" ")
+        for i in range(len(ws) - 1):
+            bg[(ws[i], ws[i + 1])] += 1
+            uni[ws[i]] += 1
+    n = sum(bg.values())
+    scored = {
+        p: (c, c * n / (uni[p[0]] * uni[p[1]]))
+        for p, c in bg.items()
+        if c >= 5
+    }
+    ref = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    for i, ((w1, w2), (c, lift)) in enumerate(ref):
+        assert (out["w1"].iloc[i], out["w2"].iloc[i]) == (w1, w2)
+        assert out["c12"].iloc[i] == c
+        assert out["lift"].iloc[i] == pytest.approx(lift, rel=1e-12)

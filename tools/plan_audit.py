@@ -101,6 +101,7 @@ WAIVERS: dict[str, dict[str, str]] = {
     "avg_precision_at_k": {NLJ: "broadcast side is the 5-row query-probe set (ranking + n_rel legs)"},
     "uplift_by_band": {SPE: "band windows over the DISTINCT engagement-score frame (bounded by the per-user event-count domain); the data-sized aggs are user-/score-keyed upstream"},
     "permutation_test_diff": {NLJ: "broadcast side is the 1-row observed-diff scalar crossed into the 32-row per-perm frame"},
+    "collocation_lift_topk": {NLJ: "broadcast side is the 1-row total-bigram scalar crossed into the min-count-filtered pair frame"},
     "multiple_testing_bh": {
         NLJ: "broadcast side is the 1-row step-up k* scalar crossed into the fixed 5-row family frame",
         SPE: "rank window over the FIXED 5-test family frame (one row per event type); the data-sized moment aggs are type-keyed upstream",
