@@ -102,6 +102,13 @@ HEADLINE = [
     # maintenance (dynamic partition overwrite per micro-batch)
     "ann_pq_rescore",
     "rollup_store_stream",
+    # round-8 late additions: the model-evaluation family's headline
+    # members (binned rank-sum AUC, positional retrieval quality), the
+    # canonical TPC-H scan-agg, and incremental join-view maintenance
+    "roc_auc",
+    "ndcg_at_k",
+    "q1_pricing_summary",
+    "join_view_incremental_store",
 ]
 
 

@@ -2279,3 +2279,172 @@ def multiple_testing_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# mrr_at_k — mean reciprocal rank (completes the IR-metric trio)
+# ---------------------------------------------------------------------------
+
+# Reciprocal ranks 1/i for i <= 10 on the exact 2520-LCM grid (the
+# avg_precision_at_k trick): per-query first-hit rank contributes
+# 2520/i exactly, the mean is ONE division.
+_MRR_K = 10
+
+
+@q(
+    "mrr_at_k",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, {QUANT_DUCK} AS q, label FROM embeddings
+    ), norms AS (
+      SELECT vec_id, q, label,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i])) AS BIGINT) AS nrm
+      FROM e
+    ), scored AS (
+      SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CASE WHEN c.label = p.label THEN 1 ELSE 0 END AS rel,
+             CAST(list_sum(list_transform(range(1, 65), i -> p.q[i]*c.q[i])) AS BIGINT)
+               / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cosine
+      FROM norms p JOIN norms c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+    ), ranked AS (
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ), firsthit AS (
+      SELECT query_id,
+             CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rn END), 0) AS BIGINT)
+               AS first_rank
+      FROM ranked WHERE rn <= {_MRR_K} GROUP BY query_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) FILTER (WHERE first_rank > 0) AS BIGINT) AS n_hit,
+           (CAST(SUM(CASE WHEN first_rank > 0
+                          THEN 2520 // first_rank ELSE 0 END) AS DOUBLE)
+            / (2520.0 * CAST(COUNT(*) AS DOUBLE))) AS mrr
+    FROM firsthit
+    """,
+    doc="Mean reciprocal rank @10 of the exact-cosine retriever against "
+    "same-label relevance — the first-answer-quality metric that "
+    "completes the IR trio (AP rewards all hits early, NDCG discounts "
+    "positionally, MRR cares only where the FIRST hit lands; the "
+    "question-answering/navigation eval). Reciprocal ranks live on "
+    "the exact LCM(1..10)=2520 integer grid (2520 div rank — the "
+    "avg_precision_at_k discipline), queries with no top-10 hit "
+    "contribute 0, and MRR is ONE division of exact integers. Plan: "
+    "the 5-probe broadcast ranking shape + a 5-row agg.",
+    tags=("embeddings", "mleval", "similarity"),
+)
+def mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from magictables_spark.plans.similarity import _dot_unrolled
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(QUANT_SPARK).alias("q"), "label"
+    )
+    norms = e.withColumn("nrm", _dot_unrolled("q", "q"))
+    probes = norms.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("pq"),
+        F.col("label").alias("plabel"),
+        F.col("nrm").alias("pnrm"),
+    )
+    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm")
+    scored = cand.join(
+        F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.when(F.col("label") == F.col("plabel"), 1).otherwise(0).alias("rel"),
+        (
+            _dot_unrolled("pq", "q").cast("double")
+            / (F.sqrt(F.col("pnrm").cast("double")) * F.sqrt(F.col("nrm").cast("double")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _MRR_K
+    )
+    firsthit = ranked.groupBy("query_id").agg(
+        F.coalesce(F.min(F.when(F.col("rel") == 1, F.col("rn"))), F.lit(0))
+        .cast("long")
+        .alias("first_rank")
+    )
+    return firsthit.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.count_if(F.col("first_rank") > 0).cast("long").alias("n_hit"),
+        F.expr(
+            "(CAST(SUM(CASE WHEN first_rank > 0"
+            " THEN 2520 div first_rank ELSE 0 END) AS DOUBLE)"
+            " / (2520.0 * CAST(COUNT(*) AS DOUBLE))) AS mrr"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# roc_auc_sliced — per-segment AUC (the sliced-eval / fairness readout)
+# ---------------------------------------------------------------------------
+
+@q(
+    "roc_auc_sliced",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id % 3 AS segment, {QUANT_DUCK} AS q, label % 2 AS y
+      FROM embeddings
+    ), b AS (
+      SELECT segment, {_AUC_SCORE_DUCK} // 16777216 AS bin, y FROM e
+    ), per_bin AS (
+      SELECT segment, bin,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS c1
+      FROM b GROUP BY segment, bin
+    ), w AS (
+      SELECT segment, bin, c, c1,
+             COALESCE(SUM(c) OVER (PARTITION BY segment ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM per_bin
+    ), agg AS (
+      SELECT segment,
+             CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n0,
+             CAST(SUM(c1 * (2 * below + c + 1)) AS BIGINT) AS r1d
+      FROM w GROUP BY segment
+    )
+    SELECT segment, n1 AS n_pos, n0 AS n_neg,
+           {_AUC} AS auc
+    FROM agg ORDER BY segment
+    """,
+    doc="Per-segment ROC-AUC of the fixed linear scorer (segments = "
+    "vec_id %% 3, the deterministic stand-in for cohort/source/"
+    "demographic slices) — the SLICED evaluation every model QA and "
+    "fairness review runs: a global AUC can hide a segment where the "
+    "scorer inverts. Same binned doubled-rank machinery as roc_auc "
+    "with every frame PARTITIONED BY segment, so the rank windows "
+    "stay (segment x score-domain)-bounded and the whole statistic "
+    "remains exact integers until one division per segment. Plan: "
+    "one (segment, bin)-keyed agg, one segment-partitioned "
+    "domain-bounded window, a 3-row result.",
+    tags=("embeddings", "mleval", "stats"),
+)
+def roc_auc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id % 3 AS segment", f"{QUANT_SPARK} AS q", "label % 2 AS y"
+    )
+    b = e.selectExpr("segment", f"{_AUC_SCORE_SPARK} div 16777216 AS bin", "y")
+    per_bin = b.groupBy("segment", "bin").agg(
+        F.count("*").cast("long").alias("c"),
+        F.count_if(F.col("y") == 1).cast("long").alias("c1"),
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wdf = per_bin.withColumn("below", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    agg = wdf.groupBy("segment").agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.expr("c - c1")).cast("long").alias("n0"),
+        F.sum(F.expr("c1 * (2 * below + c + 1)")).cast("long").alias("r1d"),
+    )
+    return agg.selectExpr(
+        "segment", "n1 AS n_pos", "n0 AS n_neg", f"{_AUC} AS auc"
+    ).orderBy("segment")

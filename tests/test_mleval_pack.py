@@ -684,3 +684,54 @@ def test_collocation_lift_matches_reference(spark):
         assert (out["w1"].iloc[i], out["w2"].iloc[i]) == (w1, w2)
         assert out["c12"].iloc[i] == c
         assert out["lift"].iloc[i] == pytest.approx(lift, rel=1e-12)
+
+
+def test_mrr_matches_reference(spark, tiny_embed_dir):
+    d, df = tiny_embed_dir
+    out = REGISTRY["mrr_at_k"].fn(spark, d).toPandas().iloc[0]
+    q = np.stack(
+        [np.round(np.asarray(e, np.float64) * 1_000_000).astype(np.int64) for e in df["embedding"]]
+    )
+    labels = df["label"].to_numpy()
+    total, hits = 0, 0
+    for qid in range(5):
+        dots = (q @ q[qid]).astype(np.float64)
+        nrm = np.sqrt((q.astype(np.float64) ** 2).sum(axis=1))
+        cos = dots / (nrm * nrm[qid])
+        order = sorted(
+            (i for i in range(len(q)) if i != qid),
+            key=lambda i: (-cos[i], i),
+        )
+        first = next(
+            (r + 1 for r, i in enumerate(order[:10]) if labels[i] == labels[qid]), 0
+        )
+        if first:
+            hits += 1
+            total += 2520 // first
+    assert out["n_queries"] == 5 and out["n_hit"] == hits
+    assert out["mrr"] == pytest.approx(total / (2520 * 5), rel=1e-12)
+
+
+def test_sliced_auc_matches_rank_formula(spark, tiny_embed_dir):
+    d, df = tiny_embed_dir
+    out = REGISTRY["roc_auc_sliced"].fn(spark, d).toPandas().set_index("segment")
+    bins, y = _binned_scores(df)
+    seg = (df["vec_id"].to_numpy() % 3).astype(int)
+    for s in range(3):
+        m = seg == s
+        bs, ys = bins[m], y[m]
+        order = np.argsort(bs, kind="stable")
+        ranks = np.empty(len(bs), float)
+        sb = bs[order]
+        i = 0
+        while i < len(bs):
+            j = i
+            while j < len(bs) and sb[j] == sb[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        n1, n0 = int(ys.sum()), int((1 - ys).sum())
+        u1 = ranks[ys == 1].sum() - n1 * (n1 + 1) / 2.0
+        row = out.loc[s]
+        assert row["n_pos"] == n1 and row["n_neg"] == n0
+        assert row["auc"] == pytest.approx(u1 / (n1 * n0), rel=1e-12)

@@ -99,6 +99,7 @@ WAIVERS: dict[str, dict[str, str]] = {
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
     "ndcg_at_k": {NLJ: "broadcast side is the 5-row query-probe set (ranking + n_rel legs)"},
     "avg_precision_at_k": {NLJ: "broadcast side is the 5-row query-probe set (ranking + n_rel legs)"},
+    "mrr_at_k": {NLJ: "broadcast side is the 5-row query-probe set"},
     "uplift_by_band": {SPE: "band windows over the DISTINCT engagement-score frame (bounded by the per-user event-count domain); the data-sized aggs are user-/score-keyed upstream"},
     "permutation_test_diff": {NLJ: "broadcast side is the 1-row observed-diff scalar crossed into the 32-row per-perm frame"},
     "collocation_lift_topk": {NLJ: "broadcast side is the 1-row total-bigram scalar crossed into the min-count-filtered pair frame"},
