@@ -2448,3 +2448,173 @@ def roc_auc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         "segment", "n1 AS n_pos", "n0 AS n_neg", f"{_AUC} AS auc"
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# auc_store_stream — streaming maintenance of the binned-AUC histogram
+# ---------------------------------------------------------------------------
+
+@q(
+    "auc_store_stream",
+    oracle=f"""
+    WITH e AS (
+      SELECT {QUANT_DUCK} AS q, label % 2 AS y FROM embeddings
+    ), b AS (
+      SELECT {_AUC_SCORE_DUCK} // 16777216 AS bin, y FROM e
+    ), per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS c1
+      FROM b GROUP BY bin
+    ), w AS (
+      SELECT bin, c, c1,
+             COALESCE(SUM(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+      FROM per_bin
+    ), agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c - c1) AS BIGINT) AS n0,
+             CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(SUM(c1 * (2 * below + c + 1)) AS BIGINT) AS r1d
+      FROM w
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg, n_bins,
+           {_AUC} AS auc,
+           (2.0 * {_AUC} - 1.0) AS gini
+    FROM agg
+    """,
+    doc="STREAMING maintenance of the binned-AUC histogram — the "
+    "model-monitoring shape that joins the eval family to the "
+    "streaming-store symmetry (every other mergeable store — rollup, "
+    "HLL, CMS, quantile-histogram — already has a foreachBatch twin): "
+    "the history split (vec_id%%4 < 3) seeds a per-bin (count, "
+    "positives) store; the remaining vectors stream in 3 shards "
+    "(maxFilesPerTrigger=1 under AvailableNow = 3 REAL micro-batches), "
+    "each foreachBatch turn scoring ONLY its batch with the fixed "
+    "int64 linear scorer, aggregating to bin partials, and merging "
+    "group-wise. Per-bin (c, c1) counts are associative+commutative "
+    "partials, so the merged histogram — and therefore the doubled-"
+    "rank AUC served from it — is PROVABLY identical to the "
+    "from-scratch computation, which IS the oracle (the roc_auc SQL "
+    "verbatim): the whole streamed lifecycle is value-hash-checked. "
+    "The store is SCORE-DOMAIN bounded (a few hundred bins at any n), "
+    "so the per-batch rewrite is O(domain), not O(data) — the one "
+    "store in the family small enough that partition-pruned rewrites "
+    "would cost more than they save (contrast rollup_store_stream's "
+    "day-pruned dynamic overwrite). Batch markers make the "
+    "non-idempotent merge replay-safe.",
+    tags=("embeddings", "mleval", "streaming", "warehouse", "scale"),
+)
+def auc_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = hashlib.md5(
+        f"v1:4:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"aucstream_{tag}")
+    src = os.path.join(root, "src")
+    store_dir = os.path.join(root, "store")
+    applied_dir = os.path.join(root, "applied")
+    ready = os.path.join(root, "_READY")
+
+    def _bins(df: DataFrame) -> DataFrame:
+        return (
+            df.selectExpr(f"{QUANT_SPARK} AS q", "label % 2 AS y")
+            .selectExpr(f"{_AUC_SCORE_SPARK} div 16777216 AS bin", "y")
+            .groupBy("bin")
+            .agg(
+                F.count("*").cast("long").alias("c"),
+                F.count_if(F.col("y") == 1).cast("long").alias("c1"),
+            )
+        )
+
+    if not os.path.exists(ready):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        os.makedirs(applied_dir)
+        _bins(emb.filter(F.col("vec_id") % 4 < 3)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(store_dir)
+        for shard in range(3):
+            part_dir = os.path.join(root, f"part{shard}")
+            (
+                emb.filter(
+                    (F.col("vec_id") % 4 == 3) & (F.col("vec_id") % 3 == shard)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]), os.path.join(src, f"shard_{shard}.parquet")
+            )
+            shutil.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+
+    store_schema = "bin bigint, c bigint, c1 bigint"
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):  # at-least-once replay guard
+            return
+        parts = _bins(batch_df).localCheckpoint(eager=True)
+        if parts.rdd.isEmpty():
+            with open(marker, "w") as f:
+                f.write("ok")
+            return
+        ss = batch_df.sparkSession
+        cur = ss.read.schema(store_schema).parquet(store_dir)
+        merged = (
+            cur.unionByName(parts)
+            .groupBy("bin")
+            .agg(F.sum("c").cast("long").alias("c"), F.sum("c1").cast("long").alias("c1"))
+            .localCheckpoint(eager=True)  # cut lineage before overwrite
+        )
+        merged.coalesce(1).write.mode("overwrite").parquet(store_dir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    name = f"mts_aucstream_{tag}"
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+            active.awaitTermination()
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    per_bin = spark.read.schema(store_schema).parquet(store_dir)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    wdf = per_bin.withColumn("below", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    agg = wdf.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.expr("c - c1")).cast("long").alias("n0"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum(F.expr("c1 * (2 * below + c + 1)")).cast("long").alias("r1d"),
+    )
+    return agg.selectExpr(
+        "n1 AS n_pos",
+        "n0 AS n_neg",
+        "n_bins",
+        f"{_AUC} AS auc",
+        f"(2.0 * {_AUC} - 1.0) AS gini",
+    )

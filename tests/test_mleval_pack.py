@@ -735,3 +735,16 @@ def test_sliced_auc_matches_rank_formula(spark, tiny_embed_dir):
         row = out.loc[s]
         assert row["n_pos"] == n1 and row["n_neg"] == n0
         assert row["auc"] == pytest.approx(u1 / (n1 * n0), rel=1e-12)
+
+
+def test_auc_store_stream_equals_batch_auc(spark, sf_dir):
+    streamed = REGISTRY["auc_store_stream"].fn(spark, sf_dir).toPandas()
+    batch = REGISTRY["roc_auc"].fn(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        streamed.reset_index(drop=True), batch.reset_index(drop=True)
+    )
+    # re-invocation (checkpoint replay, no new files) serves identically
+    again = REGISTRY["auc_store_stream"].fn(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        streamed.reset_index(drop=True), again.reset_index(drop=True)
+    )

@@ -63,6 +63,7 @@ WAIVERS: dict[str, dict[str, str]] = {
         "stages are all keyed exchanges)"
     },
     "mannwhitney_u": {SPE: "running below-count over DISTINCT cents values — bounded by the value domain (<=56k rows), not n; the per-row rank collapse happens in the upstream keyed agg"},
+    "auc_store_stream": {SPE: "running below-count over the persisted SCORE-BIN store (a few hundred rows at any n — the score-domain bound); batch merges happened inside foreachBatch"},
     "roc_auc": {SPE: "running below-count over DISTINCT score bins (width-2^24 binned int64 scores — a few hundred bins at any n); the per-row rank collapse is the upstream bin-keyed agg"},
     "gains_decile_table": {SPE: "capture/band windows over the DISTINCT engagement-score frame (bounded by the per-user event-count domain) and the <=10-row band spine; the data-sized aggs are user-/score-keyed upstream"},
     "contamination_check": {NLJ: "broadcast side is the bounded held-out shingle set"},
