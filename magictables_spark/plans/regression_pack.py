@@ -1926,3 +1926,122 @@ def stream_linreg_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_LR_SPARK[0]} AS slope_cents_per_hour",
         f"{_LR_SPARK[2]} AS r2",
     ).orderBy("win_start", "event_type")
+
+
+@q(
+    "bootstrap_ci_median",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, {VAL_I} AS y FROM events WHERE event_type = 'purchase'
+    ), wpy AS (
+      SELECT b, y, CAST(SUM(w) AS BIGINT) AS wsum
+      FROM (
+        SELECT gs.b,
+               {{w_duck}} AS w,
+               y
+        FROM s, unnest(generate_series(1, {_BOOT_B})) AS gs(b)
+      ) GROUP BY b, y
+    ), cum AS (
+      SELECT b, y,
+             CAST(SUM(wsum) OVER (PARTITION BY b ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cw,
+             CAST(SUM(wsum) OVER (PARTITION BY b) AS BIGINT) AS tw
+      FROM wpy
+    ), med AS (
+      SELECT b, CAST(MIN(CASE WHEN 2 * cw >= tw THEN y END) AS BIGINT) AS m
+      FROM cum GROUP BY b
+    ), point AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY y
+    ), pcum AS (
+      SELECT y,
+             CAST(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+             CAST(SUM(c) OVER () AS BIGINT) AS tw
+      FROM point
+    )
+    SELECT (SELECT CAST(MAX(tw) AS BIGINT) FROM pcum) AS n,
+           (SELECT CAST(MIN(CASE WHEN 2 * cw >= tw THEN y END) AS BIGINT)
+            FROM pcum) AS median_cents,
+           (SELECT quantile_disc(m, 0.025) FROM med) AS ci_lo_cents,
+           (SELECT quantile_disc(m, 0.975) FROM med) AS ci_hi_cents,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates
+    """.format(w_duck=_boot_weight(_h60_duck("event_id || ':' || gs.b"))),
+    doc="Bootstrap confidence interval for the MEDIAN purchase value — "
+    "the robust-statistic CI bootstrap_ci_mean's closed-form normal "
+    "theory cannot give (the median's sampling variance depends on "
+    "the unknown density at the median; the bootstrap sidesteps it). "
+    "Same deterministic Poisson-reweight replicates (md5(id:b) "
+    "through the exact 2^60 inverse-CDF table), but each replicate "
+    "computes a WEIGHTED median: cumulative replicate weight over the "
+    "distinct-cents frame, median = smallest value with 2*cum >= "
+    "total — the entire statistic chain is EXACT INTEGERS end to end "
+    "(medians are cents values; the CI bounds are order statistics of "
+    "32 integers), the only registry slug with zero doubles anywhere. "
+    "Scale: one x32 map-side explode, a (b, cents)-keyed agg, and a "
+    "per-replicate window bounded by 32 x the cents domain — "
+    "partitioned by b, so no global frame.",
+    tags=("events", "stats", "bootstrap"),
+)
+def bootstrap_ci_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("event_id", f"{VAL_I} AS y")
+    )
+    wpy = (
+        s.select(
+            F.explode(F.expr(f"sequence(1, {_BOOT_B})")).alias("b"),
+            "event_id",
+            "y",
+        )
+        .selectExpr(
+            "b",
+            _boot_weight(_h60_spark("CONCAT(event_id, ':', b)")) + " AS w",
+            "y",
+        )
+        .groupBy("b", "y")
+        .agg(F.sum("w").cast("long").alias("wsum"))
+    )
+    w_cum = (
+        Window.partitionBy("b").orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("b")
+    cum = wpy.select(
+        "b",
+        "y",
+        F.sum("wsum").over(w_cum).cast("long").alias("cw"),
+        F.sum("wsum").over(w_tot).cast("long").alias("tw"),
+    )
+    med = cum.groupBy("b").agg(
+        F.min(F.when(F.expr("2 * cw >= tw"), F.col("y"))).cast("long").alias("m")
+    )
+    ci = med.agg(
+        F.expr("CAST(percentile_disc(0.025) WITHIN GROUP (ORDER BY m) AS BIGINT)").alias(
+            "ci_lo_cents"
+        ),
+        F.expr("CAST(percentile_disc(0.975) WITHIN GROUP (ORDER BY m) AS BIGINT)").alias(
+            "ci_hi_cents"
+        ),
+    )
+    point = s.groupBy("y").agg(F.count("*").cast("long").alias("c"))
+    wp_cum = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    wp_tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pcum = point.select(
+        "y",
+        F.sum("c").over(wp_cum).cast("long").alias("cw"),
+        F.sum("c").over(wp_tot).cast("long").alias("tw"),
+    )
+    pmed = pcum.agg(
+        F.max("tw").cast("long").alias("n"),
+        F.min(F.when(F.expr("2 * cw >= tw"), F.col("y")))
+        .cast("long")
+        .alias("median_cents"),
+    )
+    return pmed.crossJoin(F.broadcast(ci)).selectExpr(
+        "n",
+        "median_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        f"CAST({_BOOT_B} AS BIGINT) AS n_replicates",
+    )

@@ -76,6 +76,10 @@ WAIVERS: dict[str, dict[str, str]] = {
     "rfm_segmentation": {NLJ: "broadcast sides are 1-row aggregates (global anchor date, the 9-value quartile-cut row); the customer aggregate is keyed upstream"},
     "bm25_ratio_topk": {NLJ: "broadcast side is the 1-row (n_docs, avgdl) corpus-stats frame crossed into the 3-term matched set"},
     "basket_pair_lift": {NLJ: "broadcast side is the 1-row order count crossed into the already-reduced pair table; marginals broadcast-hash-join"},
+    "bootstrap_ci_median": {
+        NLJ: "1-row point-median frame cross-joined to the 1-row CI frame; the data-sized work is the map-side x32 reweight + (b, cents)-keyed agg",
+        SPE: "point-estimate cumulative count over DISTINCT cents values — bounded by the value domain, not n (the replicate windows are b-partitioned)",
+    },
     "bootstrap_ci_mean": {NLJ: "1-row point-estimate frame cross-joined to the 1-row CI frame; the data-sized work is the map-side x32 reweight + 32-group agg"},
     "diff_in_diff": {NLJ: "1-row period-midpoint scalar broadcast-crossed into the scan; the data-sized work is one conditional aggregate"},
     "acf_volume": {NLJ: "dense-grid build: distinct keys x 1-row bounds (the resample-calendar pattern); the data-sized count agg is keyed upstream"},
