@@ -2618,3 +2618,165 @@ def auc_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_AUC} AS auc",
         f"(2.0 * {_AUC} - 1.0) AS gini",
     )
+
+
+# ---------------------------------------------------------------------------
+# roc_curve_table — the materialized ROC operating points behind roc_auc
+# ---------------------------------------------------------------------------
+
+@q(
+    "roc_curve_table",
+    oracle=f"""
+    WITH e AS (
+      SELECT {QUANT_DUCK} AS q, label % 2 AS y FROM embeddings
+    ), b AS (
+      SELECT {_AUC_SCORE_DUCK} // 16777216 AS bin, y FROM e
+    ), per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS c1
+      FROM b GROUP BY bin
+    ), cum AS (
+      -- predict positive when score >= threshold: descending cumulatives
+      SELECT bin,
+             CAST(SUM(c1) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+             CAST(SUM(c - c1) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+             CAST(SUM(c1) OVER () AS BIGINT) AS p,
+             CAST(SUM(c - c1) OVER () AS BIGINT) AS n
+      FROM per_bin
+    )
+    SELECT bin AS threshold_bin, tp, fp,
+           (CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)) AS tpr,
+           (CAST(fp AS DOUBLE) / CAST(n AS DOUBLE)) AS fpr,
+           (CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0.0))
+             AS precision_
+    FROM cum ORDER BY threshold_bin DESC
+    """,
+    doc="The materialized ROC/PR operating points behind roc_auc: one "
+    "row per score-bin threshold ('predict positive when score >= "
+    "threshold') with exact TP/FP counts and TPR/FPR/precision — the "
+    "table a threshold-picking decision or a plotted ROC curve "
+    "actually consumes, where the AUC scalar only summarizes. "
+    "Descending cumulative sums over the same score-domain-bounded "
+    "bin frame (a few hundred rows at any n); counts exact int64, "
+    "three divisions per row. precision_ carries the trailing "
+    "underscore to dodge reserved-word friction in both engines.",
+    tags=("embeddings", "mleval", "stats"),
+)
+def roc_curve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        f"{QUANT_SPARK} AS q", "label % 2 AS y"
+    )
+    b = e.selectExpr(f"{_AUC_SCORE_SPARK} div 16777216 AS bin", "y")
+    per_bin = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("c"),
+        F.count_if(F.col("y") == 1).cast("long").alias("c1"),
+    )
+    w_desc = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = per_bin.select(
+        "bin",
+        F.sum("c1").over(w_desc).cast("long").alias("tp"),
+        F.sum(F.expr("c - c1")).over(w_desc).cast("long").alias("fp"),
+        F.sum("c1").over(w_all).cast("long").alias("p"),
+        F.sum(F.expr("c - c1")).over(w_all).cast("long").alias("n"),
+    )
+    return cum.selectExpr(
+        "bin AS threshold_bin",
+        "tp",
+        "fp",
+        "(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)) AS tpr",
+        "(CAST(fp AS DOUBLE) / CAST(n AS DOUBLE)) AS fpr",
+        "(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0.0)) AS precision_",
+    ).orderBy(F.desc("threshold_bin"))
+
+
+# ---------------------------------------------------------------------------
+# qq_plot_table — quantile-quantile comparison between the two arms
+# ---------------------------------------------------------------------------
+
+@q(
+    "qq_plot_table",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id % 2 AS grp, {VAL_I} AS y
+      FROM events WHERE event_type = 'purchase'
+    ), per_y AS (
+      SELECT grp, y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY grp, y
+    ), cum AS (
+      SELECT grp, y,
+             CAST(SUM(c) OVER (PARTITION BY grp ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+             CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS tw
+      FROM per_y
+    ), levels AS (
+      SELECT unnest(range(1, 20)) AS lv
+    ), qs AS (
+      SELECT l.lv,
+             CAST(MIN(CASE WHEN c.grp = 0 AND 20 * c.cw >= l.lv * c.tw
+                           THEN c.y END) AS BIGINT) AS q0,
+             CAST(MIN(CASE WHEN c.grp = 1 AND 20 * c.cw >= l.lv * c.tw
+                           THEN c.y END) AS BIGINT) AS q1
+      FROM levels l CROSS JOIN cum c
+      GROUP BY l.lv
+    )
+    SELECT lv * 5 AS pct, q0 AS q_ctrl_cents, q1 AS q_treat_cents,
+           (q1 - q0) AS gap_cents
+    FROM qs ORDER BY pct
+    """,
+    doc="Quantile-quantile table between the user_id%2 arms at the 19 "
+    "vigintile levels (5%..95%) — the distribution-shift DIAGNOSTIC "
+    "behind the scalar tests (welch/mannwhitney/cvm say THAT the arms "
+    "differ; the QQ gaps say WHERE: a constant gap = location shift, "
+    "a fanning gap = scale/tail change). Discrete quantiles via the "
+    "cross-multiplied integer predicate 20*cum >= lv*total per arm — "
+    "no double quantile math — over the per-arm distinct-cents "
+    "frames; the 19-level spine cross-joins the DOMAIN-bounded "
+    "cumulative frame (<=2x56k rows), not the data. All integers "
+    "until the output.",
+    tags=("events", "mleval", "stats"),
+)
+def qq_plot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("user_id % 2 AS grp", f"{VAL_I} AS y")
+    )
+    per_y = s.groupBy("grp", "y").agg(F.count("*").cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("grp").orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("grp")
+    cum = per_y.select(
+        "grp",
+        "y",
+        F.sum("c").over(w_cum).cast("long").alias("cw"),
+        F.sum("c").over(w_tot).cast("long").alias("tw"),
+    )
+    levels = _t(spark, sf_dir, "events").sparkSession.range(1, 20).select(
+        F.col("id").alias("lv")
+    )
+    qs = (
+        cum.crossJoin(F.broadcast(levels))
+        .groupBy("lv")
+        .agg(
+            F.min(
+                F.when(F.expr("grp = 0 AND 20 * cw >= lv * tw"), F.col("y"))
+            )
+            .cast("long")
+            .alias("q0"),
+            F.min(
+                F.when(F.expr("grp = 1 AND 20 * cw >= lv * tw"), F.col("y"))
+            )
+            .cast("long")
+            .alias("q1"),
+        )
+    )
+    return qs.selectExpr(
+        "lv * 5 AS pct",
+        "q0 AS q_ctrl_cents",
+        "q1 AS q_treat_cents",
+        "(q1 - q0) AS gap_cents",
+    ).orderBy("pct")

@@ -748,3 +748,38 @@ def test_auc_store_stream_equals_batch_auc(spark, sf_dir):
     pd.testing.assert_frame_equal(
         streamed.reset_index(drop=True), again.reset_index(drop=True)
     )
+
+
+def test_roc_curve_table_consistency(spark, tiny_embed_dir):
+    out = REGISTRY["roc_curve_table"].fn(spark, tiny_embed_dir[0]).toPandas()
+    auc_row = REGISTRY["roc_auc"].fn(spark, tiny_embed_dir[0]).toPandas().iloc[0]
+    # terminal point is (1, 1); curve is monotone in both axes as the
+    # threshold loosens
+    assert out["tpr"].iloc[-1] == pytest.approx(1.0)
+    assert out["fpr"].iloc[-1] == pytest.approx(1.0)
+    assert out["tpr"].is_monotonic_increasing
+    assert out["fpr"].is_monotonic_increasing
+    # trapezoid integral of the curve (with the (0,0) anchor) must equal
+    # the binned doubled-rank AUC — the two formulations agree exactly
+    fpr = np.concatenate([[0.0], out["fpr"].to_numpy()])
+    tpr = np.concatenate([[0.0], out["tpr"].to_numpy()])
+    auc_trap = np.trapz(tpr, fpr)
+    assert auc_row["auc"] == pytest.approx(auc_trap, rel=1e-9)
+
+
+def test_qq_table_matches_numpy_quantiles(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["qq_plot_table"].fn(spark, d).toPandas()
+    sub = df[df["event_type"] == "purchase"]
+    y = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+    grp = (sub["user_id"].to_numpy() % 2).astype(int)
+    a, b = np.sort(y[grp == 0]), np.sort(y[grp == 1])
+    assert list(out["pct"]) == [5 * i for i in range(1, 20)]
+    for _, row in out.iterrows():
+        lv = row["pct"] // 5
+        qa = a[int(np.ceil(lv * len(a) / 20)) - 1]
+        qb = b[int(np.ceil(lv * len(b) / 20)) - 1]
+        assert row["q_ctrl_cents"] == qa and row["q_treat_cents"] == qb
+        assert row["gap_cents"] == qb - qa
+    # the +2500-cent arm-1 shift shows as positive gaps
+    assert (out["gap_cents"] > 0).mean() > 0.8
