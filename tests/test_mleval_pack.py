@@ -783,3 +783,29 @@ def test_qq_table_matches_numpy_quantiles(spark, tiny_events_dir):  # noqa: F811
         assert row["gap_cents"] == qb - qa
     # the +2500-cent arm-1 shift shows as positive gaps
     assert (out["gap_cents"] > 0).mean() > 0.8
+
+
+def test_cindex_matches_bruteforce(spark, tiny_events_dir):  # noqa: F811
+    d, df = tiny_events_dir
+    out = REGISTRY["concordance_cindex"].fn(spark, d).toPandas().iloc[0]
+    g = df.groupby("user_id")
+    fd, ld = g["ts"].min().dt.normalize(), g["ts"].max().dt.normalize()
+    mxd = ld.max()
+    life = (ld - fd).dt.days.to_numpy()
+    ev = (ld < mxd - pd.Timedelta(days=2)).astype(int).to_numpy()
+    score = g["event_type"].apply(lambda s: int(s.isin(["click", "view"]).sum())).to_numpy()
+    conc2 = comparable = 0
+    n = len(life)
+    for i in range(n):
+        if not ev[i]:
+            continue
+        for j in range(n):
+            if life[i] < life[j]:
+                comparable += 1
+                if score[i] < score[j]:
+                    conc2 += 2
+                elif score[i] == score[j]:
+                    conc2 += 1
+    assert out["n_comparable_pairs"] == comparable
+    if comparable:
+        assert out["c_index"] == pytest.approx(conc2 / (2 * comparable), rel=1e-12)

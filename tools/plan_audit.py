@@ -117,6 +117,7 @@ WAIVERS: dict[str, dict[str, str]] = {
     "lorenz_curve_table": {SPE: "value-band windows over the DISTINCT per-user-spend frame (bounded by the spend domain) and the 10-row decile spine; the data-sized agg is user-keyed upstream"},
     "cramervonmises_2sample": {SPE: "cumulative CDF gap over DISTINCT cents values — bounded by the value domain (<=56k rows), not n; the per-row collapse is the upstream cents-keyed agg"},
     "energy_distance_2sample": {SPE: "below-value cumulative count/sum window over DISTINCT cents values — bounded by the value domain, not n; the per-row collapse is the upstream cents-keyed agg"},
+    "concordance_cindex": {NLJ: "broadcast side is the 1-row max-date scalar (censor cutoff) crossed into the user frame — the kaplan_meier pattern"},
     "kaplan_meier_retention": {
         NLJ: "broadcast sides are the 1-row max-date scalar and the "
         "lifetime-day factor list (one ~30-element array row)",
