@@ -2936,3 +2936,133 @@ def concordance_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(conc2 AS DOUBLE)"
         " / NULLIF(2.0 * CAST(comparable AS DOUBLE), 0.0)) AS c_index",
     )
+
+
+# ---------------------------------------------------------------------------
+# roc_auc_ci_delong — AUC with the DeLong variance / confidence interval
+# ---------------------------------------------------------------------------
+
+# DeLong structural components on the binned frame, held as EXACT
+# doubled integers: for a positive in bin b, v10 = (below_neg +
+# eq_neg/2)/n0 — doubled numerator w = 2*below0 + c0 is an int; for a
+# negative, v01 uses pos-above: w' = 2*above1 + c1. Sample variances
+# come from the moments trick (sums in DECIMAL(38,0)/HUGEINT — S2 <=
+# n*4n^2 passes int64 near 1e6 rows), and Var(AUC) = var(v10)/n1 +
+# var(v01)/n0 with the CI one fixed sqrt chain.
+def _delong_frags(dd) -> tuple[str, str, str]:
+    n1d, n0d = "CAST(n1 AS DOUBLE)", "CAST(n0 AS DOUBLE)"
+    var10 = (
+        f"((({dd('s2p')} - CAST(s1p AS DOUBLE) * CAST(s1p AS DOUBLE) / {n1d})"
+        f" / ({n1d} - 1.0)) / (4.0 * {n0d} * {n0d}))"
+    )
+    var01 = (
+        f"((({dd('s2n')} - CAST(s1n AS DOUBLE) * CAST(s1n AS DOUBLE) / {n0d})"
+        f" / ({n0d} - 1.0)) / (4.0 * {n1d} * {n1d}))"
+    )
+    se = f"sqrt({var10} / {n1d} + {var01} / {n0d})"
+    return var10, var01, se
+
+
+_DL_DUCK = _delong_frags(_dec_dbl_duck)
+_DL_SPARK = _delong_frags(_dec_dbl_spark)
+_Z95 = "1.959963984540054"
+
+
+@q(
+    "roc_auc_ci_delong",
+    oracle=f"""
+    WITH e AS (
+      SELECT {QUANT_DUCK} AS q, label % 2 AS y FROM embeddings
+    ), b AS (
+      SELECT {_AUC_SCORE_DUCK} // 16777216 AS bin, y FROM e
+    ), per_bin AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS c1
+      FROM b GROUP BY bin
+    ), w AS (
+      SELECT bin, c, c1, (c - c1) AS c0,
+             CAST(COALESCE(SUM(c - c1) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS below0,
+             CAST(COALESCE(SUM(c1) OVER (ORDER BY bin
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS BIGINT)
+               AS above1
+      FROM per_bin
+    ), agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1 * (2 * below0 + c0)) AS BIGINT) AS s1p,
+             SUM(CAST(c1 AS HUGEINT) * (2 * below0 + c0) * (2 * below0 + c0))
+               AS s2p,
+             CAST(SUM(c0 * (2 * above1 + c1)) AS BIGINT) AS s1n,
+             SUM(CAST(c0 AS HUGEINT) * (2 * above1 + c1) * (2 * above1 + c1))
+               AS s2n
+      FROM w
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           (CAST(s1p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+             AS auc,
+           {_DL_DUCK[2]} AS auc_se,
+           ((CAST(s1p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+            - {_Z95} * {_DL_DUCK[2]}) AS ci_lo,
+           ((CAST(s1p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+            + {_Z95} * {_DL_DUCK[2]}) AS ci_hi
+    FROM agg
+    """,
+    doc="AUC with the DeLong (1988) variance and 95%% CI — the number "
+    "that turns roc_auc's point estimate into a decision ('is this "
+    "scorer BETTER than that one, or is the gap noise?'). The "
+    "structural components stay exact: each positive's v10 is the "
+    "doubled integer 2*below_neg + eq_neg over 2*n0 (mean of v10 IS "
+    "the AUC — asserted in the unit test), each negative's v01 "
+    "mirrors with the pos-above suffix cumulative; their sample "
+    "variances come from the exact moments trick (squares in "
+    "DECIMAL(38,0)/HUGEINT) and Var(AUC) = var(v10)/n1 + var(v01)/n0 "
+    "with a literal z. Same score-domain-bounded bin frame as "
+    "roc_auc — two domain windows, one 1-row agg, a fixed sqrt "
+    "chain.",
+    tags=("embeddings", "mleval", "stats"),
+)
+def roc_auc_ci_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").selectExpr(
+        f"{QUANT_SPARK} AS q", "label % 2 AS y"
+    )
+    b = e.selectExpr(f"{_AUC_SCORE_SPARK} div 16777216 AS bin", "y")
+    per_bin = b.groupBy("bin").agg(
+        F.count("*").cast("long").alias("c"),
+        F.count_if(F.col("y") == 1).cast("long").alias("c1"),
+    )
+    w_below = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    w_above = Window.orderBy("bin").rowsBetween(1, Window.unboundedFollowing)
+    w = per_bin.select(
+        "bin",
+        "c1",
+        F.expr("c - c1").alias("c0"),
+        F.coalesce(F.sum(F.expr("c - c1")).over(w_below), F.lit(0))
+        .cast("long")
+        .alias("below0"),
+        F.coalesce(F.sum("c1").over(w_above), F.lit(0)).cast("long").alias("above1"),
+    )
+    dec = "DECIMAL(38, 0)"
+    agg = w.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum(F.expr("c1 * (2 * below0 + c0)")).cast("long").alias("s1p"),
+        F.sum(
+            F.expr(f"CAST(c1 AS {dec}) * (2 * below0 + c0) * (2 * below0 + c0)")
+        ).alias("s2p"),
+        F.sum(F.expr("c0 * (2 * above1 + c1)")).cast("long").alias("s1n"),
+        F.sum(
+            F.expr(f"CAST(c0 AS {dec}) * (2 * above1 + c1) * (2 * above1 + c1)")
+        ).alias("s2n"),
+    )
+    auc = "(CAST(s1p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))"
+    return agg.selectExpr(
+        "n1 AS n_pos",
+        "n0 AS n_neg",
+        f"{auc} AS auc",
+        f"{_DL_SPARK[2]} AS auc_se",
+        f"({auc} - {_Z95} * {_DL_SPARK[2]}) AS ci_lo",
+        f"({auc} + {_Z95} * {_DL_SPARK[2]}) AS ci_hi",
+    )

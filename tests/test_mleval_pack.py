@@ -809,3 +809,30 @@ def test_cindex_matches_bruteforce(spark, tiny_events_dir):  # noqa: F811
     assert out["n_comparable_pairs"] == comparable
     if comparable:
         assert out["c_index"] == pytest.approx(conc2 / (2 * comparable), rel=1e-12)
+
+
+def test_delong_matches_bruteforce(spark, tiny_embed_dir):
+    d, df = tiny_embed_dir
+    out = REGISTRY["roc_auc_ci_delong"].fn(spark, d).toPandas().iloc[0]
+    auc_row = REGISTRY["roc_auc"].fn(spark, d).toPandas().iloc[0]
+    bins, y = _binned_scores(df)
+    pos, neg = bins[y == 1], bins[y == 0]
+    n1, n0 = len(pos), len(neg)
+    # structural components on the binned scores, brute force
+    v10 = np.array(
+        [((neg < p).sum() + 0.5 * (neg == p).sum()) / n0 for p in pos]
+    )
+    v01 = np.array(
+        [((pos > q).sum() + 0.5 * (pos == q).sum()) / n1 for q in neg]
+    )
+    auc = v10.mean()
+    se = math.sqrt(v10.var(ddof=1) / n1 + v01.var(ddof=1) / n0)
+    assert out["n_pos"] == n1 and out["n_neg"] == n0
+    # mean of v10 IS the AUC — and matches the rank-formula slug
+    assert out["auc"] == pytest.approx(auc, rel=1e-12)
+    assert out["auc"] == pytest.approx(auc_row["auc"], rel=1e-12)
+    assert out["auc_se"] == pytest.approx(se, rel=1e-9)
+    assert out["ci_lo"] == pytest.approx(auc - 1.959963984540054 * se, rel=1e-9)
+    assert out["ci_hi"] == pytest.approx(auc + 1.959963984540054 * se, rel=1e-9)
+    # engineered real signal: the CI must exclude 0.5
+    assert out["ci_lo"] > 0.5

@@ -64,6 +64,7 @@ WAIVERS: dict[str, dict[str, str]] = {
     },
     "mannwhitney_u": {SPE: "running below-count over DISTINCT cents values — bounded by the value domain (<=56k rows), not n; the per-row rank collapse happens in the upstream keyed agg"},
     "auc_store_stream": {SPE: "running below-count over the persisted SCORE-BIN store (a few hundred rows at any n — the score-domain bound); batch merges happened inside foreachBatch"},
+    "roc_auc_ci_delong": {SPE: "below/above cumulatives over the SCORE-BIN domain (a few hundred rows at any n); the per-row collapse is the upstream bin-keyed agg"},
     "roc_curve_table": {SPE: "descending TP/FP cumulatives over the SCORE-BIN domain (a few hundred rows at any n); the per-row collapse is the upstream bin-keyed agg"},
     "qq_plot_table": {NLJ: "broadcast side is the 19-row vigintile spine crossed into the per-arm DISTINCT-cents cumulative frame (value-domain bounded)", SPE: "per-arm cumulative windows over DISTINCT cents values — bounded by the value domain, not n"},
     "roc_auc": {SPE: "running below-count over DISTINCT score bins (width-2^24 binned int64 scores — a few hundred bins at any n); the per-row rank collapse is the upstream bin-keyed agg"},
