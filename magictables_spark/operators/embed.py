@@ -6,8 +6,11 @@ Distributed shape: Arrow-batched ``mapInPandas``; each partition sends
 its texts to the embedder in batches (the reference's asyncio batching
 moves inside the task, like the chain fetcher). The embedder is
 injectable: tests and offline runs use ``hash_embedder`` (deterministic
-md5-seeded vectors — same contract, no network); production passes a
-client-backed callable. Failures embed as null, never task failure.
+md5-seeded vectors — same contract, no network); production passes
+``magictables_spark.llm.embedding.ProviderEmbedder`` — the gated
+litellm/Jina client with the reference's env contract and 5-retry
+backoff (utils.py:179-242) — or any other client-backed callable.
+Failures embed as null, never task failure.
 """
 
 from __future__ import annotations

@@ -1471,7 +1471,11 @@ def rollup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streamed merge lifecycle is value-hash-checked.",
     tags=("events", "pipeline", "warehouse", "streaming", "scale"),
 )
-def rollup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rollup_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
@@ -1481,7 +1485,7 @@ def rollup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_path = os.path.join(sf_dir, "events.parquet")
     cfp = corpus_fingerprint(ev_path)
     tag = hashlib.md5(
-        f"v1:16:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:16:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"rollstream_{tag}")
     src = os.path.join(root, "src")
@@ -1510,8 +1514,12 @@ def rollup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src)
         os.makedirs(applied_dir)
         # seed: history partials, partitioned by day (the rollup key's
-        # coarse component — partition pruning + dynamic overwrite unit)
-        _partials(ev.filter(F.dayofmonth(F.col("ts").cast("date")) < 16)).write.partitionBy(
+        # coarse component — partition pruning + dynamic overwrite unit).
+        # last_batch stamps each partition with the batch that last
+        # rewrote it (-1 = seed) — the per-partition replay guard.
+        _partials(
+            ev.filter(F.dayofmonth(F.col("ts").cast("date")) < 16)
+        ).withColumn("last_batch", F.lit(-1).cast("long")).write.partitionBy(
             "day"
         ).mode("overwrite").parquet(store_dir)
         for shard in range(3):
@@ -1537,11 +1545,14 @@ def rollup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit schema: a store seeded from an EMPTY history has no
     # partition dirs to infer from (day comes back as the formatted
     # string either way — it was written as one)
-    store_schema = "event_type string, n_events bigint, sum_cents bigint, day string"
+    store_schema = (
+        "event_type string, n_events bigint, sum_cents bigint,"
+        " last_batch bigint, day string"
+    )
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(applied_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):  # at-least-once replay guard
+        if os.path.exists(marker):  # fast path: batch fully committed
             return
         parts = _partials(batch_df).localCheckpoint(eager=True)
         touched = [r.day for r in parts.select("day").distinct().collect()]
@@ -1553,21 +1564,46 @@ def rollup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = ss.read.schema(store_schema).parquet(store_dir).filter(
             F.col("day").isin(touched)
         )
-        merged = (
-            cur.unionByName(parts)
-            .groupBy("day", "event_type")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_cents").alias("sum_cents"),
+        # Per-partition replay guard: every dynamic overwrite rewrites
+        # whole day-partitions stamped with last_batch = batch_id, so a
+        # foreachBatch replay (at-least-once) that crashed between the
+        # store overwrite and the marker write sees its own stamp in
+        # the already-merged days and re-merges ONLY the rest — the
+        # marker alone left a double-count window there (the r8
+        # ADVICE defect fixed atomically in auc_store_stream; here the
+        # store is partitioned in place, so the guard moves into the
+        # data instead of a CURRENT pointer).
+        done = {
+            r.day
+            for r in cur.filter(F.col("last_batch") == batch_id)
+            .select("day")
+            .distinct()
+            .collect()
+        }
+        redo = [d for d in touched if d not in done]
+        if redo:
+            merged = (
+                cur.filter(F.col("day").isin(redo))
+                .drop("last_batch")
+                .unionByName(parts.filter(F.col("day").isin(redo)))
+                .groupBy("day", "event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_cents").alias("sum_cents"),
+                )
+                .withColumn("last_batch", F.lit(batch_id).cast("long"))
+                .localCheckpoint(eager=True)  # cut lineage before overwrite
             )
-            .localCheckpoint(eager=True)  # cut lineage before overwrite
-        )
-        (
-            merged.write.option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day")
-            .mode("overwrite")
-            .parquet(store_dir)
-        )
+            (
+                merged.write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("day")
+                .mode("overwrite")
+                .parquet(store_dir)
+            )
+        if batch_id in _crash_after_write:
+            # test hook: die in the ADVICE-flagged window — store
+            # rewritten, marker not yet on disk
+            raise RuntimeError(f"injected crash after batch {batch_id} write")
         with open(marker, "w") as f:
             f.write("ok")
 

@@ -318,7 +318,8 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, token) <= 1000
     )
     SELECT tok.doc_id,
-           list(COALESCE(v.id, -1) ORDER BY tok.ord) AS ids,
+           array_to_string(list(COALESCE(v.id, -1) ORDER BY tok.ord), ' ')
+             AS ids,
            COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_unk
@@ -341,7 +342,8 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "encode stays the same broadcast join; pairs with "
     "sequence_packing (bins) and reproducible_shard_shuffle (order) "
     "to complete the tensor-prep chain. Fully value-hash-oracled "
-    "including the array column (position-exact id sequences).",
+    "including the id sequence (surfaced as a space-joined string — "
+    "position-exact, and scalar for the driver canon).",
     tags=("text", "pipeline", "llm", "scale"),
 )
 def token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,8 +370,11 @@ def token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(
+            # space-joined id string, not array<int>: the driver canon
+            # cannot sort list cells (r08 verdict); position-exact
             F.expr(
-                "transform(array_sort(collect_list(struct(pos, id))), s -> s.id)"
+                "array_join(transform(array_sort(collect_list(struct(pos, id))),"
+                " s -> CAST(s.id AS STRING)), ' ')"
             ).alias("ids"),
             F.count("*").alias("n_tokens"),
             F.sum((F.col("id") == -1).cast("bigint")).alias("n_unk"),
@@ -400,7 +405,7 @@ def token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.bucket = b.b
     )
     SELECT doc_id,
-           list(v ORDER BY bucket) AS vec,
+           array_to_string(list(v ORDER BY bucket), ',') AS vec,
            CAST(SUM(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
     FROM dense
     GROUP BY doc_id
@@ -416,8 +421,9 @@ def token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "features usable for linear models at any corpus size. Output: "
     "the dense 64-bucket signed-count vector per document + its nnz. "
     "Entirely integer arithmetic on a cross-engine-identical hash, so "
-    "the WHOLE vectorization is value-hash-oracled (position-exact "
-    "arrays). Plan shape: one explode, one (doc, bucket) partial agg, "
+    "the WHOLE vectorization is value-hash-oracled (the dense vector "
+    "surfaces comma-joined — position-exact, scalar for the driver "
+    "canon). Plan shape: one explode, one (doc, bucket) partial agg, "
     "one doc-keyed map-assembly — zero joins, zero driver state; at "
     "100 TB this is the map-side-combinable shape that replaces "
     "token_id_encode's vocab broadcast when the vocabulary itself "
@@ -444,9 +450,12 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            # comma-joined dense vector, not array<bigint>: the driver
+            # canon cannot sort list cells (r08 verdict); position-exact
             F.expr(
-                "transform(sequence(0, 63),"
-                " i -> coalesce(element_at(m, CAST(i AS BIGINT)), CAST(0 AS BIGINT)))"
+                "array_join(transform(sequence(0, 63),"
+                " i -> CAST(coalesce(element_at(m, CAST(i AS BIGINT)),"
+                " CAST(0 AS BIGINT)) AS STRING)), ',')"
             ).alias("vec"),
             F.expr(
                 "CAST(aggregate(transform(sequence(0, 63),"

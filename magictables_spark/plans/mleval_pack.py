@@ -81,7 +81,7 @@ _AUC_SCORE_DUCK = "(" + " + ".join(f"q[{i+1}] * ({w})" for i, w in enumerate(_AU
 # the doubled-rank trick shared with mannwhitney_u.
 _AUC = (
     "(CAST(r1d - n1 * (n1 + 1) AS DOUBLE)"
-    " / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))"
+    " / NULLIF(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE), 0.0))"
 )
 
 
@@ -368,9 +368,9 @@ def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS cum_pos,
            (CAST(SUM(n_pos) OVER (ORDER BY band
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-            / CAST(tot_p AS DOUBLE)) AS cum_capture,
+            / NULLIF(CAST(tot_p AS DOUBLE), 0.0)) AS cum_capture,
            ((CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))
-            / (CAST(tot_p AS DOUBLE) / CAST(tot_u AS DOUBLE))) AS lift
+            / NULLIF(CAST(tot_p AS DOUBLE) / CAST(tot_u AS DOUBLE), 0.0)) AS lift
     FROM banded ORDER BY band
     """,
     doc="Gains/lift table of an engagement scorer (click+view count "
@@ -435,9 +435,11 @@ def gains_decile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             "n_pos",
             "cum_pos",
-            "(CAST(cum_pos AS DOUBLE) / CAST(tot_p AS DOUBLE)) AS cum_capture",
+            "(CAST(cum_pos AS DOUBLE) / NULLIF(CAST(tot_p AS DOUBLE), 0.0))"
+            " AS cum_capture",
             "((CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))"
-            " / (CAST(tot_p AS DOUBLE) / CAST(tot_u AS DOUBLE))) AS lift",
+            " / NULLIF(CAST(tot_p AS DOUBLE) / CAST(tot_u AS DOUBLE), 0.0))"
+            " AS lift",
         )
         .orderBy("band")
     )
@@ -2501,11 +2503,20 @@ def roc_auc_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the per-batch rewrite is O(domain), not O(data) — the one "
     "store in the family small enough that partition-pruned rewrites "
     "would cost more than they save (contrast rollup_store_stream's "
-    "day-pruned dynamic overwrite). Batch markers make the "
-    "non-idempotent merge replay-safe.",
+    "day-pruned dynamic overwrite). The non-idempotent merge commits "
+    "by writing a fresh store_v{batch} directory and atomically "
+    "os.replace-ing the CURRENT pointer (which also records the last "
+    "applied batch id) — a replayed batch either sees its id in "
+    "CURRENT and skips, or re-merges from the untouched pre-merge "
+    "version, so a crash between store write and commit can never "
+    "double-count.",
     tags=("embeddings", "mleval", "streaming", "warehouse", "scale"),
 )
-def auc_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def auc_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
@@ -2515,13 +2526,36 @@ def auc_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     tag = hashlib.md5(
-        f"v1:4:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:4:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"aucstream_{tag}")
     src = os.path.join(root, "src")
-    store_dir = os.path.join(root, "store")
-    applied_dir = os.path.join(root, "applied")
     ready = os.path.join(root, "_READY")
+
+    # Versioned store + one CURRENT pointer file: each batch merges
+    # into a FRESH store_v{batch_id} directory and then commits by
+    # atomically os.replace-ing CURRENT, whose contents are
+    # "<last_batch_id>\n<store dir>". The flip is the single commit
+    # point — a foreachBatch replay (at-least-once) either sees its
+    # batch_id already in CURRENT (crash after flip: skip) or re-merges
+    # from the unchanged pre-merge store (crash before flip: the
+    # half-written store_v{b} is simply overwritten). The old scheme —
+    # overwrite store in place, then write a marker — double-counted a
+    # batch replayed between those two writes (r8 ADVICE, medium).
+    current = os.path.join(root, "CURRENT")
+
+    def _read_current() -> tuple[int, str]:
+        with open(current) as f:
+            b, v = f.read().splitlines()[:2]
+        return int(b), v
+
+    def _flip(batch_id: int, version: str) -> None:
+        tmp = f"{current}.tmp{batch_id}"
+        with open(tmp, "w") as f:
+            f.write(f"{batch_id}\n{version}")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, current)
 
     def _bins(df: DataFrame) -> DataFrame:
         return (
@@ -2537,10 +2571,10 @@ def auc_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(ready):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(src)
-        os.makedirs(applied_dir)
         _bins(emb.filter(F.col("vec_id") % 4 < 3)).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(store_dir)
+        ).parquet(os.path.join(root, "store_vinit"))
+        _flip(-1, "store_vinit")
         for shard in range(3):
             part_dir = os.path.join(root, f"part{shard}")
             (
@@ -2562,25 +2596,35 @@ def auc_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_schema = "bin bigint, c bigint, c1 bigint"
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):  # at-least-once replay guard
+        last_applied, cur_version = _read_current()
+        if batch_id <= last_applied:  # replay of a committed batch
             return
         parts = _bins(batch_df).localCheckpoint(eager=True)
         if parts.rdd.isEmpty():
-            with open(marker, "w") as f:
-                f.write("ok")
+            _flip(batch_id, cur_version)  # commit the no-op
             return
         ss = batch_df.sparkSession
-        cur = ss.read.schema(store_schema).parquet(store_dir)
+        cur = ss.read.schema(store_schema).parquet(
+            os.path.join(root, cur_version)
+        )
+        new_version = f"store_v{batch_id}"
         merged = (
             cur.unionByName(parts)
             .groupBy("bin")
             .agg(F.sum("c").cast("long").alias("c"), F.sum("c1").cast("long").alias("c1"))
-            .localCheckpoint(eager=True)  # cut lineage before overwrite
         )
-        merged.coalesce(1).write.mode("overwrite").parquet(store_dir)
-        with open(marker, "w") as f:
-            f.write("ok")
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, new_version)
+        )
+        if batch_id in _crash_after_write:
+            # test hook: die in the ADVICE-flagged window — new store
+            # version on disk, CURRENT not yet flipped
+            raise RuntimeError(f"injected crash after batch {batch_id} write")
+        _flip(batch_id, new_version)  # the commit point
+        # pre-merge version is unreachable after the flip (a replay of
+        # THIS batch short-circuits above, and only the latest batch
+        # can replay under availableNow) — reclaim it
+        shutil.rmtree(os.path.join(root, cur_version), ignore_errors=True)
 
     name = f"mts_aucstream_{tag}"
     for active in spark.streams.active:
@@ -2602,7 +2646,10 @@ def auc_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
 
-    per_bin = spark.read.schema(store_schema).parquet(store_dir)
+    _, final_version = _read_current()
+    per_bin = spark.read.schema(store_schema).parquet(
+        os.path.join(root, final_version)
+    )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     wdf = per_bin.withColumn("below", F.coalesce(F.sum("c").over(w), F.lit(0)))
     agg = wdf.agg(
@@ -2648,8 +2695,8 @@ def auc_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_bin
     )
     SELECT bin AS threshold_bin, tp, fp,
-           (CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)) AS tpr,
-           (CAST(fp AS DOUBLE) / CAST(n AS DOUBLE)) AS fpr,
+           (CAST(tp AS DOUBLE) / NULLIF(CAST(p AS DOUBLE), 0.0)) AS tpr,
+           (CAST(fp AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0)) AS fpr,
            (CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0.0))
              AS precision_
     FROM cum ORDER BY threshold_bin DESC
@@ -2687,8 +2734,8 @@ def roc_curve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin AS threshold_bin",
         "tp",
         "fp",
-        "(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)) AS tpr",
-        "(CAST(fp AS DOUBLE) / CAST(n AS DOUBLE)) AS fpr",
+        "(CAST(tp AS DOUBLE) / NULLIF(CAST(p AS DOUBLE), 0.0)) AS tpr",
+        "(CAST(fp AS DOUBLE) / NULLIF(CAST(n AS DOUBLE), 0.0)) AS fpr",
         "(CAST(tp AS DOUBLE) / NULLIF(CAST(tp + fp AS DOUBLE), 0.0)) AS precision_",
     ).orderBy(F.desc("threshold_bin"))
 
@@ -3001,12 +3048,12 @@ _Z95 = "1.959963984540054"
       FROM w
     )
     SELECT n1 AS n_pos, n0 AS n_neg,
-           (CAST(s1p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+           (CAST(s1p AS DOUBLE) / NULLIF(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE), 0.0))
              AS auc,
            {_DL_DUCK[2]} AS auc_se,
-           ((CAST(s1p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+           ((CAST(s1p AS DOUBLE) / NULLIF(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE), 0.0))
             - {_Z95} * {_DL_DUCK[2]}) AS ci_lo,
-           ((CAST(s1p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+           ((CAST(s1p AS DOUBLE) / NULLIF(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE), 0.0))
             + {_Z95} * {_DL_DUCK[2]}) AS ci_hi
     FROM agg
     """,
@@ -3057,7 +3104,7 @@ def roc_auc_ci_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(c0 AS {dec}) * (2 * above1 + c1) * (2 * above1 + c1)")
         ).alias("s2n"),
     )
-    auc = "(CAST(s1p AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))"
+    auc = "(CAST(s1p AS DOUBLE) / NULLIF(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE), 0.0))"
     return agg.selectExpr(
         "n1 AS n_pos",
         "n0 AS n_neg",

@@ -129,16 +129,20 @@ def json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_list_string",
     oracle="""
     SELECT o_orderpriority,
-           list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+           string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) AS statuses,
            string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS status_csv,
-           COUNT(*) AS n
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses
     FROM orders
     GROUP BY o_orderpriority
     """,
     doc="Grouped list / string aggregation (Polars agg-list, SQL "
-    "LISTAGG). Spark's collect_set is unordered, so the list is "
-    "canonicalized with sort_array before compare — the only "
-    "deterministic way to emit a collection column cross-engine.",
+    "LISTAGG). Spark's collect_set is unordered, so the set is "
+    "canonicalized with sort_array; the ordered list surfaces as a "
+    "pipe-joined string plus its cardinality rather than a raw array "
+    "column, because the driver's pandas sort_values canonicalization "
+    "cannot hash list cells (r08 verdict) — the joined form is "
+    "position-exact so the check is just as strong.",
     tags=("relational", "agg", "nested"),
 )
 def agg_list_string(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,9 +151,10 @@ def agg_list_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            statuses.alias("statuses"),
+            F.array_join(statuses, "|").alias("statuses"),
             F.array_join(statuses, ",").alias("status_csv"),
             F.count("*").alias("n"),
+            F.size(statuses).alias("n_statuses"),
         )
     )
 

@@ -24,6 +24,17 @@ stable across two engines:
    (``ROUND(x * 1e6)``) before any dot product/norm, making similarity
    integer-exact and order-independent; only the final cosine is a
    double derived from identical integers.
+6. **Driver-safe output schemas**: every registered query emits ONLY
+   scalar columns — int/bigint/float/double/string/boolean/date/
+   timestamp (``tests.parity.DRIVER_SAFE_TYPENAMES``).  The driver's
+   canonicalization is pandas ``sort_values`` + value hash, which
+   crashes on array/map/struct cells and hash-diverges on Decimal
+   (both measured in CORRECTNESS_r08).  Ordered collections surface as
+   joined strings (``array_join`` / ``array_to_string``), exact decimal
+   sums as a final ``CAST(... AS BIGINT)``.  Enforced by
+   ``tests/test_output_types.py`` + the schema gate inside
+   ``tests.parity.compare`` and replayed by
+   ``tools/driver_canon_smoke.py``.
 """
 
 from __future__ import annotations

@@ -2146,9 +2146,11 @@ def _kmeans_oracle(k: int = 8, rounds: int = 5, dim: int = 64) -> str:
     EXACTLY: distances are the same left-associated 64-term chain the
     Spark aggregate/zip_with fold computes, centroid updates are
     exact-int SUM / COUNT in one double division, and the reported
-    inertia is SUM(FLOOR(min_dist)) in DECIMAL(38,0) — floor of a
-    double is rounding-mode-free, so the output is hash-exact where a
-    raw double sum would be fold-order-dependent."""
+    inertia is SUM(FLOOR(min_dist)) in DECIMAL(38,0), surfaced as
+    BIGINT — floor of a double is rounding-mode-free, so the output is
+    hash-exact where a raw double sum would be fold-order-dependent,
+    and the scalar bigint is driver-canonicalizable where the decimal
+    was not (r08 red)."""
 
     def dist(qcol: str, ccol: str) -> str:
         return " + ".join(
@@ -2197,7 +2199,7 @@ def _kmeans_oracle(k: int = 8, rounds: int = 5, dim: int = 64) -> str:
     WITH {", ".join(ctes)}
     SELECT i.cluster_id,
            COALESCE(f.n_members, 0) AS n_members,
-           COALESCE(f.inertia, CAST(0 AS DECIMAL(38,0))) AS inertia
+           CAST(COALESCE(f.inertia, 0) AS BIGINT) AS inertia
     FROM (
       SELECT CAST(range AS INT) AS cluster_id FROM range({k})
       WHERE EXISTS (SELECT 1 FROM norms)
@@ -2224,9 +2226,10 @@ def _kmeans_oracle(k: int = 8, rounds: int = 5, dim: int = 64) -> str:
     "makes; lineage stays flat because each round starts from a "
     "collected literal, not the prior round's plan. Returns one row "
     "per cluster with member count and inertia, where inertia is "
-    "SUM(FLOOR(min_dist)) summed in DECIMAL(38,0): floor of a double "
-    "has no rounding-mode ambiguity and the decimal sum is "
-    "fold-order-exact, which is what upgrades this from the old "
+    "SUM(FLOOR(min_dist)) summed in DECIMAL(38,0) then surfaced as "
+    "BIGINT (integral by construction; scalar for the driver canon): "
+    "floor of a double has no rounding-mode ambiguity and the decimal "
+    "sum is fold-order-exact, which is what upgrades this from the old "
     "rows-only gate to a full value-hash oracle — a 5-round UNROLLED "
     "fixed-point CTE (_kmeans_oracle) that mirrors the exact double "
     "sequence: same left-associated per-dim distance chain, same "
@@ -2254,7 +2257,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.select(
                 F.lit(0).alias("cluster_id"),
                 F.lit(0).cast("bigint").alias("n_members"),
-                F.lit(0).cast("decimal(38,0)").alias("inertia"),
+                F.lit(0).cast("bigint").alias("inertia"),
             ).limit(0)
         )
 
@@ -2295,7 +2298,12 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     final = assigned.groupBy(F.col("_c").alias("cluster_id")).agg(
         F.count("*").alias("n_members"),
-        F.sum(F.floor(F.array_min("_d")).cast("decimal(38,0)")).alias("inertia"),
+        # sum in DECIMAL(38,0) (fold-order-exact), then surface as
+        # BIGINT: floor-sums are integral by construction and decimal
+        # is not a driver-canonicalizable output type (r08 verdict)
+        F.sum(F.floor(F.array_min("_d")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("inertia"),
     )
     # guarantee k rows even if a cluster empties
     ids = spark.range(k).select(F.col("id").cast("int").alias("cluster_id"))
@@ -2304,7 +2312,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cluster_id",
             F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
-            F.coalesce("inertia", F.lit(0).cast("decimal(38,0)")).alias("inertia"),
+            F.coalesce("inertia", F.lit(0).cast("bigint")).alias("inertia"),
         )
     )
 
@@ -2794,7 +2802,7 @@ _PQ_ADC_TAIL = f"""
     "vector_quantize_pq",
     oracle=f"""
     WITH {_PQ_ENC_DUCK}
-    SELECT vec_id, codes, recon_l2,
+    SELECT vec_id, array_to_string(codes, ',') AS codes, recon_l2,
            CAST(list_sum(codes) AS BIGINT) AS code_sum
     FROM enc
     ORDER BY vec_id
@@ -2818,9 +2826,13 @@ _PQ_ADC_TAIL = f"""
 )
 def vector_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = _pq_encoded(spark, sf_dir)
+    # codes surface as a comma-joined string: array cells crash the
+    # driver's pandas sort_values canonicalization (r08 err), and the
+    # joined form is position-exact so nothing is lost vs the array
     return enc.select(
         "vec_id",
-        "codes",
+        F.expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')")
+        .alias("codes"),
         "recon_l2",
         F.expr(
             "CAST(aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> acc + c)"

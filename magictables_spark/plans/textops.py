@@ -1625,7 +1625,7 @@ def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reached.select(F.col("v").alias("doc_id"), "hop").orderBy("doc_id")
 
 
-# Link-prediction edges use a MUCH looser 0.025 Jaccard threshold than
+# Link-prediction edges use a MUCH looser 0.02 Jaccard threshold than
 # the dedup graph: the fixture's pairwise-Jaccard distribution is
 # bimodal (planted dups >= 0.95, topical background <= 0.037 — measured
 # before registration), so every mid threshold yields a PERFECT

@@ -13,6 +13,39 @@ from decimal import Decimal
 
 import pandas as pd
 
+# The driver canonicalizes results with pandas ``sort_values`` over all
+# columns and hashes the cell values. That makes exactly these Spark
+# output types safe; everything else either crashes the sort (arrays,
+# maps, structs: unhashable/unorderable python objects) or hashes
+# engine-dependently (DECIMAL: Spark Decimal vs DuckDB decimal128
+# disagree under the driver's canon even when values match — measured
+# in CORRECTNESS_r08). Every registered query MUST emit only these.
+DRIVER_SAFE_TYPENAMES = frozenset(
+    {
+        "byte",
+        "short",
+        "integer",
+        "long",
+        "float",
+        "double",
+        "string",
+        "boolean",
+        "date",
+        "timestamp",
+        "timestamp_ntz",
+    }
+)
+
+
+def driver_unsafe_columns(spark_df) -> list[tuple[str, str]]:
+    """(name, typeName) for every output column the driver cannot
+    canonicalize. Empty list == driver-safe schema."""
+    return [
+        (f.name, f.dataType.typeName())
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() not in DRIVER_SAFE_TYPENAMES
+    ]
+
 
 def _canon_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
@@ -42,6 +75,9 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple]:
 
 
 def compare(spark_df, duck_rel) -> tuple[bool, str]:
+    bad = driver_unsafe_columns(spark_df)
+    if bad:
+        return False, f"driver-unsafe output column types: {bad}"
     spdf = spark_df.toPandas()
     ddf = duck_rel.df()
     if len(spdf) != len(ddf):

@@ -750,6 +750,43 @@ def test_auc_store_stream_equals_batch_auc(spark, sf_dir):
     )
 
 
+def test_auc_store_stream_crash_before_commit_recovers_exactly_once(spark, sf_dir):
+    """Kill the maintainer in the ADVICE-flagged window — merged
+    store_v{batch} written, CURRENT pointer NOT yet flipped — then
+    restart from the checkpoint. The replayed batch re-merges from the
+    untouched pre-merge version (the half-committed store is simply
+    overwritten), so the served AUC still equals the from-scratch
+    batch computation: no double-count."""
+    import hashlib
+    import os
+    import shutil
+
+    from magictables_spark.plans.mleval_pack import auc_store_stream
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    tag = hashlib.md5(
+        f"v2:4:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"aucstream_{tag}")
+    shutil.rmtree(root, ignore_errors=True)  # force a cold build
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        auc_store_stream(spark, sf_dir, _crash_after_write=frozenset({1}))
+
+    with open(os.path.join(root, "CURRENT")) as f:
+        last_applied = int(f.read().splitlines()[0])
+    assert last_applied == 0  # batch 1 wrote store_v1 but never committed
+
+    recovered = auc_store_stream(spark, sf_dir).toPandas()
+    batch = REGISTRY["roc_auc"].fn(spark, sf_dir).toPandas()
+    pd.testing.assert_frame_equal(
+        recovered.reset_index(drop=True), batch.reset_index(drop=True)
+    )
+
+
 def test_roc_curve_table_consistency(spark, tiny_embed_dir):
     out = REGISTRY["roc_curve_table"].fn(spark, tiny_embed_dir[0]).toPandas()
     auc_row = REGISTRY["roc_auc"].fn(spark, tiny_embed_dir[0]).toPandas().iloc[0]

@@ -27,7 +27,7 @@ def _root():
 
     cfp = corpus_fingerprint(os.path.join(SF, "events.parquet"))
     tag = hashlib.md5(
-        f"v1:16:{os.path.realpath(SF)}:{cfp}".encode()
+        f"v2:16:{os.path.realpath(SF)}:{cfp}".encode()
     ).hexdigest()[:12]
     return store_root(f"rollstream_{tag}")
 
@@ -80,6 +80,54 @@ def test_merged_store_equals_full_rollup_and_history_untouched(spark):
     assert hist, "history partitions must exist"
     for rel, ns in hist:
         assert ns < first_merge_ns, rel
+
+
+def test_crash_between_store_write_and_marker_recovers_exactly_once(spark):
+    """Kill the maintainer in the ADVICE-flagged window — store
+    partitions rewritten, applied marker NOT yet on disk — then restart
+    from the checkpoint. The replayed batch must not double-merge: the
+    per-partition last_batch stamp makes the dynamic overwrite
+    idempotent, so the recovered store still equals the from-scratch
+    rollup (exactly-once despite at-least-once foreachBatch)."""
+    import shutil
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import functions as F
+
+    from magictables_spark.plans.events_pack import VAL_I, rollup_store_stream
+
+    shutil.rmtree(_root(), ignore_errors=True)  # force a cold build
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        rollup_store_stream(spark, SF, _crash_after_write=frozenset({1}))
+
+    root = _root()
+    markers = sorted(os.listdir(os.path.join(root, "applied")))
+    assert markers == ["batch_0"], markers  # died inside batch 1
+
+    got = {
+        (r.day, r.event_type): (r.n_events, r.sum_cents)
+        for r in rollup_store_stream(spark, SF).collect()
+    }
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    want = {
+        (r.day, r.event_type): (r.n_events, r.sum_cents)
+        for r in ev.select(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.expr(VAL_I).alias("cents"),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents"))
+        .collect()
+    }
+    assert got == want
+    assert sorted(os.listdir(os.path.join(root, "applied"))) == [
+        "batch_0",
+        "batch_1",
+        "batch_2",
+    ]
 
 
 def test_warm_reinvocation_runs_zero_batches(spark):
