@@ -220,7 +220,7 @@ def _media_fixture_dir() -> str:
            CAST(feature_dim AS INT) AS feature_dim,
            CAST(mean_stat AS DOUBLE) AS mean_stat
     FROM (VALUES
-      ('audio/mpeg', 7, 6, 3, 8, 0.387593),
+      ('audio/mpeg', 9, 8, 8, 8, 0.271742),
       ('audio/wav',  9, 8, 8, 8, 0.39526),
       ('image/bmp',  4, 4, 4, 8, 0.149125),
       ('image/jpeg', 7, 6, 6, 8, 0.433248),
@@ -230,8 +230,8 @@ def _media_fixture_dir() -> str:
     """,
     doc="Multimodal column pipeline as a query: the COMMITTED "
     "deterministic media corpus (tests/fixtures/media: 8 PNGs + 4 BMPs "
-    "+ 6 JPEGs + 8 WAVs + 3 MP3s + 3 MP2s + 2 MP4s + 1 corrupt file "
-    "per PNG/WAV/JPEG/MP3/MP4 modality) is "
+    "+ 6 JPEGs + 8 WAVs + 3 MP3s + 2 Layer-III audio clips + 3 MP2s + "
+    "2 MP4s + 1 corrupt file per PNG/WAV/JPEG/MP3/MP4 modality) is "
     "ingested via the binaryFile source with mime "
     "tagging, REAL-decoded with the pure-stdlib PNG/BMP/WAV/JPEG "
     "codecs (struct/zlib scanline unfiltering, wave-module PCM stats, "

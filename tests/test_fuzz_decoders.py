@@ -109,6 +109,13 @@ def test_media_mutations_never_escape(seed):
         ),
     ]
     mp3s = [encode_mp3_fixture(12), encode_mp3_fixture(4, kbps=64, sample_rate=32000, id3=False)]
+    from magictables_spark.operators.media_codecs import encode_mp3_audio_fixture
+
+    l3s = [
+        encode_mp3_audio_fixture(n_frames=4, channels=1),
+        encode_mp3_audio_fixture(n_frames=4, channels=2, with_short=True,
+                                 count1_table="B", sample_rate=48000, kbps=160),
+    ]
     mp4s = [encode_mp4_fixture(5.0), encode_mp4_fixture(2.0, video=None)]
     _t = np.arange(12000) / 48000.0
     mp2s = [
@@ -130,10 +137,11 @@ def test_media_mutations_never_escape(seed):
         elif kind < 0.74:
             data, dec, mime = bytearray(rng.choice(mp3s)), decode_mp3_meta, "audio/mpeg"
         elif kind < 0.82:
-            # full Layer I/II PCM decode over mutated streams: same
+            # full Layer I/II/III PCM decode over mutated streams: same
             # contract — UnsupportedMediaError or finite stats, never
             # an escaping exception
-            data, dec, mime = bytearray(rng.choice(mp2s)), decode_mpeg1_audio, "audio/mpeg"
+            pool = mp2s if rng.random() < 0.5 else l3s
+            data, dec, mime = bytearray(rng.choice(pool)), decode_mpeg1_audio, "audio/mpeg"
         elif kind < 0.9:
             data, dec, mime = bytearray(rng.choice(mp4s)), decode_mp4_meta, "video/mp4"
         else:

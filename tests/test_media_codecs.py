@@ -157,9 +157,10 @@ def test_multimodal_features_query_real_decode(spark, sf_dir):
     assert jpg["feature_dim"] == 8
     # sample-decoded modalities: decoded == ok
     assert png["n_full_decoded"] == 8 and jpg["n_full_decoded"] == 6
-    # audio/mpeg: 3 MP3s (metadata rows, decoded=False) + 3 MP2s
-    # (REAL Layer I/II PCM decode, decoded=True) + 1 corrupt
-    assert mp3["n_files"] == 7 and mp3["n_decoded"] == 6 and mp3["n_full_decoded"] == 3
+    # audio/mpeg: 3 legacy MP3s (zero payloads -> Layer III silence
+    # decode) + 2 painted Layer III clips + 3 MP2s — ALL full PCM
+    # decodes since round 9 — plus 1 corrupt
+    assert mp3["n_files"] == 9 and mp3["n_decoded"] == 8 and mp3["n_full_decoded"] == 8
     assert mp4["n_files"] == 3 and mp4["n_decoded"] == 2 and mp4["n_full_decoded"] == 0
     assert mp3["feature_dim"] == 8 and mp4["feature_dim"] == 8
     # decoded stats are real: mean pixel (index 4) in (0, 1), audio rms > 0
@@ -167,7 +168,7 @@ def test_multimodal_features_query_real_decode(spark, sf_dir):
     assert 0.0 < bmp["mean_stat"] < 1.0
     assert 0.0 < jpg["mean_stat"] < 1.0
     assert wav["mean_stat"] > 0.0
-    assert mp3["mean_stat"] > 0.0  # index 4 = bitrate_kbps / 320
+    assert mp3["mean_stat"] > 0.0  # index 4 = rms (all rows PCM-decoded)
 
 def test_png_corrupt_idat_is_unsupported_not_zlib_error():
     """Valid signature + IHDR but garbage IDAT must raise
@@ -500,13 +501,12 @@ def test_mp4_meta_refuses_garbage():
 
 
 def test_mp3_mp4_media_features_metadata_rows():
-    from magictables_spark.operators.media_codecs import (
-        encode_mp3_fixture,
-        encode_mp4_fixture,
-    )
+    from magictables_spark.operators.media_codecs import encode_mp4_fixture
 
-    v = media_features(encode_mp3_fixture(n_frames=10, kbps=128), "audio/mpeg", 8)
-    assert v[0] == 2.0 and v[1] == 2.0  # audio tag, stereo
+    # an uncarried Layer III Huffman table is the remaining audio/mpeg
+    # metadata row (zero-payload streams PCM-decode since round 9)
+    v = media_features(_l3_uncarried_table_stream(10), "audio/mpeg", 8)
+    assert v[0] == 2.0 and v[1] == 1.0  # audio tag, mono
     assert v[4] == pytest.approx(128.0 / 320.0)  # bitrate stat
     v = media_features(encode_mp4_fixture(duration_sec=3.0), "video/mp4", 8)
     assert v[0] == 3.0 and v[1] == 2.0 and v[2] == pytest.approx(3.0)
@@ -631,10 +631,44 @@ def test_mpeg1_layer2_exercises_grouped_codes_and_scfsi():
     assert spec[f20k - 8 : f20k + 8].max() > 0.2 * spec.max()
 
 
+def _l3_uncarried_table_stream(n_frames: int = 3) -> bytes:
+    """Valid Layer III frames whose big-value region selects Huffman
+    table 16 — outside the carried subset, so full decode must raise
+    and the dispatch must fall back to the metadata walk."""
+    from magictables_spark.operators.media_codecs import _BitsW
+
+    hdr = bytes((0xFF, 0xFB, (0x9 << 4) | (0 << 2), 3 << 6))  # 128k 44.1 mono
+    flen = 144 * 128000 // 44100
+    out = bytearray()
+    for _ in range(n_frames):
+        w = _BitsW()
+        w.write(0, 9)
+        w.write(0, 5)
+        w.write(0, 4)
+        for _gr in range(2):
+            w.write(100, 12)  # part2_3_length
+            w.write(1, 9)  # big_values: one pair, forces a table read
+            w.write(210, 8)
+            w.write(0, 4)
+            w.write(0, 1)  # long block
+            w.write(16, 5)  # region0 table 16: NOT carried
+            w.write(0, 5)
+            w.write(0, 5)
+            w.write(0, 4)
+            w.write(0, 3)
+            w.write(0, 1)
+            w.write(0, 1)
+            w.write(0, 1)
+        out += hdr + w.pad_to(17) + b"\x00" * (flen - 4 - 17)
+    return bytes(out)
+
+
 def test_mpeg_audio_dispatch_and_provenance():
-    """decode_mpeg_audio: Layer I/II -> full decode (decoded=True);
-    Layer III -> metadata walk (decoded=False). media_features_ex
-    surfaces the same per-file provenance to the Spark kernel."""
+    """decode_mpeg_audio: Layer I/II/III within the carried tables ->
+    full decode (decoded=True; zero-payload Layer III = valid silence);
+    an uncarried Huffman table -> metadata walk (decoded=False).
+    media_features_ex surfaces the same per-file provenance to the
+    Spark kernel."""
     import numpy as np
 
     from magictables_spark.operators.media_codecs import (
@@ -647,11 +681,14 @@ def test_mpeg_audio_dispatch_and_provenance():
     t = np.arange(24000) / 48000
     l2 = encode_mpeg1_fixture(0.5 * np.sin(2 * np.pi * 500 * t), layer=2,
                               kbps=192, sample_rate=48000, channels=1)
-    l3 = encode_mp3_fixture(n_frames=10, kbps=128)
+    l3_silent = encode_mp3_fixture(n_frames=10, kbps=128)
+    l3_meta = _l3_uncarried_table_stream()
+    silent = decode_mpeg_audio(l3_silent)
     assert decode_mpeg_audio(l2)["decoded"] is True
-    assert decode_mpeg_audio(l3)["decoded"] is False
+    assert silent["decoded"] is True and silent["rms"] == 0.0
+    assert decode_mpeg_audio(l3_meta)["decoded"] is False
     v2, d2 = media_features_ex(l2, "audio/mpeg", 8)
-    v3, d3 = media_features_ex(l3, "audio/mpeg", 8)
+    v3, d3 = media_features_ex(l3_meta, "audio/mpeg", 8)
     assert d2 is True and d3 is False
     # decoded rows carry rms/peak/zcr in slots 4-6 (the WAV contract)
     assert 0.2 < v2[4] < 0.5 and 0.3 < v2[5] < 0.7
@@ -701,3 +738,130 @@ def test_mpeg1_fixture_dir_rows_decode_in_kernel_path():
             vec, decoded = media_features_ex(f.read(), "audio/mpeg", 8)
         assert decoded is True
         assert vec[0] == 2.0 and vec[4] > 0.05  # audio tag, nonzero rms
+
+
+def _l3_reference_pcm(n_frames: int, channels: int, with_short: bool,
+                      sample_rate: int) -> "np.ndarray":
+    """INDEPENDENT numpy implementation of the Layer III synthesis
+    chain — requantize, short-block reorder, alias butterflies, IMDCT
+    with windows/overlap, frequency inversion — sharing with the
+    decoder only the fixture's spectral DEFINITION
+    (_l3_fixture_granule_spec/_l3_fixture_tvals_scf) and the
+    L1/L2-proven PQMF synthesis bank. Every transform here is built
+    from the ISO formulas directly, vectorized differently from the
+    decoder's per-subband loops."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import (
+        _L3_SFB_LONG,
+        _L3_SFB_SHORT,
+        _l3_fixture_granule_spec,
+        _l3_fixture_tvals_scf,
+        _pqmf_synthesize,
+    )
+
+    sfl, sfs = _L3_SFB_LONG[sample_rate], _L3_SFB_SHORT[sample_rate]
+    # IMDCT bases and windows, from the spec formulas
+    i36, k18 = np.meshgrid(np.arange(36), np.arange(18), indexing="ij")
+    M36 = np.cos(np.pi / 72 * (2 * i36 + 1 + 18) * (2 * k18 + 1))
+    i12, k6 = np.meshgrid(np.arange(12), np.arange(6), indexing="ij")
+    M12 = np.cos(np.pi / 24 * (2 * i12 + 1 + 6) * (2 * k6 + 1))
+    n = np.arange(36)
+    win = {0: np.sin(np.pi / 36 * (n + 0.5))}
+    w1 = np.sin(np.pi / 36 * (n + 0.5))
+    w1[18:24], w1[30:] = 1.0, 0.0
+    w1[24:30] = np.sin(np.pi / 12 * (np.arange(6) + 0.5 + 6))
+    win[1] = w1
+    w3 = np.sin(np.pi / 36 * (n + 0.5))
+    w3[:6], w3[12:18] = 0.0, 1.0
+    w3[6:12] = np.sin(np.pi / 12 * (np.arange(6) + 0.5))
+    win[3] = w3
+    wshort = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+    ci = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037])
+    cs, ca = 1 / np.sqrt(1 + ci**2), ci / np.sqrt(1 + ci**2)
+
+    pcm = []
+    for ch in range(channels):
+        overlap = np.zeros((32, 18))
+        blocks = []
+        for gidx in range(2 * n_frames):
+            spec = _l3_fixture_granule_spec(gidx, ch, with_short)
+            tvals, lsc, ssc = _l3_fixture_tvals_scf(spec, sfl, sfs)
+            bt = spec["block_type"]
+            xr = np.zeros(576)
+            if bt == 2:
+                pos = 0
+                for s in range(12):
+                    width = sfs[s + 1] - sfs[s]
+                    for w in range(3):
+                        amp = 2.0 ** (
+                            -2.0 * spec["subblock_gain"][w] - 1.0 * ssc[s][w]
+                        )
+                        for j in range(sfs[s], sfs[s + 1]):
+                            xr[18 * (j // 6) + 3 * (j % 6) + w] = tvals[pos] * amp
+                            pos += 1
+            else:
+                for b in range(21):
+                    xr[sfl[b]:sfl[b + 1]] = (
+                        np.array(tvals[sfl[b]:sfl[b + 1]]) * 2.0 ** (-1.0 * lsc[b])
+                    )
+                xr[sfl[21]:] = tvals[sfl[21]:576]
+                # alias butterflies between adjacent subbands
+                for sb in range(1, 32):
+                    lo = 18 * sb - 1 - np.arange(8)
+                    hi = 18 * sb + np.arange(8)
+                    a, b_ = xr[lo].copy(), xr[hi].copy()
+                    xr[lo] = a * cs - b_ * ca
+                    xr[hi] = b_ * cs + a * ca
+            out = np.empty((18, 32))
+            for sb in range(32):
+                X = xr[18 * sb:18 * sb + 18]
+                if bt == 2:
+                    y = np.zeros(36)
+                    for w in range(3):
+                        y[6 + 6 * w:18 + 6 * w] += (M12 @ X[w::3][:6]) * wshort
+                else:
+                    y = (M36 @ X) * win[bt]
+                out[:, sb] = y[:18] + overlap[sb]
+                overlap[sb] = y[18:]
+            inv = np.ones((18, 32))
+            inv[1::2, 1::2] = -1.0
+            blocks.append(out * inv)
+        pcm.append(_pqmf_synthesize(np.concatenate(blocks)))
+    return np.stack(pcm)
+
+
+@pytest.mark.parametrize(
+    ("channels", "with_short", "table", "sr"),
+    [(1, False, "A", 44100), (2, True, "B", 48000), (1, True, "A", 32000)],
+)
+def test_l3_decode_matches_independent_reference(channels, with_short, table, sr):
+    """The full Layer III decode path (side info, scalefactors, count1
+    Huffman, requantization, reorder, alias reduction, IMDCT, overlap,
+    frequency inversion) reproduces the independently implemented
+    reference synthesis of the same painted spectrum — PCM equal to
+    float tolerance, not just stats."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg1_audio,
+        encode_mp3_audio_fixture,
+    )
+
+    n_frames = 6
+    data = encode_mp3_audio_fixture(
+        n_frames=n_frames, channels=channels, with_short=with_short,
+        count1_table=table, sample_rate=sr,
+        kbps=160 if sr == 48000 else 128,
+    )
+    out = decode_mpeg1_audio(data, return_pcm=True)
+    assert out["decoded"] is True and out["layer"] == 3
+    assert out["channels"] == channels and out["sample_rate"] == sr
+    assert out["n_samples"] == n_frames * 1152
+    assert out["rms"] > 0.01 and out["peak"] > 0.05
+    ref = _l3_reference_pcm(n_frames, channels, with_short, sr)
+    got = out["pcm"]
+    assert got.shape == ref.shape
+    peak = np.abs(ref).max()
+    assert peak > 0
+    assert np.max(np.abs(got - ref)) < 1e-9 * max(1.0, peak)
