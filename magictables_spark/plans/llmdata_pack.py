@@ -465,3 +465,186 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — iterative byte-pair-encoding vocabulary training
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled BPE training as DuckDB CTEs — the kmeans_lloyd trick
+    applied to tokenizer training. Greedy left-to-right non-overlapping
+    pair merging is expressed relationally: merge candidates can only
+    overlap when left == right symbol, in which case they form runs of
+    consecutive positions; greedy keeps the odd-ranked candidates of
+    each run (the parity rule), which is provably what a left-to-right
+    fold does."""
+    ctes = [
+        """wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ), s0 AS (
+      SELECT word, freq, CAST(z[2] AS INT) AS pos, z[1] AS sym FROM (
+        SELECT word, freq,
+               unnest(list_zip(
+                 list_transform(range(1, length(word) + 1),
+                                i -> substr(word, CAST(i AS INT), 1)),
+                 range(1, length(word) + 1))) AS z
+        FROM wf)
+    )"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+      SELECT a.sym AS l, b.sym AS r2, CAST(SUM(a.freq) AS BIGINT) AS c
+      FROM s{r} a JOIN s{r} b ON a.word = b.word AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+    ), b{r} AS MATERIALIZED (
+      SELECT l, r2, c FROM c{r} ORDER BY c DESC, l, r2 LIMIT 1
+    ), k{r} AS MATERIALIZED (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+        FROM (
+          SELECT a.word, a.pos,
+                 a.pos - ROW_NUMBER() OVER (PARTITION BY a.word
+                                            ORDER BY a.pos) AS grp
+          FROM s{r} a
+          JOIN s{r} b ON a.word = b.word AND b.pos = a.pos + 1
+          CROSS JOIN b{r}
+          WHERE a.sym = b{r}.l AND b.sym = b{r}.r2
+        )
+      ) WHERE rn % 2 = 1
+    ), s{r + 1} AS MATERIALIZED (
+      SELECT word, freq,
+             CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS INT)
+               AS pos,
+             sym
+      FROM (
+        SELECT s.word, s.freq, s.pos,
+               CASE WHEN ks.pos IS NOT NULL THEN s.sym || s.lead_sym
+                    ELSE s.sym END AS sym
+        FROM (
+          SELECT s{r}.*, LEAD(sym) OVER (PARTITION BY word ORDER BY pos)
+                   AS lead_sym
+          FROM s{r}
+        ) s
+        LEFT JOIN k{r} ks ON s.word = ks.word AND s.pos = ks.pos
+        LEFT JOIN k{r} kd ON s.word = kd.word AND s.pos = kd.pos + 1
+        WHERE kd.pos IS NULL
+      )
+    )"""
+        )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r + 1} AS rank, l AS left_sym, r2 AS right_sym,"
+        f" l || r2 AS merged, c AS pair_count FROM b{r}"
+        for r in range(rounds)
+    )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT * FROM ({unions}) ORDER BY rank
+    """
+
+
+@q(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc="Byte-pair-encoding TOKENIZER TRAINING (Sennrich et al. 2016 /"
+    " the GPT-2 vocabulary recipe) — the step every LLM data pipeline "
+    "runs before token_id_encode can exist: starting from characters, "
+    "repeatedly count adjacent symbol pairs over the word-frequency "
+    "dictionary, merge the most frequent pair (ties to the "
+    "lexicographically smallest, so the learned vocabulary is "
+    "deterministic on any engine), and emit the ordered merge table "
+    "(rank, left, right, merged, pair_count) that defines the "
+    "tokenizer. Plan shape per round: pair counts are a vocab-sized "
+    "groupBy-sum (the corpus collapses to DISTINCT words x freq up "
+    "front, so round cost scales with the vocabulary, not the corpus "
+    "- the reason BPE training map-reduces at 100 TB), the argmax is "
+    "a 1-row driver collect (the kmeans-centroid roundtrip), and the "
+    "merge itself is a map-side aggregate() fold per word - greedy "
+    "left-to-right non-overlapping, no shuffle. localCheckpoint per "
+    "round keeps lineage flat. The DuckDB oracle replays training "
+    "with UNROLLED relational CTEs whose run-parity rule provably "
+    "equals the greedy fold (overlapping candidates exist only when "
+    "left = right and form position runs; greedy takes the odd ones), "
+    "so all six learned merges and their counts are value-hash-"
+    "checked cross-engine.",
+    tags=("text", "pipeline", "llm", "iterative", "scale"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    seqs = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        # size < 2 guard: sequence(0, -1) DESCENDS in Spark, it is not
+        # empty — single-symbol words must contribute no pairs
+        pairs = seqs.filter(F.expr("size(syms) >= 2")).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS l, syms[i + 1] AS r2))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r2")
+            .agg(F.sum("freq").cast("long").alias("c"))
+            .orderBy(F.desc("c"), "l", "r2")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r2"], best[0]["c"]
+        merges.append((r + 1, left, right, left + right, cnt))
+        # greedy left-to-right merge: a map-side fold per word (pend =
+        # the symbol awaiting its right neighbor); no shuffle
+        seqs = (
+            seqs.withColumn("_L", F.lit(left))
+            .withColumn("_R", F.lit(right))
+            .withColumn(
+                "syms",
+                F.expr(
+                    """
+            aggregate(
+              syms,
+              struct(CAST(array() AS array<string>) AS out,
+                     CAST(NULL AS string) AS pend),
+              (acc, s) -> CASE
+                WHEN acc.pend IS NULL THEN struct(acc.out AS out, s AS pend)
+                WHEN acc.pend = _L AND s = _R THEN
+                  struct(concat(acc.out, array(concat(_L, _R))) AS out,
+                         CAST(NULL AS string) AS pend)
+                ELSE struct(concat(acc.out, array(acc.pend)) AS out,
+                            s AS pend) END,
+              acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+                          ELSE concat(acc.out, array(acc.pend)) END)
+            """
+                ),
+            )
+            .drop("_L", "_R")
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges,
+        "rank int, left_sym string, right_sym string, merged string,"
+        " pair_count bigint",
+    ).orderBy("rank")

@@ -255,3 +255,52 @@ def test_dsir_selected_enriches_target_language(spark, sf_dir, duck):
     assert en_sel / en_all > other_sel / other_all, (
         f"selected rate en={en_sel}/{en_all} vs other={other_sel}/{other_all}"
     )
+
+
+def test_bpe_train_merges_matches_pure_python_reference(spark, sf_dir):
+    """Re-derive the six learned merges with a from-scratch Python BPE
+    trainer (dict-of-tuples, no Spark, no SQL) over the same
+    word-frequency dictionary — the merge table, including counts and
+    greedy non-overlapping merge semantics, must agree exactly."""
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    from magictables_spark.plans.queries import REGISTRY
+
+    got = [tuple(r) for r in REGISTRY["bpe_train_merges"].fn(spark, sf_dir).collect()]
+
+    con = duckdb.connect()
+    wf = con.sql(
+        "SELECT word, COUNT(*) c FROM (SELECT unnest(string_split(text, ' ')) "
+        f"AS word FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')) "
+        "WHERE word <> '' GROUP BY word"
+    ).fetchall()
+    vocab = {tuple(w): c for w, c in wf}
+
+    def greedy_merge(syms, left, right):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    want = []
+    for rank in range(1, 7):
+        counts: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += c
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, left, right, left + right, cnt))
+        vocab = {greedy_merge(s, left, right): c for s, c in vocab.items()}
+        # distinct words can collide after a merge only if sequences
+        # equal — they can't (merge is injective on distinct words)
+    assert got == want
