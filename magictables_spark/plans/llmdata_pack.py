@@ -474,14 +474,14 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_ctes(rounds: int = _BPE_ROUNDS) -> str:
     """Unrolled BPE training as DuckDB CTEs — the kmeans_lloyd trick
-    applied to tokenizer training. Greedy left-to-right non-overlapping
-    pair merging is expressed relationally: merge candidates can only
-    overlap when left == right symbol, in which case they form runs of
-    consecutive positions; greedy keeps the odd-ranked candidates of
-    each run (the parity rule), which is provably what a left-to-right
-    fold does."""
+    applied to tokenizer training; shared by the train and apply
+    oracles. Greedy left-to-right non-overlapping pair merging is
+    expressed relationally: merge candidates can only overlap when
+    left == right symbol, in which case they form runs of consecutive
+    positions; greedy keeps the odd-ranked candidates of each run (the
+    parity rule), which is provably what a left-to-right fold does."""
     ctes = [
         """wf AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -539,13 +539,17 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
       )
     )"""
         )
+    return ", ".join(ctes)
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
     unions = "\n      UNION ALL ".join(
         f"SELECT {r + 1} AS rank, l AS left_sym, r2 AS right_sym,"
         f" l || r2 AS merged, c AS pair_count FROM b{r}"
         for r in range(rounds)
     )
     return f"""
-    WITH {", ".join(ctes)}
+    WITH {_bpe_ctes(rounds)}
     SELECT * FROM ({unions}) ORDER BY rank
     """
 
@@ -648,3 +652,128 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, left_sym string, right_sym string, merged string,"
         " pair_count bigint",
     ).orderBy("rank")
+
+
+@q(
+    "bpe_apply_encode",
+    oracle=f"""
+    WITH {_bpe_ctes()}, per_word AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(length(word) AS BIGINT) AS n_chars
+      FROM s{_BPE_ROUNDS} GROUP BY word
+    ), doc_words AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n_w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id % 5 = 0
+      ) WHERE word <> '' GROUP BY doc_id, word
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.n_w * p.n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(d.n_w * p.n_tok) AS BIGINT) AS n_bpe_tokens,
+           (CAST(SUM(d.n_w * p.n_chars) AS DOUBLE)
+            / NULLIF(CAST(SUM(d.n_w * p.n_tok) AS DOUBLE), 0.0))
+             AS chars_per_token
+    FROM doc_words d JOIN per_word p USING (word)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    doc="Tokenizer APPLICATION — the encode half of the BPE lifecycle "
+    "(bpe_train_merges learns the merge table; this slug applies all "
+    f"{_BPE_ROUNDS} merges in rank order to every document and "
+    "reports per-doc character count, BPE token count and the "
+    "chars-per-token compression the tokenizer achieves — the number "
+    "a pretraining-budget estimate actually consumes). Plan shape: "
+    "merges apply on the DISTINCT-word vocabulary (one aggregate() "
+    "fold per merge, vocab-sized), then a BROADCAST join of the "
+    "per-word token counts back to the doc-word counts — corpus cost "
+    "is one explode + one (doc, word) aggregate regardless of merge "
+    "count, the same dictionary-factoring that makes BPE encode "
+    "map-reduce at 100 TB. Oracle: the same unrolled training CTEs as "
+    "bpe_train_merges with the apply/aggregate tail — the WHOLE "
+    "lifecycle train -> encode -> stats is value-hash-checked.",
+    tags=("text", "pipeline", "llm", "scale"),
+)
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    seqs = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    merge_fold = """
+        aggregate(
+          syms,
+          struct(CAST(array() AS array<string>) AS out,
+                 CAST(NULL AS string) AS pend),
+          (acc, s) -> CASE
+            WHEN acc.pend IS NULL THEN struct(acc.out AS out, s AS pend)
+            WHEN acc.pend = _L AND s = _R THEN
+              struct(concat(acc.out, array(concat(_L, _R))) AS out,
+                     CAST(NULL AS string) AS pend)
+            ELSE struct(concat(acc.out, array(acc.pend)) AS out,
+                        s AS pend) END,
+          acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+                      ELSE concat(acc.out, array(acc.pend)) END)
+    """
+    for _r in range(_BPE_ROUNDS):
+        pairs = seqs.filter(F.expr("size(syms) >= 2")).select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS l, syms[i + 1] AS r2))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r2")
+            .agg(F.sum("freq").cast("long").alias("c"))
+            .orderBy(F.desc("c"), "l", "r2")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        seqs = (
+            seqs.withColumn("_L", F.lit(best[0]["l"]))
+            .withColumn("_R", F.lit(best[0]["r2"]))
+            .withColumn("syms", F.expr(merge_fold))
+            .drop("_L", "_R")
+            .localCheckpoint(eager=True)
+        )
+    per_word = seqs.select(
+        "word",
+        F.size("syms").cast("long").alias("n_tok"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    doc_words = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("n_w"))
+    )
+    return (
+        doc_words.join(F.broadcast(per_word), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("n_w * n_chars")).cast("long").alias("n_chars"),
+            F.sum(F.expr("n_w * n_tok")).cast("long").alias("n_bpe_tokens"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "n_bpe_tokens",
+            "(CAST(n_chars AS DOUBLE) / NULLIF(CAST(n_bpe_tokens AS DOUBLE),"
+            " 0.0)) AS chars_per_token",
+        )
+        .orderBy("doc_id")
+    )

@@ -4793,3 +4793,113 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_sim").alias("max_sim_prior"),
         F.col("mmr").alias("mmr_score"),
     ).orderBy("pick_rank")
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_eval — the serving-quality harness over the ANN family
+# ---------------------------------------------------------------------------
+
+_RECALL_PROBES = 50  # exact ground truth stays probe-bounded (linear scans)
+
+
+@q(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH approx AS ({_ann_lsh_oracle(N_TABLES, N_PROBES)}
+    ), e2 AS (
+      SELECT vec_id, {QUANT_DUCK} AS q FROM embeddings
+    ), norms2 AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(range(1, 65), i -> q[i]*q[i]))
+               AS BIGINT) AS nrm
+      FROM e2
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_sum(list_transform(range(1, 65), i -> qs.q[i]*c.q[i]))
+                 AS BIGINT)
+                 / (sqrt(CAST(qs.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE)))
+                 AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+                                  ORDER BY CAST(list_sum(list_transform(
+                                    range(1, 65), i -> qs.q[i]*c.q[i]))
+                                    AS BIGINT)
+                                    / (sqrt(CAST(qs.nrm AS DOUBLE))
+                                       * sqrt(CAST(c.nrm AS DOUBLE))) DESC,
+                                  c.vec_id) AS rn
+        FROM norms2 qs
+        JOIN norms2 c ON qs.vec_id < {_RECALL_PROBES} AND c.vec_id <> qs.vec_id
+      ) WHERE rn <= 10
+    )
+    SELECT x.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           (CAST(COUNT(a.neighbor_id) AS DOUBLE)
+            / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0)) AS recall
+    FROM exact x
+    LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    GROUP BY x.query_id ORDER BY x.query_id
+    """,
+    doc="ANN serving-quality EVAL — the recall@10 harness every "
+    "production vector-search deployment runs before trusting an "
+    "index: the multiprobe-LSH top-10 (the ann_lsh_topk pipeline, "
+    f"T{N_TABLES}-P{N_PROBES}) is joined against EXACT brute-force "
+    f"top-10 ground truth for the first {_RECALL_PROBES} query "
+    "vectors, reporting per-query hit counts and recall. Ground truth "
+    "stays probe-bounded (a broadcast of the probe set against one "
+    "linear scan — never all-pairs), which is exactly how recall is "
+    "audited at billion-vector scale: sample queries, exact-scan only "
+    "those, compare. Both sides of the comparison are themselves "
+    "hash-oracled pipelines, and the recall table inherits it: exact "
+    "integer hit counts, one guarded division. The per-query rows "
+    "also localize WHICH queries the index fails (hub vectors vs "
+    "isolated ones) — the diagnostic a mean alone hides; the "
+    "recall>=0.45 gate lives in tests/test_similarity.py.",
+    tags=("similarity", "ann", "mleval", "scale"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    approx = _ann_lsh_impl(spark, sf_dir, N_TABLES, N_PROBES).filter(
+        F.col("query_id") < _RECALL_PROBES
+    ).select("query_id", "neighbor_id")
+    norms = _quantized(spark, sf_dir).withColumn("nrm", _dot("q", "q"))
+    probes = norms.filter(F.col("vec_id") < _RECALL_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    exact = (
+        cand.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot("qq", "q").cast("double")
+            / (
+                F.sqrt(F.col("qnrm").cast("double"))
+                * F.sqrt(F.col("nrm").cast("double"))
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    hit = approx.withColumn("_hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("_hit").cast("long").alias("n_hits"),
+        )
+        .selectExpr(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            "(CAST(n_hits AS DOUBLE) / NULLIF(CAST(n_exact AS DOUBLE), 0.0))"
+            " AS recall",
+        )
+        .orderBy("query_id")
+    )

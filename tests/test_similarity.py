@@ -307,3 +307,34 @@ def test_knn_indexed_vote_recall_and_agreement(spark, sf_dir):
     assert set(exact_votes) == set(idx_votes), "probe coverage differs"
     agree = sum(exact_votes[q] == idx_votes[q] for q in exact_votes) / len(exact_votes)
     assert agree >= 0.25, f"vote agreement too low: {agree:.2f}"
+
+
+def test_ann_recall_eval_slug_consistent_with_gate(spark, sf_dir):
+    """The registered recall harness (ann_recall_eval) must (a) report
+    one row per probe with full exact ground truth, (b) agree with an
+    independent set-intersection recomputation for the probes the
+    legacy gate covers, and (c) clear the same >= 0.45 corpus gate as
+    the default LSH config it evaluates."""
+    rows = REGISTRY["ann_recall_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert all(r.n_exact == 10 for r in rows)
+    assert all(0.0 <= r.recall <= 1.0 and r.n_hits <= r.n_exact for r in rows)
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.45, f"harness mean recall too low: {mean_recall:.2f}"
+    # cross-check the first 5 probes against the legacy recomputation
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id").collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_lsh_topk"].fn(spark, sf_dir)
+        .filter(F.col("query_id") < 5)
+        .select("query_id", "neighbor_id").collect()
+    }
+    per_query_hits = {q: 0 for q in range(5)}
+    for q, n in exact & approx:
+        per_query_hits[q] += 1
+    got = {r.query_id: r.n_hits for r in rows if r.query_id < 5}
+    assert got == per_query_hits

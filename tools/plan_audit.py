@@ -105,6 +105,11 @@ WAIVERS: dict[str, dict[str, str]] = {
         "IN-pruned bucketed index read)"
     },
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
+    "ann_recall_eval": {
+        NLJ: "broadcast side is the 50-row query-probe set (exact "
+        "ground-truth leg — probe-bounded by design; the LSH leg and "
+        "the recall join are key-equi)"
+    },
     "ndcg_at_k": {NLJ: "broadcast side is the 5-row query-probe set (ranking + n_rel legs)"},
     "avg_precision_at_k": {NLJ: "broadcast side is the 5-row query-probe set (ranking + n_rel legs)"},
     "mrr_at_k": {NLJ: "broadcast side is the 5-row query-probe set"},
