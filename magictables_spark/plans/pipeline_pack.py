@@ -895,3 +895,59 @@ def purged_timeseries_cv(spark, sf_dir):
         )
         .orderBy("test_fold")
     )
+
+
+@q(
+    "dpp_star_join",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM orders
+    WHERE month(o_orderdate) <= 3
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="DYNAMIC partition pruning — the runtime sibling of "
+    "partitioned_prune's static pruning and the scan primitive of "
+    "every partitioned star join: the fact (orders, written "
+    "partitioned by order month) joins a small month DIMENSION "
+    "filtered to Q1 months, and because the join key IS the fact's "
+    "partition column, Spark injects a dynamicpruning subquery that "
+    "reuses the dim's broadcast to skip fact partitions AT RUNTIME — "
+    "the filter value isn't known at plan time (it comes from the "
+    "dim), so static pruning can't help; ~75%% of partitions are "
+    "never listed or read (dynamicpruning#/SubqueryBroadcast plan-"
+    "asserted in tests/test_physical_plans.py). At 100 TB this is the "
+    "date-dim star-join pattern: the fact never pays a full scan for "
+    "a dim-predicated query. Result provably equals the plain month "
+    "filter over the unpartitioned parquet (the oracle); money in "
+    "exact integer cents.",
+    tags=("scale", "formats", "sources"),
+)
+def dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch("dpp_orders")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.month("o_orderdate").alias("month_num"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+    )
+    orders.drop("month_num").write.mode("overwrite").partitionBy("month").parquet(out)
+    # month dimension: one row per month with its quarter attribute —
+    # built from the bounded distinct-month set (a date-dim stand-in)
+    dim = (
+        orders.select("month", "month_num")
+        .distinct()
+        .withColumn("quarter", F.expr("CAST((month_num - 1) div 3 + 1 AS INT)"))
+    ).localCheckpoint(eager=True)  # materialized: the dim must not re-scan the fact
+    fact = spark.read.schema("price_cents bigint, month string").parquet(out)
+    q1 = dim.filter(F.col("quarter") == 1).select("month")
+    return (
+        fact.join(F.broadcast(q1), "month")
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price_cents").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("month")
+    )

@@ -93,3 +93,16 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "event_date" in pf.group(1), plan
+
+
+def test_dpp_star_join_prunes_at_runtime(spark, sf_dir):
+    """dpp_star_join's fact scan must carry a DYNAMIC pruning
+    expression on the partition column (the dim's broadcast feeds a
+    runtime IN-subquery), proving the partitioned fact is pruned by
+    the join, not by any static literal."""
+    plan = _plan(spark, sf_dir, "dpp_star_join")
+    assert "dynamicpruningexpression" in plan, plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "month" in pf.group(1) and "dynamicpruning" in pf.group(1), plan

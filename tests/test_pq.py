@@ -39,8 +39,10 @@ def test_pq_codes_are_8_bytes_of_codespace(spark, sf_dir):
     rows = REGISTRY["vector_quantize_pq"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert len(r.codes) == _PQ_M
-        assert all(1 <= c <= _PQ_K for c in r.codes), r.codes
+        # codes surface comma-joined (driver-safe scalar since r9)
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == _PQ_M
+        assert all(1 <= c <= _PQ_K for c in codes), r.codes
         assert r.recon_l2 >= 0
 
 

@@ -544,3 +544,43 @@ def test_gini_matches_bruteforce(spark, tiny_events_dir):
     assert out["gini"] == pytest.approx(gini, rel=1e-9)
     # zipf load is genuinely skewed — the diagnostic must say so
     assert out["gini"] > 0.3
+
+
+def test_kendall_tau_matches_bruteforce_reference(spark, tiny_events_dir):
+    """Re-derive tau-b from first principles (itertools over the daily
+    frame, textbook tie-corrected formula) — concordant/discordant
+    counts and tau must agree exactly."""
+    import itertools
+    import math
+    from collections import Counter
+
+    d, df = tiny_events_dir
+    got = {r.event_type: r for r in REGISTRY["kendall_tau_daily"].fn(spark, d).collect()}
+    pdf = df.copy()
+    pdf["day"] = pdf["ts"].dt.date
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    daily = (
+        pdf.groupby(["event_type", "day"])
+        .agg(x=("event_id", "count"), y=("cents", "sum"))
+        .reset_index()
+    )
+    for et, sub in daily.groupby("event_type"):
+        xs, ys = sub["x"].tolist(), sub["y"].tolist()
+        n = len(xs)
+        c = d_ = 0
+        for i, j in itertools.combinations(range(n), 2):
+            s = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            if s > 0:
+                c += 1
+            elif s < 0:
+                d_ += 1
+        n0 = n * (n - 1) // 2
+        n1 = sum(v * (v - 1) // 2 for v in Counter(xs).values())
+        n2 = sum(v * (v - 1) // 2 for v in Counter(ys).values())
+        r = got[et]
+        assert (r.n_days, r.concordant, r.discordant) == (n, c, d_)
+        denom = math.sqrt(n0 - n1) * math.sqrt(n0 - n2)
+        if denom == 0:
+            assert r.tau_b is None
+        else:
+            assert r.tau_b == pytest.approx((c - d_) / denom, rel=1e-12)
