@@ -2800,6 +2800,7 @@ def encode_mp3_audio_fixture(
     channels: int = 1,
     with_short: bool = False,
     count1_table: str = "A",
+    spec_fn=None,
 ) -> bytes:
     """REAL MPEG-1 Layer III audio fixture: every granule paints a
     deterministic sparse spectrum (±1 lines in the count1 region,
@@ -2809,7 +2810,9 @@ def encode_mp3_audio_fixture(
     spectral content the tests verify against an independent IMDCT/
     synthesis reference. big_values=0 by construction (the committed
     build carries pair table 1 + both count1 tables; see the Layer III
-    module comment)."""
+    module comment). ``spec_fn(gidx, ch, with_short) -> spec`` overrides
+    the default deterministic paint (property tests inject random
+    spectra through the same bitstream path)."""
     sfb_long = _L3_SFB_LONG[sample_rate]
     sfb_short = _L3_SFB_SHORT[sample_rate]
     br_idx = _MP3_BITRATE_V1_L3.index(kbps)
@@ -2830,7 +2833,9 @@ def encode_mp3_audio_fixture(
         main = _BitsW()
         for gr in range(2):
             for ch in range(nch):
-                spec = _l3_fixture_granule_spec(2 * f + gr, ch, with_short)
+                spec = (spec_fn or _l3_fixture_granule_spec)(
+                    2 * f + gr, ch, with_short
+                )
                 tvals, long_scf, short_scf = _l3_fixture_tvals_scf(
                     spec, sfb_long, sfb_short
                 )

@@ -741,7 +741,7 @@ def test_mpeg1_fixture_dir_rows_decode_in_kernel_path():
 
 
 def _l3_reference_pcm(n_frames: int, channels: int, with_short: bool,
-                      sample_rate: int) -> "np.ndarray":
+                      sample_rate: int, spec_fn=None) -> "np.ndarray":
     """INDEPENDENT numpy implementation of the Layer III synthesis
     chain — requantize, short-block reorder, alias butterflies, IMDCT
     with windows/overlap, frequency inversion — sharing with the
@@ -785,7 +785,7 @@ def _l3_reference_pcm(n_frames: int, channels: int, with_short: bool,
         overlap = np.zeros((32, 18))
         blocks = []
         for gidx in range(2 * n_frames):
-            spec = _l3_fixture_granule_spec(gidx, ch, with_short)
+            spec = (spec_fn or _l3_fixture_granule_spec)(gidx, ch, with_short)
             tvals, lsc, ssc = _l3_fixture_tvals_scf(spec, sfl, sfs)
             bt = spec["block_type"]
             xr = np.zeros(576)
@@ -865,3 +865,77 @@ def test_l3_decode_matches_independent_reference(channels, with_short, table, sr
     peak = np.abs(ref).max()
     assert peak > 0
     assert np.max(np.abs(got - ref)) < 1e-9 * max(1.0, peak)
+
+
+def _random_l3_spec_fn(seed: int):
+    """Deterministic random granule paints: same (gidx, ch) always
+    yields the same spec, so the encoder and the independent reference
+    see identical spectra."""
+    import random
+
+    cache: dict = {}
+
+    def spec_fn(gidx: int, ch: int, _with_short: bool) -> dict:
+        key = (gidx, ch)
+        if key in cache:
+            return cache[key]
+        rng = random.Random((seed << 20) ^ (gidx << 4) ^ ch)
+        bt = rng.choice([0, 0, 1, 2, 3])
+        if bt == 2:
+            lines, scf = [], {}
+            for _ in range(rng.randint(1, 6)):
+                s, w = rng.randint(0, 11), rng.randint(0, 2)
+                lines.append((s, w, rng.randint(0, 3), rng.choice([1, -1])))
+                scf[(s, w)] = rng.randint(0, 15 if s < 6 else 7)
+            spec = {
+                "block_type": 2,
+                "subblock_gain": [rng.randint(0, 3) for _ in range(3)],
+                "lines": lines,
+                "scf": scf,
+            }
+        else:
+            lines, scf = [], {}
+            for _ in range(rng.randint(1, 6)):
+                b = rng.randint(0, 20)
+                lines.append((b, rng.randint(0, 3), rng.choice([1, -1])))
+                scf[b] = rng.randint(0, 15 if b < 11 else 7)
+            spec = {
+                "block_type": bt,
+                "subblock_gain": [0, 0, 0],
+                "lines": lines,
+                "scf": scf,
+            }
+        cache[key] = spec
+        return spec
+
+    return spec_fn
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_l3_random_paint_property(seed):
+    """Property test: RANDOM spectral paints (random block types incl.
+    short, random lines/signs/scalefactors/subblock gains) pushed
+    through the real Layer III bitstream encode -> full decode must
+    still equal the independent numpy reference — hundreds of distinct
+    granule configurations beyond the three committed fixtures."""
+    import numpy as np
+
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg1_audio,
+        encode_mp3_audio_fixture,
+    )
+
+    sr = [44100, 48000, 32000][seed % 3]
+    channels = 1 + seed % 2
+    spec_fn = _random_l3_spec_fn(seed)
+    data = encode_mp3_audio_fixture(
+        n_frames=4, channels=channels, sample_rate=sr,
+        kbps=160 if sr == 48000 else 128,
+        count1_table="AB"[seed % 2], spec_fn=spec_fn,
+    )
+    out = decode_mpeg1_audio(data, return_pcm=True)
+    assert out["decoded"] is True and out["layer"] == 3
+    ref = _l3_reference_pcm(4, channels, False, sr, spec_fn=spec_fn)
+    peak = np.abs(ref).max()
+    assert peak > 0
+    assert np.max(np.abs(out["pcm"] - ref)) < 1e-9 * max(1.0, peak)

@@ -304,3 +304,63 @@ def test_bpe_train_merges_matches_pure_python_reference(spark, sf_dir):
         # distinct words can collide after a merge only if sequences
         # equal — they can't (merge is injective on distinct words)
     assert got == want
+
+
+def test_bpe_greedy_fold_property_random_sequences(spark):
+    """The Spark aggregate() greedy-merge fold must equal the
+    textbook left-to-right non-overlapping merge on random sequences —
+    including the left==right run case ('aaaa' -> [aa, aa], 'aaa' ->
+    [aa, a]) where overlapping candidates make naive approaches wrong."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    cases = [
+        ["a", "a", "a"],
+        ["a", "a", "a", "a"],
+        ["a", "b", "a", "b"],
+        ["b", "a", "a", "b", "a"],
+    ] + [
+        [rng.choice("ab") for _ in range(rng.randint(1, 12))] for _ in range(60)
+    ]
+
+    def greedy(syms, left, right):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    fold = """
+        aggregate(
+          syms,
+          struct(CAST(array() AS array<string>) AS out,
+                 CAST(NULL AS string) AS pend),
+          (acc, s) -> CASE
+            WHEN acc.pend IS NULL THEN struct(acc.out AS out, s AS pend)
+            WHEN acc.pend = _L AND s = _R THEN
+              struct(concat(acc.out, array(concat(_L, _R))) AS out,
+                     CAST(NULL AS string) AS pend)
+            ELSE struct(concat(acc.out, array(acc.pend)) AS out,
+                        s AS pend) END,
+          acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+                      ELSE concat(acc.out, array(acc.pend)) END)
+    """
+    for left, right in (("a", "a"), ("a", "b"), ("b", "a")):
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)], "i int, syms array<string>"
+        )
+        got = {
+            r.i: list(r.merged)
+            for r in df.withColumn("_L", F.lit(left))
+            .withColumn("_R", F.lit(right))
+            .withColumn("merged", F.expr(fold))
+            .collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == greedy(c, left, right), (c, left, right)
