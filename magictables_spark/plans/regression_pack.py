@@ -2173,3 +2173,133 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ols_normal_equations — multivariate OLS via exact-integer Cramer solve
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ols_normal_equations",
+    oracle=f"""
+    WITH s AS (
+      SELECT hour(ts) AS x1, day(ts) AS x2, {VAL_I} AS y
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x1) AS HUGEINT) AS sx1,
+             CAST(SUM(x2) AS HUGEINT) AS sx2,
+             CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+             CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+             CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x1 * y) AS HUGEINT) AS s1y,
+             CAST(SUM(x2 * y) AS HUGEINT) AS s2y
+      FROM s
+    ), dets AS (
+      SELECT n,
+             (n * (s11 * s22 - s12 * s12)
+              - sx1 * (sx1 * s22 - s12 * sx2)
+              + sx2 * (sx1 * s12 - s11 * sx2)) AS det,
+             (sy * (s11 * s22 - s12 * s12)
+              - sx1 * (s1y * s22 - s12 * s2y)
+              + sx2 * (s1y * s12 - s11 * s2y)) AS n0,
+             (n * (s1y * s22 - s12 * s2y)
+              - sy * (sx1 * s22 - s12 * sx2)
+              + sx2 * (sx1 * s2y - s1y * sx2)) AS n1,
+             (n * (s11 * s2y - s1y * s12)
+              - sx1 * (sx1 * s2y - s1y * sx2)
+              + sy * (sx1 * s12 - s11 * sx2)) AS n2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(det AS VARCHAR) AS det,
+           CAST(CASE WHEN n0 = 0 THEN 0
+                     WHEN (n0 > 0) = (det > 0)
+                     THEN (ABS(n0) * 1000000) // ABS(det)
+                     ELSE -((ABS(n0) * 1000000) // ABS(det)) END AS BIGINT)
+             AS b0_micro,
+           CAST(CASE WHEN n1 = 0 THEN 0
+                     WHEN (n1 > 0) = (det > 0)
+                     THEN (ABS(n1) * 1000000) // ABS(det)
+                     ELSE -((ABS(n1) * 1000000) // ABS(det)) END AS BIGINT)
+             AS b_hour_micro,
+           CAST(CASE WHEN n2 = 0 THEN 0
+                     WHEN (n2 > 0) = (det > 0)
+                     THEN (ABS(n2) * 1000000) // ABS(det)
+                     ELSE -((ABS(n2) * 1000000) // ABS(det)) END AS BIGINT)
+             AS b_day_micro
+    FROM dets
+    """,
+    doc="MULTIVARIATE ordinary least squares — purchase cents regressed "
+    "on (hour-of-day, day-of-month) with intercept — solved through "
+    "the normal equations with Cramer's rule in EXACT INTEGER "
+    "arithmetic: one distributed pass accumulates the nine integer "
+    "moments (the map-side-combinable sufficient statistics — the "
+    "only thing that crosses the wire at any scale, which is why "
+    "normal-equation OLS is THE distributed regression recipe for "
+    "small feature counts), then the 3x3 determinants are exact "
+    "bignum products (HUGEINT in the oracle, Python arbitrary-"
+    "precision on the collected 1-row moments in Spark — the same "
+    "bounded scalar roundtrip as kmeans' centroid step; no float "
+    "enters until the final reported ratio). Coefficients surface as "
+    "exact micro-unit integers (truncated |num|*1e6 div |det| with "
+    "explicit sign, identical on both engines) plus the determinant "
+    "as a digit string — fully value-hash-oracled where a float "
+    "matrix solve never could be. Extends linreg_by_group (single "
+    "feature) to the multi-feature case.",
+    tags=("events", "stats", "regression", "ml"),
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .selectExpr("hour(ts) AS x1", "day(ts) AS x2", f"{VAL_I} AS y")
+    )
+    row = s.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum(F.expr("x1 * x1")).alias("s11"),
+        F.sum(F.expr("x1 * x2")).alias("s12"),
+        F.sum(F.expr("x2 * x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x1 * y")).alias("s1y"),
+        F.sum(F.expr("x2 * y")).alias("s2y"),
+    ).collect()[0]
+    n, sx1, sx2 = int(row["n"]), int(row["sx1"] or 0), int(row["sx2"] or 0)
+    s11, s12, s22 = int(row["s11"] or 0), int(row["s12"] or 0), int(row["s22"] or 0)
+    sy, s1y, s2y = int(row["sy"] or 0), int(row["s1y"] or 0), int(row["s2y"] or 0)
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - sx1 * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s12 - s11 * sx2)
+    )
+    n0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - sx1 * (s1y * s22 - s12 * s2y)
+        + sx2 * (s1y * s12 - s11 * s2y)
+    )
+    n1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (sx1 * s22 - s12 * sx2)
+        + sx2 * (sx1 * s2y - s1y * sx2)
+    )
+    n2 = (
+        n * (s11 * s2y - s1y * s12)
+        - sx1 * (sx1 * s2y - s1y * sx2)
+        + sy * (sx1 * s12 - s11 * sx2)
+    )
+
+    def micro(num: int) -> int:
+        if num == 0 or det == 0:
+            return 0
+        mag = (abs(num) * 1_000_000) // abs(det)
+        return mag if (num > 0) == (det > 0) else -mag
+
+    return spark.createDataFrame(
+        [(n, str(det), micro(n0), micro(n1), micro(n2))],
+        "n bigint, det string, b0_micro bigint, b_hour_micro bigint,"
+        " b_day_micro bigint",
+    )

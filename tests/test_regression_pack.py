@@ -584,3 +584,21 @@ def test_kendall_tau_matches_bruteforce_reference(spark, tiny_events_dir):
             assert r.tau_b is None
         else:
             assert r.tau_b == pytest.approx((c - d_) / denom, rel=1e-12)
+
+
+def test_ols_normal_equations_matches_numpy_lstsq(spark, tiny_events_dir):
+    """The exact-integer Cramer solve must agree with numpy's float
+    least-squares solution of the same design matrix (micro-unit
+    truncation tolerance)."""
+    d, df = tiny_events_dir
+    row = REGISTRY["ols_normal_equations"].fn(spark, d).collect()[0]
+    sub = df[df["event_type"] == "purchase"]
+    x1 = sub["ts"].dt.hour.to_numpy()
+    x2 = sub["ts"].dt.day.to_numpy()
+    y = (sub["value"] * 100).round().to_numpy()
+    X = np.column_stack([np.ones_like(x1), x1, x2]).astype(np.float64)
+    beta, *_ = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)
+    assert row.n == len(sub)
+    assert int(row.det) > 0
+    got = np.array([row.b0_micro, row.b_hour_micro, row.b_day_micro]) / 1e6
+    assert np.allclose(got, beta, atol=2e-6, rtol=1e-9), (got, beta)
