@@ -1109,14 +1109,21 @@ def scd2_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the touched bucket-partitions via dynamic partitionOverwriteMode "
     "— untouched users in a touched bucket pass through row-identical, "
     "untouched buckets are never read nor written. Per-batch cost is "
-    "O(touched buckets + batch) regardless of dimension size; replay "
-    "is guarded by per-batch applied markers (at-least-once contract). "
+    "O(touched buckets + batch) regardless of dimension size; the "
+    "order-sensitive merge is replay-guarded per PARTITION — every "
+    "rewritten bucket carries a last_batch stamp, so an at-least-once "
+    "replay that crashed between the dynamic overwrite and the marker "
+    "re-merges only the unstamped buckets (streaming/commit.py). "
     "The ORACLE is the full-changelog gaps-and-islands recompute, so "
     "the whole streamed merge lifecycle — three ordered merges over a "
     "partitioned store — is value-hash-checked cross-engine.",
     tags=("events", "pipeline", "merge", "warehouse", "streaming", "scale"),
 )
-def scd2_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scd2_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
@@ -1129,7 +1136,7 @@ def scd2_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit(_SCD2_SPLIT_TS).cast("timestamp")
     cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
     tag = hashlib.md5(
-        f"v1:scd2s:{NB}:{_SCD2_SPLIT_TS}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:scd2s:{NB}:{_SCD2_SPLIT_TS}:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"scd2stream_{tag}")
     src = os.path.join(root, "src")
@@ -1141,9 +1148,11 @@ def scd2_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_cols = ["user_id", "version", "status", "vf", "vf_event_id", "n_events"]
     # explicit schema: an empty-history store has no partition dirs to
     # infer from
+    # last_batch stamps each ub partition with its last writer (-1 =
+    # seed) — the per-partition replay guard (streaming/commit.py)
     store_schema = (
         "user_id bigint, version int, status string, vf timestamp, "
-        "vf_event_id bigint, n_events bigint, ub bigint"
+        "vf_event_id bigint, n_events bigint, last_batch bigint, ub bigint"
     )
 
     if not os.path.exists(ready):
@@ -1153,7 +1162,9 @@ def scd2_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist = ev.filter(F.col("ts") < split).withColumn(
             "weight", F.lit(1).cast("bigint")
         )
-        _scd2_runs(hist).select(*run_cols, _ub).write.partitionBy("ub").mode(
+        _scd2_runs(hist).withColumn(
+            "last_batch", F.lit(-1).cast("long")
+        ).select(*run_cols, "last_batch", _ub).write.partitionBy("ub").mode(
             "overwrite"
         ).parquet(store_dir)
         # 3 contiguous time shards — mtime-ordered (oldest first is the
@@ -1179,7 +1190,7 @@ def scd2_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(applied_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):  # at-least-once replay guard
+        if os.path.exists(marker):  # fast path: batch fully committed
             return
         b = (
             batch_df.select(
@@ -1191,35 +1202,53 @@ def scd2_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         touched_b = [r.ub for r in b.select("ub").distinct().collect()]
         if touched_b:
             ss = batch_df.sparkSession
-            store = ss.read.schema(store_schema).parquet(store_dir).filter(
-                F.col("ub").isin(touched_b)
-            )
-            touched_users = b.select("user_id").distinct()
-            keep = store.join(touched_users, "user_id", "left_anti")
-            synth = store.join(touched_users, "user_id", "left_semi").select(
-                "user_id",
-                F.col("vf").alias("ts"),
-                F.col("vf_event_id").alias("event_id"),
-                F.col("status").alias("event_type"),
-                F.col("n_events").alias("weight"),
-            )
-            new_runs = _scd2_runs(
-                synth.unionByName(
-                    b.select("user_id", "ts", "event_id", "event_type", "weight")
+            all_store = ss.read.schema(store_schema).parquet(store_dir)
+            # per-partition replay guard: a crash between the dynamic
+            # overwrite and the marker re-merges ONLY the buckets this
+            # batch's stamp is missing from — re-merging a stamped
+            # bucket would double-fold the batch's events into runs
+            done = {
+                r.ub
+                for r in all_store.filter(F.col("last_batch") == batch_id)
+                .select("ub")
+                .distinct()
+                .collect()
+            }
+            redo = [p for p in touched_b if p not in done]
+            if redo:
+                store = all_store.filter(F.col("ub").isin(redo))
+                b_redo = b.filter(F.col("ub").isin(redo))
+                touched_users = b_redo.select("user_id").distinct()
+                keep = store.join(touched_users, "user_id", "left_anti")
+                synth = store.join(touched_users, "user_id", "left_semi").select(
+                    "user_id",
+                    F.col("vf").alias("ts"),
+                    F.col("vf_event_id").alias("event_id"),
+                    F.col("status").alias("event_type"),
+                    F.col("n_events").alias("weight"),
                 )
-            )
-            out = (
-                keep.select(*run_cols)
-                .unionByName(new_runs.select(*run_cols))
-                .select(*run_cols, _ub)
-                .localCheckpoint(eager=True)  # cut lineage before overwrite
-            )
-            (
-                out.write.option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ub")
-                .mode("overwrite")
-                .parquet(store_dir)
-            )
+                new_runs = _scd2_runs(
+                    synth.unionByName(
+                        b_redo.select(
+                            "user_id", "ts", "event_id", "event_type", "weight"
+                        )
+                    )
+                )
+                out = (
+                    keep.select(*run_cols)
+                    .unionByName(new_runs.select(*run_cols))
+                    .withColumn("last_batch", F.lit(batch_id).cast("long"))
+                    .select(*run_cols, "last_batch", _ub)
+                    .localCheckpoint(eager=True)  # cut lineage pre-overwrite
+                )
+                (
+                    out.write.option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("ub")
+                    .mode("overwrite")
+                    .parquet(store_dir)
+                )
+        if batch_id in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {batch_id} write")
         with open(marker, "w") as f:
             f.write("ok")
 

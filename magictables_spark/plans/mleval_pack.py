@@ -2532,30 +2532,13 @@ def auc_store_stream(
     src = os.path.join(root, "src")
     ready = os.path.join(root, "_READY")
 
-    # Versioned store + one CURRENT pointer file: each batch merges
-    # into a FRESH store_v{batch_id} directory and then commits by
-    # atomically os.replace-ing CURRENT, whose contents are
-    # "<last_batch_id>\n<store dir>". The flip is the single commit
-    # point — a foreachBatch replay (at-least-once) either sees its
-    # batch_id already in CURRENT (crash after flip: skip) or re-merges
-    # from the unchanged pre-merge store (crash before flip: the
-    # half-written store_v{b} is simply overwritten). The old scheme —
-    # overwrite store in place, then write a marker — double-counted a
-    # batch replayed between those two writes (r8 ADVICE, medium).
-    current = os.path.join(root, "CURRENT")
+    # Versioned store + atomic CURRENT pointer flip as the single
+    # commit point (streaming/commit.py — the r8 ADVICE fix: the old
+    # overwrite-then-marker scheme double-counted a batch replayed
+    # between the two writes).
+    from magictables_spark.streaming.commit import VersionedStore
 
-    def _read_current() -> tuple[int, str]:
-        with open(current) as f:
-            b, v = f.read().splitlines()[:2]
-        return int(b), v
-
-    def _flip(batch_id: int, version: str) -> None:
-        tmp = f"{current}.tmp{batch_id}"
-        with open(tmp, "w") as f:
-            f.write(f"{batch_id}\n{version}")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, current)
+    vs = VersionedStore(root)
 
     def _bins(df: DataFrame) -> DataFrame:
         return (
@@ -2573,8 +2556,8 @@ def auc_store_stream(
         os.makedirs(src)
         _bins(emb.filter(F.col("vec_id") % 4 < 3)).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(os.path.join(root, "store_vinit"))
-        _flip(-1, "store_vinit")
+        ).parquet(vs.seed_path())
+        vs.init()
         for shard in range(3):
             part_dir = os.path.join(root, f"part{shard}")
             (
@@ -2596,35 +2579,27 @@ def auc_store_stream(
     store_schema = "bin bigint, c bigint, c1 bigint"
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        last_applied, cur_version = _read_current()
-        if batch_id <= last_applied:  # replay of a committed batch
+        if vs.is_applied(batch_id):  # replay of a committed batch
             return
         parts = _bins(batch_df).localCheckpoint(eager=True)
         if parts.rdd.isEmpty():
-            _flip(batch_id, cur_version)  # commit the no-op
+            vs.commit(batch_id, vs.read_current()[1])  # commit the no-op
             return
         ss = batch_df.sparkSession
-        cur = ss.read.schema(store_schema).parquet(
-            os.path.join(root, cur_version)
-        )
-        new_version = f"store_v{batch_id}"
+        cur = ss.read.schema(store_schema).parquet(vs.current_path())
         merged = (
             cur.unionByName(parts)
             .groupBy("bin")
             .agg(F.sum("c").cast("long").alias("c"), F.sum("c1").cast("long").alias("c1"))
         )
         merged.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(root, new_version)
+            vs.version_path(vs.batch_version(batch_id))
         )
         if batch_id in _crash_after_write:
             # test hook: die in the ADVICE-flagged window — new store
             # version on disk, CURRENT not yet flipped
             raise RuntimeError(f"injected crash after batch {batch_id} write")
-        _flip(batch_id, new_version)  # the commit point
-        # pre-merge version is unreachable after the flip (a replay of
-        # THIS batch short-circuits above, and only the latest batch
-        # can replay under availableNow) — reclaim it
-        shutil.rmtree(os.path.join(root, cur_version), ignore_errors=True)
+        vs.commit(batch_id)  # atomic flip + pre-merge reclaim
 
     name = f"mts_aucstream_{tag}"
     for active in spark.streams.active:
@@ -2646,10 +2621,7 @@ def auc_store_stream(
     )
     query.awaitTermination()
 
-    _, final_version = _read_current()
-    per_bin = spark.read.schema(store_schema).parquet(
-        os.path.join(root, final_version)
-    )
+    per_bin = spark.read.schema(store_schema).parquet(vs.current_path())
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     wdf = per_bin.withColumn("below", F.coalesce(F.sum("c").over(w), F.lit(0)))
     agg = wdf.agg(

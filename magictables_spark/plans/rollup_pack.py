@@ -605,17 +605,24 @@ def quantile_hist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "histograms ONLY ITSELF and group-sums into the store (an "
     "O(|keys| x 64) integer frame — the rewrite is the size of the "
     "SKETCH, never the data). Count-merge is associative+commutative "
-    "but NOT idempotent, so replay is guarded by per-batch applied "
-    "markers (the rollup_store_stream contract; contrast "
-    "hll_store_stream, whose register-max union needs no guard — the "
-    "two slugs bracket the idempotence spectrum of mergeable state). "
+    "but NOT idempotent, so each batch merges into a fresh versioned "
+    "store directory committed by an atomic CURRENT-pointer flip "
+    "(streaming/commit.py — replay either sees its batch id in "
+    "CURRENT or re-merges from the untouched pre-merge version; "
+    "contrast hll_store_stream, whose register-max union needs no "
+    "guard — the two slugs bracket the idempotence spectrum of "
+    "mergeable state). "
     "Because merged counts are provably the full-scan histogram, the "
     "streamed store's p50/p90/p99 interpolations hash-match the "
     "full-scan oracle exactly — the whole streamed lifecycle is "
     "value-hash-checked.",
     tags=("stats", "sketch", "scale", "warehouse", "streaming", "events"),
 )
-def quantile_hist_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantile_hist_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
@@ -626,14 +633,18 @@ def quantile_hist_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
     tag = hashlib.md5(
-        f"v1:qhs:{_QH_B}x{_QH_W}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:qhs:{_QH_B}x{_QH_W}:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"qhstream_{tag}")
     src = os.path.join(root, "src")
-    store_dir = os.path.join(root, "store")
-    applied_dir = os.path.join(root, "applied")
     ready = os.path.join(root, "_READY")
     store_schema = "event_type string, bin bigint, c bigint"
+    # versioned store + atomic CURRENT flip: the count-merge is not
+    # idempotent and the old overwrite-then-marker scheme left a
+    # double-count window between the two writes (streaming/commit.py)
+    from magictables_spark.streaming.commit import VersionedStore
+
+    vs = VersionedStore(root)
 
     def _hist(df: DataFrame) -> DataFrame:
         b = F.least(
@@ -647,10 +658,10 @@ def quantile_hist_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(ready):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(src)
-        os.makedirs(applied_dir)
         _hist(ev.filter(F.col("ts") < split)).write.mode("overwrite").parquet(
-            store_dir
+            vs.seed_path()
         )
+        vs.init()
         for shard in range(3):
             part_dir = os.path.join(root, f"part{shard}")
             (
@@ -669,21 +680,22 @@ def quantile_hist_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):  # count-merge is NOT idempotent
+        if vs.is_applied(batch_id):  # replay of a committed batch
             return
         ss = batch_df.sparkSession
         merged = (
             ss.read.schema(store_schema)
-            .parquet(store_dir)
+            .parquet(vs.current_path())
             .unionByName(_hist(batch_df))
             .groupBy("event_type", "bin")
             .agg(F.sum("c").alias("c"))
-            .localCheckpoint(eager=True)  # cut lineage before overwrite
         )
-        merged.write.mode("overwrite").parquet(store_dir)
-        with open(marker, "w") as f:
-            f.write("ok")
+        merged.write.mode("overwrite").parquet(
+            vs.version_path(vs.batch_version(batch_id))
+        )
+        if batch_id in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {batch_id} write")
+        vs.commit(batch_id)  # atomic flip + pre-merge reclaim
 
     name = f"mts_qhstream_{tag}"
     for active in spark.streams.active:
@@ -707,7 +719,7 @@ def quantile_hist_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cum = (
         spark.read.schema(store_schema)
-        .parquet(store_dir)
+        .parquet(vs.current_path())
         .withColumn(
             "cum", F.sum("c").over(Window.partitionBy("event_type").orderBy("bin"))
         )
@@ -882,32 +894,40 @@ def cms_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ONLY ITSELF then counter-sums into the store — an O(d*w) integer "
     "frame rewrite, the size of the SKETCH, never the data. Counter "
     "merge is mergeable-but-NOT-idempotent (the quantile-histogram "
-    "side of the idempotence spectrum), so replay takes per-batch "
-    "applied markers. The streamed store is provably the full-scan "
+    "side of the idempotence spectrum), so each batch commits through "
+    "the versioned store's atomic CURRENT flip (streaming/commit.py). "
+    "The streamed store is provably the full-scan "
     "sketch, so the top-15 estimates hash-match the full-scan oracle "
     "exactly; the est >= truth guarantee carries over unchanged "
     "(tests/test_cms.py).",
     tags=("stats", "sketch", "scale", "warehouse", "streaming", "events"),
 )
-def cms_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
 
+    from magictables_spark.streaming.commit import VersionedStore
     from magictables_spark.warehouse import corpus_fingerprint, store_root
 
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
     ev = _t(spark, sf_dir, "events")
     cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
     tag = hashlib.md5(
-        f"v1:cmss:{_CMS_D}x{_CMS_W}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:cmss:{_CMS_D}x{_CMS_W}:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"cmsstream_{tag}")
     src = os.path.join(root, "src")
-    store_dir = os.path.join(root, "store")
-    applied_dir = os.path.join(root, "applied")
     ready = os.path.join(root, "_READY")
     store_schema = "j bigint, col bigint, c bigint"
+    # versioned store + atomic CURRENT flip (streaming/commit.py): the
+    # counter merge is not idempotent; the old overwrite-then-marker
+    # scheme left a double-count window between the two writes
+    vs = VersionedStore(root)
 
     js = spark.range(_CMS_D).select(F.col("id").alias("j"))
     col_expr = F.expr(
@@ -927,10 +947,10 @@ def cms_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(ready):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(src)
-        os.makedirs(applied_dir)
         _sketch(ev.filter(F.col("ts") < split)).write.mode("overwrite").parquet(
-            store_dir
+            vs.seed_path()
         )
+        vs.init()
         for shard in range(3):
             part_dir = os.path.join(root, f"part{shard}")
             (
@@ -949,21 +969,22 @@ def cms_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.write("ok")
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):  # counter merge is NOT idempotent
+        if vs.is_applied(batch_id):  # replay of a committed batch
             return
         ss = batch_df.sparkSession
         merged = (
             ss.read.schema(store_schema)
-            .parquet(store_dir)
+            .parquet(vs.current_path())
             .unionByName(_sketch(batch_df))
             .groupBy("j", "col")
             .agg(F.sum("c").alias("c"))
-            .localCheckpoint(eager=True)  # cut lineage before overwrite
         )
-        merged.write.mode("overwrite").parquet(store_dir)
-        with open(marker, "w") as f:
-            f.write("ok")
+        merged.write.mode("overwrite").parquet(
+            vs.version_path(vs.batch_version(batch_id))
+        )
+        if batch_id in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {batch_id} write")
+        vs.commit(batch_id)  # atomic flip + pre-merge reclaim
 
     name = f"mts_cmsstream_{tag}"
     for active in spark.streams.active:
@@ -985,7 +1006,7 @@ def cms_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
 
-    merged = spark.read.schema(store_schema).parquet(store_dir)
+    merged = spark.read.schema(store_schema).parquet(vs.current_path())
     users = ev.select("user_id").distinct()
     est = (
         users.crossJoin(F.broadcast(js))

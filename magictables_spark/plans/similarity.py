@@ -928,11 +928,18 @@ def ann_lsh_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "untouched bucket-groups are never read nor written (the "
     "scd2_store_stream layout applied to an index). Serving between "
     "batches is ann_lsh_persisted's shape: bucket-pruned scan, cap as "
-    "a pushed-down rb filter. Per-batch applied markers guard the "
-    "non-idempotent re-rank against at-least-once replay.",
+    "a pushed-down rb filter. The non-idempotent re-rank is guarded "
+    "per PARTITION: every rewritten bucket-group carries a last_batch "
+    "stamp, so an at-least-once replay that crashed between the "
+    "dynamic overwrite and the marker re-merges only the unstamped "
+    "groups (streaming/commit.py module doc).",
     tags=("similarity", "ann", "streaming", "scale", "warehouse"),
 )
-def lsh_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
@@ -947,7 +954,7 @@ def lsh_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     tag = hashlib.md5(
-        f"v1:lshstream:{N_TABLES}:{N_PROBES}:{B}:"
+        f"v2:lshstream:{N_TABLES}:{N_PROBES}:{B}:"
         f"{os.path.realpath(sf_dir)}:{n_vec}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"lshstream_{tag}")
@@ -955,9 +962,12 @@ def lsh_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_dir = os.path.join(root, "store")
     applied_dir = os.path.join(root, "applied")
     ready = os.path.join(root, "_READY")
+    # last_batch stamps each pg partition with the batch that last
+    # rewrote it (-1 = seed) — the per-partition replay guard
+    # (streaming/commit.py module doc; the rollup_store_stream pattern)
     store_schema = (
         "tbl int, bucket bigint, vec_id bigint, masks array<bigint>, "
-        "rb int, pg bigint"
+        "rb int, last_batch bigint, pg bigint"
     )
     _pg = F.pmod(F.col("bucket"), F.lit(NPG)).alias("pg")
     wb = Window.partitionBy("tbl", "bucket").orderBy(
@@ -973,7 +983,8 @@ def lsh_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumnRenamed("table", "tbl")
         (
             hist.withColumn("rb", F.row_number().over(wb))
-            .select("tbl", "bucket", "vec_id", "masks", "rb", _pg)
+            .withColumn("last_batch", F.lit(-1).cast("long"))
+            .select("tbl", "bucket", "vec_id", "masks", "rb", "last_batch", _pg)
             .write.partitionBy("pg")
             .mode("overwrite")
             .parquet(store_dir)
@@ -1001,7 +1012,7 @@ def lsh_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _sign_merge(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(applied_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):  # re-rank is not idempotent
+        if os.path.exists(marker):  # fast path: batch fully committed
             return
         sp = batch_df.sparkSession
         bq = batch_df.select("vec_id", F.expr(QUANT_SPARK).alias("q"))
@@ -1014,32 +1025,50 @@ def lsh_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.pg for r in batch.select(_pg).distinct().collect()
         ]
         if touched_pg:
-            store = (
-                sp.read.schema(store_schema)
-                .parquet(store_dir)
-                .filter(F.col("pg").isin(touched_pg))
-            )
-            touched = batch.select("tbl", "bucket").distinct()
-            untouched = store.join(touched, ["tbl", "bucket"], "left_anti").drop(
-                "pg"
-            )
-            merged = (
-                store.join(touched, ["tbl", "bucket"], "left_semi")
-                .drop("rb", "pg")
-                .unionByName(batch)
-                .withColumn("rb", F.row_number().over(wb))
-            )
-            out = (
-                untouched.unionByName(merged)
-                .select("tbl", "bucket", "vec_id", "masks", "rb", _pg)
-                .localCheckpoint(eager=True)  # cut lineage before overwrite
-            )
-            (
-                out.write.option("partitionOverwriteMode", "dynamic")
-                .partitionBy("pg")
-                .mode("overwrite")
-                .parquet(store_dir)
-            )
+            all_store = sp.read.schema(store_schema).parquet(store_dir)
+            # per-partition replay guard: a crash between the dynamic
+            # overwrite and the marker write re-merges ONLY the
+            # partitions this batch's stamp is missing from (the
+            # rollup_store_stream pattern — re-merging a stamped
+            # partition would duplicate the batch's vectors)
+            done = {
+                r.pg
+                for r in all_store.filter(F.col("last_batch") == batch_id)
+                .select("pg")
+                .distinct()
+                .collect()
+            }
+            redo = [p for p in touched_pg if p not in done]
+            if redo:
+                store = all_store.filter(F.col("pg").isin(redo))
+                batch_redo = batch.filter(_pg.isin(redo))
+                touched = batch_redo.select("tbl", "bucket").distinct()
+                untouched = store.join(
+                    touched, ["tbl", "bucket"], "left_anti"
+                ).drop("pg", "last_batch")
+                merged = (
+                    store.join(touched, ["tbl", "bucket"], "left_semi")
+                    .drop("rb", "pg", "last_batch")
+                    .unionByName(batch_redo)
+                    .withColumn("rb", F.row_number().over(wb))
+                )
+                out = (
+                    untouched.unionByName(merged)
+                    .withColumn("last_batch", F.lit(batch_id).cast("long"))
+                    .select(
+                        "tbl", "bucket", "vec_id", "masks", "rb",
+                        "last_batch", _pg,
+                    )
+                    .localCheckpoint(eager=True)  # cut lineage pre-overwrite
+                )
+                (
+                    out.write.option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("pg")
+                    .mode("overwrite")
+                    .parquet(store_dir)
+                )
+        if batch_id in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {batch_id} write")
         with open(marker, "w") as f:
             f.write("ok")
 

@@ -1,0 +1,89 @@
+"""Crash-safe commit protocol for non-idempotent foreachBatch merges.
+
+foreachBatch is at-least-once: a failure AFTER the store rewrite but
+BEFORE the applied-marker write replays the batch against the already-
+merged store and double-counts (the round-8 ADVICE defect, first fixed
+in auc_store_stream). Two proven patterns, now shared:
+
+- ``VersionedStore`` (this module) for UNPARTITIONED stores: each
+  batch merges into a fresh ``store_v{batch_id}`` directory and
+  commits by atomically ``os.replace``-ing one CURRENT pointer file
+  whose contents are ``"<last_batch_id>\\n<store dir name>"``. The flip
+  is the single commit point — a replay either sees its batch_id
+  already in CURRENT (crash after flip: skip) or re-merges from the
+  untouched pre-merge version (crash before flip: the half-written
+  store_v{b} is simply overwritten).
+
+- per-partition ``last_batch`` stamping (inline in the maintainers)
+  for PARTITIONED stores rewritten with dynamic partition overwrite:
+  every rewritten partition carries the writing batch id, so a replay
+  re-merges ONLY the partitions its crash left unstamped
+  (rollup_store_stream, lsh_store_stream, scd2_store_stream).
+
+Under ``availableNow`` only the most recent batch can replay, so
+reclaiming the pre-merge version directory after a successful flip is
+safe: a replay of the committed batch short-circuits on CURRENT and
+never reads it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+__all__ = ["VersionedStore"]
+
+
+class VersionedStore:
+    """CURRENT-pointer versioned store for non-idempotent merges."""
+
+    SEED_VERSION = "store_vinit"
+
+    def __init__(self, root: str):
+        self.root = root
+        self._current = os.path.join(root, "CURRENT")
+
+    # -- paths -----------------------------------------------------------
+    def seed_path(self) -> str:
+        return os.path.join(self.root, self.SEED_VERSION)
+
+    def version_path(self, version: str) -> str:
+        return os.path.join(self.root, version)
+
+    def batch_version(self, batch_id: int) -> str:
+        return f"store_v{batch_id}"
+
+    # -- pointer ---------------------------------------------------------
+    def init(self) -> None:
+        """Commit the seed store (call once, after writing seed_path)."""
+        self._flip(-1, self.SEED_VERSION)
+
+    def read_current(self) -> tuple[int, str]:
+        """(last committed batch id, current store dir name)."""
+        with open(self._current) as f:
+            batch, version = f.read().splitlines()[:2]
+        return int(batch), version
+
+    def current_path(self) -> str:
+        return self.version_path(self.read_current()[1])
+
+    def is_applied(self, batch_id: int) -> bool:
+        return batch_id <= self.read_current()[0]
+
+    def commit(self, batch_id: int, version: str | None = None) -> None:
+        """Atomically flip CURRENT to ``version`` (default: the batch's
+        own store_v{batch_id}) and reclaim the pre-merge directory.
+        Pass the UNCHANGED current version for a no-op batch commit."""
+        _, old_version = self.read_current()
+        new_version = version if version is not None else self.batch_version(batch_id)
+        self._flip(batch_id, new_version)
+        if old_version != new_version:
+            shutil.rmtree(self.version_path(old_version), ignore_errors=True)
+
+    def _flip(self, batch_id: int, version: str) -> None:
+        tmp = f"{self._current}.tmp{batch_id}"
+        with open(tmp, "w") as f:
+            f.write(f"{batch_id}\n{version}")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._current)

@@ -27,7 +27,7 @@ def _root():
 
     cfp = corpus_fingerprint(os.path.join(SF, "events.parquet"))
     tag = hashlib.md5(
-        f"v1:scd2s:32:{_SCD2_SPLIT_TS}:{os.path.realpath(SF)}:{cfp}".encode()
+        f"v2:scd2s:32:{_SCD2_SPLIT_TS}:{os.path.realpath(SF)}:{cfp}".encode()
     ).hexdigest()[:12]
     return store_root(f"scd2stream_{tag}")
 
