@@ -2303,3 +2303,125 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n bigint, det string, b0_micro bigint, b_hour_micro bigint,"
         " b_day_micro bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# changepoint_binary_seg — exact-integer offline changepoint detection
+# ---------------------------------------------------------------------------
+
+# LCM(1..31): multiplying each segment's SSE (a rational A/n with n <=
+# 31 days) by L yields A * (L/n) — an exact INTEGER comparable across
+# all candidate splits with one shared scale, so the argmin needs no
+# floating point and no per-pair cross-multiplication.
+_CP_L = 72201776446800
+
+
+@q(
+    "changepoint_binary_seg",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM({VAL_I}) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), pre AS (
+      SELECT event_type, day, y,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(y) OVER w AS BIGINT) AS s_l,
+             CAST(SUM(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS q_l,
+             CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS s_t,
+             CAST(SUM(CAST(y AS HUGEINT) * y)
+                  OVER (PARTITION BY event_type) AS HUGEINT) AS q_t
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), costs AS (
+      SELECT event_type, day AS split_day, i AS n_left, n - i AS n_right,
+             s_l, s_t - s_l AS s_r,
+             ((i * q_l - CAST(s_l AS HUGEINT) * s_l) * ({_CP_L} // i)
+              + ((n - i) * (q_t - q_l)
+                 - CAST(s_t - s_l AS HUGEINT) * (s_t - s_l))
+                * ({_CP_L} // (n - i))) AS cost_scaled
+      FROM pre WHERE i < n
+    )
+    SELECT event_type, strftime(split_day, '%Y-%m-%d') AS split_day,
+           n_left, n_right,
+           CAST(cost_scaled AS VARCHAR) AS cost_scaled,
+           CAST((s_l * 1000000) // n_left AS BIGINT) AS mean_left_micro,
+           CAST((s_r * 1000000) // n_right AS BIGINT) AS mean_right_micro
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY cost_scaled, split_day) AS rk
+      FROM costs
+    ) WHERE rk = 1
+    ORDER BY event_type
+    """,
+    doc="Offline CHANGEPOINT DETECTION by binary segmentation (the "
+    "first split of PELT/BinSeg, Scott & Knott style): for each event "
+    "type, find the day splitting the daily-revenue series into two "
+    "segments with minimal total within-segment squared error. The "
+    "argmin is EXACT: each segment's SSE is the rational (n*Sum(y^2) "
+    "- Sum(y)^2)/n, and multiplying by LCM(1..31) turns every "
+    "candidate's total cost into one shared-scale INTEGER (HUGEINT / "
+    "DECIMAL(38)) — no float enters the comparison, so the chosen "
+    "split and its cost digit-string are value-hash-oracled, where a "
+    "double SSE argmin could flip on ties. Plan shape: one (type, "
+    "day) partial agg collapses the corpus to the DATE-DOMAIN frame "
+    "(<= 31 rows per type at any scale), then prefix-sum windows and "
+    "a rank over that bounded frame — the cost scan is O(days), never "
+    "O(n), the same bounded-frame discipline as kendall_tau_daily. "
+    "Segment means surface as exact micro-unit integers.",
+    tags=("events", "stats", "timeseries", "regression"),
+)
+def changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.expr(VAL_I)).cast("long").alias("y"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    dec = "DECIMAL(38, 0)"
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("day")
+        ).cast("long").alias("i"),
+        F.count("*").over(wt).cast("long").alias("n"),
+        F.sum("y").over(wc).cast("long").alias("s_l"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y")).over(wc).alias("q_l"),
+        F.sum("y").over(wt).cast("long").alias("s_t"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y")).over(wt).alias("q_t"),
+    )
+    costs = pre.filter(F.col("i") < F.col("n")).selectExpr(
+        "event_type",
+        "day AS split_day",
+        "i AS n_left",
+        "n - i AS n_right",
+        "s_l",
+        "s_t - s_l AS s_r",
+        f"((i * q_l - CAST(s_l AS {dec}) * s_l) * CAST({_CP_L} div i AS {dec})"
+        f" + ((n - i) * (q_t - q_l)"
+        f"    - CAST(s_t - s_l AS {dec}) * (s_t - s_l))"
+        f"   * CAST({_CP_L} div (n - i) AS {dec})) AS cost_scaled",
+    )
+    wr = Window.partitionBy("event_type").orderBy("cost_scaled", "split_day")
+    return (
+        costs.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .selectExpr(
+            "event_type",
+            "date_format(split_day, 'yyyy-MM-dd') AS split_day",
+            "n_left",
+            "n_right",
+            "CAST(cost_scaled AS STRING) AS cost_scaled",
+            "CAST((s_l * 1000000) div n_left AS BIGINT) AS mean_left_micro",
+            "CAST((s_r * 1000000) div n_right AS BIGINT) AS mean_right_micro",
+        )
+        .orderBy("event_type")
+    )

@@ -602,3 +602,37 @@ def test_ols_normal_equations_matches_numpy_lstsq(spark, tiny_events_dir):
     assert int(row.det) > 0
     got = np.array([row.b0_micro, row.b_hour_micro, row.b_day_micro]) / 1e6
     assert np.allclose(got, beta, atol=2e-6, rtol=1e-9), (got, beta)
+
+
+def test_changepoint_matches_bruteforce_sse(spark, tiny_events_dir):
+    """Re-derive the best split with a brute-force float SSE scan per
+    event type — the exact-integer argmin must pick the same split and
+    the reported segment means must match."""
+    d, df = tiny_events_dir
+    got = {
+        r.event_type: r
+        for r in REGISTRY["changepoint_binary_seg"].fn(spark, d).collect()
+    }
+    pdf = df.copy()
+    pdf["day"] = pdf["ts"].dt.date
+    pdf["cents"] = (pdf["value"] * 100).round().astype("int64")
+    daily = (
+        pdf.groupby(["event_type", "day"])["cents"].sum().reset_index(name="y")
+    )
+    for et, sub in daily.groupby("event_type"):
+        ys = sub.sort_values("day")["y"].to_numpy().astype(np.float64)
+        days = sub.sort_values("day")["day"].tolist()
+        n = len(ys)
+
+        def sse(a):
+            return float(((a - a.mean()) ** 2).sum()) if len(a) else 0.0
+
+        costs = [sse(ys[:i]) + sse(ys[i:]) for i in range(1, n)]
+        best = int(np.argmin(costs))
+        r = got[et]
+        assert r.split_day == days[best].isoformat()
+        assert (r.n_left, r.n_right) == (best + 1, n - best - 1)
+        assert r.mean_left_micro == (int(ys[: best + 1].sum()) * 10**6) // (best + 1)
+        assert r.mean_right_micro == (
+            int(ys[best + 1 :].sum()) * 10**6
+        ) // (n - best - 1)
