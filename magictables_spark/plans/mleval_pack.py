@@ -3085,3 +3085,143 @@ def roc_auc_ci_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({auc} - {_Z95} * {_DL_SPARK[2]}) AS ci_lo",
         f"({auc} + {_Z95} * {_DL_SPARK[2]}) AS ci_hi",
     )
+
+
+# ---------------------------------------------------------------------------
+# decision_stump_gini — exact-integer decision-stump training
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "decision_stump_gini",
+    oracle=f"""
+    WITH base AS (
+      SELECT hour(ts) AS h,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), per_h AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(y) AS BIGINT) AS pos_h
+      FROM base GROUP BY h
+    ), pre AS (
+      SELECT h AS t,
+             CAST(SUM(n_h) OVER w AS BIGINT) AS n_l,
+             CAST(SUM(pos_h) OVER w AS BIGINT) AS pos_l,
+             CAST(SUM(n_h) OVER () AS BIGINT) AS n_t,
+             CAST(SUM(pos_h) OVER () AS BIGINT) AS pos_t
+      FROM per_h
+      WINDOW w AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), cand AS (
+      SELECT t, n_l, pos_l,
+             n_t - n_l AS n_r, pos_t - pos_l AS pos_r,
+             (CAST(pos_l AS HUGEINT) * pos_l
+              + CAST(n_l - pos_l AS HUGEINT) * (n_l - pos_l)) AS a,
+             (CAST(pos_t - pos_l AS HUGEINT) * (pos_t - pos_l)
+              + CAST((n_t - n_l) - (pos_t - pos_l) AS HUGEINT)
+                * ((n_t - n_l) - (pos_t - pos_l))) AS b,
+             n_t
+      FROM pre WHERE n_l > 0 AND n_t - n_l > 0
+    )
+    SELECT CAST(c.t AS INT) AS threshold_hour,
+           c.n_l AS n_left, c.pos_l AS pos_left,
+           c.n_r AS n_right, c.pos_r AS pos_right,
+           (1.0 - (CAST(c.a AS DOUBLE) / CAST(c.n_l AS DOUBLE)
+                   + CAST(c.b AS DOUBLE) / CAST(c.n_r AS DOUBLE))
+                  / CAST(c.n_t AS DOUBLE)) AS weighted_gini
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cand o
+      WHERE (o.a * o.n_r + o.b * o.n_l) * (c.n_l * CAST(c.n_r AS HUGEINT))
+            > (c.a * c.n_r + c.b * c.n_l) * (o.n_l * CAST(o.n_r AS HUGEINT))
+         OR ((o.a * o.n_r + o.b * o.n_l) * (c.n_l * CAST(c.n_r AS HUGEINT))
+             = (c.a * c.n_r + c.b * c.n_l) * (o.n_l * CAST(o.n_r AS HUGEINT))
+             AND o.t < c.t)
+    )
+    """,
+    doc="DECISION-STUMP training ('is this event a purchase?' split on "
+    "hour-of-day) with the split chosen by minimum weighted Gini "
+    "impurity — and the argmin decided in EXACT integer arithmetic: "
+    "minimizing n_L*gini_L + n_R*gini_R is maximizing A/n_L + B/n_R "
+    "with A = pos_L^2 + neg_L^2 (B likewise), and candidate i beats j "
+    "iff (A_i*m_i + B_i*n_i) * n_j*m_j > (A_j*m_j + B_j*n_j) * n_i*m_i "
+    "— a cross-multiplied comparison over exact HUGEINT/DECIMAL(38) "
+    "products, evaluated as a NOT-EXISTS anti-join over the 23-"
+    "candidate frame (bounded by the HOUR DOMAIN, so the pairwise "
+    "comparison is 23x23 scalars regardless of corpus size; the "
+    "corpus pays one per-hour count agg). No float touches the "
+    "decision — ties break to the earliest threshold deterministically "
+    "— and the reported impurity is one shared IEEE expression over "
+    "identical integers. The tree-learning primitive (CART's inner "
+    "loop) as a hash-oracled distributed query; sibling of "
+    "changepoint_binary_seg's SSE argmin and ols_normal_equations' "
+    "Cramer solve.",
+    tags=("events", "ml", "mleval", "stats"),
+)
+def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_h = (
+        _t(spark, sf_dir, "events")
+        .selectExpr(
+            "hour(ts) AS h",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+        )
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("n_h"),
+            F.sum("y").cast("long").alias("pos_h"),
+        )
+    )
+    wc = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "DECIMAL(38, 0)"
+    cand = (
+        per_h.select(
+            F.col("h").alias("t"),
+            F.sum("n_h").over(wc).cast("long").alias("n_l"),
+            F.sum("pos_h").over(wc).cast("long").alias("pos_l"),
+            F.sum("n_h").over(wt).cast("long").alias("n_t"),
+            F.sum("pos_h").over(wt).cast("long").alias("pos_t"),
+        )
+        .filter("n_l > 0 AND n_t - n_l > 0")
+        .selectExpr(
+            "t",
+            "n_l",
+            "pos_l",
+            "n_t - n_l AS n_r",
+            "pos_t - pos_l AS pos_r",
+            f"(CAST(pos_l AS {dec}) * pos_l"
+            f" + CAST(n_l - pos_l AS {dec}) * (n_l - pos_l)) AS a",
+            f"(CAST(pos_t - pos_l AS {dec}) * (pos_t - pos_l)"
+            f" + CAST((n_t - n_l) - (pos_t - pos_l) AS {dec})"
+            f"   * ((n_t - n_l) - (pos_t - pos_l))) AS b",
+            "n_t",
+        )
+        .localCheckpoint(eager=True)  # 23-row frame, reused on both sides
+    )
+    o = cand.selectExpr(
+        "t AS o_t", "n_l AS o_nl", "n_r AS o_nr", "a AS o_a", "b AS o_b"
+    )
+    # NOT EXISTS via left-anti join on the cross-multiplied comparison
+    beaten = cand.join(
+        o,
+        F.expr(
+            f"(o_a * o_nr + o_b * o_nl) * (n_l * CAST(n_r AS {dec}))"
+            f" > (a * n_r + b * n_l) * (o_nl * CAST(o_nr AS {dec}))"
+            f" OR ((o_a * o_nr + o_b * o_nl) * (n_l * CAST(n_r AS {dec}))"
+            f"     = (a * n_r + b * n_l) * (o_nl * CAST(o_nr AS {dec}))"
+            f"     AND o_t < t)"
+        ),
+        "left_anti",
+    )
+    return beaten.selectExpr(
+        "CAST(t AS INT) AS threshold_hour",
+        "n_l AS n_left",
+        "pos_l AS pos_left",
+        "n_r AS n_right",
+        "pos_r AS pos_right",
+        "(1.0 - (CAST(a AS DOUBLE) / CAST(n_l AS DOUBLE)"
+        "        + CAST(b AS DOUBLE) / CAST(n_r AS DOUBLE))"
+        "       / CAST(n_t AS DOUBLE)) AS weighted_gini",
+    )

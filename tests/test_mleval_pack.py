@@ -873,3 +873,30 @@ def test_delong_matches_bruteforce(spark, tiny_embed_dir):
     assert out["ci_hi"] == pytest.approx(auc + 1.959963984540054 * se, rel=1e-9)
     # engineered real signal: the CI must exclude 0.5
     assert out["ci_lo"] > 0.5
+
+
+def test_decision_stump_matches_bruteforce_gini(spark, tiny_events_dir):
+    """Re-derive the best split with a brute-force float Gini scan —
+    the exact-integer cross-multiplied argmin must pick the same
+    threshold and report matching counts and impurity."""
+    d, df = tiny_events_dir
+    row = REGISTRY["decision_stump_gini"].fn(spark, d).collect()
+    assert len(row) == 1
+    row = row[0]
+    h = df["ts"].dt.hour.to_numpy()
+    y = (df["event_type"] == "purchase").to_numpy().astype(int)
+    n_t = len(y)
+    best, best_cost = None, None
+    for t in sorted(set(h))[:-1]:
+        m = h <= t
+        n_l, n_r = int(m.sum()), int((~m).sum())
+        pl, pr = int(y[m].sum()), int(y[~m].sum())
+        gini_l = 1 - (pl / n_l) ** 2 - ((n_l - pl) / n_l) ** 2
+        gini_r = 1 - (pr / n_r) ** 2 - ((n_r - pr) / n_r) ** 2
+        cost = (n_l * gini_l + n_r * gini_r) / n_t
+        if best_cost is None or cost < best_cost - 1e-12:
+            best, best_cost = (t, n_l, pl, n_r, pr), cost
+    t, n_l, pl, n_r, pr = best
+    assert (row.threshold_hour, row.n_left, row.pos_left,
+            row.n_right, row.pos_right) == (t, n_l, pl, n_r, pr)
+    assert row.weighted_gini == pytest.approx(best_cost, rel=1e-9)

@@ -105,6 +105,12 @@ WAIVERS: dict[str, dict[str, str]] = {
         "IN-pruned bucketed index read)"
     },
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
+    "decision_stump_gini": {
+        NLJ: "the argmin anti-join compares the 23-candidate frame "
+        "against itself (hour-domain-bounded, 23x23 scalars at any "
+        "corpus size); the data-sized work is the per-hour count agg "
+        "upstream"
+    },
     "ann_recall_eval": {
         NLJ: "broadcast side is the 50-row query-probe set (exact "
         "ground-truth leg — probe-bounded by design; the LSH leg and "
