@@ -3225,3 +3225,116 @@ def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        + CAST(b AS DOUBLE) / CAST(n_r AS DOUBLE))"
         "       / CAST(n_t AS DOUBLE)) AS weighted_gini",
     )
+
+
+# ---------------------------------------------------------------------------
+# naive_bayes_classify — exact-integer NB train + classify
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "naive_bayes_classify",
+    oracle="""
+    WITH base AS (
+      SELECT hour(ts) // 6 AS v1, (day(ts) - 1) // 8 AS v2,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), cls AS (
+      SELECT CAST(SUM(y) AS HUGEINT) AS n1,
+             CAST(COUNT(*) - SUM(y) AS HUGEINT) AS n0
+      FROM base
+    ), c1 AS (
+      SELECT v1, CAST(SUM(y) AS HUGEINT) AS p1,
+             CAST(COUNT(*) - SUM(y) AS HUGEINT) AS q1
+      FROM base GROUP BY v1
+    ), c2 AS (
+      SELECT v2, CAST(SUM(y) AS HUGEINT) AS p2,
+             CAST(COUNT(*) - SUM(y) AS HUGEINT) AS q2
+      FROM base GROUP BY v2
+    ), cells AS (
+      SELECT b.v1, b.v2,
+             CAST(SUM(b.y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(b.y) AS BIGINT) AS n_neg
+      FROM base b GROUP BY b.v1, b.v2
+    ), scored AS (
+      SELECT cells.v1, cells.v2, n_pos, n_neg,
+             cls.n1 * (c1.p1 + 1) * (c2.p2 + 1)
+               * (cls.n0 + 4) * (cls.n0 + 4) AS s1,
+             cls.n0 * (c1.q1 + 1) * (c2.q2 + 1)
+               * (cls.n1 + 4) * (cls.n1 + 4) AS s0
+      FROM cells
+      JOIN c1 ON c1.v1 = cells.v1
+      JOIN c2 ON c2.v2 = cells.v2
+      CROSS JOIN cls
+    )
+    SELECT CAST(v1 AS INT) AS hour_bucket, CAST(v2 AS INT) AS day_bucket,
+           n_pos, n_neg,
+           CAST(CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS INT) AS predicted,
+           CAST((1000 * s1) // (s0 + s1) AS BIGINT) AS posterior_milli
+    FROM scored
+    ORDER BY hour_bucket, day_bucket
+    """,
+    doc="Naive Bayes TRAIN + CLASSIFY end to end, hash-oracled: learn "
+    "Laplace-smoothed class priors and per-feature conditionals for "
+    "'is this event a purchase?' over (hour-of-day quartile, "
+    "day-of-month octile), then classify every feature cell by "
+    "comparing the two class posteriors as EXACT cross-multiplied "
+    "integer products — score_c = N_c*(C1_c+1)*(C2_c+1) / "
+    "((N_c+K)*(N_c+K)) compared via a common-denominator HUGEINT/"
+    "DECIMAL(38) product, and the reported posterior is the exact "
+    "truncated millesimal (1000*s1) div (s0+s1) — so the learned "
+    "decision surface AND its confidence are value-hash-checked with "
+    "no libm exp/log anywhere (the generative-model counterpart of "
+    "decision_stump_gini's discriminative split). Plan shape: three "
+    "grouped count aggregates over one scan (class totals, two "
+    "conditional tables — the sufficient statistics, all map-side-"
+    "combinable) joined onto the 16-cell feature grid — NB training "
+    "IS count aggregation, which is why it map-reduces at any scale.",
+    tags=("events", "ml", "mleval", "stats"),
+)
+def naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "DECIMAL(38, 0)"
+    base = _t(spark, sf_dir, "events").selectExpr(
+        "hour(ts) div 6 AS v1",
+        "(day(ts) - 1) div 8 AS v2",
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y",
+    )
+    cls = base.agg(
+        F.sum("y").cast("long").alias("n1"),
+        (F.count("*") - F.sum("y")).cast("long").alias("n0"),
+    )
+    c1 = base.groupBy("v1").agg(
+        F.sum("y").cast("long").alias("p1"),
+        (F.count("*") - F.sum("y")).cast("long").alias("q1"),
+    )
+    c2 = base.groupBy("v2").agg(
+        F.sum("y").cast("long").alias("p2"),
+        (F.count("*") - F.sum("y")).cast("long").alias("q2"),
+    )
+    cells = base.groupBy("v1", "v2").agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    scored = (
+        cells.join(c1, "v1")
+        .join(c2, "v2")
+        .crossJoin(F.broadcast(cls))
+        .selectExpr(
+            "v1",
+            "v2",
+            "n_pos",
+            "n_neg",
+            f"CAST(n1 AS {dec}) * (p1 + 1) * (p2 + 1)"
+            f" * (n0 + 4) * (n0 + 4) AS s1",
+            f"CAST(n0 AS {dec}) * (q1 + 1) * (q2 + 1)"
+            f" * (n1 + 4) * (n1 + 4) AS s0",
+        )
+    )
+    return scored.selectExpr(
+        "CAST(v1 AS INT) AS hour_bucket",
+        "CAST(v2 AS INT) AS day_bucket",
+        "n_pos",
+        "n_neg",
+        "CAST(CASE WHEN s1 > s0 THEN 1 ELSE 0 END AS INT) AS predicted",
+        "CAST((1000 * s1) div (s0 + s1) AS BIGINT) AS posterior_milli",
+    ).orderBy("hour_bucket", "day_bucket")

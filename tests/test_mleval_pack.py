@@ -900,3 +900,37 @@ def test_decision_stump_matches_bruteforce_gini(spark, tiny_events_dir):
     assert (row.threshold_hour, row.n_left, row.pos_left,
             row.n_right, row.pos_right) == (t, n_l, pl, n_r, pr)
     assert row.weighted_gini == pytest.approx(best_cost, rel=1e-9)
+
+
+def test_naive_bayes_matches_pure_python(spark, tiny_events_dir):
+    """Re-derive priors, Laplace conditionals, per-cell posterior and
+    prediction in pure Python fractions — counts, argmax and the
+    truncated millesimal must agree exactly."""
+    from fractions import Fraction
+
+    d, df = tiny_events_dir
+    got = {
+        (r.hour_bucket, r.day_bucket): r
+        for r in REGISTRY["naive_bayes_classify"].fn(spark, d).collect()
+    }
+    v1 = (df["ts"].dt.hour // 6).to_numpy()
+    v2 = ((df["ts"].dt.day - 1) // 8).to_numpy()
+    y = (df["event_type"] == "purchase").to_numpy().astype(int)
+    n1, n0 = int(y.sum()), int(len(y) - y.sum())
+    for a in sorted(set(v1)):
+        for b in sorted(set(v2)):
+            m = (v1 == a) & (v2 == b)
+            if not m.any():
+                continue
+            r = got[(a, b)]
+            assert (r.n_pos, r.n_neg) == (int(y[m].sum()), int((1 - y[m]).sum()))
+            p1 = int(y[v1 == a].sum())
+            q1 = int((1 - y)[v1 == a].sum())
+            p2 = int(y[v2 == b].sum())
+            q2 = int((1 - y)[v2 == b].sum())
+            s1 = Fraction(n1 * (p1 + 1) * (p2 + 1), (n1 + 4) * (n1 + 4))
+            s0 = Fraction(n0 * (q1 + 1) * (q2 + 1), (n0 + 4) * (n0 + 4))
+            assert r.predicted == (1 if s1 > s0 else 0)
+            assert r.posterior_milli == (1000 * s1.numerator * s0.denominator) // (
+                s0.numerator * s1.denominator + s1.numerator * s0.denominator
+            )

@@ -105,6 +105,11 @@ WAIVERS: dict[str, dict[str, str]] = {
         "IN-pruned bucketed index read)"
     },
     "sim_cosine_topk": {NLJ: "broadcast side is the 5-row query-probe set"},
+    "naive_bayes_classify": {
+        NLJ: "broadcast side is the 1-row class-prior aggregate "
+        "crossed into the 16-cell feature grid (the kaplan_meier "
+        "scalar-cross pattern); conditional-table joins are key-equi"
+    },
     "decision_stump_gini": {
         NLJ: "the argmin anti-join compares the 23-candidate frame "
         "against itself (hour-domain-bounded, 23x23 scalars at any "
