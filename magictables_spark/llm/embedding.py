@@ -49,22 +49,35 @@ def jina_http_transport(payload: dict, api_base: str, api_key: str | None) -> di
     import urllib.error
     import urllib.request
 
+    headers = {"Content-Type": "application/json"}
+    if api_key is not None:
+        # never send the literal header "Bearer None" — an unset
+        # {PROVIDER}_API_KEY omits auth (public/local endpoints) and
+        # lets the server return its own 401 for protected ones
+        headers["Authorization"] = f"Bearer {api_key}"
     req = urllib.request.Request(
         f"{api_base.rstrip('/')}/embeddings",
         data=json.dumps(payload).encode(),
-        headers={
-            "Content-Type": "application/json",
-            "Authorization": f"Bearer {api_key}",
-        },
+        headers=headers,
         method="POST",
     )
     try:
         with urllib.request.urlopen(req, timeout=60) as resp:
-            return json.loads(resp.read().decode())
+            body = resp.read()
     except urllib.error.HTTPError as exc:  # pragma: no cover - network
         raise OSError(
             f"embedding request failed with status {exc.code}: "
             f"{exc.read()[:200]!r}"
+        ) from exc
+    try:
+        return json.loads(body.decode())
+    except ValueError as exc:
+        # malformed 2xx body is RETRYABLE, matching the reference:
+        # aiohttp's response.json() raises ContentTypeError — a
+        # ClientError subclass — inside its retry class
+        # (reference utils.py:203-210, 227)
+        raise OSError(
+            f"embedding response was not valid JSON: {body[:200]!r}"
         ) from exc
 
 

@@ -2534,8 +2534,10 @@ def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
 
 
 def decode_mpeg_audio(data: bytes) -> dict:
-    """Dispatch: full PCM decode for MPEG-1 Layer I/II, container
-    metadata (decoded=False) for Layer III / LSF / joint-stereo."""
+    """Dispatch: full PCM decode for MPEG-1 Layer I/II and for
+    MPEG-1 Layer III within the carried Huffman subset; container
+    metadata (decoded=False) for MPEG-2/2.5 (LSF), joint-stereo
+    Layer III, and streams selecting uncarried big-value tables."""
     try:
         return decode_mpeg1_audio(data)
     except UnsupportedMediaError:

@@ -1209,7 +1209,8 @@ def scd2_store_stream(
             # bucket would double-fold the batch's events into runs
             done = {
                 r.ub
-                for r in all_store.filter(F.col("last_batch") == batch_id)
+                for r in all_store.filter(F.col("ub").isin(touched_b))
+                .filter(F.col("last_batch") == batch_id)
                 .select("ub")
                 .distinct()
                 .collect()

@@ -2215,17 +2215,17 @@ def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n,
            CAST(det AS VARCHAR) AS det,
-           CAST(CASE WHEN n0 = 0 THEN 0
+           CAST(CASE WHEN n0 = 0 OR det = 0 THEN 0
                      WHEN (n0 > 0) = (det > 0)
                      THEN (ABS(n0) * 1000000) // ABS(det)
                      ELSE -((ABS(n0) * 1000000) // ABS(det)) END AS BIGINT)
              AS b0_micro,
-           CAST(CASE WHEN n1 = 0 THEN 0
+           CAST(CASE WHEN n1 = 0 OR det = 0 THEN 0
                      WHEN (n1 > 0) = (det > 0)
                      THEN (ABS(n1) * 1000000) // ABS(det)
                      ELSE -((ABS(n1) * 1000000) // ABS(det)) END AS BIGINT)
              AS b_hour_micro,
-           CAST(CASE WHEN n2 = 0 THEN 0
+           CAST(CASE WHEN n2 = 0 OR det = 0 THEN 0
                      WHEN (n2 > 0) = (det > 0)
                      THEN (ABS(n2) * 1000000) // ABS(det)
                      ELSE -((ABS(n2) * 1000000) // ABS(det)) END AS BIGINT)

@@ -1033,7 +1033,8 @@ def lsh_store_stream(
             # partition would duplicate the batch's vectors)
             done = {
                 r.pg
-                for r in all_store.filter(F.col("last_batch") == batch_id)
+                for r in all_store.filter(F.col("pg").isin(touched_pg))
+                .filter(F.col("last_batch") == batch_id)
                 .select("pg")
                 .distinct()
                 .collect()

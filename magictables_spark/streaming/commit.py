@@ -20,6 +20,23 @@ in auc_store_stream). Two proven patterns, now shared:
   re-merges ONLY the partitions its crash left unstamped
   (rollup_store_stream, lsh_store_stream, scd2_store_stream).
 
+  RESIDUAL WINDOW (stamping protocol only): the guard assumes dynamic
+  partition overwrite replaces each partition atomically. Spark's
+  job commit deletes the old partition directory and then renames the
+  staged one in — on a local filesystem those are two operations, so
+  a crash INSIDE job commit (not the post-write/pre-marker window the
+  fault-injection tests cover) can leave a partition with its
+  pre-merge rows deleted and its merged rows not yet visible. A
+  replay then re-merges from the batch alone and loses the store-side
+  history for that partition. On an object store or HDFS with an
+  atomic-rename committer the window is a single partition rename;
+  to eliminate it entirely, route the store through ``VersionedStore``
+  (merge into a fresh versioned directory, flip CURRENT once) at the
+  cost of rewriting untouched partitions. The stamping maintainers
+  accept the window because their stores are rebuildable caches of
+  the upstream event log, and the versioned protocol guards every
+  store whose history is authoritative (auc/quantile-hist/CMS/...).
+
 Under ``availableNow`` only the most recent batch can replay, so
 reclaiming the pre-merge version directory after a successful flip is
 safe: a replay of the committed batch short-circuits on CURRENT and

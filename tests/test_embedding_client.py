@@ -137,3 +137,62 @@ def test_plugs_into_embed_texts(spark):
     )
     rows = {r.doc_id: r.embedding for r in out.collect()}
     assert rows["d1"] == pytest.approx([0.0117, -0.0432, 0.2211, 0.0876])
+
+
+class _FakeResp:
+    def __init__(self, body: bytes):
+        self._body = body
+
+    def read(self):
+        return self._body
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def test_malformed_2xx_body_is_retryable(monkeypatch):
+    """A 2xx response whose body is not JSON must raise OSError (the
+    retryable class) — reference parity: aiohttp's response.json()
+    raises ContentTypeError, a ClientError subclass, inside the retry
+    class (reference utils.py:203-210, 227)."""
+    import urllib.request
+
+    from magictables_spark.llm.embedding import jina_http_transport
+
+    bodies = iter([b"<html>502ish gateway page</html>",
+                   json.dumps({"data": [{"embedding": [1.0]}]}).encode()])
+    monkeypatch.setattr(
+        urllib.request, "urlopen", lambda req, timeout=60: _FakeResp(next(bodies))
+    )
+    with pytest.raises(OSError, match="not valid JSON"):
+        jina_http_transport({"model": "m", "input": ["t"]}, "https://x.test/v1", "k")
+
+    # and the client retries straight through it
+    emb = ProviderEmbedder(
+        model="m", provider="jina", transport=jina_http_transport,
+        sleep=lambda s: None,
+    )
+    assert emb(["t"]) == [[1.0]]
+
+
+def test_auth_header_omitted_when_key_unset(monkeypatch):
+    """Unset {PROVIDER}_API_KEY must NOT send 'Authorization: Bearer
+    None' — the header is omitted entirely; a set key sends Bearer."""
+    import urllib.request
+
+    from magictables_spark.llm.embedding import jina_http_transport
+
+    seen = []
+
+    def fake_urlopen(req, timeout=60):
+        seen.append(dict(req.header_items()))
+        return _FakeResp(json.dumps({"data": [{"embedding": [1.0]}]}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    jina_http_transport({"model": "m", "input": ["t"]}, "https://x.test/v1", None)
+    jina_http_transport({"model": "m", "input": ["t"]}, "https://x.test/v1", "sk-abc")
+    assert not any(k.lower() == "authorization" for k in seen[0])
+    assert seen[1].get("Authorization") == "Bearer sk-abc"
