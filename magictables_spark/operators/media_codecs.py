@@ -1940,18 +1940,24 @@ def _quant(s: float, nb: int, levels: int) -> int:
 
 
 def _parse_mpeg1_header(data: bytes, pos: int):
-    """Validated MPEG-1 header at pos -> dict, or None if not a frame."""
+    """Validated MPEG-1 / MPEG-2 (LSF, Layer III only) header at pos
+    -> dict, or None if not a decodable frame."""
     if pos + 4 > len(data) or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
         return None
     b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
     ver, lay = (b1 >> 3) & 3, (b1 >> 1) & 3
     br_idx, sr_idx = (b2 >> 4) & 0x0F, (b2 >> 2) & 3
-    if ver != 3 or lay == 0 or br_idx in (0, 15) or sr_idx == 3:
+    if ver not in (2, 3) or lay == 0 or br_idx in (0, 15) or sr_idx == 3:
         return None
-    sr = _MP3_SR[3][sr_idx]
+    if ver == 2 and lay != 1:
+        return None  # LSF Layer I/II out of scope
+    sr = _MP3_SR[ver][sr_idx]
     padding = (b2 >> 1) & 1
     mode = (b3 >> 6) & 3
-    if lay == 3:  # Layer I
+    if ver == 2:  # MPEG-2 LSF Layer III: 576 samples/frame
+        kbps = _MP3_BITRATE_V2_L3[br_idx]
+        flen = 72 * kbps * 1000 // sr + padding
+    elif lay == 3:  # Layer I
         kbps = _MP3_BITRATE_V1_L1[br_idx]
         flen = (12 * kbps * 1000 // sr + padding) * 4
     elif lay == 2:  # Layer II
@@ -1961,6 +1967,7 @@ def _parse_mpeg1_header(data: bytes, pos: int):
         kbps = _MP3_BITRATE_V1_L3[br_idx]
         flen = 144 * kbps * 1000 // sr + padding
     return {
+        "version": 1 if ver == 3 else 2,
         "layer": {3: 1, 2: 2, 1: 3}[lay],
         "kbps": kbps,
         "sample_rate": sr,
@@ -2070,16 +2077,21 @@ def _decode_frame_l2(bits: _Bits, nch: int, sample_rate: int, kbps: int) -> list
 # 32-band PQMF synthesis Layer I/II use.
 #
 # Documented kernel boundary: of ISO Table B.7's 32 big-value Huffman
-# tables this build carries table 0 (all zero) and table 1, plus both
-# count1 tables (A = the 16-entry Huffman code, B = the fixed 4-bit
-# complement code) — enough to decode the committed fixtures, which
-# paint their spectra entirely through count1 quadruples and per-band
-# scalefactors (a valid, if deliberately sparse, encoding any decoder
-# accepts). A stream selecting an uncarried table raises
+# table ids this build carries 20 — table 0 (all zero), the non-ESC
+# tables 1, 2, 3, 5, 6, 9, 10, 11, 12, 13, 15, and the full ESC
+# family 16-23 (table 16's codes with linbits 1/2/3/4/6/8/10/13) —
+# plus both count1 tables (A = the 16-entry Huffman code, B = the
+# fixed 4-bit complement code). Every carried table is gated at
+# import by _l3_build_b7 (complete prefix code over the full symbol
+# grid; see _L3_B7_RAW). Ids 4 and 14 are unused by the spec; ids 7,
+# 8 and the 24-31 ESC family are NOT carried — their table data did
+# not survive the completeness gate offline (no authoritative copy of
+# the spec data is reachable from this build environment), and
+# carrying near-miss data would decode real streams into wrong PCM
+# silently. A stream selecting an uncarried table raises
 # UnsupportedMediaError, and decode_mpeg_audio falls back to container
-# metadata — extending coverage is a matter of keying in more Table
-# B.7 data, not new code paths. Intensity/MS joint stereo and mixed
-# blocks remain out of scope (raise).
+# metadata. Intensity/MS joint stereo and mixed blocks remain out of
+# scope (raise).
 # ---------------------------------------------------------------------------
 
 _L3_SLEN = [
@@ -2087,7 +2099,8 @@ _L3_SLEN = [
     (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
 ]
 _L3_PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2]
-# scalefactor band boundaries (ISO Table B.8), MPEG-1 sample rates
+# scalefactor band boundaries: ISO 11172-3 Table B.8 (MPEG-1 rates)
+# and ISO 13818-3 Table B.2 (MPEG-2 LSF rates) — keys never collide
 _L3_SFB_LONG = {
     44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
             134, 162, 196, 238, 288, 342, 418, 576],
@@ -2095,18 +2108,231 @@ _L3_SFB_LONG = {
             128, 156, 190, 230, 276, 330, 384, 576],
     32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
             156, 194, 240, 296, 364, 448, 550, 576],
+    22050: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
+            200, 238, 284, 336, 396, 464, 522, 576],
+    24000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136, 162,
+            194, 232, 278, 330, 394, 464, 540, 576],
+    16000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140, 168,
+            200, 238, 284, 336, 396, 464, 522, 576],
 }
 _L3_SFB_SHORT = {
     44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
     48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
     32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+    22050: [0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192],
+    24000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192],
+    16000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192],
 }
-# ISO Table B.7: big-value pair tables carried by this build.
-# {(hlen, hcod): (x, y)}; linbits per table where defined.
-_L3_PAIR_TABLES = {
-    1: ({(1, 0b1): (0, 0), (3, 0b001): (0, 1),
-         (2, 0b01): (1, 0), (3, 0b000): (1, 1)}, 0),
+# LSF scalefactor group sizes nr_of_sfb[blocknumber][blocktypenumber]
+# (ISO 13818-3 2.4.3.2; blocktypenumber 0=long, 1=short, 2=mixed)
+_LSF_NSFB = {
+    0: ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
+    1: ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
+    2: ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
 }
+
+
+def _lsf_slen(g: dict) -> tuple[tuple[int, int, int, int], int]:
+    """LSF scalefac_compress -> (slen[4], blocknumber); preflag is
+    implied by blocknumber 2 (non-intensity channels)."""
+    sc = g["scalefac_compress"]
+    if sc < 400:
+        return ((sc >> 4) // 5, (sc >> 4) % 5, (sc & 15) >> 2, sc & 3), 0
+    if sc < 500:
+        t = sc - 400
+        return ((t >> 2) // 5, (t >> 2) % 5, t & 3, 0), 1
+    t = sc - 500
+    return (t // 3, t % 3, 0, 0), 2
+# ISO Table B.7: big-value pair Huffman tables, entered as LAME-style
+# flat (codes, lens) arrays in row-major (x, y) order. Every table is
+# gated at import by _l3_build_b7: full symbol coverage, code-fits-
+# length, no duplicate codes, prefix-freeness, and Kraft sum EXACTLY 1
+# (a complete prefix code — the property every B.7 table has). A table
+# that fails the gate cannot ship; uncarried ids (7, 8, 24-31 — recall
+# of their data did not survive the gate — plus 4/14, unused by the
+# spec) raise UnsupportedMediaError at decode and decode_mpeg_audio
+# falls back to container metadata for streams selecting them.
+_L3_B7_RAW = {
+    1: (2, (1, 1, 1, 0), (1, 3, 2, 3)),
+    2: (3, (1, 2, 1, 3, 1, 1, 3, 2, 0), (1, 3, 6, 3, 3, 5, 5, 5, 6)),
+    3: (3, (3, 2, 1, 1, 1, 1, 3, 2, 0), (2, 2, 6, 3, 2, 5, 5, 5, 6)),
+    5: (4, (1, 2, 6, 5, 3, 1, 4, 4, 7, 5, 7, 1, 6, 1, 1, 0),
+        (1, 3, 6, 7, 3, 3, 6, 7, 6, 6, 7, 8, 7, 6, 7, 8)),
+    6: (4, (7, 3, 5, 1, 6, 2, 3, 2, 5, 4, 4, 1, 3, 3, 2, 0),
+        (3, 3, 5, 7, 3, 2, 4, 5, 4, 4, 5, 6, 6, 5, 6, 7)),
+    9: (6, (7, 5, 9, 14, 15, 7, 6, 4, 5, 5, 6, 7,
+            7, 6, 8, 8, 8, 5, 15, 6, 9, 10, 5, 1,
+            11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0),
+        (3, 3, 5, 6, 8, 9, 3, 3, 4, 5, 6, 8,
+         4, 4, 5, 6, 7, 8, 6, 5, 6, 7, 7, 8,
+         7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9)),
+    10: (8, (1, 2, 10, 23, 35, 30, 12, 17, 3, 3, 8, 12, 18, 21, 12, 7,
+             11, 9, 15, 21, 32, 40, 19, 6, 14, 13, 22, 34, 46, 23, 18, 7,
+             20, 19, 33, 47, 27, 22, 9, 3, 31, 22, 41, 26, 21, 20, 5, 3,
+             14, 13, 10, 11, 16, 6, 5, 1, 9, 8, 7, 8, 4, 4, 2, 0),
+         (1, 3, 6, 8, 9, 9, 9, 10, 3, 4, 6, 7, 8, 9, 8, 8,
+          6, 6, 7, 8, 9, 10, 9, 9, 7, 7, 8, 9, 10, 10, 9, 10,
+          8, 8, 9, 10, 10, 10, 10, 10, 9, 9, 10, 10, 11, 11, 10, 11,
+          8, 8, 9, 10, 10, 10, 11, 11, 9, 8, 9, 10, 10, 11, 11, 11)),
+    11: (8, (3, 4, 10, 24, 34, 33, 21, 15, 5, 3, 4, 10, 32, 17, 11, 10,
+             11, 7, 13, 18, 30, 31, 20, 5, 25, 11, 19, 59, 27, 18, 12, 5,
+             35, 33, 31, 58, 30, 16, 7, 5, 28, 26, 32, 19, 17, 15, 8, 14,
+             14, 12, 9, 13, 14, 9, 4, 1, 11, 4, 6, 6, 6, 3, 2, 0),
+         (2, 3, 5, 7, 8, 9, 8, 9, 3, 3, 4, 6, 8, 8, 7, 8,
+          5, 5, 6, 7, 8, 9, 8, 8, 7, 6, 7, 9, 8, 10, 8, 9,
+          8, 8, 8, 9, 9, 10, 9, 10, 8, 8, 9, 10, 10, 11, 10, 11,
+          8, 7, 7, 8, 9, 10, 10, 10, 8, 7, 8, 9, 10, 10, 10, 10)),
+    12: (8, (9, 6, 16, 33, 41, 39, 38, 26, 7, 5, 6, 9, 23, 16, 26, 11,
+             17, 7, 11, 14, 21, 30, 10, 7, 17, 10, 15, 12, 18, 28, 14, 5,
+             32, 13, 22, 19, 18, 16, 9, 5, 40, 17, 31, 29, 17, 13, 4, 2,
+             27, 12, 11, 15, 10, 7, 4, 1, 27, 12, 8, 12, 6, 3, 1, 0),
+         (4, 3, 5, 7, 8, 9, 9, 9, 3, 3, 4, 5, 7, 7, 8, 8,
+          5, 4, 5, 6, 7, 8, 7, 8, 6, 5, 6, 6, 7, 8, 8, 8,
+          7, 6, 7, 7, 8, 8, 8, 9, 8, 7, 8, 8, 8, 9, 8, 9,
+          8, 7, 7, 8, 8, 9, 9, 10, 9, 8, 8, 9, 9, 9, 9, 10)),
+    13: (16, (
+        1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19,
+        3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14,
+        15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16,
+        22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14,
+        35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24,
+        58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17,
+        47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15,
+        72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44, 43, 42,
+        43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30, 20, 16,
+        53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18, 39, 11,
+        35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26, 38, 22,
+        53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14, 9, 7,
+        34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17, 9, 5,
+        45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6, 3,
+        48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4, 2,
+        16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1,
+    ), (
+        1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13,
+        3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12,
+        6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13,
+        7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 13,
+        8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13, 14,
+        9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 14, 14,
+        9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14, 14,
+        10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16, 16,
+        9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15, 15,
+        10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16, 15,
+        10, 10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15, 16, 17,
+        11, 10, 10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15, 15, 16,
+        11, 11, 11, 12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16, 16, 16,
+        12, 11, 12, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 15, 16, 16,
+        13, 12, 12, 13, 13, 13, 15, 14, 14, 17, 15, 15, 15, 17, 16, 16,
+        12, 12, 13, 14, 14, 14, 15, 14, 15, 15, 16, 16, 19, 18, 19, 16,
+    )),
+    15: (16, (
+        7, 12, 18, 53, 47, 76, 124, 108, 89, 123, 108, 119, 107, 81, 122, 63,
+        13, 5, 16, 27, 46, 36, 61, 51, 42, 70, 52, 83, 65, 41, 59, 36,
+        19, 17, 15, 24, 41, 34, 59, 48, 40, 64, 50, 78, 62, 80, 56, 33,
+        29, 28, 25, 43, 39, 63, 55, 93, 76, 59, 93, 72, 54, 75, 50, 29,
+        52, 22, 42, 40, 67, 57, 95, 79, 72, 57, 89, 69, 49, 66, 46, 27,
+        77, 37, 35, 66, 58, 52, 91, 74, 62, 48, 79, 63, 90, 62, 40, 38,
+        125, 32, 60, 56, 50, 92, 78, 65, 55, 87, 71, 51, 73, 51, 70, 30,
+        109, 53, 49, 94, 88, 75, 66, 122, 91, 73, 56, 42, 64, 44, 21, 25,
+        90, 43, 41, 77, 73, 63, 56, 92, 77, 66, 47, 67, 48, 53, 36, 20,
+        71, 34, 67, 60, 58, 49, 88, 76, 67, 106, 71, 54, 38, 39, 23, 15,
+        109, 53, 51, 47, 90, 82, 58, 57, 48, 72, 57, 41, 23, 27, 62, 9,
+        86, 42, 40, 37, 70, 64, 52, 43, 70, 55, 42, 25, 29, 18, 11, 11,
+        118, 68, 30, 55, 50, 46, 74, 65, 49, 39, 24, 16, 22, 13, 14, 7,
+        91, 44, 39, 38, 34, 63, 52, 45, 31, 52, 28, 19, 14, 8, 9, 3,
+        123, 60, 58, 53, 47, 43, 32, 22, 37, 24, 17, 12, 15, 10, 2, 1,
+        71, 37, 34, 30, 28, 20, 17, 26, 21, 16, 10, 6, 8, 6, 2, 0,
+    ), (
+        3, 4, 5, 7, 7, 8, 9, 9, 9, 10, 10, 11, 11, 11, 12, 13,
+        4, 3, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 10, 11, 11,
+        5, 5, 5, 6, 7, 7, 8, 8, 8, 9, 9, 10, 10, 11, 11, 11,
+        6, 6, 6, 7, 7, 8, 8, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+        7, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11,
+        8, 7, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 11, 11, 11, 12,
+        9, 7, 8, 8, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 12, 12,
+        9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 12,
+        9, 8, 8, 9, 9, 9, 9, 10, 10, 10, 10, 11, 11, 12, 12, 12,
+        9, 8, 9, 9, 9, 9, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12,
+        10, 9, 9, 9, 10, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 12,
+        10, 9, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 13,
+        11, 10, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 12, 12, 13, 13,
+        11, 10, 10, 10, 10, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13,
+        12, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 12, 13,
+        12, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 13, 13, 13, 13,
+    )),
+    16: (16, (
+        1, 5, 14, 44, 74, 63, 110, 93, 172, 149, 138, 242, 225, 195, 376, 17,
+        3, 4, 12, 20, 35, 62, 53, 47, 83, 75, 68, 119, 201, 107, 207, 9,
+        15, 13, 23, 38, 67, 58, 103, 90, 161, 72, 127, 117, 110, 209, 206, 16,
+        45, 21, 39, 69, 64, 114, 99, 87, 158, 140, 252, 212, 199, 387, 365, 26,
+        75, 36, 68, 65, 115, 101, 179, 164, 155, 264, 246, 226, 395, 382, 362, 9,
+        66, 30, 59, 56, 102, 185, 173, 265, 142, 253, 232, 400, 388, 378, 445, 16,
+        111, 54, 52, 100, 184, 178, 160, 133, 257, 244, 228, 217, 385, 366, 715, 10,
+        98, 48, 91, 88, 165, 157, 148, 261, 248, 407, 397, 372, 380, 889, 884, 8,
+        85, 84, 81, 159, 156, 143, 260, 249, 427, 401, 392, 383, 727, 713, 708, 7,
+        154, 76, 73, 141, 131, 256, 245, 426, 406, 394, 384, 735, 359, 710, 352, 11,
+        139, 129, 67, 125, 247, 233, 229, 219, 393, 743, 737, 720, 885, 882, 439, 4,
+        243, 120, 118, 115, 227, 223, 396, 746, 742, 736, 721, 712, 706, 223, 436, 6,
+        202, 224, 222, 218, 216, 389, 386, 381, 364, 888, 443, 707, 440, 437, 1728, 4,
+        747, 211, 210, 208, 370, 379, 734, 723, 714, 1735, 883, 877, 876, 3459, 865, 2,
+        377, 369, 102, 187, 726, 722, 358, 711, 709, 866, 1734, 871, 3458, 870, 434, 0,
+        12, 10, 7, 11, 10, 17, 11, 9, 13, 12, 10, 7, 5, 3, 1, 3,
+    ), (
+        1, 4, 6, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 9,
+        3, 4, 6, 7, 8, 9, 9, 9, 10, 10, 10, 11, 12, 11, 12, 8,
+        6, 6, 7, 8, 9, 9, 10, 10, 11, 10, 11, 11, 11, 12, 12, 9,
+        8, 7, 8, 9, 9, 10, 10, 10, 11, 11, 12, 12, 12, 13, 13, 10,
+        9, 8, 9, 9, 10, 10, 11, 11, 11, 12, 12, 12, 13, 13, 13, 9,
+        9, 8, 9, 9, 10, 11, 11, 12, 11, 12, 12, 13, 13, 13, 14, 10,
+        10, 9, 9, 10, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 14, 10,
+        10, 9, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 15, 15, 10,
+        10, 10, 10, 11, 11, 11, 12, 12, 13, 13, 13, 13, 14, 14, 14, 10,
+        11, 10, 10, 11, 11, 12, 12, 13, 13, 13, 13, 14, 13, 14, 13, 11,
+        11, 11, 10, 11, 12, 12, 12, 12, 13, 14, 14, 14, 15, 15, 14, 10,
+        12, 11, 11, 11, 12, 12, 13, 14, 14, 14, 14, 14, 14, 13, 14, 11,
+        12, 12, 12, 12, 12, 13, 13, 13, 13, 15, 14, 14, 14, 14, 16, 11,
+        14, 12, 12, 12, 13, 13, 14, 14, 14, 16, 15, 15, 15, 17, 15, 11,
+        13, 13, 11, 12, 14, 14, 13, 14, 14, 15, 16, 15, 17, 15, 14, 11,
+        9, 8, 8, 9, 9, 10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 8,
+    )),
+}
+# tables 16-23 share table 16's codes with these linbits widths
+# (ISO Table B.7); 24-31 would share table 24's (uncarried).
+_L3_LINBITS_16 = (1, 2, 3, 4, 6, 8, 10, 13)
+
+
+def _l3_build_b7():
+    """Validate _L3_B7_RAW and build {tsel: (decode dict, linbits)} +
+    {tsel: (encode dict, linbits)}. The gate is the defining property
+    of every B.7 table — a COMPLETE prefix code over the full symbol
+    grid — so mis-keyed data cannot ship silently."""
+    from fractions import Fraction
+
+    dec_tables, enc_tables = {}, {}
+    for tid, (n, codes, lens) in _L3_B7_RAW.items():
+        assert len(codes) == n * n and len(lens) == n * n, tid
+        dec, enc = {}, {}
+        kraft = Fraction(0)
+        for i, (c, l) in enumerate(zip(codes, lens)):
+            assert 1 <= l <= 19 and 0 <= c < (1 << l), (tid, i)
+            assert (l, c) not in dec, (tid, i)
+            dec[(l, c)] = divmod(i, n)
+            enc[divmod(i, n)] = (l, c)
+            kraft += Fraction(1, 1 << l)
+        assert kraft == 1, (tid, kraft)
+        strs = sorted(f"{c:0{l}b}" for l, c in dec)
+        for a, b in zip(strs, strs[1:]):
+            assert not b.startswith(a), (tid, a, b)
+        dec_tables[tid] = (dec, 0)
+        enc_tables[tid] = (enc, 0, n)
+    for off, lb in enumerate(_L3_LINBITS_16):
+        dec_tables[16 + off] = (dec_tables[16][0], lb)
+        enc_tables[16 + off] = (enc_tables[16][0], lb, 16)
+    return dec_tables, enc_tables
+
+
+# {tsel: ({(hlen, hcod): (x, y)}, linbits)} / {tsel: (enc, linbits, n)}
+_L3_PAIR_TABLES, _L3_PAIR_ENC = _l3_build_b7()
 # count1 table A (Huffman) — {(hlen, hcod): (v, w, x, y)}; complete
 # prefix code (Kraft sum exactly 1).
 _L3_QUAD_A = {
@@ -2128,7 +2354,6 @@ _L3_QUAD_A = {
     (6, 0b000001): (1, 1, 1, 1),
 }
 _L3_QUAD_A_ENC = {v: k for k, v in _L3_QUAD_A.items()}
-_L3_PAIR_1_ENC = {v: k for k, v in _L3_PAIR_TABLES[1][0].items()}
 
 
 def _huff_lookup(bits: _Bits, table: dict, max_len: int):
@@ -2142,19 +2367,27 @@ def _huff_lookup(bits: _Bits, table: dict, max_len: int):
     raise UnsupportedMediaError("invalid Layer III Huffman code")
 
 
-def _parse_l3_side_info(bits: _Bits, nch: int) -> dict:
-    si = {"main_data_begin": bits.read(9)}
-    bits.read(5 if nch == 1 else 3)  # private_bits
-    si["scfsi"] = [[bits.read(1) for _ in range(4)] for _ in range(nch)]
+def _parse_l3_side_info(bits: _Bits, nch: int, version: int = 1) -> dict:
+    """Layer III side info: MPEG-1 (17/32 bytes, 2 granules, scfsi) or
+    MPEG-2 LSF (9/17 bytes, 1 granule, 9-bit scalefac_compress, no
+    scfsi/preflag — preflag is implied by the LSF blocknumber)."""
+    lsf = version == 2
+    si = {"main_data_begin": bits.read(8 if lsf else 9)}
+    if lsf:
+        bits.read(1 if nch == 1 else 2)  # private_bits
+        si["scfsi"] = [[0] * 4 for _ in range(nch)]
+    else:
+        bits.read(5 if nch == 1 else 3)  # private_bits
+        si["scfsi"] = [[bits.read(1) for _ in range(4)] for _ in range(nch)]
     grs = []
-    for _gr in range(2):
+    for _gr in range(1 if lsf else 2):
         chs = []
         for _ch in range(nch):
             g = {
                 "part2_3_length": bits.read(12),
                 "big_values": bits.read(9),
                 "global_gain": bits.read(8),
-                "scalefac_compress": bits.read(4),
+                "scalefac_compress": bits.read(9 if lsf else 4),
                 "window_switching": bits.read(1),
             }
             if g["window_switching"]:
@@ -2177,13 +2410,41 @@ def _parse_l3_side_info(bits: _Bits, nch: int) -> dict:
                 g["subblock_gain"] = [0, 0, 0]
                 g["region0_count"] = bits.read(4)
                 g["region1_count"] = bits.read(3)
-            g["preflag"] = bits.read(1)
+            g["preflag"] = 0 if lsf else bits.read(1)
             g["scalefac_scale"] = bits.read(1)
             g["count1table_select"] = bits.read(1)
             chs.append(g)
         grs.append(chs)
     si["granules"] = grs
     return si
+
+
+def _decode_l3_scalefactors_lsf(bits: _Bits, g: dict):
+    """LSF scalefactor decode -> (long_scf[21], short_scf[12][3]);
+    sets g['preflag'] from the implied blocknumber."""
+    (s1, s2, s3, s4), bn = _lsf_slen(g)
+    g["preflag"] = 1 if bn == 2 else 0
+    btn = 1 if g["block_type"] == 2 else 0  # mixed blocks raise earlier
+    nsfb = _LSF_NSFB[bn][btn]
+    slens = (s1, s2, s3, s4)
+    if g["block_type"] == 2:
+        short = [[0] * 3 for _ in range(12)]
+        pos = 0
+        for grp, count in enumerate(nsfb):
+            for _ in range(count // 3):
+                for w in range(3):
+                    if pos < 12:
+                        short[pos][w] = bits.read(slens[grp])
+                pos += 1
+        return [0] * 21, short
+    long_scf = [0] * 21
+    pos = 0
+    for grp, count in enumerate(nsfb):
+        for _ in range(count):
+            if pos < 21:
+                long_scf[pos] = bits.read(slens[grp])
+            pos += 1
+    return long_scf, [[0] * 3 for _ in range(12)]
 
 
 def _decode_l3_scalefactors(bits: _Bits, g: dict, scfsi, gr: int, prev):
@@ -2389,35 +2650,44 @@ def _decode_l3_frames(frames: list[tuple[dict, bytes]], nch: int, sample_rate: i
     """[(header, frame_payload)] -> per-channel granule list [18,32].
     Implements the bit reservoir across frames; frames whose back
     pointer reaches before the reservoir start decode as silence (the
-    standard cold-start behavior)."""
+    standard cold-start behavior). Handles MPEG-1 (2 granules/frame)
+    and MPEG-2 LSF (1 granule/frame, LSF scalefactors)."""
     sfb_long = _L3_SFB_LONG[sample_rate]
     sfb_short = _L3_SFB_SHORT[sample_rate]
-    side_bytes = 17 if nch == 1 else 32
+    version = frames[0][0]["version"]
+    n_gr = 2 if version == 1 else 1
+    if version == 1:
+        side_bytes = 17 if nch == 1 else 32
+    else:
+        side_bytes = 9 if nch == 1 else 17
     reservoir = bytearray()
     overlap = [np.zeros((32, 18)) for _ in range(nch)]
     granules: list[list[np.ndarray]] = [[] for _ in range(nch)]
     for h, payload in frames:
         if len(payload) < side_bytes:
             raise UnsupportedMediaError("Layer III side info truncated")
-        si = _parse_l3_side_info(_Bits(payload[:side_bytes]), nch)
+        si = _parse_l3_side_info(_Bits(payload[:side_bytes]), nch, version)
         start_bit = len(reservoir) * 8 - si["main_data_begin"] * 8
         reservoir += payload[side_bytes:]
         if start_bit < 0:
             for ch in range(nch):  # cold start: no reservoir yet
-                for _ in range(2):
+                for _ in range(n_gr):
                     granules[ch].append(
                         _l3_imdct_granule(np.zeros(576), 0, overlap[ch])
                     )
             continue
         bits = _Bits(bytes(reservoir), start_bit)
         prev_long = [None] * nch
-        for gr in range(2):
+        for gr in range(n_gr):
             for ch in range(nch):
                 g = si["granules"][gr][ch]
                 gr_end = bits.pos + g["part2_3_length"]
-                long_scf, short_scf = _decode_l3_scalefactors(
-                    bits, g, si["scfsi"][ch], gr, prev_long[ch]
-                )
+                if version == 2:
+                    long_scf, short_scf = _decode_l3_scalefactors_lsf(bits, g)
+                else:
+                    long_scf, short_scf = _decode_l3_scalefactors(
+                        bits, g, si["scfsi"][ch], gr, prev_long[ch]
+                    )
                 if g["block_type"] != 2:
                     prev_long[ch] = long_scf
                 is_vals = _decode_l3_huffman(bits, g, gr_end, sfb_long)
@@ -2441,11 +2711,12 @@ def _decode_l3_frames(frames: list[tuple[dict, bytes]], nch: int, sample_rate: i
 
 
 def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
-    """Full PCM decode of an MPEG-1 Layer I/II stream (ID3v2 skipped,
-    mono/stereo/dual; intensity joint stereo raises Unsupported). PCM
-    amplitude stats mirror decode_wav's contract, decoded=True.
-    ``return_pcm`` adds the raw [channels, samples] float array (tests;
-    the Spark kernels ship stats only)."""
+    """Full PCM decode of an MPEG-1 Layer I/II/III or MPEG-2 LSF
+    Layer III stream (ID3v2 skipped, mono/stereo/dual; intensity joint
+    stereo raises Unsupported). PCM amplitude stats mirror
+    decode_wav's contract, decoded=True. ``return_pcm`` adds the raw
+    [channels, samples] float array (tests; the Spark kernels ship
+    stats only)."""
     pos = 0
     if data[:3] == b"ID3":
         if len(data) < 10:
@@ -2460,7 +2731,7 @@ def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
             first = i
             break
     if first < 0:
-        raise UnsupportedMediaError("no MPEG-1 audio frame sync found")
+        raise UnsupportedMediaError("no decodable MPEG audio frame sync found")
     h0 = _parse_mpeg1_header(data, first)
     if h0["mode"] == 1:
         raise UnsupportedMediaError("intensity/joint stereo not implemented")
@@ -2470,7 +2741,12 @@ def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
     pos, n_frames, kbps_sum = first, 0, 0
     while True:
         h = _parse_mpeg1_header(data, pos)
-        if h is None or h["layer"] != h0["layer"] or h["sample_rate"] != h0["sample_rate"]:
+        if (
+            h is None
+            or h["layer"] != h0["layer"]
+            or h["version"] != h0["version"]
+            or h["sample_rate"] != h0["sample_rate"]
+        ):
             break
         if pos + h["flen"] > len(data):
             break  # trailing truncated frame: keep what fully decoded
@@ -2499,7 +2775,7 @@ def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
         kbps_sum += h["kbps"]
         pos += h["flen"]
     if n_frames < 2:
-        raise UnsupportedMediaError("fewer than 2 decodable MPEG-1 frames")
+        raise UnsupportedMediaError("fewer than 2 decodable MPEG audio frames")
     if l3_frames:
         granules = _decode_l3_frames(l3_frames, nch, h0["sample_rate"])
     pcm = np.stack(
@@ -2525,7 +2801,7 @@ def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
         "n_samples": int(pcm.shape[1]),
         "duration_sec": float(pcm.shape[1] / sr),
         "bitrate_kbps": float(kbps_sum / n_frames),
-        "mpeg_version": 1,
+        "mpeg_version": h0["version"],
         "layer": h0["layer"],
         "rms": rms,
         "peak": peak,
@@ -2792,6 +3068,11 @@ def _l3_fixture_tvals_scf(spec: dict, sfb_long, sfb_short):
             long_scf[b] = v
         for b, k, sign in spec["lines"]:
             tvals[sfb_long[b] + k] = sign
+    # big-value lines: (transmission line index, signed magnitude) —
+    # painted verbatim; the encoder routes lines below 2*big_values
+    # through the selected B.7 pair table instead of count1 quads
+    for t, v in spec.get("big_lines", ()):
+        tvals[t] = v
     return tvals, long_scf, short_scf
 
 
@@ -2803,6 +3084,8 @@ def encode_mp3_audio_fixture(
     with_short: bool = False,
     count1_table: str = "A",
     spec_fn=None,
+    big_table: int | None = None,
+    version: int = 1,
 ) -> bytes:
     """REAL MPEG-1 Layer III audio fixture: every granule paints a
     deterministic sparse spectrum (±1 lines in the count1 region,
@@ -2810,33 +3093,53 @@ def encode_mp3_audio_fixture(
     global_gain=210), producing a valid bitstream any Layer III
     decoder accepts — decode_mpeg1_audio round-trips it to PCM whose
     spectral content the tests verify against an independent IMDCT/
-    synthesis reference. big_values=0 by construction (the committed
-    build carries pair table 1 + both count1 tables; see the Layer III
-    module comment). ``spec_fn(gidx, ch, with_short) -> spec`` overrides
+    synthesis reference. With ``big_table`` set, every spec line below
+    2*big_values — the granule spec's ``big_lines`` (line, value)
+    entries, values beyond ±1 welcome — is coded through that ISO
+    Table B.7 pair table (ESC + linbits for the 16-23 family),
+    exercising the big-values region real encoders emit; otherwise
+    big_values=0 and the spectrum rides count1 alone.
+    ``spec_fn(gidx, ch, with_short) -> spec`` overrides
     the default deterministic paint (property tests inject random
-    spectra through the same bitstream path)."""
+    spectra through the same bitstream path). ``version=2`` emits
+    MPEG-2 LSF frames (576 samples/frame, 9-bit scalefac_compress 399
+    -> LSF slen (4,4,3,3), whose per-band bit widths match the MPEG-1
+    fixture convention exactly)."""
     sfb_long = _L3_SFB_LONG[sample_rate]
     sfb_short = _L3_SFB_SHORT[sample_rate]
-    br_idx = _MP3_BITRATE_V1_L3.index(kbps)
-    sr_idx = _MP3_SR[3].index(sample_rate)
+    lsf = version == 2
+    if lsf:
+        br_idx = _MP3_BITRATE_V2_L3.index(kbps)
+        sr_idx = _MP3_SR[2].index(sample_rate)
+    else:
+        br_idx = _MP3_BITRATE_V1_L3.index(kbps)
+        sr_idx = _MP3_SR[3].index(sample_rate)
     nch = channels
     mode = 3 if nch == 1 else 0
-    hdr = bytes((0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6))
-    flen = 144 * kbps * 1000 // sample_rate
-    side_bytes = 17 if nch == 1 else 32
+    hdr = bytes((0xFF, 0xF3 if lsf else 0xFB,
+                 (br_idx << 4) | (sr_idx << 2), mode << 6))
+    flen = (72 if lsf else 144) * kbps * 1000 // sample_rate
+    if lsf:
+        side_bytes = 9 if nch == 1 else 17
+    else:
+        side_bytes = 17 if nch == 1 else 32
+    n_gr = 1 if lsf else 2
     use_b = count1_table.upper() == "B"
     out = bytearray()
     for f in range(n_frames):
         side = _BitsW()
-        side.write(0, 9)  # main_data_begin: no reservoir in fixtures
-        side.write(0, 5 if nch == 1 else 3)
-        for _ch in range(nch):
-            side.write(0, 4)  # scfsi
+        side.write(0, 8 if lsf else 9)  # main_data_begin: no reservoir
+        if lsf:
+            side.write(0, 1 if nch == 1 else 2)
+        else:
+            side.write(0, 5 if nch == 1 else 3)
+            for _ch in range(nch):
+                side.write(0, 4)  # scfsi
         main = _BitsW()
-        for gr in range(2):
+        for gr in range(n_gr):
             for ch in range(nch):
                 spec = (spec_fn or _l3_fixture_granule_spec)(
-                    2 * f + gr, ch, with_short
+                    n_gr * f + gr, ch, with_short
                 )
                 tvals, long_scf, short_scf = _l3_fixture_tvals_scf(
                     spec, sfb_long, sfb_short
@@ -2851,11 +3154,51 @@ def encode_mp3_audio_fixture(
                 else:
                     for s in range(21):
                         g_bits.write(long_scf[s], 4 if s < 11 else 3)
-                # huffman: count1 quadruples covering the active lines
+                # huffman: big-value pairs (selected B.7 table), then
+                # count1 quadruples covering the remaining active lines
                 last = max((i for i, v in enumerate(tvals) if v), default=-1)
-                nquads = (last + 4) // 4 if last >= 0 else 0
+                big_lines = spec.get("big_lines", ())
+                if big_lines and big_table is None:
+                    raise ValueError("spec has big_lines but no big_table")
+                bv = 0
+                if big_table is not None and big_lines:
+                    bv = (max(t for t, _ in big_lines) + 2) // 2
+                bv_end = 2 * bv
+                enc_tab, linbits, tdim = (
+                    _L3_PAIR_ENC[big_table] if bv else (None, 0, 0)
+                )
+                for pi in range(bv):
+                    vx, vy = tvals[2 * pi], tvals[2 * pi + 1]
+                    ax, ay = abs(vx), abs(vy)
+                    sx = 15 if (linbits and ax >= 15) else ax
+                    sy = 15 if (linbits and ay >= 15) else ay
+                    if sx >= tdim or sy >= tdim:
+                        raise ValueError(
+                            f"|value| {max(ax, ay)} exceeds table "
+                            f"{big_table} range"
+                        )
+                    if linbits and max(ax - sx, ay - sy) >= (1 << linbits):
+                        raise ValueError(
+                            f"linbits overflow for table {big_table}"
+                        )
+                    hlen, hcod = enc_tab[(sx, sy)]
+                    g_bits.write(hcod, hlen)
+                    if sx == 15 and linbits:
+                        g_bits.write(ax - 15, linbits)
+                    if ax:
+                        g_bits.write(1 if vx < 0 else 0, 1)
+                    if sy == 15 and linbits:
+                        g_bits.write(ay - 15, linbits)
+                    if ay:
+                        g_bits.write(1 if vy < 0 else 0, 1)
+                nquads = (last + 1 - bv_end + 3) // 4 if last >= bv_end else 0
                 for qi in range(nquads):
-                    quad = tvals[4 * qi : 4 * qi + 4]
+                    quad = tvals[bv_end + 4 * qi : bv_end + 4 * qi + 4]
+                    if any(abs(v) > 1 for v in quad):
+                        raise ValueError(
+                            "count1 region holds a |value| > 1; extend "
+                            "big_lines to cover it"
+                        )
                     pattern = tuple(1 if v else 0 for v in quad)
                     if use_b:
                         idx = 15 - (
@@ -2872,24 +3215,31 @@ def encode_mp3_audio_fixture(
                 part2_3 = len(g_bits.bytes) * 8 + g_bits.n
                 # side info for this granule/channel
                 side.write(part2_3, 12)
-                side.write(0, 9)  # big_values
+                side.write(bv, 9)  # big_values (pairs)
                 side.write(210, 8)  # global_gain (unity)
-                side.write(15, 4)  # scalefac_compress -> slen (4, 3)
+                if lsf:
+                    # 399 -> LSF slen (4,4,3,3): the same 4-then-3 bit
+                    # widths per band the MPEG-1 paint uses
+                    side.write(399, 9)
+                else:
+                    side.write(15, 4)  # scalefac_compress -> slen (4, 3)
+                tsel = big_table if bv else 1
                 if bt == 0:
                     side.write(0, 1)  # window_switching off
                     for _r in range(3):
-                        side.write(1, 5)  # table_select (unused: bv=0)
+                        side.write(tsel, 5)  # table_select
                     side.write(0, 4)  # region0_count
                     side.write(0, 3)  # region1_count
                 else:
                     side.write(1, 1)
                     side.write(bt, 2)
                     side.write(0, 1)  # mixed_block off
-                    side.write(1, 5)
-                    side.write(1, 5)
+                    side.write(tsel, 5)
+                    side.write(tsel, 5)
                     for sbg in spec["subblock_gain"]:
                         side.write(sbg, 3)
-                side.write(0, 1)  # preflag
+                if not lsf:
+                    side.write(0, 1)  # preflag
                 side.write(1, 1)  # scalefac_scale -> multiplier 1.0
                 side.write(1 if use_b else 0, 1)  # count1table_select
                 # append the granule's main-data bits

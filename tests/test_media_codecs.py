@@ -633,8 +633,9 @@ def test_mpeg1_layer2_exercises_grouped_codes_and_scfsi():
 
 def _l3_uncarried_table_stream(n_frames: int = 3) -> bytes:
     """Valid Layer III frames whose big-value region selects Huffman
-    table 16 — outside the carried subset, so full decode must raise
-    and the dispatch must fall back to the metadata walk."""
+    table 24 — outside the carried subset (the 24-31 ESC family's
+    data did not survive the completeness gate), so full decode must
+    raise and the dispatch must fall back to the metadata walk."""
     from magictables_spark.operators.media_codecs import _BitsW
 
     hdr = bytes((0xFF, 0xFB, (0x9 << 4) | (0 << 2), 3 << 6))  # 128k 44.1 mono
@@ -651,7 +652,7 @@ def _l3_uncarried_table_stream(n_frames: int = 3) -> bytes:
             w.write(210, 8)
             w.write(0, 4)
             w.write(0, 1)  # long block
-            w.write(16, 5)  # region0 table 16: NOT carried
+            w.write(24, 5)  # region0 table 24: NOT carried
             w.write(0, 5)
             w.write(0, 5)
             w.write(0, 4)
@@ -780,13 +781,19 @@ def _l3_reference_pcm(n_frames: int, channels: int, with_short: bool,
     ci = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037])
     cs, ca = 1 / np.sqrt(1 + ci**2), ci / np.sqrt(1 + ci**2)
 
+    n_gr = 1 if sample_rate in (22050, 24000, 16000) else 2  # LSF
     pcm = []
     for ch in range(channels):
         overlap = np.zeros((32, 18))
         blocks = []
-        for gidx in range(2 * n_frames):
+        for gidx in range(n_gr * n_frames):
             spec = (spec_fn or _l3_fixture_granule_spec)(gidx, ch, with_short)
             tvals, lsc, ssc = _l3_fixture_tvals_scf(spec, sfl, sfs)
+            # ISO 2.4.3.4.7.1 requantization power: sign(is) * |is|^(4/3)
+            # (identity for the ±1 count1 paints, real work for
+            # big-value magnitudes)
+            tv = np.asarray(tvals, dtype=np.float64)
+            tvals = np.sign(tv) * np.abs(tv) ** (4.0 / 3.0)
             bt = spec["block_type"]
             xr = np.zeros(576)
             if bt == 2:
@@ -939,3 +946,168 @@ def test_l3_random_paint_property(seed):
     peak = np.abs(ref).max()
     assert peak > 0
     assert np.max(np.abs(out["pcm"] - ref)) < 1e-9 * max(1.0, peak)
+
+
+_CARRIED_B7 = (1, 2, 3, 5, 6, 9, 10, 11, 12, 13, 15,
+               16, 17, 18, 19, 20, 21, 22, 23)
+
+
+def _big_value_spec_fn(table: int):
+    """Deterministic paint whose big-values region exercises table
+    ``table`` at its full magnitude range (ESC + max linbits value for
+    the 16-23 family), with a count1 tail after the pair region."""
+    from magictables_spark.operators.media_codecs import _L3_PAIR_ENC
+
+    _, lb, n = _L3_PAIR_ENC[table]
+    vmax = (15 + (1 << lb) - 1) if lb else (n - 1)
+
+    def spec_fn(gidx, ch, _ws):
+        flip = -1 if (gidx + ch) % 2 else 1
+        return {
+            "block_type": 0,
+            "subblock_gain": [0, 0, 0],
+            "lines": [(14, 0, 1), (14, 2, -1)],
+            "scf": {0: 3, 2: 1, 14: 2},
+            "big_lines": [
+                (0, flip * vmax), (1, -max(vmax // 2, 1)), (2, 0),
+                (3, vmax), (4, -1), (5, min(vmax, 15)), (6, 1), (7, 0),
+            ],
+        }
+
+    return spec_fn
+
+
+@pytest.mark.parametrize("table", _CARRIED_B7)
+def test_l3_big_values_match_independent_reference(table):
+    """Every carried ISO B.7 pair table (incl. the full 16-23 ESC/
+    linbits family) round-trips a big-values region through encode ->
+    full decode with PCM equal to the independent numpy reference —
+    the requantization power, sign bits, ESC escapes and linbits
+    widths all live on this path."""
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg1_audio,
+        encode_mp3_audio_fixture,
+    )
+
+    spec_fn = _big_value_spec_fn(table)
+    n_frames = 3
+    data = encode_mp3_audio_fixture(
+        n_frames=n_frames, spec_fn=spec_fn, big_table=table
+    )
+    out = decode_mpeg1_audio(data, return_pcm=True)
+    assert out["decoded"] is True and out["layer"] == 3
+    ref = _l3_reference_pcm(n_frames, 1, False, 44100, spec_fn=spec_fn)
+    peak = np.abs(ref).max()
+    assert peak > 0
+    assert np.max(np.abs(out["pcm"] - ref)) < 1e-9 * max(1.0, peak)
+
+
+def _random_big_value_spec_fn(seed: int, table: int):
+    import random
+
+    from magictables_spark.operators.media_codecs import _L3_PAIR_ENC
+
+    _, lb, n = _L3_PAIR_ENC[table]
+    vmax = (15 + (1 << lb) - 1) if lb else (n - 1)
+    cache: dict = {}
+
+    def spec_fn(gidx, ch, _ws):
+        key = (gidx, ch)
+        if key not in cache:
+            rng = random.Random((seed << 24) ^ (gidx << 4) ^ ch ^ table)
+            n_big = rng.randint(1, 12)
+            big = [
+                (i, rng.choice([1, -1]) * rng.randint(0, vmax))
+                for i in range(n_big)
+            ]
+            tail = [(12 + rng.randint(0, 5), rng.randint(0, 3),
+                     rng.choice([1, -1])) for _ in range(rng.randint(0, 4))]
+            scf = {b: rng.randint(0, 7) for b, _k, _s in tail}
+            scf[0] = rng.randint(0, 7)
+            cache[key] = {
+                "block_type": 0, "subblock_gain": [0, 0, 0],
+                "lines": tail, "scf": scf, "big_lines": big,
+            }
+        return cache[key]
+
+    return spec_fn
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_l3_big_values_random_property(seed):
+    """Random big-value paints (random magnitudes across the table
+    range, random count1 tails) through a rotating carried table set
+    still PCM-match the independent reference."""
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg1_audio,
+        encode_mp3_audio_fixture,
+    )
+
+    table = _CARRIED_B7[(seed * 5) % len(_CARRIED_B7)]
+    spec_fn = _random_big_value_spec_fn(seed, table)
+    data = encode_mp3_audio_fixture(n_frames=4, spec_fn=spec_fn,
+                                    big_table=table)
+    out = decode_mpeg1_audio(data, return_pcm=True)
+    assert out["decoded"] is True
+    ref = _l3_reference_pcm(4, 1, False, 44100, spec_fn=spec_fn)
+    assert np.max(np.abs(out["pcm"] - ref)) < 1e-9 * max(
+        1.0, np.abs(ref).max()
+    )
+
+
+@pytest.mark.parametrize(
+    ("sr", "with_short", "table"),
+    [(22050, False, 16), (24000, True, None), (16000, False, 13)],
+)
+def test_l3_lsf_decode_matches_independent_reference(sr, with_short, table):
+    """MPEG-2 LSF Layer III (576-sample frames, 9-bit LSF
+    scalefac_compress, 13818-3 sfb tables) decodes to PCM equal to the
+    independent reference — long and short blocks, count1 and
+    big-values regions."""
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg1_audio,
+        encode_mp3_audio_fixture,
+    )
+
+    spec_fn = _big_value_spec_fn(table) if table else None
+    n_frames = 6
+    data = encode_mp3_audio_fixture(
+        n_frames=n_frames, kbps=64, sample_rate=sr, version=2,
+        with_short=with_short, spec_fn=spec_fn,
+        big_table=table,
+    )
+    out = decode_mpeg1_audio(data, return_pcm=True)
+    assert out["decoded"] is True and out["mpeg_version"] == 2
+    assert out["sample_rate"] == sr
+    assert out["n_samples"] == n_frames * 576
+    ref = _l3_reference_pcm(n_frames, 1, with_short, sr, spec_fn=spec_fn)
+    peak = np.abs(ref).max()
+    assert peak > 0
+    assert np.max(np.abs(out["pcm"] - ref)) < 1e-9 * max(1.0, peak)
+
+
+_REAL_MP3 = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+)
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(_REAL_MP3),
+                    reason="real-world MP3 not present on this host")
+def test_l3_lsf_decodes_real_world_stream():
+    """A real encoder's MPEG-2 LSF stream (not our fixture generator)
+    fully PCM-decodes, and the table-audit walk lands every granule
+    exactly on part2_3_length."""
+    from magictables_spark.operators.media_codecs import decode_mpeg_audio
+    from tools.mp3_table_audit import audit_file
+
+    data = open(_REAL_MP3, "rb").read()
+    out = decode_mpeg_audio(data)
+    assert out["decoded"] is True and out["mpeg_version"] == 2
+    assert out["sample_rate"] == 22050 and out["n_frames"] == 45
+    assert out["n_samples"] == 45 * 576
+    assert out["rms"] == 0.0  # the fixture is digital silence
+
+    st = audit_file(_REAL_MP3)
+    assert st["granules"] == 45
+    assert st["exact"] == 45
+    assert st["invalid"] == 0 and st["overrun"] == 0
