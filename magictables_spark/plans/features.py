@@ -409,11 +409,16 @@ def hll_rollup_incremental(spark, sf_dir):
     "DISTINCT (ndv_exact family).",
     tags=("stats", "sketch", "scale", "warehouse", "streaming"),
 )
-def hll_store_stream(spark, sf_dir):
+def hll_store_stream(
+    spark,
+    sf_dir,
+    _crash_after_write: frozenset[int] = frozenset(),
+):
     import hashlib
     import os
     import shutil
 
+    from magictables_spark.streaming.commit import VersionedStore
     from magictables_spark.warehouse import corpus_fingerprint, store_root
 
     split = F.lit("2024-01-16 00:00:00").cast("timestamp")
@@ -430,12 +435,14 @@ def hll_store_stream(spark, sf_dir):
     def _sketch(df):
         return df.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
 
+    vs = VersionedStore(store_dir)
     if not os.path.exists(ready):
         shutil.rmtree(root, ignore_errors=True)
         os.makedirs(src)
         _sketch(ev.filter(F.col("ts") < split)).write.mode("overwrite").parquet(
-            store_dir
+            vs.seed_path()
         )
+        vs.init()
         for shard in range(3):
             part_dir = os.path.join(root, f"part{shard}")
             (
@@ -453,17 +460,28 @@ def hll_store_stream(spark, sf_dir):
         with open(ready, "w") as f:
             f.write("ok")
 
-    def _merge_batch(batch_df, _batch_id):
-        # union is idempotent: at-least-once replay re-merges harmlessly
+    def _merge_batch(batch_df, batch_id):
+        # register-max union is idempotent under replay, but the old
+        # in-place overwrite READ the directory it was rewriting — a
+        # kill mid-write corrupted the only copy of the merged
+        # history. VersionedStore merges into a fresh store_v{b} and
+        # commits with one atomic CURRENT flip (the qh/cms protocol).
+        if vs.is_applied(batch_id):
+            return
         ss = batch_df.sparkSession
         merged = (
-            ss.read.parquet(store_dir)
+            ss.read.parquet(vs.current_path())
             .unionByName(_sketch(batch_df))
             .groupBy("event_type")
             .agg(F.hll_union_agg("sk").alias("sk"))
-            .localCheckpoint(eager=True)  # cut lineage before overwrite
+            .localCheckpoint(eager=True)
         )
-        merged.write.mode("overwrite").parquet(store_dir)
+        merged.write.mode("overwrite").parquet(
+            vs.version_path(vs.batch_version(batch_id))
+        )
+        if batch_id in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {batch_id} write")
+        vs.commit(batch_id)
 
     name = f"mts_hllstream_{tag}"
     for active in spark.streams.active:
@@ -485,7 +503,7 @@ def hll_store_stream(spark, sf_dir):
     )
     query.awaitTermination()
     return (
-        spark.read.parquet(store_dir)
+        spark.read.parquet(vs.current_path())
         .select(
             "event_type",
             F.hll_sketch_estimate("sk").alias("approx_users"),

@@ -1136,7 +1136,11 @@ def join_view_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value-hash-checked end to end.",
     tags=("tpch", "pipeline", "warehouse", "streaming", "scale"),
 )
-def join_view_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_view_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
@@ -1196,6 +1200,8 @@ def join_view_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _view(batch_df, F.broadcast(cust)).write.mode("overwrite").parquet(
             os.path.join(store_dir, f"b{batch_id}")
         )
+        if batch_id in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {batch_id} write")
 
     name = f"mts_jvstream_{tag}"
     for active in spark.streams.active:

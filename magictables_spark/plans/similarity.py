@@ -1849,11 +1849,19 @@ def ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the accumulated index.",
     tags=("similarity", "ann", "streaming", "scale", "warehouse"),
 )
-def ivf_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
 
+    from magictables_spark.streaming.commit import (
+        batch_subdir,
+        subdir_store_paths,
+    )
     from magictables_spark.warehouse import corpus_fingerprint, store_root
 
     B = APPEND_SPLIT
@@ -1874,7 +1882,9 @@ def ivf_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # seed the cell store with the HISTORY index (same rows the
         # persisted bucketed table holds; plain parquet here because the
         # store is append-maintained between batches)
-        wh.read_table(spark, lk).write.mode("overwrite").parquet(cells_dir)
+        wh.read_table(spark, lk).write.mode("overwrite").parquet(
+            os.path.join(cells_dir, "seed")
+        )
         for shard in range(3):
             part_dir = os.path.join(root, f"part{shard}")
             (
@@ -1892,15 +1902,19 @@ def ivf_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(ready, "w") as f:
             f.write("ok")
 
-    def _assign_append(batch_df: DataFrame, _bid: int) -> None:
+    def _assign_append(batch_df: DataFrame, bid: int) -> None:
         sp = batch_df.sparkSession
         batch = batch_df.select(
             "vec_id", F.expr(QUANT_SPARK).alias("q")
         ).withColumn("nrm", _dot("q", "q"))
-        # pinned quantizer: re-read the tiny centroid table (broadcast)
-        _ivf_assign(batch, wh.read_table(sp, ck)).write.mode("append").parquet(
-            cells_dir
-        )
+        # pinned quantizer: re-read the tiny centroid table (broadcast);
+        # per-batch subdir overwrite = idempotent replay (a replayed
+        # batch rewrites its own subdir instead of appending twice)
+        _ivf_assign(batch, wh.read_table(sp, ck)).write.mode(
+            "overwrite"
+        ).parquet(batch_subdir(cells_dir, bid))
+        if bid in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {bid} write")
 
     name = f"mts_ivfstream_{stag}"
     for active in spark.streams.active:
@@ -1921,7 +1935,7 @@ def ivf_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    cells = spark.read.parquet(cells_dir)
+    cells = spark.read.parquet(*subdir_store_paths(cells_dir))
     return _ivf_serve(spark, sf_dir, cents, cells)
 
 
@@ -3179,11 +3193,19 @@ def ann_pq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the accumulated index.",
     tags=("similarity", "ann", "streaming", "scale", "warehouse"),
 )
-def pq_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
 
+    from magictables_spark.streaming.commit import (
+        batch_subdir,
+        subdir_store_paths,
+    )
     from magictables_spark.warehouse import corpus_fingerprint, store_root
 
     B = APPEND_SPLIT
@@ -3203,7 +3225,9 @@ def pq_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # seed the code store with the HISTORY encode (same rows the
         # persisted table holds; plain parquet because the store is
         # append-maintained between batches)
-        wh.read_table(spark, ek).write.mode("overwrite").parquet(codes_dir)
+        wh.read_table(spark, ek).write.mode("overwrite").parquet(
+            os.path.join(codes_dir, "seed")
+        )
         for shard in range(3):
             part_dir = os.path.join(root, f"part{shard}")
             (
@@ -3221,16 +3245,19 @@ def pq_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(ready, "w") as f:
             f.write("ok")
 
-    def _encode_append(batch_df: DataFrame, _bid: int) -> None:
+    def _encode_append(batch_df: DataFrame, bid: int) -> None:
         sp = batch_df.sparkSession
         batch = batch_df.select("vec_id", F.expr(QUANT_SPARK).alias("q"))
-        # pinned codebook: re-read the tiny table (broadcast in encode)
+        # pinned codebook: re-read the tiny table (broadcast in encode);
+        # per-batch subdir overwrite = idempotent replay
         (
             _pq_encode_at(_pq_subs(batch), wh.read_table(sp, ck))
             .select("vec_id", "codes")
-            .write.mode("append")
-            .parquet(codes_dir)
+            .write.mode("overwrite")
+            .parquet(batch_subdir(codes_dir, bid))
         )
+        if bid in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {bid} write")
 
     name = f"mts_pqstream_{stag}"
     for active in spark.streams.active:
@@ -3252,7 +3279,8 @@ def pq_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return _pq_serve(
-        spark, sf_dir, wh.read_table(spark, ck), spark.read.parquet(codes_dir)
+        spark, sf_dir, wh.read_table(spark, ck),
+        spark.read.parquet(*subdir_store_paths(codes_dir)),
     )
 
 
@@ -4266,11 +4294,19 @@ def simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contract shared with stream_upsert_foreachbatch).",
     tags=("text", "dedup", "fingerprint", "streaming", "scale", "warehouse"),
 )
-def simhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
 
+    from magictables_spark.streaming.commit import (
+        batch_subdir,
+        subdir_store_paths,
+    )
     from magictables_spark.warehouse import (
         corpus_fingerprint as _cfp,
         store_root,
@@ -4294,9 +4330,9 @@ def simhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # seed: history band store + empty results log
         _simhash_bands(
             _simhash_sig_frame(docs.filter(F.col("doc_id") < B))
-        ).write.mode("overwrite").parquet(store_dir)
+        ).write.mode("overwrite").parquet(os.path.join(store_dir, "seed"))
         spark.createDataFrame([], out_schema).write.mode("overwrite").parquet(
-            hits_dir
+            os.path.join(hits_dir, "seed")
         )
         # 3 deterministic single-file shards of the new-crawl side
         for shard in range(3):
@@ -4316,13 +4352,18 @@ def simhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(ready, "w") as f:
             f.write("ok")
 
-    def _probe_and_append(batch_df: DataFrame, _batch_id: int) -> None:
+    def _probe_and_append(batch_df: DataFrame, bid: int) -> None:
         # runs on the DRIVER once per micro-batch (foreachBatch
-        # contract), so plain spark.read is the current store snapshot
+        # contract). The store snapshot EXCLUDES this batch's own
+        # subdir, so a replayed batch probes the same history+earlier
+        # prefix it saw the first time, and both writes are per-batch
+        # subdir overwrites = idempotent replay.
         bands = _simhash_bands(_simhash_sig_frame(batch_df)).localCheckpoint(
             eager=True
         )
-        store = batch_df.sparkSession.read.parquet(store_dir).select(
+        store = batch_df.sparkSession.read.parquet(
+            *subdir_store_paths(store_dir, bid)
+        ).select(
             "band", "key", F.col("doc_id").alias("dup_of"), F.col("s").alias("sa")
         )
         (
@@ -4337,10 +4378,12 @@ def simhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("hamming") <= 2)
             .distinct()
-            .write.mode("append")
-            .parquet(hits_dir)
+            .write.mode("overwrite")
+            .parquet(batch_subdir(hits_dir, bid))
         )
-        bands.write.mode("append").parquet(store_dir)
+        bands.write.mode("overwrite").parquet(batch_subdir(store_dir, bid))
+        if bid in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {bid} write")
 
     name = f"mts_shstream_{tag}"
     for active in spark.streams.active:
@@ -4363,7 +4406,7 @@ def simhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     return (
         spark.read.schema(out_schema)
-        .parquet(hits_dir)
+        .parquet(*subdir_store_paths(hits_dir))
         .distinct()
         .orderBy("doc_id", "dup_of")
     )
@@ -4441,11 +4484,19 @@ def simhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "files, runs zero batches, serves the accumulated results warm.",
     tags=("text", "dedup", "streaming", "scale", "warehouse"),
 )
-def minhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
 
+    from magictables_spark.streaming.commit import (
+        batch_subdir,
+        subdir_store_paths,
+    )
     from magictables_spark.warehouse import (
         corpus_fingerprint as _cfp,
         store_root,
@@ -4469,10 +4520,10 @@ def minhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src)
         # seed: history shingle-set + band stores, empty results log
         hs_h, bands_h = _minhash_tables(docs.filter(F.col("doc_id") < B))
-        bands_h.write.mode("overwrite").parquet(bands_dir)
-        hs_h.write.mode("overwrite").parquet(hs_dir)
+        bands_h.write.mode("overwrite").parquet(os.path.join(bands_dir, "seed"))
+        hs_h.write.mode("overwrite").parquet(os.path.join(hs_dir, "seed"))
         spark.createDataFrame([], out_schema).write.mode("overwrite").parquet(
-            hits_dir
+            os.path.join(hits_dir, "seed")
         )
         # 3 deterministic single-file shards of the new-crawl side
         for shard in range(3):
@@ -4492,14 +4543,18 @@ def minhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(ready, "w") as f:
             f.write("ok")
 
-    def _probe_and_append(batch_df: DataFrame, _batch_id: int) -> None:
+    def _probe_and_append(batch_df: DataFrame, bid: int) -> None:
         # runs on the DRIVER once per micro-batch (foreachBatch
-        # contract): plain spark.read sees the current store snapshot
+        # contract). Store snapshots EXCLUDE this batch's own subdirs
+        # (a replay probes the same history+earlier prefix), and all
+        # three writes are per-batch subdir overwrites = idempotent.
         hs_b, bands_b = _minhash_tables(batch_df)
         hs_b = hs_b.localCheckpoint(eager=True)
         bands_b = bands_b.localCheckpoint(eager=True)
         ss = batch_df.sparkSession
-        store_bands = ss.read.parquet(bands_dir).select(
+        store_bands = ss.read.parquet(
+            *subdir_store_paths(bands_dir, bid)
+        ).select(
             "band", "bh", F.col("doc_id").alias("dup_of")
         )
         cand = (
@@ -4507,7 +4562,7 @@ def minhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "dup_of")
             .dropDuplicates(["doc_id", "dup_of"])
         )
-        store_hs = ss.read.parquet(hs_dir).select(
+        store_hs = ss.read.parquet(*subdir_store_paths(hs_dir, bid)).select(
             F.col("doc_id").alias("dup_of"), F.col("hs").alias("hh")
         )
         jac = (
@@ -4525,11 +4580,13 @@ def minhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("doc_id", "dup_of", "jaccard")
-            .write.mode("append")
-            .parquet(hits_dir)
+            .write.mode("overwrite")
+            .parquet(batch_subdir(hits_dir, bid))
         )
-        bands_b.write.mode("append").parquet(bands_dir)
-        hs_b.write.mode("append").parquet(hs_dir)
+        bands_b.write.mode("overwrite").parquet(batch_subdir(bands_dir, bid))
+        hs_b.write.mode("overwrite").parquet(batch_subdir(hs_dir, bid))
+        if bid in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {bid} write")
 
     name = f"mts_mhstream_{tag}"
     for active in spark.streams.active:
@@ -4552,7 +4609,7 @@ def minhash_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     return (
         spark.read.schema(out_schema)
-        .parquet(hits_dir)
+        .parquet(*subdir_store_paths(hits_dir))
         .orderBy("doc_id")
     )
 

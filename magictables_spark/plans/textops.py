@@ -265,11 +265,19 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     "warm.",
     tags=("text", "dedup", "streaming", "scale", "warehouse"),
 )
-def dedup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
 
+    from magictables_spark.streaming.commit import (
+        batch_subdir,
+        subdir_store_paths,
+    )
     from magictables_spark.warehouse import corpus_fingerprint, store_root
 
     B = 250
@@ -292,10 +300,10 @@ def dedup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.md5("text").alias("fp"))
             .distinct()
             .write.mode("overwrite")
-            .parquet(store_dir)
+            .parquet(os.path.join(store_dir, "seed"))
         )
         spark.createDataFrame([], out_schema).write.mode("overwrite").parquet(
-            admit_dir
+            os.path.join(admit_dir, "seed")
         )
         for shard in range(3):
             part_dir = os.path.join(root, f"part{shard}")
@@ -314,18 +322,32 @@ def dedup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(ready, "w") as f:
             f.write("ok")
 
-    def _admit_and_append(batch_df: DataFrame, _batch_id: int) -> None:
+    def _admit_and_append(batch_df: DataFrame, bid: int) -> None:
+        # the admission anti-join reads the store MINUS this batch's
+        # own subdir: a replayed batch recomputes the same admission
+        # set it admitted the first time (reading its own partial
+        # output would admit nothing and lose the rows), and both
+        # writes are per-batch subdir overwrites = idempotent replay
+        # whichever of the two writes the crash interrupted
         ss = batch_df.sparkSession
         fresh = (
             batch_df.select(F.md5("text").alias("fp"), "doc_id")
             .groupBy("fp")
             .agg(F.min("doc_id").alias("doc_id"))
-            .join(ss.read.parquet(store_dir), "fp", "left_anti")
+            .join(
+                ss.read.parquet(*subdir_store_paths(store_dir, bid)),
+                "fp",
+                "left_anti",
+            )
             .select("doc_id", "fp")
             .localCheckpoint(eager=True)  # one admission set, two writes
         )
-        fresh.write.mode("append").parquet(admit_dir)
-        fresh.select("fp").write.mode("append").parquet(store_dir)
+        fresh.write.mode("overwrite").parquet(batch_subdir(admit_dir, bid))
+        fresh.select("fp").write.mode("overwrite").parquet(
+            batch_subdir(store_dir, bid)
+        )
+        if bid in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {bid} write")
 
     name = f"mts_fpstream_{tag}"
     for active in spark.streams.active:
@@ -348,7 +370,7 @@ def dedup_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     return (
         spark.read.schema(out_schema)
-        .parquet(admit_dir)
+        .parquet(*subdir_store_paths(admit_dir))
         .distinct()
         .orderBy("doc_id")
     )
@@ -1166,12 +1188,20 @@ def label_propagation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     "tests/test_lpa_stream.py).",
     tags=("text", "dedup", "graph", "streaming", "scale", "warehouse"),
 )
-def lpa_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lpa_store_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    _crash_after_write: frozenset[int] = frozenset(),
+) -> DataFrame:
     import hashlib
     import os
     import shutil
 
     from magictables_spark.streaming import _resolve_snapshot
+    from magictables_spark.streaming.commit import (
+        batch_subdir,
+        subdir_store_paths,
+    )
     from magictables_spark.warehouse import corpus_fingerprint, store_root
 
     H = _LPA_HIST_SPLIT
@@ -1201,7 +1231,9 @@ def lpa_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_edges = _sym(
             pairs.filter((F.col("doc_a") < H) & (F.col("doc_b") < H))
         ).localCheckpoint()
-        hist_edges.write.mode("overwrite").parquet(edges_dir)
+        hist_edges.write.mode("overwrite").parquet(
+            os.path.join(edges_dir, "seed")
+        )
         seeds = docs.filter(F.col("doc_id") < H).select(
             F.col("doc_id").alias("v"), F.col("doc_id").alias("lab")
         )
@@ -1229,8 +1261,15 @@ def lpa_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _maintain(batch_pairs: DataFrame, batch_id: int) -> None:
         sp = batch_pairs.sparkSession
         new_edges = _sym(batch_pairs).localCheckpoint(eager=True)
-        new_edges.write.mode("append").parquet(edges_dir)
-        all_edges = sp.read.parquet(edges_dir).localCheckpoint(eager=True)
+        # per-batch subdir overwrite: a replay rewrites its own edges
+        # instead of appending duplicates (duplicate edges double
+        # their mode votes and can flip labels)
+        new_edges.write.mode("overwrite").parquet(
+            batch_subdir(edges_dir, batch_id)
+        )
+        all_edges = sp.read.parquet(
+            *subdir_store_paths(edges_dir)
+        ).localCheckpoint(eager=True)
         snap = _resolve_snapshot(delta_dir)
         prior_delta = (
             sp.read.parquet(snap)
@@ -1255,8 +1294,13 @@ def lpa_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             affected.withColumnRenamed("v", "a"), "a", "left_semi"
         )
         labels_aff = _lpa3(aff_edges, affected.withColumn("lab", F.col("v")))
-        new_delta = prior_delta.join(affected, "v", "left_anti").unionByName(
-            labels_aff
+        new_delta = (
+            prior_delta.join(affected, "v", "left_anti")
+            .unionByName(labels_aff)
+            # materialize BEFORE the overwrite: on a replay, LATEST
+            # already points at snapshot_b{batch_id} itself, and a
+            # lazy plan would read the files the write deletes
+            .localCheckpoint(eager=True)
         )
         fresh = os.path.join(delta_dir, f"snapshot_b{batch_id}")
         new_delta.write.mode("overwrite").parquet(fresh)
@@ -1268,6 +1312,8 @@ def lpa_store_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             pth = os.path.join(delta_dir, name)
             if name.startswith("snapshot_") and pth != fresh and os.path.isdir(pth):
                 shutil.rmtree(pth, ignore_errors=True)
+        if batch_id in _crash_after_write:
+            raise RuntimeError(f"injected crash after batch {batch_id} write")
 
     name = f"mts_lpastream_{tag}"
     for active in spark.streams.active:

@@ -48,7 +48,30 @@ from __future__ import annotations
 import os
 import shutil
 
-__all__ = ["VersionedStore"]
+__all__ = ["VersionedStore", "batch_subdir", "subdir_store_paths"]
+
+
+def batch_subdir(store_dir: str, batch_id) -> str:
+    """Per-batch overwrite target for APPEND-maintained stores: a
+    replayed batch overwrites its own subdirectory instead of
+    appending twice (the join_view_store_stream pattern, now shared).
+    The seed lives in ``<store>/seed``."""
+    return os.path.join(store_dir, f"b{batch_id}")
+
+
+def subdir_store_paths(store_dir: str, exclude_batch=None) -> list[str]:
+    """All committed subdirectory paths of an append-maintained store,
+    optionally excluding one batch's own subdir. In-batch probes MUST
+    exclude their own batch: a replay would otherwise see its previous
+    partial output and compute a different (empty) admission set."""
+    skip = None if exclude_batch is None else f"b{exclude_batch}"
+    return sorted(
+        os.path.join(store_dir, d)
+        for d in os.listdir(store_dir)
+        if d != skip
+        and not d.startswith(("_", "."))
+        and os.path.isdir(os.path.join(store_dir, d))
+    )
 
 
 class VersionedStore:

@@ -332,11 +332,26 @@ def test_ivf_store_stream_matches_batch_append_and_is_warm(spark):
     stag = hashlib.md5(
         f"v1:ivfstream:{APPEND_SPLIT}:{os.path.realpath(SF)}:{cfp}".encode()
     ).hexdigest()[:12]
+    from magictables_spark.streaming.commit import subdir_store_paths
+
     cells_dir = os.path.join(store_root(f"ivfstream_{stag}"), "cells")
-    files1 = sorted(os.listdir(cells_dir))
-    n_cells1 = spark.read.parquet(cells_dir).count()
+    # round-10 idempotent layout: seed + one subdir per micro-batch
+    assert [os.path.basename(d) for d in subdir_store_paths(cells_dir)] == [
+        "b0", "b1", "b2", "seed",
+    ]
+    files1 = sorted(
+        os.path.join(d, f)
+        for d in subdir_store_paths(cells_dir)
+        for f in os.listdir(d)
+    )
+    n_cells1 = spark.read.parquet(*subdir_store_paths(cells_dir)).count()
     n_vec = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).count()
     assert n_cells1 == n_vec  # every vector indexed exactly once
     k3, _ = _rows_key(ivf_store_stream(spark, SF))
     assert k3 == k1
-    assert sorted(os.listdir(cells_dir)) == files1  # zero new appends
+    files2 = sorted(
+        os.path.join(d, f)
+        for d in subdir_store_paths(cells_dir)
+        for f in os.listdir(d)
+    )
+    assert files2 == files1  # zero new writes on the warm path

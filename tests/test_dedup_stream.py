@@ -40,7 +40,9 @@ def test_store_is_the_corpus_fingerprint_set(spark):
     rows = dedup_store_stream(spark, SF).collect()
     root = _root()
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
-    store = spark.read.parquet(os.path.join(root, "store"))
+    from magictables_spark.streaming.commit import subdir_store_paths
+
+    store = spark.read.parquet(*subdir_store_paths(os.path.join(root, "store")))
     n_all_fps = docs.select(F.md5("text")).distinct().count()
     assert store.count() == n_all_fps  # set, not multiset
     assert store.distinct().count() == n_all_fps

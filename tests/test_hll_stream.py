@@ -60,9 +60,12 @@ def test_double_merge_is_idempotent(spark):
 
     from magictables_spark.plans.features import hll_store_stream
 
+    from magictables_spark.streaming.commit import VersionedStore
+
     hll_store_stream(spark, SF)  # ensure store exists
     root = _root()
-    store_dir = os.path.join(root, "store")
+    # round 10: the store is a VersionedStore (atomic CURRENT flips)
+    store_dir = VersionedStore(os.path.join(root, "store")).current_path()
     before = {
         r.event_type: r.est
         for r in spark.read.parquet(store_dir)
@@ -86,11 +89,14 @@ def test_double_merge_is_idempotent(spark):
 def test_warm_reinvocation_runs_zero_batches(spark):
     from magictables_spark.plans.features import hll_store_stream
 
+    from magictables_spark.streaming.commit import VersionedStore
+
     r1 = sorted(tuple(r) for r in hll_store_stream(spark, SF).collect())
     root = _root()
-    store = os.path.join(root, "store")
+    vs = VersionedStore(os.path.join(root, "store"))
 
     def snap():
+        store = vs.current_path()
         return sorted(
             (f, os.stat(os.path.join(store, f)).st_mtime_ns)
             for f in os.listdir(store)

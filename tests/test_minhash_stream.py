@@ -47,8 +47,14 @@ def test_store_grows_by_exactly_the_increment(spark):
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
     hs_all, bands_all = _minhash_tables(docs)
     # history seed + one append per shard == every eligible doc once
-    assert spark.read.parquet(os.path.join(root, "bands")).count() == bands_all.count()
-    assert spark.read.parquet(os.path.join(root, "hs")).count() == hs_all.count()
+    from magictables_spark.streaming.commit import subdir_store_paths
+
+    bands_paths = subdir_store_paths(os.path.join(root, "bands"))
+    hs_paths = subdir_store_paths(os.path.join(root, "hs"))
+    # history seed + one subdir per batch (round-10 idempotent layout)
+    assert [os.path.basename(d) for d in bands_paths] == ["b0", "b1", "b2", "seed"]
+    assert spark.read.parquet(*bands_paths).count() == bands_all.count()
+    assert spark.read.parquet(*hs_paths).count() == hs_all.count()
     # stream-order correctness + best-match uniqueness
     seen = set()
     for r in rows:

@@ -110,17 +110,20 @@ def test_pq_store_stream_grows_by_the_increment_and_serves_warm(spark, sf_dir):
     stag = hashlib.md5(
         f"v1:pqstream:{APPEND_SPLIT}:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
+    from magictables_spark.streaming.commit import subdir_store_paths
+
     root = store_root(f"pqstream_{stag}")
     codes_dir = os.path.join(root, "codes")
     n_vec = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
-    codes = spark.read.parquet(codes_dir)
+    codes = spark.read.parquet(*subdir_store_paths(codes_dir))
     assert codes.count() == n_vec
     assert codes.select("vec_id").distinct().count() == n_vec
 
     def snap():
         return sorted(
-            (f, os.stat(os.path.join(codes_dir, f)).st_mtime_ns)
-            for f in os.listdir(codes_dir)
+            (os.path.join(d, f), os.stat(os.path.join(d, f)).st_mtime_ns)
+            for d in subdir_store_paths(codes_dir)
+            for f in os.listdir(d)
             if f.endswith(".parquet")
         )
 

@@ -43,7 +43,11 @@ def test_store_grows_by_exactly_the_increment(spark):
 
     rows = simhash_store_stream(spark, SF).collect()
     root = _root(spark)
-    store_n = spark.read.parquet(os.path.join(root, "store")).count()
+    from magictables_spark.streaming.commit import subdir_store_paths
+
+    store_paths = subdir_store_paths(os.path.join(root, "store"))
+    assert [os.path.basename(d) for d in store_paths] == ["b0", "b1", "b2", "seed"]
+    store_n = spark.read.parquet(*store_paths).count()
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
     all_bands = _simhash_bands(_simhash_sig_frame(docs)).count()
     # history seed + one append per shard == every doc banded once
