@@ -230,12 +230,95 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_sharded(
+    spark: SparkSession, sf_dir: str, rows_per_shard: int = 250_000
+) -> DataFrame:
+    """readStream over a TIME-ORDERED multi-file copy of the events
+    fixture, one file per trigger. A single-file source delivers the
+    whole month as ONE micro-batch, so a stream-stream join must buffer
+    the entire table in state before the watermark can evict anything —
+    that is O(input) state and OOMed an 8 GB heap at sf2. Slicing the
+    fixture into contiguous time ranges and feeding them through
+    ``maxFilesPerTrigger=1`` advances the watermark between batches, so
+    join state plateaus at ~watermark-window x event-rate regardless of
+    total input size — the shape a production stream has anyway. Below
+    ``rows_per_shard`` the single-file fast path is kept (identical to
+    _events_stream, no copy)."""
+    import hashlib
+    import os
+
+    from magictables_spark.warehouse import corpus_fingerprint, store_root
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    n_rows = spark.read.parquet(path).count()
+    n_shards = n_rows // rows_per_shard
+    if n_shards < 2:
+        return _events_stream(spark, sf_dir)
+    cfp = corpus_fingerprint(path)
+    tag = hashlib.md5(
+        f"v1:evshard:{n_shards}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+    ).hexdigest()[:12]
+    root = store_root(f"evshard_{tag}")
+    src = os.path.join(root, "src")
+    ready = os.path.join(root, "_READY")
+    if not os.path.exists(ready):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(src)
+        ev = spark.read.parquet(path)
+        lo, hi = ev.agg(
+            F.min(F.unix_millis(F.col("ts").cast("timestamp"))),
+            F.max(F.unix_millis(F.col("ts").cast("timestamp"))),
+        ).first()
+        span = max(hi - lo + 1, 1)
+        sliced = ev.withColumn(
+            "_shard",
+            F.least(
+                F.lit(n_shards - 1),
+                (
+                    (F.unix_millis(F.col("ts").cast("timestamp")) - F.lit(lo))
+                    * n_shards
+                    / F.lit(span)
+                ).cast("long"),
+            ),
+        )
+        for k in range(n_shards):  # written oldest-first: the file
+            # source picks files up in mtime order, one per trigger
+            part_dir = os.path.join(root, f"part{k}")
+            (
+                sliced.filter(F.col("_shard") == k)
+                .drop("_shard")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(part_dir)
+            )
+            pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+            os.replace(
+                os.path.join(part_dir, pf[0]),
+                os.path.join(src, f"shard_{k:04d}.parquet"),
+            )
+            import shutil as _sh
+
+            _sh.rmtree(part_dir, ignore_errors=True)
+        with open(ready, "w") as f:
+            f.write("ok")
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+
+
 def _run_available_now(
     spark: SparkSession,
     agg: DataFrame,
     name: str,
     output_mode: str = "complete",
     shuffle_partitions: int | None = None,
+    sink: str = "memory",
 ) -> DataFrame:
     """Drive a streaming aggregation to completion: memory sink +
     Trigger.AvailableNow; returns the sink table. Stops any prior query
@@ -257,6 +340,31 @@ def _run_available_now(
         saved = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
+        if sink == "parquet":
+            # distributed file sink for append-mode queries whose
+            # OUTPUT is data-sized: the memory sink accumulates every
+            # row on the driver heap (the sf2 interval join emits 39M
+            # rows — a guaranteed driver OOM that a cluster would
+            # never see). Fresh per-invocation dir + checkpoint.
+            import os
+            import shutil
+
+            from magictables_spark.warehouse import store_root
+
+            root = store_root(f"sink_{name}")
+            shutil.rmtree(root, ignore_errors=True)
+            out_dir = os.path.join(root, "out")
+            query = (
+                agg.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+            return spark.read.schema(agg.schema).parquet(out_dir)
         query = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -829,7 +937,12 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle hash — is unchanged; watermark semantics ride the same
     # c_ts/p_ts columns.
     H_MS = 3_600_000
-    src = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    # sharded source (round 10): one time-slice per micro-batch keeps
+    # join state at ~2 hours of events at ANY scale — the single-file
+    # source buffered the whole month in state and OOMed at sf2
+    src = _events_stream_sharded(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     clicks = (
         src.filter(F.col("event_type") == "click")
         .select(
@@ -875,7 +988,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each batch; 32 partitions x 2 sides dwarfed the ~400-row state)
     out = _run_available_now(
         spark, joined, "mts_stream_ss_join", output_mode="append",
-        shuffle_partitions=8,
+        shuffle_partitions=8, sink="parquet",
     )
     return out.orderBy("click_id", "purchase_id")
 

@@ -44,8 +44,15 @@ class _StageMeter:
         self.mark()  # swallow warm-up stages
 
     def _stages(self):
-        with self._urlopen(f"{self._url}?status=complete", timeout=30) as r:
-            return json.load(r)
+        # the UI REST endpoint is observability, not correctness: a
+        # transient refusal (UI thread busy/restarting under load) must
+        # not kill a multi-hour sweep — degrade to "no new stages seen"
+        try:
+            with self._urlopen(f"{self._url}?status=complete", timeout=30) as r:
+                return json.load(r)
+        except OSError as e:
+            print(f"  (stage meter unavailable: {e})", flush=True)
+            return []
 
     def mark(self) -> None:
         self._seen |= {
