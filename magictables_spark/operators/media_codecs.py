@@ -70,7 +70,7 @@ class UnsupportedMediaError(ValueError):
 # per-file provenance as decoded=False. Since round 9, audio/mpeg
 # decodes ALL THREE MPEG-1 layers to PCM (decode_mpeg1_audio; Layer
 # III within the carried Huffman-table subset — see the Layer III
-# section comment); only LSF streams, joint stereo, and uncarried
+# section comment); only intensity-stereo streams and uncarried
 # tables fall back to metadata. media_features_ex reports which path
 # a given file actually took.
 METADATA_ONLY_MIMES = frozenset({"audio/mpeg", "video/mp4"})
@@ -333,7 +333,7 @@ def media_features_ex(content: bytes, mime: str, dim: int) -> tuple[list[float],
         ]
     elif mime == "audio/mpeg":
         # MPEG-1 Layer I/II/III: FULL PCM decode (decoded=True) -> the
-        # same rms/peak/zcr features WAV gets; LSF / joint stereo /
+        # same rms/peak/zcr features WAV gets; intensity stereo /
         # uncarried Layer III Huffman tables fall back to the
         # frame-header metadata walk (decoded=False)
         m = decode_mpeg_audio(content)
@@ -2090,8 +2090,8 @@ def _decode_frame_l2(bits: _Bits, nch: int, sample_rate: int, kbps: int) -> list
 # carrying near-miss data would decode real streams into wrong PCM
 # silently. A stream selecting an uncarried table raises
 # UnsupportedMediaError, and decode_mpeg_audio falls back to container
-# metadata. Intensity/MS joint stereo and mixed blocks remain out of
-# scope (raise).
+# metadata. MS joint stereo and MPEG-2 LSF decode since round 10;
+# intensity stereo and mixed blocks remain out of scope (raise).
 # ---------------------------------------------------------------------------
 
 _L3_SLEN = [
@@ -2678,7 +2678,11 @@ def _decode_l3_frames(frames: list[tuple[dict, bytes]], nch: int, sample_rate: i
             continue
         bits = _Bits(bytes(reservoir), start_bit)
         prev_long = [None] * nch
+        if h["mode"] == 1 and (h["mode_ext"] & 1):
+            raise UnsupportedMediaError("intensity stereo not implemented")
+        ms = h["mode"] == 1 and (h["mode_ext"] & 2) != 0 and nch == 2
         for gr in range(n_gr):
+            xrs, gs = [], []
             for ch in range(nch):
                 g = si["granules"][gr][ch]
                 gr_end = bits.pos + g["part2_3_length"]
@@ -2692,9 +2696,19 @@ def _decode_l3_frames(frames: list[tuple[dict, bytes]], nch: int, sample_rate: i
                     prev_long[ch] = long_scf
                 is_vals = _decode_l3_huffman(bits, g, gr_end, sfb_long)
                 bits.pos = gr_end  # skip stuffing to the granule boundary
-                xr = _l3_requantize(
+                xrs.append(_l3_requantize(
                     is_vals, g, long_scf, short_scf, sfb_long, sfb_short
-                )
+                ))
+                gs.append(g)
+            if ms:
+                # MS joint stereo (2.4.3.4.9.2): channels carry
+                # mid/side AFTER per-channel requantization;
+                # L = (M+S)/sqrt(2), R = (M-S)/sqrt(2) over all lines
+                mid, side_ = xrs
+                inv_sqrt2 = 1.0 / np.sqrt(2.0)
+                xrs = [(mid + side_) * inv_sqrt2, (mid - side_) * inv_sqrt2]
+            for ch in range(nch):
+                g, xr = gs[ch], xrs[ch]
                 if g["block_type"] == 2:
                     xr = _l3_reorder_short(xr, sfb_short)
                 else:
@@ -2712,8 +2726,9 @@ def _decode_l3_frames(frames: list[tuple[dict, bytes]], nch: int, sample_rate: i
 
 def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
     """Full PCM decode of an MPEG-1 Layer I/II/III or MPEG-2 LSF
-    Layer III stream (ID3v2 skipped, mono/stereo/dual; intensity joint
-    stereo raises Unsupported). PCM amplitude stats mirror
+    Layer III stream (ID3v2 skipped, mono/stereo/dual, and — Layer
+    III only — MS joint stereo; intensity stereo raises Unsupported).
+    PCM amplitude stats mirror
     decode_wav's contract, decoded=True. ``return_pcm`` adds the raw
     [channels, samples] float array (tests; the Spark kernels ship
     stats only)."""
@@ -2733,8 +2748,11 @@ def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
     if first < 0:
         raise UnsupportedMediaError("no decodable MPEG audio frame sync found")
     h0 = _parse_mpeg1_header(data, first)
-    if h0["mode"] == 1:
-        raise UnsupportedMediaError("intensity/joint stereo not implemented")
+    if h0["mode"] == 1 and h0["layer"] != 3:
+        # Layer I/II joint stereo IS intensity coding; Layer III MS
+        # stereo decodes (the per-frame intensity bit is checked in
+        # _decode_l3_frames, where mode_ext is in hand)
+        raise UnsupportedMediaError("intensity joint stereo not implemented")
     nch = h0["channels"]
     granules = [[] for _ in range(nch)]
     l3_frames: list[tuple[dict, bytes]] = []
@@ -2811,9 +2829,10 @@ def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
 
 def decode_mpeg_audio(data: bytes) -> dict:
     """Dispatch: full PCM decode for MPEG-1 Layer I/II and for
-    MPEG-1 Layer III within the carried Huffman subset; container
-    metadata (decoded=False) for MPEG-2/2.5 (LSF), joint-stereo
-    Layer III, and streams selecting uncarried big-value tables."""
+    Layer III — MPEG-1 and MPEG-2 LSF, mono/stereo/dual and MS joint
+    stereo — within the carried Huffman subset; container metadata
+    (decoded=False) for MPEG-2.5, intensity stereo, and streams
+    selecting uncarried big-value tables."""
     try:
         return decode_mpeg1_audio(data)
     except UnsupportedMediaError:
@@ -3086,6 +3105,7 @@ def encode_mp3_audio_fixture(
     spec_fn=None,
     big_table: int | None = None,
     version: int = 1,
+    joint_ms: bool = False,
 ) -> bytes:
     """REAL MPEG-1 Layer III audio fixture: every granule paints a
     deterministic sparse spectrum (±1 lines in the count1 region,
@@ -3115,9 +3135,14 @@ def encode_mp3_audio_fixture(
         br_idx = _MP3_BITRATE_V1_L3.index(kbps)
         sr_idx = _MP3_SR[3].index(sample_rate)
     nch = channels
-    mode = 3 if nch == 1 else 0
+    if joint_ms:
+        if nch != 2:
+            raise ValueError("joint_ms needs channels=2 (ch0=mid, ch1=side)")
+        mode, mode_ext = 1, 2  # joint stereo, MS on / intensity off
+    else:
+        mode, mode_ext = (3 if nch == 1 else 0), 0
     hdr = bytes((0xFF, 0xF3 if lsf else 0xFB,
-                 (br_idx << 4) | (sr_idx << 2), mode << 6))
+                 (br_idx << 4) | (sr_idx << 2), (mode << 6) | (mode_ext << 4)))
     flen = (72 if lsf else 144) * kbps * 1000 // sample_rate
     if lsf:
         side_bytes = 9 if nch == 1 else 17

@@ -111,10 +111,26 @@ def test_media_mutations_never_escape(seed):
     mp3s = [encode_mp3_fixture(12), encode_mp3_fixture(4, kbps=64, sample_rate=32000, id3=False)]
     from magictables_spark.operators.media_codecs import encode_mp3_audio_fixture
 
+    def _bv_spec(gidx, ch, _ws):
+        return {"block_type": 0, "subblock_gain": [0, 0, 0],
+                "lines": [(14, 0, 1)], "scf": {0: 3, 14: 2},
+                "big_lines": [(0, 14), (1, -7), (2, 0), (3, 15), (4, -1)]}
+
     l3s = [
         encode_mp3_audio_fixture(n_frames=4, channels=1),
         encode_mp3_audio_fixture(n_frames=4, channels=2, with_short=True,
                                  count1_table="B", sample_rate=48000, kbps=160),
+        # round 10: big-values regions (non-ESC + ESC/linbits tables)
+        # and MPEG-2 LSF frames join the fuzz corpus — the new decode
+        # paths (pair Huffman, linbits escapes, LSF side info +
+        # scalefactor sizing) face the same mutation contract
+        encode_mp3_audio_fixture(n_frames=3, spec_fn=_bv_spec, big_table=13),
+        encode_mp3_audio_fixture(n_frames=3, spec_fn=_bv_spec, big_table=19),
+        encode_mp3_audio_fixture(n_frames=3, kbps=64, sample_rate=22050,
+                                 version=2),
+        encode_mp3_audio_fixture(n_frames=3, kbps=64, sample_rate=24000,
+                                 version=2, spec_fn=_bv_spec, big_table=21),
+        encode_mp3_audio_fixture(n_frames=3, channels=2, joint_ms=True),
     ]
     mp4s = [encode_mp4_fixture(5.0), encode_mp4_fixture(2.0, video=None)]
     _t = np.arange(12000) / 48000.0

@@ -1111,3 +1111,56 @@ def test_l3_lsf_decodes_real_world_stream():
     assert st["granules"] == 45
     assert st["exact"] == 45
     assert st["invalid"] == 0 and st["overrun"] == 0
+
+
+@pytest.mark.parametrize(
+    ("with_short", "sr", "version"),
+    [(False, 44100, 1), (True, 48000, 1), (False, 22050, 2)],
+)
+def test_l3_ms_joint_stereo_matches_matrixed_reference(with_short, sr, version):
+    """MS joint stereo (mode 1, mode_ext 2): channels carry mid/side
+    after per-channel requantization, L = (M+S)/sqrt(2),
+    R = (M-S)/sqrt(2). Every stage after requantization (alias, IMDCT,
+    windows, overlap-add, PQMF) is linear and both channels share each
+    granule's block type, so the expected PCM is exactly the matrix of
+    the per-channel reference syntheses — checked to 1e-9."""
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg1_audio,
+        encode_mp3_audio_fixture,
+    )
+
+    n_frames = 5
+    kw = dict(
+        n_frames=n_frames, channels=2, with_short=with_short,
+        sample_rate=sr, version=version,
+        kbps=160 if sr == 48000 else (64 if version == 2 else 128),
+    )
+    out = decode_mpeg1_audio(
+        encode_mp3_audio_fixture(joint_ms=True, **kw), return_pcm=True
+    )
+    assert out["decoded"] is True and out["channels"] == 2
+    ms = _l3_reference_pcm(n_frames, 2, with_short, sr)  # ch0=M, ch1=S
+    expect = np.stack([
+        (ms[0] + ms[1]) / np.sqrt(2.0),
+        (ms[0] - ms[1]) / np.sqrt(2.0),
+    ])
+    peak = np.abs(expect).max()
+    assert peak > 0
+    assert np.max(np.abs(out["pcm"] - expect)) < 1e-9 * max(1.0, peak)
+
+
+def test_l3_intensity_stereo_still_falls_back():
+    """mode_ext & 1 (intensity) must raise -> dispatch metadata walk."""
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg_audio,
+        encode_mp3_audio_fixture,
+    )
+
+    data = bytearray(encode_mp3_audio_fixture(n_frames=3, channels=2,
+                                              joint_ms=True))
+    flen = 144 * 128000 // 44100
+    for off in range(0, len(data), flen):  # set intensity bit per frame
+        assert data[off] == 0xFF
+        data[off + 3] |= 0x10
+    out = decode_mpeg_audio(bytes(data))
+    assert out["decoded"] is False
