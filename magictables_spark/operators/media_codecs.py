@@ -2303,26 +2303,38 @@ _L3_LINBITS_16 = (1, 2, 3, 4, 6, 8, 10, 13)
 
 def _l3_build_b7():
     """Validate _L3_B7_RAW and build {tsel: (decode dict, linbits)} +
-    {tsel: (encode dict, linbits)}. The gate is the defining property
-    of every B.7 table — a COMPLETE prefix code over the full symbol
-    grid — so mis-keyed data cannot ship silently."""
+    {tsel: (encode dict, linbits)}. The gate checks the structural
+    property every B.7 table has — a COMPLETE prefix code over the
+    full symbol grid (Kraft sum exactly 1, prefix-free, no gaps) — so
+    corrupted or incomplete table data cannot ship. It cannot detect a
+    permuted-but-still-complete (x, y) symbol mapping; that is covered
+    externally by tools/mp3_table_audit.py bit-budget audits against
+    real encoder streams (45/45 granules on the third-party LSF
+    fixture) and spot-checks of carried tables vs public reference
+    data. Raises explicitly (not assert) so `python -O` cannot strip
+    the import-time validation."""
     from fractions import Fraction
 
     dec_tables, enc_tables = {}, {}
     for tid, (n, codes, lens) in _L3_B7_RAW.items():
-        assert len(codes) == n * n and len(lens) == n * n, tid
+        if len(codes) != n * n or len(lens) != n * n:
+            raise ValueError(f"B.7 table {tid}: wrong grid size")
         dec, enc = {}, {}
         kraft = Fraction(0)
         for i, (c, l) in enumerate(zip(codes, lens)):
-            assert 1 <= l <= 19 and 0 <= c < (1 << l), (tid, i)
-            assert (l, c) not in dec, (tid, i)
+            if not (1 <= l <= 19 and 0 <= c < (1 << l)):
+                raise ValueError(f"B.7 table {tid} entry {i}: code does not fit length")
+            if (l, c) in dec:
+                raise ValueError(f"B.7 table {tid} entry {i}: duplicate code")
             dec[(l, c)] = divmod(i, n)
             enc[divmod(i, n)] = (l, c)
             kraft += Fraction(1, 1 << l)
-        assert kraft == 1, (tid, kraft)
+        if kraft != 1:
+            raise ValueError(f"B.7 table {tid}: Kraft sum {kraft} != 1 (incomplete code)")
         strs = sorted(f"{c:0{l}b}" for l, c in dec)
         for a, b in zip(strs, strs[1:]):
-            assert not b.startswith(a), (tid, a, b)
+            if b.startswith(a):
+                raise ValueError(f"B.7 table {tid}: not prefix-free ({a} prefixes {b})")
         dec_tables[tid] = (dec, 0)
         enc_tables[tid] = (enc, 0, n)
     for off, lb in enumerate(_L3_LINBITS_16):
@@ -2764,6 +2776,12 @@ def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
             or h["layer"] != h0["layer"]
             or h["version"] != h0["version"]
             or h["sample_rate"] != h0["sample_rate"]
+            or h["channels"] != h0["channels"]
+            # Layer I/II decode assumes frame-0 mode throughout (a
+            # mid-stream switch to joint stereo = intensity coding);
+            # Layer III re-checks mode/mode_ext per frame in
+            # _decode_l3_frames, so only a channel-count change breaks.
+            or (h["layer"] != 3 and h["mode"] != h0["mode"])
         ):
             break
         if pos + h["flen"] > len(data):

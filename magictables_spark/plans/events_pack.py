@@ -295,10 +295,15 @@ def _events_stream_sharded(
                 .parquet(part_dir)
             )
             pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{k:04d}.parquet"),
-            )
+            shard_path = os.path.join(src, f"shard_{k:04d}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), shard_path)
+            # The file source delivers oldest-mtime-first; on coarse-
+            # granularity filesystems two shards can land in the same
+            # tick and arrive out of order, letting the watermark jump
+            # ahead and evict join state early. Stamp strictly
+            # increasing mtimes so delivery order is guaranteed, not
+            # incidental.
+            os.utime(shard_path, (1_600_000_000 + k, 1_600_000_000 + k))
             import shutil as _sh
 
             _sh.rmtree(part_dir, ignore_errors=True)
@@ -1456,9 +1461,11 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(part_dir)
             )
             pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]), os.path.join(src, f"shard_{shard}.parquet")
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")
@@ -1677,10 +1684,11 @@ def rollup_store_stream(
                 .parquet(part_dir)
             )
             pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")

@@ -425,7 +425,7 @@ def hll_store_stream(
     ev = _t(spark, sf_dir, "events")
     cfp = corpus_fingerprint(os.path.join(sf_dir, "events.parquet"))
     tag = hashlib.md5(
-        f"v1:hlls:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:hlls:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"hllstream_{tag}")
     src = os.path.join(root, "src")
@@ -452,10 +452,11 @@ def hll_store_stream(
                 .parquet(part_dir)
             )
             pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")

@@ -671,10 +671,11 @@ def quantile_hist_store_stream(
                 .parquet(part_dir)
             )
             pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")
@@ -960,10 +961,11 @@ def cms_store_stream(
                 .parquet(part_dir)
             )
             pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")
@@ -1186,9 +1188,11 @@ def join_view_store_stream(
                 .parquet(part_dir)
             )
             pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]), os.path.join(src, f"shard_{shard}.parquet")
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")

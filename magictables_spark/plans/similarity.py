@@ -1002,10 +1002,11 @@ def lsh_store_stream(
                 .parquet(part_dir)
             )
             pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")
@@ -1870,7 +1871,7 @@ def ivf_store_stream(
     emb = _t(spark, sf_dir, "embeddings")
     cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     stag = hashlib.md5(
-        f"v1:ivfstream:{B}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:ivfstream:{B}:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"ivfstream_{stag}")
     src = os.path.join(root, "src")
@@ -1894,10 +1895,11 @@ def ivf_store_stream(
                 .parquet(part_dir)
             )
             pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")
@@ -3213,7 +3215,7 @@ def pq_store_stream(
     emb = _t(spark, sf_dir, "embeddings")
     cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     stag = hashlib.md5(
-        f"v1:pqstream:{B}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:pqstream:{B}:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"pqstream_{stag}")
     src = os.path.join(root, "src")
@@ -3237,10 +3239,11 @@ def pq_store_stream(
                 .parquet(part_dir)
             )
             pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")
@@ -3345,10 +3348,11 @@ def stream_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(part_dir)
             )
             pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")
@@ -4316,7 +4320,7 @@ def simhash_store_stream(
     docs = _t(spark, sf_dir, "documents")
     cfp = _cfp(os.path.join(sf_dir, "documents.parquet"))
     tag = hashlib.md5(
-        f"v1:{B}:{_SH_BANDS}x{_SH_BITS}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:{B}:{_SH_BANDS}x{_SH_BITS}:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"shstream_{tag}")
     src = os.path.join(root, "src")
@@ -4344,10 +4348,11 @@ def simhash_store_stream(
                 .parquet(part_dir)
             )
             pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")
@@ -4506,7 +4511,7 @@ def minhash_store_stream(
     docs = _t(spark, sf_dir, "documents")
     cfp = _cfp(os.path.join(sf_dir, "documents.parquet"))
     tag = hashlib.md5(
-        f"v1:{B}:mh16x4:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:{B}:mh16x4:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"mhstream_{tag}")
     src = os.path.join(root, "src")
@@ -4535,10 +4540,11 @@ def minhash_store_stream(
                 .parquet(part_dir)
             )
             pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")

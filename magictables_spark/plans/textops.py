@@ -284,7 +284,7 @@ def dedup_store_stream(
     docs = _t(spark, sf_dir, "documents")
     cfp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     tag = hashlib.md5(
-        f"v1:{B}:fps:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:{B}:fps:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"fpstream_{tag}")
     src = os.path.join(root, "src")
@@ -314,10 +314,11 @@ def dedup_store_stream(
                 .parquet(part_dir)
             )
             pf = [p for p in os.listdir(part_dir) if p.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")
@@ -1208,7 +1209,7 @@ def lpa_store_stream(
     docs = _t(spark, sf_dir, "documents")
     cfp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     tag = hashlib.md5(
-        f"v1:lpastream:{H}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:lpastream:{H}:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     root = store_root(f"lpastream_{tag}")
     src = os.path.join(root, "src")
@@ -1250,10 +1251,11 @@ def lpa_store_stream(
                 .parquet(part_dir)
             )
             pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-            os.replace(
-                os.path.join(part_dir, pf[0]),
-                os.path.join(src, f"shard_{shard}.parquet"),
-            )
+            _dst = os.path.join(src, f"shard_{shard}.parquet")
+            os.replace(os.path.join(part_dir, pf[0]), _dst)
+            # guarantee oldest-first file-source delivery even on coarse-
+            # mtime filesystems: stamp strictly increasing mtimes
+            os.utime(_dst, (1_600_000_000 + shard, 1_600_000_000 + shard))
             shutil.rmtree(part_dir, ignore_errors=True)
         with open(ready, "w") as f:
             f.write("ok")
