@@ -70,9 +70,9 @@ class UnsupportedMediaError(ValueError):
 # per-file provenance as decoded=False. Since round 9, audio/mpeg
 # decodes ALL THREE MPEG-1 layers to PCM (decode_mpeg1_audio; Layer
 # III within the carried Huffman-table subset — see the Layer III
-# section comment); only intensity-stereo streams and uncarried
-# tables fall back to metadata. media_features_ex reports which path
-# a given file actually took.
+# section comment; MS and long-block intensity joint stereo decode);
+# only short-block intensity streams and uncarried tables fall back
+# to metadata. media_features_ex reports which path a file took.
 METADATA_ONLY_MIMES = frozenset({"audio/mpeg", "video/mp4"})
 
 
@@ -333,8 +333,8 @@ def media_features_ex(content: bytes, mime: str, dim: int) -> tuple[list[float],
         ]
     elif mime == "audio/mpeg":
         # MPEG-1 Layer I/II/III: FULL PCM decode (decoded=True) -> the
-        # same rms/peak/zcr features WAV gets; intensity stereo /
-        # uncarried Layer III Huffman tables fall back to the
+        # same rms/peak/zcr features WAV gets; short-block intensity
+        # stereo / uncarried Layer III Huffman tables fall back to the
         # frame-header metadata walk (decoded=False)
         m = decode_mpeg_audio(content)
         decoded = bool(m["decoded"])
@@ -2090,8 +2090,10 @@ def _decode_frame_l2(bits: _Bits, nch: int, sample_rate: int, kbps: int) -> list
 # carrying near-miss data would decode real streams into wrong PCM
 # silently. A stream selecting an uncarried table raises
 # UnsupportedMediaError, and decode_mpeg_audio falls back to container
-# metadata. MS joint stereo and MPEG-2 LSF decode since round 10;
-# intensity stereo and mixed blocks remain out of scope (raise).
+# metadata. MS joint stereo and MPEG-2 LSF decode since round 10,
+# long-block intensity stereo (MPEG-1 tan ratios and LSF io powers)
+# since round 11; short-block intensity and mixed blocks remain out
+# of scope (raise).
 # ---------------------------------------------------------------------------
 
 _L3_SLEN = [
@@ -2124,12 +2126,54 @@ _L3_SFB_SHORT = {
     16000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192],
 }
 # LSF scalefactor group sizes nr_of_sfb[blocknumber][blocktypenumber]
-# (ISO 13818-3 2.4.3.2; blocktypenumber 0=long, 1=short, 2=mixed)
+# (ISO 13818-3 2.4.3.2; blocktypenumber 0=long, 1=short, 2=mixed).
+# Blocknumbers 3-5 are the intensity-stereo channel's layouts. All six
+# rows are gated at import by _check_lsf_nsfb below: every long row
+# must cover exactly the 21 long scalefactor bands, every short row the
+# 36 (12 sfb x 3 window) short ones, every mixed row the 33 mixed ones
+# — the structural invariant that catches a mis-keyed recall.
 _LSF_NSFB = {
     0: ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
     1: ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
     2: ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
+    3: ((7, 7, 7, 0), (12, 12, 12, 0), (6, 15, 12, 0)),
+    4: ((6, 6, 6, 3), (12, 9, 9, 6), (6, 12, 9, 6)),
+    5: ((8, 8, 5, 0), (15, 12, 9, 0), (6, 18, 9, 0)),
 }
+
+
+def _check_lsf_nsfb() -> None:
+    """Import gate for _LSF_NSFB: each blocknumber row must partition
+    the full scalefactor-band grid (21 long / 36 short / 33 mixed)."""
+    for bn, rows in _LSF_NSFB.items():
+        for row, want in zip(rows, (21, 36, 33)):
+            if sum(row) != want:
+                raise ValueError(
+                    f"LSF nsfb blocknumber {bn}: row {row} sums to "
+                    f"{sum(row)}, expected {want}"
+                )
+
+
+_check_lsf_nsfb()
+
+# Intensity-stereo position gains, ISO 11172-3 2.4.3.4.9.3: for
+# is_pos k in 0..6, is_ratio = tan(k*pi/12) and the single transmitted
+# spectrum splits as L = xr*ratio/(1+ratio), R = xr*1/(1+ratio);
+# k=6 (tan(pi/2) -> inf) is the all-left limit (1, 0). k=7 marks "no
+# intensity processing" for the band. Derived at import — no table
+# data to mis-key.
+def _l3_is_gains_m1() -> tuple[tuple[float, float], ...]:
+    gains = []
+    for k in range(7):
+        if k == 6:
+            gains.append((1.0, 0.0))
+        else:
+            r = math.tan(k * math.pi / 12.0)
+            gains.append((r / (1.0 + r), 1.0 / (1.0 + r)))
+    return tuple(gains)
+
+
+_L3_IS_GAINS_M1 = _l3_is_gains_m1()
 
 
 def _lsf_slen(g: dict) -> tuple[tuple[int, int, int, int], int]:
@@ -2143,6 +2187,27 @@ def _lsf_slen(g: dict) -> tuple[tuple[int, int, int, int], int]:
         return ((t >> 2) // 5, (t >> 2) % 5, t & 3, 0), 1
     t = sc - 500
     return (t // 3, t % 3, 0, 0), 2
+
+
+def _lsf_slen_intensity(g: dict) -> tuple[tuple[int, int, int, int], int, int]:
+    """LSF scalefac_compress for the INTENSITY channel (13818-3
+    2.4.3.2, right channel when mode_ext & 1) ->
+    (slen[4], blocknumber 3-5, intensity_scale). The low bit selects
+    the io scale; the remaining bits pick one of three layouts."""
+    sc = g["scalefac_compress"]
+    intensity_scale = sc & 1
+    t = sc >> 1
+    if t < 180:
+        return (t // 36, (t % 36) // 6, t % 6, 0), 3, intensity_scale
+    if t < 244:
+        u = t - 180
+        return ((u % 64) >> 4, (u % 16) >> 2, u % 4, 0), 4, intensity_scale
+    if t < 255:
+        u = t - 244
+        return (u // 3, u % 3, 0, 0), 5, intensity_scale
+    raise UnsupportedMediaError(
+        "LSF intensity scalefac_compress 510/511 is reserved"
+    )
 # ISO Table B.7: big-value pair Huffman tables, entered as LAME-style
 # flat (codes, lens) arrays in row-major (x, y) order. Every table is
 # gated at import by _l3_build_b7: full symbol coverage, code-fits-
@@ -2431,14 +2496,33 @@ def _parse_l3_side_info(bits: _Bits, nch: int, version: int = 1) -> dict:
     return si
 
 
-def _decode_l3_scalefactors_lsf(bits: _Bits, g: dict):
+def _decode_l3_scalefactors_lsf(bits: _Bits, g: dict, intensity: bool = False):
     """LSF scalefactor decode -> (long_scf[21], short_scf[12][3]);
-    sets g['preflag'] from the implied blocknumber."""
-    (s1, s2, s3, s4), bn = _lsf_slen(g)
-    g["preflag"] = 1 if bn == 2 else 0
+    sets g['preflag'] from the implied blocknumber. With ``intensity``
+    (the right channel of a mode_ext&1 granule) the scalefac_compress
+    field selects the 13818-3 intensity layouts (blocknumbers 3-5);
+    the decoded values are the per-band intensity POSITIONS, and the
+    per-band slen widths plus the intensity_scale bit are stashed on g
+    (g['_is_slen_long'], g['_is_scale']) for the stereo processing
+    stage's illegal-position check and io scale."""
+    if intensity:
+        slens, bn, g["_is_scale"] = _lsf_slen_intensity(g)
+        g["preflag"] = 0
+    else:
+        (s1, s2, s3, s4), bn = _lsf_slen(g)
+        slens = (s1, s2, s3, s4)
+        g["preflag"] = 1 if bn == 2 else 0
     btn = 1 if g["block_type"] == 2 else 0  # mixed blocks raise earlier
     nsfb = _LSF_NSFB[bn][btn]
-    slens = (s1, s2, s3, s4)
+    if intensity:
+        slen_long = [0] * 21
+        pos = 0
+        for grp, count in enumerate(nsfb):
+            for _ in range(count):
+                if pos < 21:
+                    slen_long[pos] = slens[grp]
+                pos += 1
+        g["_is_slen_long"] = slen_long
     if g["block_type"] == 2:
         short = [[0] * 3 for _ in range(12)]
         pos = 0
@@ -2658,6 +2742,69 @@ def _l3_imdct_granule(xr, block_type: int, overlap: np.ndarray) -> np.ndarray:
     return out
 
 
+def _l3_intensity_process(xrs, gs, scf_r, isv_r, sfb_long, ms, version):
+    """Intensity joint stereo (ISO 11172-3 2.4.3.4.9.3 / 13818-3
+    2.4.3.4), applied between requantization and alias reduction.
+
+    The intensity region is every long scalefactor band lying entirely
+    above the right channel's highest transmitted nonzero line (its
+    "zero part" — band granularity, the libmad/dist10 convention; the
+    two reference decoders disagree only when that last line falls
+    exactly on a band edge, which no real encoder emits on purpose).
+    In the region, the single transmitted (left-channel) spectrum is
+    panned per band by the position carried in the right channel's
+    scalefactor slot: MPEG-1 uses tan(k*pi/12) ratios (k=7 = band not
+    intensity-processed), LSF uses io^ceil(k/2) with
+    io = 2^(-1/4 or -1/2) selected by the intensity_scale bit and
+    illegal marker (2^slen)-1. Below the region — and in bands whose
+    position is the illegal marker — MS processing applies when
+    mode_ext & 2, else the channels pass through as transmitted.
+    Lines above the last scalefactor band (the pseudo band 21) reuse
+    band 20's position. Short/mixed blocks raise (stream-level
+    metadata fallback): their per-window zero parts are out of scope."""
+    g0, g1 = gs
+    if g0["block_type"] == 2 or g1["block_type"] == 2:
+        raise UnsupportedMediaError(
+            "intensity stereo with short blocks not implemented"
+        )
+    left, right = xrs
+    out_l, out_r = left.copy(), right.copy()
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    last_nz = max((i for i, v in enumerate(isv_r) if v), default=-1)
+    if version == 2:
+        slen_long = g1.get("_is_slen_long") or [0] * 21
+        io = 2.0 ** -0.25 if g1.get("_is_scale") else 2.0 ** -0.5
+    for s in range(len(sfb_long) - 1):
+        lo, hi = sfb_long[s], sfb_long[s + 1]
+        in_region = lo > last_nz
+        legal = False
+        if in_region:
+            is_pos = scf_r[min(s, 20)]
+            if version == 1:
+                # 7 is the no-intensity marker; 8-15 (slen-4 bands can
+                # carry them) are invalid positions — treated the same
+                legal = is_pos < 7
+                if legal:
+                    kl, kr = _L3_IS_GAINS_M1[is_pos]
+            else:
+                sl = slen_long[min(s, 20)]
+                legal = not (sl and is_pos == (1 << sl) - 1)
+                if legal:
+                    if is_pos == 0:
+                        kl = kr = 1.0
+                    elif is_pos & 1:
+                        kl, kr = io ** ((is_pos + 1) // 2), 1.0
+                    else:
+                        kl, kr = 1.0, io ** (is_pos // 2)
+        if legal:
+            out_l[lo:hi] = left[lo:hi] * kl
+            out_r[lo:hi] = left[lo:hi] * kr
+        elif ms:
+            out_l[lo:hi] = (left[lo:hi] + right[lo:hi]) * inv_sqrt2
+            out_r[lo:hi] = (left[lo:hi] - right[lo:hi]) * inv_sqrt2
+    return [out_l, out_r]
+
+
 def _decode_l3_frames(frames: list[tuple[dict, bytes]], nch: int, sample_rate: int):
     """[(header, frame_payload)] -> per-channel granule list [18,32].
     Implements the bit reservoir across frames; frames whose back
@@ -2690,16 +2837,19 @@ def _decode_l3_frames(frames: list[tuple[dict, bytes]], nch: int, sample_rate: i
             continue
         bits = _Bits(bytes(reservoir), start_bit)
         prev_long = [None] * nch
-        if h["mode"] == 1 and (h["mode_ext"] & 1):
-            raise UnsupportedMediaError("intensity stereo not implemented")
+        istereo = h["mode"] == 1 and (h["mode_ext"] & 1) != 0 and nch == 2
         ms = h["mode"] == 1 and (h["mode_ext"] & 2) != 0 and nch == 2
         for gr in range(n_gr):
             xrs, gs = [], []
+            scf_right = None
+            isv_right = None
             for ch in range(nch):
                 g = si["granules"][gr][ch]
                 gr_end = bits.pos + g["part2_3_length"]
                 if version == 2:
-                    long_scf, short_scf = _decode_l3_scalefactors_lsf(bits, g)
+                    long_scf, short_scf = _decode_l3_scalefactors_lsf(
+                        bits, g, intensity=istereo and ch == 1
+                    )
                 else:
                     long_scf, short_scf = _decode_l3_scalefactors(
                         bits, g, si["scfsi"][ch], gr, prev_long[ch]
@@ -2708,11 +2858,17 @@ def _decode_l3_frames(frames: list[tuple[dict, bytes]], nch: int, sample_rate: i
                     prev_long[ch] = long_scf
                 is_vals = _decode_l3_huffman(bits, g, gr_end, sfb_long)
                 bits.pos = gr_end  # skip stuffing to the granule boundary
+                if ch == 1:
+                    scf_right, isv_right = long_scf, is_vals
                 xrs.append(_l3_requantize(
                     is_vals, g, long_scf, short_scf, sfb_long, sfb_short
                 ))
                 gs.append(g)
-            if ms:
+            if istereo:
+                xrs = _l3_intensity_process(
+                    xrs, gs, scf_right, isv_right, sfb_long, ms, version
+                )
+            elif ms:
                 # MS joint stereo (2.4.3.4.9.2): channels carry
                 # mid/side AFTER per-channel requantization;
                 # L = (M+S)/sqrt(2), R = (M-S)/sqrt(2) over all lines
@@ -2739,7 +2895,8 @@ def _decode_l3_frames(frames: list[tuple[dict, bytes]], nch: int, sample_rate: i
 def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
     """Full PCM decode of an MPEG-1 Layer I/II/III or MPEG-2 LSF
     Layer III stream (ID3v2 skipped, mono/stereo/dual, and — Layer
-    III only — MS joint stereo; intensity stereo raises Unsupported).
+    III only — MS joint stereo plus long-block intensity stereo;
+    short-block intensity raises Unsupported).
     PCM amplitude stats mirror
     decode_wav's contract, decoded=True. ``return_pcm`` adds the raw
     [channels, samples] float array (tests; the Spark kernels ship
@@ -2847,10 +3004,11 @@ def decode_mpeg1_audio(data: bytes, return_pcm: bool = False) -> dict:
 
 def decode_mpeg_audio(data: bytes) -> dict:
     """Dispatch: full PCM decode for MPEG-1 Layer I/II and for
-    Layer III — MPEG-1 and MPEG-2 LSF, mono/stereo/dual and MS joint
-    stereo — within the carried Huffman subset; container metadata
-    (decoded=False) for MPEG-2.5, intensity stereo, and streams
-    selecting uncarried big-value tables."""
+    Layer III — MPEG-1 and MPEG-2 LSF, mono/stereo/dual, MS joint
+    stereo, and long-block intensity stereo — within the carried
+    Huffman subset; container metadata (decoded=False) for MPEG-2.5,
+    short-block intensity, and streams selecting uncarried big-value
+    tables."""
     try:
         return decode_mpeg1_audio(data)
     except UnsupportedMediaError:
@@ -3124,6 +3282,8 @@ def encode_mp3_audio_fixture(
     big_table: int | None = None,
     version: int = 1,
     joint_ms: bool = False,
+    joint_is: bool = False,
+    lsf_intensity_scale: int = 0,
 ) -> bytes:
     """REAL MPEG-1 Layer III audio fixture: every granule paints a
     deterministic sparse spectrum (±1 lines in the count1 region,
@@ -3153,10 +3313,14 @@ def encode_mp3_audio_fixture(
         br_idx = _MP3_BITRATE_V1_L3.index(kbps)
         sr_idx = _MP3_SR[3].index(sample_rate)
     nch = channels
-    if joint_ms:
+    if joint_ms or joint_is:
         if nch != 2:
-            raise ValueError("joint_ms needs channels=2 (ch0=mid, ch1=side)")
-        mode, mode_ext = 1, 2  # joint stereo, MS on / intensity off
+            raise ValueError("joint stereo needs channels=2")
+        # ch0 carries the signal (mid when MS); ch1 carries side data
+        # below the intensity bound and is_pos values in its
+        # scalefactor slots above it
+        mode = 1
+        mode_ext = (2 if joint_ms else 0) | (1 if joint_is else 0)
     else:
         mode, mode_ext = (3 if nch == 1 else 0), 0
     hdr = bytes((0xFF, 0xF3 if lsf else 0xFB,
@@ -3188,12 +3352,18 @@ def encode_mp3_audio_fixture(
                     spec, sfb_long, sfb_short
                 )
                 bt = spec["block_type"]
-                # part2: scalefactors (scalefac_compress 15 -> slen 4/3)
+                is_chan = joint_is and ch == 1  # intensity-position channel
+                # part2: scalefactors (scalefac_compress 15 -> slen 4/3;
+                # LSF intensity channel: int_sc 129 -> blocknumber 3,
+                # uniform slen 3 over all 21 bands)
                 g_bits = _BitsW()
                 if bt == 2:
                     for s in range(12):
                         for w in range(3):
                             g_bits.write(short_scf[s][w], 4 if s < 6 else 3)
+                elif lsf and is_chan:
+                    for s in range(21):
+                        g_bits.write(long_scf[s], 3)
                 else:
                     for s in range(21):
                         g_bits.write(long_scf[s], 4 if s < 11 else 3)
@@ -3261,9 +3431,14 @@ def encode_mp3_audio_fixture(
                 side.write(bv, 9)  # big_values (pairs)
                 side.write(210, 8)  # global_gain (unity)
                 if lsf:
-                    # 399 -> LSF slen (4,4,3,3): the same 4-then-3 bit
-                    # widths per band the MPEG-1 paint uses
-                    side.write(399, 9)
+                    if is_chan:
+                        # intensity layout: int_sc 129 -> slens (3,3,3),
+                        # blocknumber 3 (7+7+7 bands), low bit = io scale
+                        side.write((129 << 1) | (lsf_intensity_scale & 1), 9)
+                    else:
+                        # 399 -> LSF slen (4,4,3,3): the same 4-then-3
+                        # bit widths per band the MPEG-1 paint uses
+                        side.write(399, 9)
                 else:
                     side.write(15, 4)  # scalefac_compress -> slen (4, 3)
                 tsel = big_table if bv else 1

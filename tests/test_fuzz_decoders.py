@@ -131,6 +131,16 @@ def test_media_mutations_never_escape(seed):
         encode_mp3_audio_fixture(n_frames=3, kbps=64, sample_rate=24000,
                                  version=2, spec_fn=_bv_spec, big_table=21),
         encode_mp3_audio_fixture(n_frames=3, channels=2, joint_ms=True),
+        # round 11: intensity joint stereo joins the corpus — pure IS
+        # (MPEG-1 and LSF with both io scales) and MS+IS, so the
+        # position/illegal-marker/bound paths face the mutation
+        # contract too
+        encode_mp3_audio_fixture(n_frames=3, channels=2, joint_is=True),
+        encode_mp3_audio_fixture(n_frames=3, channels=2, joint_ms=True,
+                                 joint_is=True),
+        encode_mp3_audio_fixture(n_frames=3, channels=2, kbps=64,
+                                 sample_rate=22050, version=2,
+                                 joint_is=True, lsf_intensity_scale=1),
     ]
     mp4s = [encode_mp4_fixture(5.0), encode_mp4_fixture(2.0, video=None)]
     _t = np.arange(12000) / 48000.0

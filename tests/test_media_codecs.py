@@ -742,7 +742,8 @@ def test_mpeg1_fixture_dir_rows_decode_in_kernel_path():
 
 
 def _l3_reference_pcm(n_frames: int, channels: int, with_short: bool,
-                      sample_rate: int, spec_fn=None) -> "np.ndarray":
+                      sample_rate: int, spec_fn=None,
+                      band_gain_fn=None) -> "np.ndarray":
     """INDEPENDENT numpy implementation of the Layer III synthesis
     chain — requantize, short-block reorder, alias butterflies, IMDCT
     with windows/overlap, frequency inversion — sharing with the
@@ -750,7 +751,13 @@ def _l3_reference_pcm(n_frames: int, channels: int, with_short: bool,
     (_l3_fixture_granule_spec/_l3_fixture_tvals_scf) and the
     L1/L2-proven PQMF synthesis bank. Every transform here is built
     from the ISO formulas directly, vectorized differently from the
-    decoder's per-subband loops."""
+    decoder's per-subband loops.
+
+    ``band_gain_fn(gidx, ch, band) -> float`` (long blocks only)
+    scales each of the 22 long scalefactor bands of a granule's xr
+    between requantization and alias reduction — everything after
+    that point is linear, so intensity-stereo expectations compose as
+    sums of per-band-gained single-channel references."""
     import numpy as np
 
     from magictables_spark.operators.media_codecs import (
@@ -813,6 +820,10 @@ def _l3_reference_pcm(n_frames: int, channels: int, with_short: bool,
                         np.array(tvals[sfl[b]:sfl[b + 1]]) * 2.0 ** (-1.0 * lsc[b])
                     )
                 xr[sfl[21]:] = tvals[sfl[21]:576]
+                if band_gain_fn is not None:
+                    for b in range(22):
+                        hi = sfl[b + 1] if b < 21 else 576
+                        xr[sfl[b]:hi] *= band_gain_fn(gidx, ch, b)
                 # alias butterflies between adjacent subbands
                 for sb in range(1, 32):
                     lo = 18 * sb - 1 - np.arange(8)
@@ -1149,18 +1160,175 @@ def test_l3_ms_joint_stereo_matches_matrixed_reference(with_short, sr, version):
     assert np.max(np.abs(out["pcm"] - expect)) < 1e-9 * max(1.0, peak)
 
 
-def test_l3_intensity_stereo_still_falls_back():
-    """mode_ext & 1 (intensity) must raise -> dispatch metadata walk."""
+# per-band intensity positions used by the intensity fixtures: every
+# legal MPEG-1/LSF position 0..6 plus the illegal marker 7, repeated
+_IS_POS = [0, 1, 2, 3, 4, 5, 6, 7, 0, 2, 4, 6, 1, 3, 5, 7, 2, 4, 6, 1, 3]
+
+
+def _is_spec_fn(ms_low_bands=()):
+    """Fixture paint for intensity streams: ch0 carries the signal
+    across low AND high bands; ch1 is spectrally empty except optional
+    low-band side lines (the MS+IS case) and carries _IS_POS in its
+    scalefactor slots (the dual-purpose field: real scalefactors below
+    the intensity bound, positions above it)."""
+    def spec_fn(gidx, ch, with_short):
+        assert not with_short
+        if ch == 1:
+            lines = [(b, 1, 1 if (b + gidx) % 2 == 0 else -1)
+                     for b in ms_low_bands]
+            scf = {b: _IS_POS[b] for b in range(21)}
+            for b in ms_low_bands:  # below-bound slots are true scfs
+                scf[b] = 2
+            return {"block_type": 0, "subblock_gain": [0, 0, 0],
+                    "lines": lines, "scf": scf}
+        bands = [2, 6, 10, 14, 18, 20]
+        lines = [(b, 0, 1 if (b + gidx) % 2 == 0 else -1) for b in bands]
+        scf = {b: (b + gidx) % 6 for b in bands}
+        return {"block_type": 0, "subblock_gain": [0, 0, 0],
+                "lines": lines, "scf": scf}
+    return spec_fn
+
+
+def _is_gains(version, is_scale):
+    """(kl, kr) per position — re-derived here from the ISO formulas,
+    independently of the decoder's import-time tables."""
+    import math as m
+
+    def gains(pos):
+        if version == 1:
+            if pos >= 6:
+                return (1.0, 0.0)
+            r = m.tan(pos * m.pi / 12.0)
+            return (r / (1.0 + r), 1.0 / (1.0 + r))
+        io = 2.0 ** -0.25 if is_scale else 2.0 ** -0.5
+        if pos == 0:
+            return (1.0, 1.0)
+        if pos % 2:
+            return (io ** ((pos + 1) // 2), 1.0)
+        return (1.0, io ** (pos // 2))
+    return gains
+
+
+@pytest.mark.parametrize(
+    ("version", "sr", "is_scale"),
+    [(1, 44100, 0), (2, 22050, 0), (2, 22050, 1)],
+)
+def test_l3_intensity_stereo_matches_gained_reference(version, sr, is_scale):
+    """Pure intensity joint stereo (mode 1, mode_ext 1): ch1 is
+    spectrally empty, so every long band is in the intensity region
+    and the decoder pans ch0's spectrum per band by the position in
+    ch1's scalefactor slot — MPEG-1 tan(k*pi/12) ratios, LSF io
+    powers, position 7 = band passes through. Everything after
+    requantization is linear, so the expected PCM is exactly the
+    per-band-gained single-channel reference synthesis (1e-9)."""
+    from magictables_spark.operators.media_codecs import (
+        decode_mpeg1_audio,
+        encode_mp3_audio_fixture,
+    )
+
+    n_frames = 5
+    spec_fn = _is_spec_fn()
+    out = decode_mpeg1_audio(
+        encode_mp3_audio_fixture(
+            n_frames=n_frames, channels=2, sample_rate=sr,
+            kbps=128 if version == 1 else 64, version=version,
+            joint_is=True, lsf_intensity_scale=is_scale, spec_fn=spec_fn,
+        ),
+        return_pcm=True,
+    )
+    assert out["decoded"] is True and out["channels"] == 2
+    gains = _is_gains(version, is_scale)
+
+    def gain(side):
+        def f(gidx, ch, band):
+            pos = _IS_POS[min(band, 20)]
+            if pos == 7:  # illegal: no intensity, ch0 passes to L only
+                return 1.0 if side == 0 else 0.0
+            return gains(pos)[side]
+        return f
+
+    ch0_only = lambda gidx, ch, ws: spec_fn(gidx, 0, ws)  # noqa: E731
+    expect = np.stack([
+        _l3_reference_pcm(n_frames, 1, False, sr, spec_fn=ch0_only,
+                          band_gain_fn=gain(0))[0],
+        _l3_reference_pcm(n_frames, 1, False, sr, spec_fn=ch0_only,
+                          band_gain_fn=gain(1))[0],
+    ])
+    peak = np.abs(expect).max()
+    assert peak > 0
+    assert np.max(np.abs(out["pcm"] - expect)) < 1e-9 * max(1.0, peak)
+
+
+def test_l3_ms_plus_intensity_composes_per_band():
+    """mode_ext 3 (MS + intensity): bands below the intensity bound —
+    set by ch1's highest nonzero line — decode as MS; legal-position
+    bands above pan ch0's spectrum; illegal-position (7) bands above
+    fall back to MS. The expectation composes from four per-band-
+    selected single-channel references by linearity."""
+    from magictables_spark.operators.media_codecs import (
+        _L3_SFB_LONG,
+        decode_mpeg1_audio,
+        encode_mp3_audio_fixture,
+    )
+
+    n_frames, sr = 4, 44100
+    ms_low = (1, 3)
+    spec_fn = _is_spec_fn(ms_low_bands=ms_low)
+    out = decode_mpeg1_audio(
+        encode_mp3_audio_fixture(
+            n_frames=n_frames, channels=2, sample_rate=sr, kbps=128,
+            joint_ms=True, joint_is=True, spec_fn=spec_fn,
+        ),
+        return_pcm=True,
+    )
+    assert out["decoded"] is True and out["channels"] == 2
+    sfl = _L3_SFB_LONG[sr]
+    # ch1's paint puts its last nonzero line at sfl[3]+1 (band 3,
+    # line k=1) -> intensity region = bands whose lower edge exceeds it
+    last_nz = sfl[3] + 1
+    in_region = [sfl[b] > last_nz for b in range(22)]
+    gains = _is_gains(1, 0)
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+
+    def ms_band(b):
+        pos = _IS_POS[min(b, 20)]
+        return (not in_region[b]) or pos == 7
+
+    def g_ms(gidx, ch, b):
+        return inv_sqrt2 if ms_band(b) else 0.0
+
+    def g_is(side):
+        def f(gidx, ch, b):
+            if ms_band(b):
+                return 0.0
+            return gains(_IS_POS[min(b, 20)])[side]
+        return f
+
+    ch0_only = lambda gidx, ch, ws: spec_fn(gidx, 0, ws)  # noqa: E731
+    ch1_only = lambda gidx, ch, ws: spec_fn(gidx, 1, ws)  # noqa: E731
+    r0_ms = _l3_reference_pcm(n_frames, 1, False, sr, spec_fn=ch0_only,
+                              band_gain_fn=g_ms)[0]
+    r1_ms = _l3_reference_pcm(n_frames, 1, False, sr, spec_fn=ch1_only,
+                              band_gain_fn=g_ms)[0]
+    r0_l = _l3_reference_pcm(n_frames, 1, False, sr, spec_fn=ch0_only,
+                             band_gain_fn=g_is(0))[0]
+    r0_r = _l3_reference_pcm(n_frames, 1, False, sr, spec_fn=ch0_only,
+                             band_gain_fn=g_is(1))[0]
+    expect = np.stack([r0_ms + r1_ms + r0_l, r0_ms - r1_ms + r0_r])
+    peak = np.abs(expect).max()
+    assert peak > 0
+    assert np.max(np.abs(out["pcm"] - expect)) < 1e-9 * max(1.0, peak)
+
+
+def test_l3_short_block_intensity_still_falls_back():
+    """Intensity with short blocks stays out of scope: the decoder
+    raises and the dispatch falls back to the metadata walk."""
     from magictables_spark.operators.media_codecs import (
         decode_mpeg_audio,
         encode_mp3_audio_fixture,
     )
 
-    data = bytearray(encode_mp3_audio_fixture(n_frames=3, channels=2,
-                                              joint_ms=True))
-    flen = 144 * 128000 // 44100
-    for off in range(0, len(data), flen):  # set intensity bit per frame
-        assert data[off] == 0xFF
-        data[off + 3] |= 0x10
-    out = decode_mpeg_audio(bytes(data))
+    data = encode_mp3_audio_fixture(n_frames=3, channels=2,
+                                    with_short=True, joint_is=True)
+    out = decode_mpeg_audio(data)
     assert out["decoded"] is False
