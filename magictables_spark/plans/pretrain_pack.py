@@ -307,11 +307,42 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(K):
         term = F.least(F.col(f"a.h{k}"), F.col(f"b.h{k}"))
         minsum = term if minsum is None else minsum + term
+    # Output-quadratic skew guard (round-11 sf10 finding): the join key
+    # is the prefix-token RANK, so the key space is vocab-bounded. On
+    # this adversarial 31-word fixture that means <= 31 shuffle
+    # partitions carry ALL candidate pairs, and AQE's skew-join split
+    # never fires — its thresholds look at shuffle INPUT bytes (~38 MB
+    # here), not at the quadratic pair OUTPUT a small bucket expands
+    # into: at sf10 one rank bucket ran 7/8 of the join on ONE core.
+    # When the rank space is too small to spread (vocab < 4x
+    # parallelism), salt the join: the left side keeps one
+    # deterministic bucket (doc_id % B), the right side replicates B
+    # ways, and each rank bucket fans out B-fold — same pair set, same
+    # enumeration count, B-way tail parallelism. Measured trade at sf1:
+    # ~2x wall from the 33x right-side row inflation, vs an UNBOUNDED
+    # serial tail without it (at sf10 one rank bucket ran on one core
+    # for 55+ minutes before this guard). A symmetric block-salt
+    # (both sides xB, B^2 partitions) measured WORSE here (371 s vs
+    # 203 s at sf1), so the simple shape stays. Zipf-vocabulary corpora
+    # (vocab >> cores) skip the replication entirely — B stays 1 and
+    # the plan is unchanged at 100 TB.
+    n_ranks = df_rank.count()  # vocab-sized driver roundtrip (bounded)
+    par = spark.sparkContext.defaultParallelism
+    B = 32 if n_ranks < 4 * par else 1
+    if B > 1:
+        pref_a = pref.withColumn("salt", F.col("doc_id") % B)
+        pref_b = pref.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(B)]))
+        )
+    else:
+        pref_a = pref.withColumn("salt", F.lit(0))
+        pref_b = pref.withColumn("salt", F.lit(0))
     cand = (
-        pref.alias("a")
+        pref_a.alias("a")
         .join(
-            pref.alias("b"),
+            pref_b.alias("b"),
             (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.m") * 10 >= F.col("a.m") * 9)
             & (F.col("a.m") * 10 >= F.col("b.m") * 9)
@@ -1726,8 +1757,38 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # feeds probe, full, and verify sides
     )
-    pref = ranked.select("doc_id", "m", F.explode("prefix").alias("h"))
-    full = ranked.select("doc_id", "m", F.explode("hs").alias("h"))
+    # Candidate-bound hardening (round-11 sf10 finding): at sf10 the
+    # bare co-prefix join admitted 2.6e8 DISTINCT pairs, and the verify
+    # join then shipped ~390 B of shingle arrays per pair — a 95 GiB
+    # exchange that filled the disk spilling. Both lossless PPJoin-
+    # style bounds from simjoin_prefix_filter generalize to
+    # containment and evaluate INSIDE the candidate join on narrow
+    # rows, before any array attaches:
+    #   positional — the first shared canonical-order shingle at
+    #   (pa, pb) caps the overlap at 1 + min(m_a - pa, m_b - pb), and
+    #   containment needs overlap >= ceil(0.9*m_a) (10x integer form);
+    #   every qualifying pair still surfaces via its FIRST shared
+    #   prefix shingle, so dropDuplicates loses nothing.
+    #   histogram — an 8-bucket pmod sketch of each doc's shingle
+    #   hashes bounds |A n B| by sum_k min(ha_k, hb_k); background
+    #   pairs (shingle-Jaccard <= 0.04 in this corpus) die here.
+    # The brute-force oracle remains the zero-false-negative proof at
+    # every gate scale.
+    K = 8
+    hists = [
+        F.expr(f"size(filter(hs, x -> pmod(x, {K}) = {k}))").alias(f"h{k}")
+        for k in range(K)
+    ]
+    pref = ranked.select(
+        "doc_id", "m", *hists, F.posexplode("prefix").alias("pa0", "h")
+    ).select("doc_id", "m", *[f"h{k}" for k in range(K)], (F.col("pa0") + 1).alias("pa"), "h")
+    full = ranked.select(
+        "doc_id", "m", *hists, F.posexplode("hs").alias("pb0", "h")
+    ).select("doc_id", "m", *[f"h{k}" for k in range(K)], (F.col("pb0") + 1).alias("pb"), "h")
+    minsum = None
+    for k in range(K):
+        term = F.least(F.col(f"a.h{k}"), F.col(f"b.h{k}"))
+        minsum = term if minsum is None else minsum + term
     cand = (
         pref.alias("a")
         .join(
@@ -1739,7 +1800,12 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("a.m") == F.col("b.m"))
                     & (F.col("a.doc_id") < F.col("b.doc_id"))
                 )
-            ),
+            )
+            & (
+                10 * (1 + F.least(F.col("a.m") - F.col("a.pa"), F.col("b.m") - F.col("b.pb")))
+                >= 9 * F.col("a.m")
+            )
+            & (10 * minsum >= 9 * F.col("a.m")),
         )
         .select(
             F.col("a.doc_id").alias("doc_small"), F.col("b.doc_id").alias("doc_big")

@@ -118,6 +118,17 @@ def main() -> int:
 
     times: dict[str, object] = {}
     metrics: dict[str, dict] = {}
+
+    def _flush() -> None:
+        # incremental checkpoint: a killed/crashed sweep keeps every
+        # completed slug's reading (round-11: a 48-min sweep died on a
+        # straggler and lost all 42 finished timings — never again)
+        if out:
+            tmp = f"{out}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"sf": sf, "times": times, "metrics": metrics}, f, indent=1)
+            os.replace(tmp, out)
+
     todo = {s: REGISTRY[s] for s in only} if only else REGISTRY
     for slug, spec in sorted(todo.items()):
         t = time.perf_counter()
@@ -126,6 +137,7 @@ def main() -> int:
             times[slug] = round(time.perf_counter() - t, 3)
             if meter is not None:
                 metrics[slug] = meter.delta()
+            _flush()
         except QuadraticInputError as e:
             # the declared-quadratic exact baselines REFUSE above the
             # guard — at probe scales that refusal is the correct
@@ -134,10 +146,12 @@ def main() -> int:
             times[slug] = f"GUARDED {str(e)[:110]}"
             if meter is not None:
                 meter.mark()
+            _flush()
         except Exception as e:  # noqa: BLE001 - report, keep sweeping
             times[slug] = f"ERR {type(e).__name__}: {str(e)[:90]}"
             if meter is not None:
                 meter.mark()
+            _flush()
 
     print(json.dumps(times))
     errs = {
