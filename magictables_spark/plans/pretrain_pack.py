@@ -293,20 +293,32 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # On the adversarial 31-word fixture this bound sees WHICH tokens
     # differ (buckets), not just how many, and kills most same-length
     # candidates the length+positional filters admit.
-    K = 8
-    hists = [
-        F.expr(f"size(filter(ranks, r -> r % {K} = {k}))").alias(f"h{k}")
-        for k in range(K)
-    ]
+    # Since round 11 the 8-bucket rank histogram is replaced by a
+    # 1024-bit one-hash Bloom bitmap of the rank set (16 int64 words):
+    # sum_i bit_count(wa_i & wb_i) >= |A n B| always, and with rank
+    # sets far smaller than 1024 bits the bound is collision-free —
+    # i.e. EXACT overlap — so the join condition itself reduces the
+    # candidate OUTPUT to essentially the qualifying pairs. That
+    # matters at sf10: the histogram-filtered join still emitted
+    # 4.4e8 candidate rows into dropDuplicates; the bitmap version
+    # emits ~the final pair set.
+    wmask = F.expr(
+        "aggregate(ranks, array_repeat(CAST(0 AS BIGINT), 16), "
+        "(acc, x) -> transform(acc, (wd, i) -> "
+        "  CASE WHEN CAST(pmod(x, 1024) / 64 AS INT) = i "
+        "       THEN wd | shiftleft(CAST(1 AS BIGINT), "
+        "                           CAST(pmod(x, 1024) % 64 AS INT)) "
+        "       ELSE wd END))"
+    ).alias("w")
     pref = ranked.select(
-        "doc_id", "m", *hists, F.posexplode("prefix").alias("pos0", "r")
+        "doc_id", "m", wmask, F.posexplode("prefix").alias("pos0", "r")
     ).select(
-        "doc_id", "m", *[f"h{k}" for k in range(K)], (F.col("pos0") + 1).alias("pa"), "r"
+        "doc_id", "m", "w", (F.col("pos0") + 1).alias("pa"), "r"
     )
-    minsum = None
-    for k in range(K):
-        term = F.least(F.col(f"a.h{k}"), F.col(f"b.h{k}"))
-        minsum = term if minsum is None else minsum + term
+    andpop = None
+    for k in range(16):
+        term = F.expr(f"bit_count(element_at(a.w, {k + 1}) & element_at(b.w, {k + 1}))")
+        andpop = term if andpop is None else andpop + term
     # Output-quadratic skew guard (round-11 sf10 finding): the join key
     # is the prefix-token RANK, so the key space is vocab-bounded. On
     # this adversarial 31-word fixture that means <= 31 shuffle
@@ -330,10 +342,39 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     B = 32 if n_ranks < 4 * par else 1
     if B > 1:
-        pref_a = pref.withColumn("salt", F.col("doc_id") % B)
+        # In the vocab-bounded regime the prefix filter cannot block:
+        # nearly every doc shares prefix ranks with nearly every other,
+        # so the candidate ENUMERATION is Theta(n_docs^2 / n_ranks) no
+        # matter how well the pair filters prune the OUTPUT (measured
+        # at sf10: ~1e11 enumerated pairs, heap-fatal). That is the
+        # exact-baseline's inherent cost on a tiny-vocabulary corpus —
+        # refuse past the point a single node can enumerate, naming
+        # the linear-scale fuzzy twins. Zipf-vocabulary corpora never
+        # enter this branch (B=1) and scale by the prefix theorem.
+        # raw-table count -> parquet footer statistics, not the pipeline
+        n_docs_est = _t(spark, sf_dir, "documents").count()
+        if n_docs_est > 150_000:
+            from magictables_spark.plans.registry import QuadraticInputError
+
+            raise QuadraticInputError(
+                f"simjoin_prefix_filter: {n_docs_est} docs over a "
+                f"{n_ranks}-token vocabulary makes the exact prefix-"
+                "filter join enumerate ~n^2/vocab pairs — use "
+                "dedup_minhash or simhash_neardup at this scale"
+            )
+        # pre-partition BOTH sides on the salted key at high fan-out:
+        # with the session's 32 shuffle partitions, the 992 (rank,
+        # salt) keys hash to 32 sorts of ~2 GB each, all concurrent —
+        # that OOMed the heap at sf10. An explicit compatible
+        # HashPartitioning(512) is reused by the sort-merge join
+        # (no extra exchange) and keeps each sort ~100 MB.
+        NPART = 512
+        pref_a = pref.withColumn("salt", F.col("doc_id") % B).repartition(
+            NPART, "r", "salt"
+        )
         pref_b = pref.withColumn(
             "salt", F.explode(F.array(*[F.lit(i) for i in range(B)]))
-        )
+        ).repartition(NPART, "r", "salt")
     else:
         pref_a = pref.withColumn("salt", F.lit(0))
         pref_b = pref.withColumn("salt", F.lit(0))
@@ -350,7 +391,7 @@ def simjoin_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 19 * (1 + F.least(F.col("a.m") - F.col("a.pa"), F.col("b.m") - F.col("b.pa")))
                 >= 9 * (F.col("a.m") + F.col("b.m"))
             )
-            & (19 * minsum >= 9 * (F.col("a.m") + F.col("b.m"))),
+            & (19 * andpop >= 9 * (F.col("a.m") + F.col("b.m"))),
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates()
@@ -1755,6 +1796,20 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prefix",
             F.expr(f"slice(hs, 1, m - CAST(ceil({_C_TAU} * m) AS INT) + 1)"),
         )
+        # 1024-bit one-hash Bloom bitmap of the shingle set, as 16
+        # int64 words: every common shingle sets a common bit, so
+        # sum_i bit_count(wa_i & wb_i) upper-bounds |A n B| — lossless.
+        .withColumn(
+            "w",
+            F.expr(
+                "aggregate(hs, array_repeat(CAST(0 AS BIGINT), 16), "
+                "(acc, x) -> transform(acc, (wd, i) -> "
+                "  CASE WHEN CAST(pmod(x, 1024) / 64 AS INT) = i "
+                "       THEN wd | shiftleft(CAST(1 AS BIGINT), "
+                "                           CAST(pmod(x, 1024) % 64 AS INT)) "
+                "       ELSE wd END))"
+            ),
+        )
         .localCheckpoint(eager=True)  # feeds probe, full, and verify sides
     )
     # Candidate-bound hardening (round-11 sf10 finding): at sf10 the
@@ -1769,26 +1824,27 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   containment needs overlap >= ceil(0.9*m_a) (10x integer form);
     #   every qualifying pair still surfaces via its FIRST shared
     #   prefix shingle, so dropDuplicates loses nothing.
-    #   histogram — an 8-bucket pmod sketch of each doc's shingle
-    #   hashes bounds |A n B| by sum_k min(ha_k, hb_k); background
-    #   pairs (shingle-Jaccard <= 0.04 in this corpus) die here.
+    #   bitmap — a 1024-bit one-hash Bloom sketch of each doc's
+    #   shingle set bounds |A n B| by the AND-popcount of the two
+    #   sketches. Coarse count HISTOGRAMS cannot separate same-size
+    #   random sets (sum min(ha_k, hb_k) ~ m when every bucket holds
+    #   many shingles — the first round-11 attempt shipped exactly
+    #   that and still admitted 2.6e8 pairs); with 1024 bits and
+    #   m ~ doc shingle count (bounded by DOC length, not corpus
+    #   size), a background pair's bound is ~m^2/1024 + true overlap,
+    #   far under the 0.9*m requirement at any corpus scale.
     # The brute-force oracle remains the zero-false-negative proof at
     # every gate scale.
-    K = 8
-    hists = [
-        F.expr(f"size(filter(hs, x -> pmod(x, {K}) = {k}))").alias(f"h{k}")
-        for k in range(K)
-    ]
     pref = ranked.select(
-        "doc_id", "m", *hists, F.posexplode("prefix").alias("pa0", "h")
-    ).select("doc_id", "m", *[f"h{k}" for k in range(K)], (F.col("pa0") + 1).alias("pa"), "h")
+        "doc_id", "m", "w", F.posexplode("prefix").alias("pa0", "h")
+    ).select("doc_id", "m", "w", (F.col("pa0") + 1).alias("pa"), "h")
     full = ranked.select(
-        "doc_id", "m", *hists, F.posexplode("hs").alias("pb0", "h")
-    ).select("doc_id", "m", *[f"h{k}" for k in range(K)], (F.col("pb0") + 1).alias("pb"), "h")
-    minsum = None
-    for k in range(K):
-        term = F.least(F.col(f"a.h{k}"), F.col(f"b.h{k}"))
-        minsum = term if minsum is None else minsum + term
+        "doc_id", "m", "w", F.posexplode("hs").alias("pb0", "h")
+    ).select("doc_id", "m", "w", (F.col("pb0") + 1).alias("pb"), "h")
+    andpop = None
+    for k in range(16):
+        term = F.expr(f"bit_count(element_at(a.w, {k + 1}) & element_at(b.w, {k + 1}))")
+        andpop = term if andpop is None else andpop + term
     cand = (
         pref.alias("a")
         .join(
@@ -1805,7 +1861,7 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 10 * (1 + F.least(F.col("a.m") - F.col("a.pa"), F.col("b.m") - F.col("b.pb")))
                 >= 9 * F.col("a.m")
             )
-            & (10 * minsum >= 9 * F.col("a.m")),
+            & (10 * andpop >= 9 * F.col("a.m")),
         )
         .select(
             F.col("a.doc_id").alias("doc_small"), F.col("b.doc_id").alias("doc_big")
