@@ -330,7 +330,7 @@ def test_ivf_store_stream_matches_batch_append_and_is_warm(spark):
 
     cfp = corpus_fingerprint(os.path.join(SF, "embeddings.parquet"))
     stag = hashlib.md5(
-        f"v1:ivfstream:{APPEND_SPLIT}:{os.path.realpath(SF)}:{cfp}".encode()
+        f"v2:ivfstream:{APPEND_SPLIT}:{os.path.realpath(SF)}:{cfp}".encode()
     ).hexdigest()[:12]
     from magictables_spark.streaming.commit import subdir_store_paths
 

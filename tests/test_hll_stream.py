@@ -26,7 +26,7 @@ def _root():
 
     cfp = corpus_fingerprint(os.path.join(SF, "events.parquet"))
     tag = hashlib.md5(
-        f"v1:hlls:{os.path.realpath(SF)}:{cfp}".encode()
+        f"v2:hlls:{os.path.realpath(SF)}:{cfp}".encode()
     ).hexdigest()[:12]
     return store_root(f"hllstream_{tag}")
 

@@ -23,7 +23,7 @@ def _root():
 
     cfp = corpus_fingerprint(os.path.join(SF, "documents.parquet"))
     tag = hashlib.md5(
-        f"v1:lpastream:{_LPA_HIST_SPLIT}:{os.path.realpath(SF)}:{cfp}".encode()
+        f"v2:lpastream:{_LPA_HIST_SPLIT}:{os.path.realpath(SF)}:{cfp}".encode()
     ).hexdigest()[:12]
     return store_root(f"lpastream_{tag}")
 

@@ -29,7 +29,7 @@ def _root(spark):
 
     cfp = corpus_fingerprint(os.path.join(SF, "documents.parquet"))
     tag = hashlib.md5(
-        f"v1:{B}:mh16x4:{os.path.realpath(SF)}:{cfp}".encode()
+        f"v2:{B}:mh16x4:{os.path.realpath(SF)}:{cfp}".encode()
     ).hexdigest()[:12]
     return store_root(f"mhstream_{tag}")
 

@@ -108,7 +108,7 @@ def test_pq_store_stream_grows_by_the_increment_and_serves_warm(spark, sf_dir):
     )
     cfp = corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     stag = hashlib.md5(
-        f"v1:pqstream:{APPEND_SPLIT}:{os.path.realpath(sf_dir)}:{cfp}".encode()
+        f"v2:pqstream:{APPEND_SPLIT}:{os.path.realpath(sf_dir)}:{cfp}".encode()
     ).hexdigest()[:12]
     from magictables_spark.streaming.commit import subdir_store_paths
 

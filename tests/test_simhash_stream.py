@@ -27,7 +27,7 @@ def _root(spark):
 
     cfp = corpus_fingerprint(os.path.join(SF, "documents.parquet"))
     tag = hashlib.md5(
-        f"v1:{B}:{_SH_BANDS}x{_SH_BITS}:{os.path.realpath(SF)}:{cfp}".encode()
+        f"v2:{B}:{_SH_BANDS}x{_SH_BITS}:{os.path.realpath(SF)}:{cfp}".encode()
     ).hexdigest()[:12]
     return store_root(f"shstream_{tag}")
 
