@@ -624,9 +624,14 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("plabel"),
         F.col("nrm").alias("pnrm"),
     )
+    # spread the candidate side before the 5-probe broadcast fan-out:
+    # the single-split fixture scan would otherwise evaluate every
+    # unrolled 64-term dot on one core; the two consumers (scored,
+    # nrel) share the identical exchange subtree, so the scan+spread
+    # plans once (ReusedExchange) instead of twice
     cand = norms.select(
         F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm"
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     scored = cand.join(
         F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
     ).select(

@@ -81,10 +81,18 @@ from magictables_spark.plans.similarity import _h60_duck, _h60_spark
     tags=("text", "quality", "pretrain"),
 )
 def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.split(F.col("text"), " ").alias("toks"),
-        (F.length("text") - (F.size(F.split(F.col("text"), " ")) - 1)).alias("n_letters"),
+    # round-robin spread before the split + 2-gram explode: the fixture
+    # corpus arrives as one parquet split, so the whole per-doc map
+    # chain would otherwise run on one core (dedup_minhash precedent;
+    # at scale the same exchange evens out skewed file layouts)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.split(F.col("text"), " ").alias("toks"),
+            (F.length("text") - (F.size(F.split(F.col("text"), " ")) - 1)).alias("n_letters"),
+        )
     )
     g = (
         d.filter(F.size("toks") >= 2)
@@ -174,7 +182,10 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.col("text"), " ").alias("toks"),
     ).withColumn("np", F.expr(f"CAST(ceil(size(toks) / {_PASSAGE}.0) AS INT)"))
-    p = d.select(
+    # spread before the passage explode (single-split fixture corpus;
+    # dedup_minhash precedent) — the final doc_id join below stays on
+    # the unspread scan, which is all it needs
+    p = d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.col("np").alias("n_passages"),
         F.posexplode(
@@ -821,20 +832,37 @@ def pretrain_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("text"), " ").alias("toks"),
         (F.length("text") - (F.size(F.split(F.col("text"), " ")) - 1)).alias("n_letters"),
     )
-    g = d.filter(F.size("toks") >= 2).select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        "n_letters",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1),"
-                " i -> concat(toks[i - 1], ' ', toks[i]))"
-            )
-        ).alias("gram"),
+    # `source` rides the gram-quality aggregation keys (functionally
+    # dependent on doc_id — same group count) so the quality-kept doc
+    # frame `keep` is ONE subtree shared by both consumers below.
+    # Previously the passage stage and the funnel tail each re-derived
+    # it with different projections, and Catalyst planned the whole
+    # explode-every-2-gram pipeline TWICE (no exchange reuse across
+    # non-identical subtrees — the most expensive stage of the query,
+    # duplicated).
+    g = (
+        d.filter(F.size("toks") >= 2)
+        # spread before the 2-gram explode (single-split fixture
+        # corpus; dedup_minhash precedent)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            F.size("toks").alias("n_tokens"),
+            "n_letters",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i - 1], ' ', toks[i]))"
+                )
+            ).alias("gram"),
+        )
     )
-    gc = g.groupBy("doc_id", "n_tokens", "n_letters", "gram").agg(F.count("*").alias("c"))
+    gc = g.groupBy("doc_id", "source", "n_tokens", "n_letters", "gram").agg(
+        F.count("*").alias("c")
+    )
     gq = (
-        gc.groupBy("doc_id", "n_tokens", "n_letters")
+        gc.groupBy("doc_id", "source", "n_tokens", "n_letters")
         .agg(
             F.sum("c").alias("tot"),
             F.count("*").alias("dst"),
@@ -842,6 +870,7 @@ def pretrain_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id",
+            "source",
             (
                 (F.lit(1.0) - F.col("dst").cast("double") / F.col("tot") < 0.6)
                 & (F.col("top").cast("double") / F.col("tot") < 0.2)
@@ -850,12 +879,17 @@ def pretrain_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_keep"),
         )
     )
+    keep = gq.filter("q_keep").select("doc_id", "source")
+    # explicit hash distribution on doc_id: AQE broadcasts the small
+    # `keep` side, which would leave the passage explode below running
+    # on the single-split scan; the pre-join repartition keeps the join
+    # map-side AND spreads the explode
     qd = (
-        d.join(gq, "doc_id")
-        .filter("q_keep")
+        d.select("doc_id", "toks")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .join(keep.select("doc_id"), "doc_id")
         .select(
             "doc_id",
-            "source",
             "toks",
             F.expr(f"CAST(ceil(size(toks) / {_PASSAGE}.0) AS INT)").alias("np"),
         )
@@ -885,7 +919,7 @@ def pretrain_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     we = Window.partitionBy(F.md5("dt")).orderBy("doc_id")
     final = (
-        qd.select("doc_id", "source")
+        keep
         .join(reasm, "doc_id", "left")
         .withColumn("dt", F.coalesce("dt", F.lit("")))
         .withColumn("e_keep", F.row_number().over(we) == 1)
@@ -982,7 +1016,10 @@ def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _surprisal_quality(docs: DataFrame) -> DataFrame:
     """Surprisal-bucket plan over a (doc_id, text, ...) frame — split
     out so curriculum_order can feed a shared checkpointed scan."""
-    tok = docs.select(
+    # spread before the per-token explode: both consumers (the vocab
+    # checkpoint and the per-doc scoring join) otherwise run their map
+    # work on the single fixture split (dedup_minhash precedent)
+    tok = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     # vocab-sized dim, materialized once: both the corpus scalars and
@@ -1165,6 +1202,9 @@ def substring_dupe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         d.filter(F.col("n_tokens") >= _WIN)
+        # spread before the anchor + window-md5 explode (single-split
+        # fixture corpus; dedup_minhash precedent)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "n_tokens", F.explode(F.expr(pair_expr)).alias("p"))
         .select("doc_id", "n_tokens", F.col("p.s").alias("s"), F.col("p.whash").alias("whash"))
     )
@@ -1372,6 +1412,10 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = _DSIR_B
     docs = (
         _t(spark, sf_dir, "documents")
+        # spread before the bigram explode + md5 hashing (single-split
+        # fixture corpus; dedup_minhash precedent) — the checkpointed
+        # b frame below inherits the parallel layout
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", "lang", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 2)
     )

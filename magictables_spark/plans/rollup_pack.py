@@ -1098,11 +1098,12 @@ def join_view_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the broadcast dim delta (map-side — history never shuffles)
     leg_do = _view(o_delta, cust)
     leg_dc = _view(o_hist, F.broadcast(c_delta))
-    return (
-        store.unionByName(leg_do)
-        .unionByName(leg_dc)
-        .orderBy("o_orderkey")
-    )
+    # no final global sort: the driver canon is order-insensitive and a
+    # total sort of the whole materialized view per refresh is exactly
+    # the corpus-sized range exchange the incremental split exists to
+    # avoid (readers needing key order rely on the bucketed+sorted
+    # store layout, not a per-read sort)
+    return store.unionByName(leg_do).unionByName(leg_dc)
 
 
 @q(
@@ -1230,9 +1231,11 @@ def join_view_store_stream(
         "o_orderkey bigint, cust_name string, c_nationkey int, "
         "c_mktsegment string, order_date string, price_cents bigint"
     )
+    # unsorted like the batch twin: order-insensitive canon, and the
+    # per-read total sort of the whole view is the cost the
+    # incremental store exists to avoid
     return (
         spark.read.schema(view_schema)
         .option("recursiveFileLookup", "true")
         .parquet(store_dir)
-        .orderBy("o_orderkey")
     )

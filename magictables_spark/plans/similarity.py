@@ -90,7 +90,11 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = norms.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
     )
-    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm")
+    # spread before the 5-probe broadcast fan-out (single-split fixture
+    # scan; see _lsh_index_core's norms spread)
+    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     scored = (
         cand.join(F.broadcast(queries_df), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
@@ -1194,12 +1198,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(P, "doc_id")
     )
     # minhash k: min over tokens of the k-th universal-hash permutation
-    # (integer multiply-add-mod — identical literals in the oracle)
+    # (integer multiply-add-mod — identical literals in the oracle).
+    # h % P31 is reduced ONCE per token instead of once per permutation
+    # (16x): (a * (h % p) + b) % p == (a * h' + b) % p with h' = h % p,
+    # so the signatures are value-identical while the per-token mod
+    # count drops from 32 to 17
     mh = docs.select(
+        "doc_id", F.expr(f"transform(hs, h -> h % {P31})").alias("hm")
+    ).select(
         "doc_id",
         F.array(
             *[
-                F.expr(f"array_min(transform(hs, h -> ({a} * (h % {P31}) + {b}) % {P31}))")
+                F.expr(f"array_min(transform(hm, h -> ({a} * h + {b}) % {P31}))")
                 for a, b in _MH16
             ]
         ).alias("sig"),
@@ -1268,13 +1278,15 @@ def _minhash_tables(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     hs = raw.select(
         "doc_id", F.expr(f"transform(sh, s -> {_h60_spark('s')})").alias("hs")
     )
+    # h % P31 reduced once per token, not per permutation — value-
+    # identical signatures (see dedup_minhash's mh note)
     mh = hs.select(
+        "doc_id", F.expr(f"transform(hs, h -> h % {P31})").alias("hm")
+    ).select(
         "doc_id",
         F.array(
             *[
-                F.expr(
-                    f"array_min(transform(hs, h -> ({a} * (h % {P31}) + {b}) % {P31}))"
-                )
+                F.expr(f"array_min(transform(hm, h -> ({a} * h + {b}) % {P31}))")
                 for a, b in _MH16
             ]
         ).alias("sig"),
@@ -1594,7 +1606,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
 
-    dists = norms.crossJoin(F.broadcast(cents)).withColumn("d2", l2)
+    # spread before the sqrt(n)-centroid distance fan-out (single-split
+    # fixture scan; see _lsh_index_core's norms spread)
+    dists = (
+        norms.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", l2)
+    )
 
     # cell assignment: argmin centroid per vector (min over (d2, cent_id)
     # structs — deterministic tie-break). Runs map-side after AQE sees
@@ -1649,8 +1667,14 @@ def _ivf_assign(norms: DataFrame, cents: DataFrame) -> DataFrame:
     """Cell lists: assign each vector to its nearest centroid (exact
     int64 L2, min-struct argmin — deterministic, per-vector independent,
     so an appended batch assigns IDENTICALLY to a from-scratch pass at
-    the same centroid set). Broadcast centroids keep it map-side."""
-    dists = norms.crossJoin(F.broadcast(cents)).withColumn("d2", _ivf_l2())
+    the same centroid set). Broadcast centroids keep it map-side; the
+    round-robin spread parallelizes the distance fan-out when the input
+    arrives as one split (see _lsh_index_core's norms spread)."""
+    dists = (
+        norms.repartition(norms.sparkSession.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", _ivf_l2())
+    )
     assigned = (
         dists.groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cent_id")).alias("m"))
@@ -2309,6 +2333,15 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dim = len(centroids[0])
 
+    # spread + materialize once for the per-round k x dim distance
+    # projection + agg: the single-split fixture scan would otherwise
+    # run every Lloyd round's map work on one core (see
+    # _lsh_index_core's norms spread), and each round's collect is a
+    # separate job — the checkpoint lets all 5 rounds read the
+    # quantized vectors from executor storage instead of re-scanning
+    # and re-quantizing the table per round
+    e = e.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(eager=True)
+
     def dist_to(c: list[float]) -> str:
         # one parsed SQL fragment per centroid: k * dim * rounds F.lit
         # calls (2,560 py4j roundtrips here) dominate driver time
@@ -2413,7 +2446,11 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    dists = e.crossJoin(F.broadcast(cent)).select("vec_id", "cid", d2.alias("d2"))
+    dists = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", d2.alias("d2"))
+    )
     best = (
         dists.groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cid")).alias("b"))
@@ -2611,7 +2648,17 @@ _PQ_CAND = 100  # ADC candidate FLOOR; effective width = max(100, n // 10)
 
 
 def _pq_subs(e: DataFrame) -> DataFrame:
-    """(vec_id, m, x): every vector exploded into its M subvectors."""
+    """(vec_id, m, x): every vector exploded into its M subvectors.
+
+    The input is spread round-robin BEFORE the explode: the embeddings
+    fixture is a single parquet row group, so without the exchange the
+    explode plus every downstream per-subvector distance evaluation
+    (16 codewords x M subspaces per vector — the dominant CPU of both
+    Lloyd training and the full-corpus encode) runs as ONE map task.
+    Repartitioning the n vector rows is cheaper than repartitioning the
+    16n exploded rows; at 100 TB the same exchange evens out skewed
+    file layouts (same rationale as _lsh_index_core's norms spread)."""
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
     return (
         e.select(
             "vec_id",
@@ -3919,7 +3966,15 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = F.expr(
         "(" + " + ".join(f"(q[{i}] - cq[{i}]) * (q[{i}] - cq[{i}])" for i in range(64)) + ")"
     ).cast("bigint")
-    dists = e.crossJoin(F.broadcast(cent)).select("vec_id", "q", "cid", d2.alias("d2"))
+    # spread the vectors before the k x n distance fan-out: the fixture
+    # arrives as one parquet split, so without the exchange all n*k
+    # unrolled L2 evaluations run on a single core (same rationale as
+    # _lsh_index_core's norms spread; at scale it evens skewed layouts)
+    dists = (
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "q", "cid", d2.alias("d2"))
+    )
     # argmin via min-struct: (d2, cid) is unique per vec_id (cid distinct
     # per row), so the trailing q never participates in the comparison —
     # carrying it through the agg avoids a join-back shuffle on vec_id
@@ -4028,7 +4083,8 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     members = (
-        e.crossJoin(F.broadcast(cent))
+        e.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", d2.alias("d2"))
         .groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cid")).alias("b"))
@@ -4049,9 +4105,12 @@ def _simhash_sig_frame(df: DataFrame) -> DataFrame:
     """(doc_id, s): the 60-bit md5-vote simhash — identical expression
     to the `simhash` slug, localCheckpointed so Catalyst can't re-inline
     the 60-lambda vote into every join branch / candidate row (measured
-    44 s -> 12 s at sf0.1)."""
+    44 s -> 12 s at sf0.1). Round-robin spread first: the fixture
+    corpus is one parquet split, so the md5-per-token + 60-bit vote
+    would otherwise run on a single core (dedup_minhash precedent)."""
     return (
-        df.select(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
             F.expr(
                 f"transform(array_distinct(split(text, ' ')), t -> {_h60_spark('t')})"

@@ -247,6 +247,10 @@ def test_kaplan_meier_matches_reference(spark, tiny_events_dir):  # noqa: F811
 def test_join_view_incremental_matches_full_join(spark):
     sf = "/root/testdata/sf0.001"
     out = REGISTRY["join_view_incremental_store"].fn(spark, sf).toPandas()
+    # the view is returned unsorted (order-insensitive driver canon;
+    # the per-read total sort was dropped in r11) — canonicalize on the
+    # unique key before the row-identity checks
+    out = out.sort_values("o_orderkey").reset_index(drop=True)
     o = pd.read_parquet(os.path.join(sf, "orders.parquet"))
     c = pd.read_parquet(os.path.join(sf, "customer.parquet"))
     ref = o.merge(c, left_on="o_custkey", right_on="c_custkey")
