@@ -879,7 +879,16 @@ def pretrain_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_keep"),
         )
     )
-    keep = gq.filter("q_keep").select("doc_id", "source")
+    # materialize the quality verdict ONCE: `keep` feeds two consumers
+    # (the passage join below and the funnel tail) whose projections
+    # differ, so Catalyst re-plans the whole explode-every-2-gram
+    # pipeline per consumer (a plan is a tree; exchange reuse needs
+    # identical subtrees, and AQE's dynamic broadcast re-plan breaks
+    # any carefully arranged match). localCheckpoint pins the
+    # doc-count-bounded (doc_id, source) verdict in executor storage —
+    # the dominant stage of the query runs exactly once (same pattern
+    # as _simhash_sig_frame / kmeans_lloyd)
+    keep = gq.filter("q_keep").select("doc_id", "source").localCheckpoint()
     # explicit hash distribution on doc_id: AQE broadcasts the small
     # `keep` side, which would leave the passage explode below running
     # on the single-split scan; the pre-join repartition keeps the join

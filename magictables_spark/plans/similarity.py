@@ -2026,7 +2026,12 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = norms.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
     )
-    cand = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("label"), "q", "nrm")
+    # spread before the ~sqrt(n)-probe broadcast fan-out (single-split
+    # fixture scan; see _lsh_index_core's norms spread) — the n x
+    # sqrt(n) unrolled dot products are the whole cost of this query
+    cand = norms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label"), "q", "nrm"
+    ).repartition(spark.sparkContext.defaultParallelism)
     scored = (
         cand.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
