@@ -192,12 +192,112 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("quality", "stats"),
 )
 def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.expr(PRICE_I).alias("price_i")
     )
-    fences = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(price_i, 0.25)").alias("q1"),
-        F.expr("percentile(price_i, 0.75)").alias("q3"),
+    # Exact Q1/Q3 by histogram refinement instead of Spark's `percentile`
+    # aggregate. The builtin buffers a value->count map PER GROUP whose
+    # size is the number of DISTINCT values — near-unique price cents
+    # make the partial-agg buffers data-sized (every map task serializes
+    # its whole column slice into the exchange; the 3 final tasks each
+    # merge+sort a corpus-sized map single-threaded). The histogram path
+    # shuffles only bounded aggregates: pass 1 counts rows per (flag,
+    # price>>16) bucket — occupied-bucket count is bounded by the price
+    # DOMAIN (cents range / 65536), not the corpus; pass 2 counts per
+    # exact value inside only the <=4 buckets per flag that contain the
+    # quartile order statistics (<=65536 distinct values per bucket).
+    # The interpolation reproduces Percentile.getPercentile to the ulp:
+    # position = p*(n-1); frac == 0 -> lower value; equal neighbors ->
+    # lower value; else (higher-position)*lo + (position-lower)*hi.
+    bucket = F.shiftright("price_i", 16).alias("b")
+    hist = li.groupBy("l_returnflag", bucket).agg(F.count("*").alias("c"))
+    wb = Window.partitionBy("l_returnflag").orderBy("b")
+    hist = hist.withColumn("cum_hi", F.sum("c").over(wb)).withColumn(
+        "cum_lo", F.col("cum_hi") - F.col("c")
+    )
+    ntab = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    # the four (at most) global 0-based indices we need per flag:
+    # floor/ceil of p*(n-1) for p in {0.25, 0.75}
+    targets = (
+        ntab.select(
+            "l_returnflag",
+            "n",
+            F.explode(F.array(F.lit(0.25), F.lit(0.75))).alias("p"),
+        )
+        .withColumn("pos", F.col("p") * (F.col("n") - 1).cast("double"))
+        .withColumn("lo_idx", F.floor("pos"))
+        .withColumn("hi_idx", F.ceil("pos"))
+    )
+    need_idx = targets.select(
+        "l_returnflag", F.explode(F.array("lo_idx", "hi_idx")).alias("k")
+    ).distinct()
+    # bucket holding each needed index (hist is domain-bounded — broadcast)
+    kb = (
+        need_idx.join(F.broadcast(hist), "l_returnflag")
+        .filter((F.col("k") >= F.col("cum_lo")) & (F.col("k") < F.col("cum_hi")))
+        .select("l_returnflag", "k", "b", "cum_lo")
+    )
+    needb = (
+        kb.select("l_returnflag", "b", "cum_lo")
+        .distinct()
+        .select(
+            F.col("l_returnflag").alias("nb_flag"),
+            F.col("b").alias("nb_b"),
+            "cum_lo",
+        )
+    )
+    # pass 2: exact per-value counts inside the needed buckets only
+    vals = (
+        li.join(
+            F.broadcast(needb),
+            (F.col("l_returnflag") == F.col("nb_flag"))
+            & (F.shiftright("price_i", 16) == F.col("nb_b")),
+        )
+        .select("l_returnflag", "price_i", F.col("nb_b").alias("b"), "cum_lo")
+        .groupBy("l_returnflag", "b", "cum_lo", "price_i")
+        .agg(F.count("*").alias("vc"))
+    )
+    wv = Window.partitionBy("l_returnflag", "b").orderBy("price_i")
+    vals = vals.withColumn(
+        "vcum_hi", F.col("cum_lo") + F.sum("vc").over(wv)
+    ).withColumn("vcum_lo", F.col("vcum_hi") - F.col("vc"))
+    # value at each needed global index
+    kv = (
+        kb.select("l_returnflag", "k")
+        .join(F.broadcast(vals), "l_returnflag")
+        .filter((F.col("k") >= F.col("vcum_lo")) & (F.col("k") < F.col("vcum_hi")))
+        .select("l_returnflag", "k", F.col("price_i").alias("v"))
+    )
+    lo_v = kv.select(
+        "l_returnflag", F.col("k").alias("lo_idx"), F.col("v").alias("lo_v")
+    )
+    hi_v = kv.select(
+        "l_returnflag", F.col("k").alias("hi_idx"), F.col("v").alias("hi_v")
+    )
+    quart = (
+        targets.join(lo_v, ["l_returnflag", "lo_idx"])
+        .join(hi_v, ["l_returnflag", "hi_idx"])
+        .select(
+            "l_returnflag",
+            "p",
+            F.when(
+                (F.col("hi_idx") == F.col("lo_idx")) | (F.col("hi_v") == F.col("lo_v")),
+                F.col("lo_v").cast("double"),
+            )
+            .otherwise(
+                (F.col("hi_idx").cast("double") - F.col("pos"))
+                * F.col("lo_v").cast("double")
+                + (F.col("pos") - F.col("lo_idx").cast("double"))
+                * F.col("hi_v").cast("double")
+            )
+            .alias("qv"),
+        )
+    )
+    fences = quart.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("p") == 0.25, F.col("qv"))).alias("q1"),
+        F.min(F.when(F.col("p") == 0.75, F.col("qv"))).alias("q3"),
     )
     iqr = F.col("q3") - F.col("q1")
     is_out = (F.col("price_i") < F.col("q1") - 1.5 * iqr) | (
