@@ -4212,15 +4212,32 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = bands.select(
         "band", "key", F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")
     )
+    # canonical-band dedup (guide §2.3/§2.4): a pair within Hamming <= 2
+    # matches 1-3 bands (identical signatures — the planted-dup cliques
+    # that dominate candidate volume — match ALL 3), so the old plan
+    # enumerated heavy pairs up to 3x and removed the copies with a
+    # `.distinct()` exchange over the whole pair stream, then TOTAL-
+    # sorted it for presentation. Emitting a pair only from its LOWEST
+    # matching band (cheap bitwise check on sa^sb — band j matches iff
+    # slice j of the xor is zero) makes pairs unique by construction:
+    # no distinct exchange, no 3x verify volume. The orderBy was
+    # presentation-only (driver canon is order-insensitive; join_view
+    # precedent) — dropped with it.
+    mask = (1 << _SH_BITS) - 1
+    first_match = F.expr(
+        f"band = 0"
+        f" OR (band = 1 AND ((sa ^ sb) & {mask}) != 0)"
+        f" OR (band = 2 AND ((sa ^ sb) & {mask}) != 0"
+        f"     AND (shiftright(sa ^ sb, {_SH_BITS}) & {mask}) != 0)"
+    )
     return (
         left.join(right, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first_match)
         .select(
             "doc_a", "doc_b", F.expr("CAST(bit_count(sa ^ sb) AS INT)").alias("hamming")
         )
         .filter(F.col("hamming") <= 2)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
