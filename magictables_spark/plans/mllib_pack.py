@@ -127,8 +127,14 @@ def ann_brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import IDF, HashingTF
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ").alias("tokens")
+    # spread before HashingTF + the dense per-slot projection: the
+    # rows x numFeatures scalar gate (the dominant cost, see docstring)
+    # otherwise runs on the scan's split count (measured 2 tasks /
+    # 22.2 s of the 23.4 s wall at sf1 — dedup_minhash precedent)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
     )
     tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12).transform(docs)
     if tf.isEmpty():  # IDF.fit refuses zero rows

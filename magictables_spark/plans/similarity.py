@@ -5042,7 +5042,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qq"),
         F.col("nrm").alias("qnrm"),
     )
-    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm")
+    # spread before the probe broadcast fan-out (single-split fixture
+    # scan; see _lsh_index_core's norms spread) — the exact-side n x
+    # probes dot products dominate this query's CPU
+    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

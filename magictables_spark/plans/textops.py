@@ -687,8 +687,12 @@ def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # spread before the bigram explode + partial agg: the whole map
+    # chain otherwise runs on the scan's split count (measured 2 tasks
+    # / 27.8 s of the 28.3 s wall at sf1 — dedup_minhash precedent)
     return (
         _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
@@ -772,8 +776,16 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.lower(F.substring("text", 1, 200)).alias("t")
+    # spread before the trigram explode: the fixture corpus arrives as
+    # one-to-few parquet splits, so the per-doc substring fan-out (the
+    # dominant map work, feeding BOTH the profile agg and the per-doc
+    # classify) would otherwise run on the scan's split count
+    # (dedup_minhash precedent; at scale the exchange evens skewed
+    # layouts)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.lower(F.substring("text", 1, 200)).alias("t"))
     )
     tg = d.filter(F.length("t") >= 3).select(
         "doc_id",
