@@ -1830,8 +1830,12 @@ _C_TAU = "0.9"  # containment threshold (decimal literal: exact ceil math)
 def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magictables_spark.functions import shingles as _shfn
 
+    # spread before the shingle explode: the per-doc 3-gram fan-out
+    # otherwise runs on the scan's split count (dedup_minhash
+    # precedent; the distinct's exchange only comes AFTER the explode)
     sh = (
         _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(_shfn("text", n=3)).alias("s"))
         .distinct()
         .select("doc_id", F.expr(_h60_spark("s")).alias("h"))

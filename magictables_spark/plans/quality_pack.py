@@ -399,22 +399,39 @@ def _pagerank_ranks(
     by construction and total rank is conserved at |V| (asserted in
     tests/test_quality_graph.py)."""
     e = _edges(spark, sf_dir)
-    und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    degs = und.groupBy("u").agg(F.count("*").alias("degree"))
-    nodes = degs.select(F.col("u").alias("node")).localCheckpoint(eager=True)
+    # materialize the edge set and degrees ONCE: only the per-round
+    # rank frame was checkpointed before, so every round's contribs
+    # re-executed the co-purchase self-join TWICE (once under `und`,
+    # once under `degs`) — ~2 edge builds per round, the entire cost
+    # of the loop (same fix pagerank_fixed_iters got)
+    und = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    degs = und.groupBy("u").agg(F.count("*").alias("degree")).localCheckpoint(eager=True)
+    nodes = degs.select(F.col("u").alias("node"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0))
     rounds_used = 0
     for _ in range(max_rounds):
+        # rank/degree pre-joined on the domain-bounded vertex frame
+        # (|V| <= 400) and BROADCAST along the edges — the edges never
+        # shuffle; one exchange per round (the inflow SUM), like
+        # pagerank_fixed_iters
+        wgt = (
+            ranks.join(
+                degs.select(F.col("u").alias("du"), "degree"),
+                ranks.node == F.col("du"),
+            )
+            .select(F.col("du").alias("u"), (F.col("rank") / F.col("degree")).alias("c"))
+        )
         contribs = (
-            und.join(ranks, und.u == ranks.node)
-            .join(degs, "u")
-            .select(F.col("v").alias("node"), (F.col("rank") / F.col("degree")).alias("c"))
+            und.join(F.broadcast(wgt), "u")
+            .select(F.col("v").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
         new_ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(F.broadcast(contribs), "node", "left")
             .select(
                 "node",
                 (

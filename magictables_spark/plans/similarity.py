@@ -2584,8 +2584,20 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "scale"),
 )
 def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _quantized(spark, sf_dir)
-    n = e.withColumn("nrm2", _dot("q", "q")).withColumn(
+    # spread the RAW scan before the quantize + int8-projection chain:
+    # Catalyst evaluates projection expressions on the scan side of the
+    # first exchange, so a repartition placed after them (first
+    # attempt) left the heavy per-row work (QUANT_SPARK, the qi
+    # transform, the norm fold — measured 8.7 s on 3 scan tasks at
+    # sf1) serialized on the split count. The dot products also use
+    # the unrolled codegen form (_dot_unrolled) instead of the
+    # interpreted HOF fold — identical int64 results, ~3x per-row
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
+    )
+    n = e.withColumn("nrm2", _dot_unrolled("q", "q")).withColumn(
         "nrm", F.sqrt(F.col("nrm2").cast("double"))
     )
     qv = n.filter(F.col("nrm") > 0).withColumn(
@@ -2597,7 +2609,7 @@ def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = (
         qv.select(F.col("vec_id").alias("neighbor_id"), "qi")
         .join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("i8score", _dot("pi", "qi"))
+        .withColumn("i8score", _dot_unrolled("pi", "qi"))
     )
     wc = Window.partitionBy("query_id").orderBy(F.desc("i8score"), F.asc("neighbor_id"))
     cand = (
@@ -2613,7 +2625,7 @@ def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "neighbor_id")
         .withColumn(
             "cosine",
-            _dot("qa", "qb").cast("double")
+            _dot_unrolled("qa", "qb").cast("double")
             / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
         )
         .select("query_id", "neighbor_id", "cosine")
