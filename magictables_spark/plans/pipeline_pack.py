@@ -932,7 +932,18 @@ def dpp_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("month_num"),
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
     )
-    orders.drop("month_num").write.mode("overwrite").partitionBy("month").parquet(out)
+    # cluster by the partition key before the partitioned write: the
+    # unclustered write emitted one file per (task x month) — ~84
+    # months x 32 tasks of KB-sized files, a small-file storm that
+    # dominated the query's wall (guide §6: aim for few, large files).
+    # One hash exchange on month -> one file per partition dir.
+    (
+        orders.drop("month_num")
+        .repartition(F.col("month"))
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(out)
+    )
     # month dimension: one row per month with its quarter attribute —
     # built from the bounded distinct-month set (a date-dim stand-in)
     dim = (
