@@ -66,25 +66,99 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Discrete quantiles per priority class: PERCENTILE_DISC returns "
     "an actual data value (exact int64 cents) — cross-engine safe where "
-    "interpolating quantiles are not. Spark sorts within each group "
-    "once for all three fractions.",
+    "interpolating quantiles are not. Computed by two-pass histogram "
+    "refinement instead of the builtin aggregate (the iqr_outliers "
+    "shape): the builtin buffers a value->count map per group sized by "
+    "the number of DISTINCT values, which near-unique cents make "
+    "corpus-sized; the histogram path shuffles only domain-bounded "
+    "aggregates. percentile_disc(p) = the value at 1-based rank "
+    "ceil(p*n) (smallest value whose cume_dist >= p) — pure integer "
+    "order statistics, no interpolation, so the refinement is exactly "
+    "the builtin's answer.",
     tags=("stats", "features"),
 )
 def quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.expr(
-                f"CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY {TOTALPRICE_I}) AS BIGINT)"
-            ).alias("p25_cents"),
-            F.expr(
-                f"CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY {TOTALPRICE_I}) AS BIGINT)"
-            ).alias("p50_cents"),
-            F.expr(
-                f"CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY {TOTALPRICE_I}) AS BIGINT)"
-            ).alias("p90_cents"),
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.expr(TOTALPRICE_I).alias("cents")
+    )
+    kv = _disc_rank_values(o, "o_orderpriority", "cents", (0.25, 0.50, 0.90))
+    return kv.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("p") == 0.25, F.col("v"))).cast("bigint").alias("p25_cents"),
+        F.min(F.when(F.col("p") == 0.50, F.col("v"))).cast("bigint").alias("p50_cents"),
+        F.min(F.when(F.col("p") == 0.90, F.col("v"))).cast("bigint").alias("p90_cents"),
+    )
+
+
+def _disc_rank_values(
+    o: DataFrame, g: str, v: str, fracs: tuple[float, ...]
+) -> DataFrame:
+    """(g, p, v): for each group g and fraction p, the exact
+    PERCENTILE_DISC value — the group's 1-based rank-ceil(p*n) order
+    statistic (the smallest value whose cume_dist >= p; k's double
+    multiply mirrors the builtin's arithmetic) — by two-pass histogram
+    refinement so nothing corpus-sized is ever buffered (the
+    iqr_outliers shape; the builtin aggregate buffers a value->count
+    map per group sized by the number of DISTINCT values, which
+    near-unique cents make corpus-sized).
+
+    Pass 1 counts rows per (g, v>>16) bucket: occupied buckets are
+    bounded by the value DOMAIN, not the corpus; a cumulative sum over
+    that tiny frame locates the bucket holding each target rank.
+    Pass 2 counts exact values inside only the needed buckets
+    (<= 65536 distinct values each)."""
+    from pyspark.sql import Window
+
+    bucket = F.shiftright(v, 16).alias("b")
+    hist = o.groupBy(g, bucket).agg(F.count("*").alias("c"))
+    wb = Window.partitionBy(g).orderBy("b")
+    hist = hist.withColumn("cum_hi", F.sum("c").over(wb)).withColumn(
+        "cum_lo", F.col("cum_hi") - F.col("c")
+    )
+    ntab = hist.groupBy(g).agg(F.sum("c").alias("n"))
+    # 1-based target rank per fraction: k = max(1, ceil(p*n)) — the
+    # same double multiply the builtin evaluates internally
+    targets = ntab.select(
+        g, "n", F.explode(F.array(*[F.lit(p) for p in fracs])).alias("p")
+    ).withColumn(
+        "k",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("p") * F.col("n").cast("double")),
+        ),
+    )
+    # bucket holding each target rank (hist is domain-bounded — broadcast)
+    kb = (
+        targets.join(F.broadcast(hist), g)
+        .filter((F.col("k") > F.col("cum_lo")) & (F.col("k") <= F.col("cum_hi")))
+        .select(g, "p", "k", "b", "cum_lo")
+    )
+    needb = (
+        kb.select(g, "b", "cum_lo")
+        .distinct()
+        .select(F.col(g).alias("nb_g"), F.col("b").alias("nb_b"), "cum_lo")
+    )
+    # pass 2: exact per-value counts inside the needed buckets only
+    # (<= 65536 distinct values per bucket)
+    vals = (
+        o.join(
+            F.broadcast(needb),
+            (F.col(g) == F.col("nb_g")) & (F.shiftright(v, 16) == F.col("nb_b")),
         )
+        .select(g, v, F.col("nb_b").alias("b"), "cum_lo")
+        .groupBy(g, "b", "cum_lo", v)
+        .agg(F.count("*").alias("vc"))
+    )
+    wv = Window.partitionBy(g, "b").orderBy(v)
+    vals = vals.withColumn(
+        "vcum_hi", F.col("cum_lo") + F.sum("vc").over(wv)
+    ).withColumn("vcum_lo", F.col("vcum_hi") - F.col("vc"))
+    # the value whose global rank interval contains k (intervals are
+    # disjoint -> exactly one match per target)
+    return (
+        kb.select(g, "p", "k")
+        .join(F.broadcast(vals), g)
+        .filter((F.col("k") > F.col("vcum_lo")) & (F.col("k") <= F.col("vcum_hi")))
+        .select(g, "p", F.col(v).alias("v"))
     )
 
 

@@ -433,8 +433,12 @@ def token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = "CAST(CONV(SUBSTRING(md5(token), 1, 15), 16, 10) AS BIGINT)"
-    tok = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    # spread the raw scan before the explode + md5 chain (single-split
+    # fixture scan; the committed text-pack spread pattern)
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     )
     hashed = tok.select(
         "doc_id",

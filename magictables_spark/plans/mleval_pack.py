@@ -867,7 +867,12 @@ def avg_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("plabel"),
         F.col("nrm").alias("pnrm"),
     )
-    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm")
+    # spread the candidate side before the 5-probe broadcast fan-out:
+    # both consumers (scored, nrel) reuse the one exchange (the
+    # ndcg_at_k shape — ReusedExchange in the after plan)
+    cand = norms.select(
+        F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm"
+    ).repartition(spark.sparkContext.defaultParallelism)
     joined = cand.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
@@ -1845,8 +1850,13 @@ _DRIFT_NUM_DUCK = "(" + " + ".join(
     tags=("embeddings", "mleval", "stats", "scale"),
 )
 def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings").selectExpr(
-        "label", "vec_id % 2 AS half", f"{QUANT_SPARK} AS q"
+    # spread before the 128-column partial aggregate: the quantize +
+    # per-dimension conditional sums are the query's whole CPU and the
+    # single-split fixture scan would evaluate them on one core
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .selectExpr("label", "vec_id % 2 AS half", f"{QUANT_SPARK} AS q")
     )
     sums = e.groupBy("label").agg(
         F.count_if(F.col("half") == 0).cast("long").alias("na"),
@@ -2355,7 +2365,11 @@ def mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("plabel"),
         F.col("nrm").alias("pnrm"),
     )
-    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm")
+    # spread the candidate side before the 5-probe broadcast fan-out
+    # (single-split fixture scan; the ndcg_at_k/sim_cosine_topk spread)
+    cand = norms.select(
+        F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm"
+    ).repartition(spark.sparkContext.defaultParallelism)
     scored = cand.join(
         F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
     ).select(

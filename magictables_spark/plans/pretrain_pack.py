@@ -1607,8 +1607,15 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pretrain", "quality", "text", "scale"),
 )
 def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    # spread the raw scan before the token explode + (doc, token)
+    # partial aggregate (single-split fixture scan; the committed
+    # text-pack spread pattern). Hash on doc_id — every downstream
+    # exchange (the per-doc counts, the doc window) is doc-keyed, so
+    # the spread doubles as the join-key exchange at 100 TB.
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     )
     c = tok.groupBy("doc_id", "token").agg(F.count("*").alias("ct"))
     wdoc = Window.partitionBy("doc_id")
@@ -1709,7 +1716,12 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "pretrain", "scale"),
 )
 def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # spread the raw scan once before the two explode consumers (token
+    # unigrams, bigram pairs): the single-split fixture scan would run
+    # both explode + partial-agg chains on one core each
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     tok = toks.select("doc_id", F.explode("t").alias("token"))
     c1 = tok.groupBy("token").agg(F.count("*").alias("c")).localCheckpoint(

@@ -2507,7 +2507,16 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "scale"),
 )
 def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _quantized(spark, sf_dir)
+    # spread the RAW scan under the expression chain (the
+    # ann_int8_rescore lesson — a repartition above the projection
+    # leaves the per-row work on the scan side): quantize + norm + the
+    # 64-term error folds are the whole query and would otherwise run
+    # on the fixture's single scan split
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
+    )
     n = e.withColumn("nrm", F.sqrt(_dot("q", "q").cast("double"))).filter(F.col("nrm") > 0)
     qv = n.withColumn(
         "qi", F.expr("transform(q, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / nrm) AS INT))")
