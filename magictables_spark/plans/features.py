@@ -111,8 +111,14 @@ def _disc_rank_values(
     bucket = F.shiftright(v, 16).alias("b")
     hist = o.groupBy(g, bucket).agg(F.count("*").alias("c"))
     wb = Window.partitionBy(g).orderBy("b")
-    hist = hist.withColumn("cum_hi", F.sum("c").over(wb)).withColumn(
-        "cum_lo", F.col("cum_hi") - F.col("c")
+    # eager checkpoint: hist is domain-bounded and referenced by several
+    # downstream frames (ntab, targets, kb) — without the barrier every
+    # reference re-plans the full upstream of `o` (for callers whose
+    # input is itself an aggregate, that re-runs the aggregation)
+    hist = (
+        hist.withColumn("cum_hi", F.sum("c").over(wb))
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("c"))
+        .localCheckpoint(eager=True)
     )
     ntab = hist.groupBy(g).agg(F.sum("c").alias("n"))
     # 1-based target rank per fraction: k = max(1, ceil(p*n)) — the
@@ -149,9 +155,13 @@ def _disc_rank_values(
         .agg(F.count("*").alias("vc"))
     )
     wv = Window.partitionBy(g, "b").orderBy(v)
-    vals = vals.withColumn(
-        "vcum_hi", F.col("cum_lo") + F.sum("vc").over(wv)
-    ).withColumn("vcum_lo", F.col("vcum_hi") - F.col("vc"))
+    # eager checkpoint for the same reason: vals is bucket-bounded and
+    # its consumers would otherwise re-run the pass-2 scan of `o`
+    vals = (
+        vals.withColumn("vcum_hi", F.col("cum_lo") + F.sum("vc").over(wv))
+        .withColumn("vcum_lo", F.col("vcum_hi") - F.col("vc"))
+        .localCheckpoint(eager=True)
+    )
     # the value whose global rank interval contains k (intervals are
     # disjoint -> exactly one match per target)
     return (
