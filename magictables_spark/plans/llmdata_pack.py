@@ -250,8 +250,14 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magictables_spark.functions import shingles
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text", n=8).alias("sh")
+    # spread the raw scan before the 8-gram shingle assembly (heavy
+    # per-row compute; single-split fixture scan) — the bench/train
+    # branches then reuse one exchanged subtree instead of shingling
+    # the corpus twice serially
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", shingles("text", n=8).alias("sh"))
     )
     bench = (
         docs.filter(F.col("doc_id") % 97 == 0)

@@ -625,8 +625,14 @@ def pagerank_fixed_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magictables_spark.functions import shingles
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars", shingles("text", n=8).alias("sh")
+    # spread the raw scan before the 8-gram shingle assembly (heavy
+    # per-row compute; single-split fixture scan) — the three
+    # consumers (bench, train explode, train anti-join) reuse one
+    # exchanged subtree instead of shingling the corpus serially each
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", "n_chars", shingles("text", n=8).alias("sh"))
     )
     bench = (
         docs.filter(F.col("doc_id") % 97 == 0)

@@ -4925,7 +4925,15 @@ _MMR_SCORE = "CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * max_sim"
     tags=("similarity", "ann", "llm", "scale"),
 )
 def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    norms = _quantized(spark, sf_dir).withColumn("nrm", _dot("q", "q"))
+    # spread the RAW scan under the quantize + norm/relevance dot
+    # chain (single-split fixture scan; the ann_int8_rescore
+    # placement) — the pool's per-row dots otherwise run on one core
+    norms = (
+        _t(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
+        .withColumn("nrm", _dot("q", "q"))
+    )
     q0 = norms.filter(F.col("vec_id") == 0).select(
         F.col("q").alias("sq"), F.col("nrm").alias("snrm")
     )
