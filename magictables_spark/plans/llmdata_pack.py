@@ -353,9 +353,15 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "pipeline", "llm", "scale"),
 )
 def token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    # spread the raw scan before the posexplode (single-split fixture
+    # scan; the vocab agg and the encode join both consume it)
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+        )
     )
     vocab = (
         tok.groupBy("token")

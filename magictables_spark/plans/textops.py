@@ -854,8 +854,12 @@ def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    t = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    # spread the raw scan before the explode + partial agg
+    # (single-split fixture scan; the committed text-pack pattern)
+    t = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     )
     tf = t.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
     wt = Window.partitionBy("token")
@@ -1820,7 +1824,13 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "pretrain", "stats"),
 )
 def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _t(spark, sf_dir, "documents").select(F.split("text", " ").alias("ws"))
+    # spread the raw scan before the bigram explode (single-split
+    # fixture scan; both the bigram and unigram aggs consume it)
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.split("text", " ").alias("ws"))
+    )
     bg = tok.select(
         F.explode(
             F.expr("transform(slice(ws, 1, size(ws) - 1), (w, i) -> struct(w AS w1, ws[i + 1] AS w2))")
