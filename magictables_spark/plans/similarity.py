@@ -1272,8 +1272,14 @@ def _minhash_tables(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     streaming alike) stays oracle-reproducible in DuckDB."""
     from magictables_spark.functions import shingles as _sh
 
-    raw = df.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
-        "doc_id", _sh("text", n=3).alias("sh")
+    # spread the raw slice BEFORE the shingle + md5 chain (the
+    # dedup_minhash stage-1 geometry): the incremental batch side and
+    # every streaming micro-batch arrive as ONE split, which would
+    # otherwise run the whole signature map chain on a single core
+    raw = (
+        df.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select("doc_id", _sh("text", n=3).alias("sh"))
     )
     hs = raw.select(
         "doc_id", F.expr(f"transform(sh, s -> {_h60_spark('s')})").alias("hs")
