@@ -1075,7 +1075,13 @@ def _scd2_runs(ev_weighted: DataFrame) -> DataFrame:
 
 def _scd2_finalize(runs: DataFrame) -> DataFrame:
     """Run rows -> the SCD2 output: [valid_from, valid_to) + is_current
-    via one LEAD on the user-keyed exchange."""
+    via one LEAD on the user-keyed exchange. No presentation sort: a
+    total orderBy here would range-exchange + serially sort the WHOLE
+    dimension after the window (readers needing key order have the
+    bucketed+sorted store layout; comparisons are order-insensitive) —
+    the same defect dropped from join_view_incremental_store this
+    round, and the very claim in scd2_from_changelog's doc ("one
+    user-hash shuffle end to end") requires its absence."""
     wv = Window.partitionBy("user_id").orderBy("version")
     closing = F.lead("vf").over(wv)
     return runs.select(
@@ -1086,7 +1092,7 @@ def _scd2_finalize(runs: DataFrame) -> DataFrame:
         F.date_format(closing, TS_US_FMT).alias("valid_to"),
         "n_events",
         closing.isNull().alias("is_current"),
-    ).orderBy("user_id", "version")
+    )
 
 
 @q(
