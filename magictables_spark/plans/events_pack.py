@@ -621,7 +621,7 @@ def stream_dedup_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     out = _run_available_now(spark, deduped, "mts_stream_dedup", output_mode="append")
-    return out.orderBy("user_id", "event_type")
+    return out
 
 
 @q(
@@ -874,7 +874,6 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("user_id")
         .agg(F.max(F.struct("n_events", "value_cents")).alias("b"))
         .select("user_id", F.col("b.n_events"), F.col("b.value_cents"))
-        .orderBy("user_id")
     )
 
 
@@ -995,7 +994,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, joined, "mts_stream_ss_join", output_mode="append",
         shuffle_partitions=8, sink="parquet",
     )
-    return out.orderBy("click_id", "purchase_id")
+    return out
 
 
 TS_US_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -1500,7 +1499,7 @@ def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("latest_status"),
         F.date_format("ts", TS_US_FMT).alias("ts"),
         "event_id",
-    ).orderBy("user_id")
+    )
 
 
 @q(
@@ -1865,7 +1864,6 @@ def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clicks_before",
             "view_cents_before",
         )
-        .orderBy("query_id")
     )
 
 
@@ -2113,7 +2111,6 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "old_event_id",
             "new_event_id",
         )
-        .orderBy("user_id")
     )
 
 

@@ -391,7 +391,6 @@ def token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.sum((F.col("id") == -1).cast("bigint")).alias("n_unk"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -479,7 +478,6 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " <> 0 THEN 1 ELSE 0 END), 0L, (a, x) -> a + x) AS BIGINT)"
             ).alias("nnz"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -791,5 +789,4 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CAST(n_chars AS DOUBLE) / NULLIF(CAST(n_bpe_tokens AS DOUBLE),"
             " 0.0)) AS chars_per_token",
         )
-        .orderBy("doc_id")
     )

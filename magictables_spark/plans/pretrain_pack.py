@@ -1492,7 +1492,6 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_bits",
             (F.col("weight_bits") > 0).alias("selected"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1639,7 +1638,7 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_bits",
         mean_bits.alias("mean_bits"),
         (mean_bits >= 2.0).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 @q(

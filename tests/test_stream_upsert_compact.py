@@ -194,7 +194,7 @@ def test_registered_query_runs_three_batches_and_reserves_warm(spark):
     from magictables_spark.warehouse import corpus_fingerprint, store_root
 
     sf = "/root/testdata/sf0.001"
-    rows1 = stream_upsert_foreachbatch(spark, sf).collect()
+    rows1 = sorted(tuple(r) for r in stream_upsert_foreachbatch(spark, sf).collect())
     cfp = corpus_fingerprint(os.path.join(sf, "events.parquet"))
     tag = hashlib.md5(
         f"{os.path.realpath(sf)}:{cfp}".encode()
@@ -204,7 +204,7 @@ def test_registered_query_runs_three_batches_and_reserves_warm(spark):
     assert {"0", "1", "2"} <= set(offsets), offsets
     with open(os.path.join(root, "target", "LATEST")) as f:
         snap1 = f.read()
-    rows2 = stream_upsert_foreachbatch(spark, sf).collect()
+    rows2 = sorted(tuple(r) for r in stream_upsert_foreachbatch(spark, sf).collect())
     assert rows2 == rows1
     with open(os.path.join(root, "target", "LATEST")) as f:
         assert f.read() == snap1  # warm: no re-merge, same snapshot
