@@ -99,7 +99,7 @@ def test_second_session_reuses_warm_index(tmp_path):
             [sys.executable, str(script)],
             capture_output=True,
             text=True,
-            timeout=300,
+            timeout=900,
             cwd=str(tmp_path),  # non-repo cwd, like the driver
         )
         assert r.returncode == 0, r.stderr[-2000:]
@@ -227,7 +227,7 @@ def test_ivf_second_session_reuses_warm_index(tmp_path):
             [sys.executable, str(script)],
             capture_output=True,
             text=True,
-            timeout=300,
+            timeout=900,
             cwd=str(tmp_path),  # non-repo cwd, like the driver
         )
         assert r.returncode == 0, r.stderr[-2000:]

@@ -57,7 +57,7 @@ def test_warehouse_cache_survives_across_sessions(tmp_path):
             [sys.executable, script, wh],
             capture_output=True,
             text=True,
-            timeout=300,
+            timeout=900,
             cwd=repo,
         )
         assert r.returncode == 0, r.stderr[-2000:]

@@ -86,7 +86,7 @@ def test_simultaneous_writers_one_winner_zero_torn_reads(tmp_path):
         time.sleep(0.05)
 
     for p in procs:
-        out, err = p.communicate(timeout=300)
+        out, err = p.communicate(timeout=900)
         assert p.returncode == 0, err[-2000:]
 
     # final state: one winner, complete payload, single-tag rows
