@@ -307,8 +307,14 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture density (see oracle comment), derived identically there
     n_li = _t(spark, sf_dir, "lineitem").count()
     th = 3 if n_li < 30000 else 2
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", (F.col("l_partkey") % 2000).alias("p")
+    # cores-proportional hash repartition on the self-join key: both
+    # sides then share ONE ReusedExchange and the pair-explosion stage
+    # keeps full parallelism instead of running on the scan's split
+    # count (the quality_pack._edges fix, applied to the same shape)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 2000).alias("p"))
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     )
     a = li.select("l_orderkey", F.col("p").alias("u"))
     b = li.select("l_orderkey", F.col("p").alias("v"))
@@ -331,10 +337,16 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(R):
+        # alive is node-domain-bounded (<= 2000 rows of one int) but the
+        # checkpointed edge frame carries no stats, so without the hint
+        # each peel round SMJ-exchanged the edges TWICE; broadcasting the
+        # vertex frame leaves the peel rounds exchange-free
         alive = degrees(edges).filter(F.col("d") >= K).select("node")
         edges = (
-            edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            edges.join(
+                F.broadcast(alive.withColumnRenamed("node", "u")), "u", "left_semi"
+            )
+            .join(F.broadcast(alive.withColumnRenamed("node", "v")), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=True)  # peeled lineage stays flat
         )
@@ -370,11 +382,20 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "analytics"),
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", (F.col("l_partkey") % 400).alias("p")
+    # cores-proportional hash repartition on the self-join key (the
+    # quality_pack._edges fix): both sides share ONE ReusedExchange and
+    # the pair explosion keeps full parallelism
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 400).alias("p"))
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     )
     a = li.select("l_orderkey", F.col("p").alias("u"))
     b = li.select("l_orderkey", F.col("p").alias("v"))
+    # materialize once: edges feed 4 consumers (3 triangle sides + the
+    # edge count) and are domain-bounded (<= C(400,2) int pairs), so the
+    # checkpoint is tiny and stops Catalyst re-planning the corpus-sized
+    # pair build per consumer
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
@@ -382,11 +403,15 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") >= 2)
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    # the checkpointed frame has no stats, so the three-way join planned
+    # as SMJ with per-side exchanges; the sides are domain-bounded, so
+    # broadcast them (e2/e3 canonicalize identically -> one build)
+    tri = e1.join(F.broadcast(e2), "y").join(F.broadcast(e3), ["x", "z"])
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
@@ -620,11 +645,17 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # one hash exchange on l_orderkey serves the whole query: it spreads
+    # the scan-side broadcast join off the fixture's single split, the
+    # distinct needs no exchange of its own (HashPartitioning(l_orderkey)
+    # already clusters (l_orderkey, p_brand)), and the basket pair
+    # self-join below is keyed on l_orderkey so both sides reuse it
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
         .distinct()
     )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
@@ -715,8 +746,13 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "analytics"),
 )
 def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", (F.col("l_partkey") % 400).alias("p")
+    # cores-proportional hash repartition on the self-join key (the
+    # quality_pack._edges fix): both sides share ONE ReusedExchange and
+    # the pair explosion keeps full parallelism
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", (F.col("l_partkey") % 400).alias("p"))
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     )
     a = li.select("l_orderkey", F.col("p").alias("u"))
     b = li.select("l_orderkey", F.col("p").alias("v"))
@@ -732,11 +768,13 @@ def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
     e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
     e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
-    tri_xyz = e1.join(e2, "y").join(e3, ["x", "z"])
+    # broadcast the domain-bounded sides (no stats on the checkpointed
+    # frame -> SMJ otherwise), and credit all three corners with ONE
+    # explode instead of a 3-branch union: a physical plan is a tree, so
+    # the union re-planned the whole triangle join three times
+    tri_xyz = e1.join(F.broadcast(e2), "y").join(F.broadcast(e3), ["x", "z"])
     tri = (
-        tri_xyz.select(F.col("x").alias("node"))
-        .unionAll(tri_xyz.select(F.col("y").alias("node")))
-        .unionAll(tri_xyz.select(F.col("z").alias("node")))
+        tri_xyz.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )
