@@ -337,16 +337,15 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(R):
-        # alive is node-domain-bounded (<= 2000 rows of one int) but the
-        # checkpointed edge frame carries no stats, so without the hint
-        # each peel round SMJ-exchanged the edges TWICE; broadcasting the
-        # vertex frame leaves the peel rounds exchange-free
+        # NOT broadcast (tried, reverted): hinting the alive set costs a
+        # driver collect + broadcast-build job per peel round and
+        # measured 4.9 -> 5.9 s at sf1; the SMJ it would replace joins
+        # two node-domain-bounded frames (edges <= C(2000,2)), which is
+        # not a scale hazard
         alive = degrees(edges).filter(F.col("d") >= K).select("node")
         edges = (
-            edges.join(
-                F.broadcast(alive.withColumnRenamed("node", "u")), "u", "left_semi"
-            )
-            .join(F.broadcast(alive.withColumnRenamed("node", "v")), "v", "left_semi")
+            edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint(eager=True)  # peeled lineage stays flat
         )
