@@ -1025,10 +1025,16 @@ def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _surprisal_quality(docs: DataFrame) -> DataFrame:
     """Surprisal-bucket plan over a (doc_id, text, ...) frame — split
     out so curriculum_order can feed a shared checkpointed scan."""
-    # spread before the per-token explode: both consumers (the vocab
-    # checkpoint and the per-doc scoring join) otherwise run their map
-    # work on the single fixture split (dedup_minhash precedent)
-    tok = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism).select(
+    # NOT spread (tried, reverted): unlike the md5/2-gram chains this
+    # explode is a plain token split — cheap per row — and the added
+    # exchange measured a warm-median LOSS on both consumers at both
+    # scales (unigram_surprisal_quality 0.90 -> 1.39 s at sf0.1 and
+    # 1.21 -> 1.75 s at sf1; curriculum_order 0.81 -> 1.40 / 1.14 ->
+    # 1.60 s), zero-steal windows, non-overlapping envelopes. The
+    # map-side partial agg already shrinks the explode's output before
+    # any shuffle, so the single-split cost is bounded by one cheap
+    # pass; at real scale scan splits provide the parallelism.
+    tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     # vocab-sized dim, materialized once: both the corpus scalars and
