@@ -182,10 +182,12 @@ def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.col("text"), " ").alias("toks"),
     ).withColumn("np", F.expr(f"CAST(ceil(size(toks) / {_PASSAGE}.0) AS INT)"))
-    # spread before the passage explode (single-split fixture corpus;
-    # dedup_minhash precedent) — the final doc_id join below stays on
-    # the unspread scan, which is all it needs
-    p = d.repartition(spark.sparkContext.defaultParallelism).select(
+    # NOT spread (tried, reverted): the passage explode only re-slices
+    # the token array (no hashing per row) and the md5-keyed window
+    # below shuffles its output anyway, so the extra exchange measured
+    # a warm-median LOSS at both scales (0.63 -> 1.33 s at sf0.1,
+    # 1.65 -> 1.89 s at sf1, zero-steal windows)
+    p = d.select(
         "doc_id",
         F.col("np").alias("n_passages"),
         F.posexplode(

@@ -71,19 +71,19 @@ def get_spark(app_name: str = "magictables_spark", master: str | None = None) ->
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE's parallelismFirst coalescer targets max(shuffle_bytes /
-        # defaultParallelism, minPartitionSize). The 1 MB default floor
-        # starves CPU-dense stages whose shuffle is byte-tiny but whose
-        # per-row work is heavy (ANN re-rank windows, banded-join
-        # verifies: measured 4 tasks over a 4.8 MB exchange doing ~0.6 s
-        # CPU each on a 32-core pool). 64 KB keeps the size-relative
-        # target (bytes/parallelism) as the binding rule on real data
-        # while letting bounded tail stages use the cores; on a large
-        # cluster shuffles over ~64 KB x cores are unaffected. Env
-        # override for deployments that prefer the stock floor.
+        # AQE coalescing floor, kept at Spark's stock 1 MB default. A
+        # 64 KB floor was tried this round (rationale: CPU-dense stages
+        # over byte-tiny shuffles coalesce to too few tasks) and
+        # REVERTED: re-measured on a 14-query headline basket at sf0.1
+        # in one window, 64 KB was a NET LOSS of ~1.3 s (the many tiny
+        # post-shuffle tasks tax every small-shuffle text query —
+        # passage_dedup +0.38 s, pretrain_corpus_funnel +0.88 s) while
+        # the ANN slugs it targeted measured flat (ann_lsh_topk 1.70 vs
+        # 1.73, dedup_minhash 1.01 both). Env knob stays for cluster
+        # deployments that want a different floor.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "65536"),
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
