@@ -4780,28 +4780,11 @@ def minhash_store_stream(
     tags=("text", "dedup", "fingerprint", "scale"),
 )
 def simhash_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = (
-        _t(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.expr(f"transform(array_distinct(split(text, ' ')), t -> {_h60_spark('t')})").alias(
-                "hs"
-            ),
-        )
-        .select(
-            "doc_id",
-            F.expr(
-                """
-                aggregate(
-                  filter(sequence(0, 59),
-                         b -> size(filter(hs, h -> (shiftright(h, b) & 1L) = 1L)) * 2 > size(hs)),
-                  0L,
-                  (acc, b) -> acc | shiftleft(1L, b)
-                )
-                """
-            ).alias("s"),
-        )
-    ).localCheckpoint()  # same lineage break as simhash_neardup
+    # the shared helper computes the IDENTICAL 60-bit md5-vote signature
+    # (same transform + aggregate expressions) and adds the round-robin
+    # spread + lineage break; the inline copy here predated it and ran
+    # the md5-per-token vote on the fixture's single parquet split
+    sig = _simhash_sig_frame(_t(spark, sf_dir, "documents"))
     # phase 1: identical signatures -> one representative (min doc_id)
     groups = sig.groupBy("s").agg(F.min("doc_id").alias("min_id")).localCheckpoint()
     # phase 2: banded near-dup among DISTINCT signatures only
