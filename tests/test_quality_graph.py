@@ -91,3 +91,18 @@ def test_decontaminate_consistent_with_contamination_check(spark, sf_dir):
     clean = REGISTRY["decontaminate"].fn(spark, sf_dir)
     n_clean = clean.agg(F.sum("n_clean_docs")).first()[0]
     assert check.n_train_docs - check.n_contaminated == n_clean
+
+def test_clustering_coeff_corner_credits_match_triangle_census(spark, sf_dir):
+    """local_clustering_coeff credits every u<v<w triangle to all THREE
+    corners in one explode pass (r11: replaces the 3-branch union that
+    re-planned the triangle join per corner). Invariant linking it to
+    triangle_count's census over the same %400 co-purchase graph:
+    sum over nodes of per-node triangles == 3 * total triangles, and
+    every coefficient is 2*tri / (deg*(deg-1)) within [0, 1]."""
+    lcc = REGISTRY["local_clustering_coeff"].fn(spark, sf_dir).collect()
+    census = REGISTRY["triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert sum(r.triangles for r in lcc) == 3 * census.n_triangles
+    for r in lcc:
+        expect = 2.0 * r.triangles / (r.degree * (r.degree - 1))
+        assert abs(r.clustering_coeff - expect) < 1e-12
+        assert 0.0 <= r.clustering_coeff <= 1.0
