@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from magictables_spark.plans.registry import _t, q
+from magictables_spark.plans.catalog import spread_by
 from magictables_spark.plans.similarity import QUANT_DUCK, QUANT_SPARK
 
 # ---------------------------------------------------------------------------
@@ -314,7 +315,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", (F.col("l_partkey") % 2000).alias("p"))
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .transform(spread_by("l_orderkey"))
     )
     a = li.select("l_orderkey", F.col("p").alias("u"))
     b = li.select("l_orderkey", F.col("p").alias("v"))
@@ -387,7 +388,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", (F.col("l_partkey") % 400).alias("p"))
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .transform(spread_by("l_orderkey"))
     )
     a = li.select("l_orderkey", F.col("p").alias("u"))
     b = li.select("l_orderkey", F.col("p").alias("v"))
@@ -654,7 +655,7 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .transform(spread_by("l_orderkey"))
         .distinct()
     )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
@@ -751,7 +752,7 @@ def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", (F.col("l_partkey") % 400).alias("p"))
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .transform(spread_by("l_orderkey"))
     )
     a = li.select("l_orderkey", F.col("p").alias("u"))
     b = li.select("l_orderkey", F.col("p").alias("v"))

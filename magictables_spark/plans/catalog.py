@@ -9,6 +9,8 @@ applies unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -54,6 +56,65 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+# Bytes of (estimated) input one spread task should receive. The spread
+# exchanges exist to parallelize CPU-dense per-row map chains (md5 per
+# token, 64-term dots, shingle assembly) whose cost tracks input bytes;
+# 256 KB/task engages every core well before one core's slice costs
+# more than a task launch. Env-tunable for deployments whose per-byte
+# CPU ratio differs (SPARK_GRAFT_SPREAD_TARGET_BYTES).
+SPREAD_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TARGET_BYTES", str(256 * 1024))
+)
+
+
+def spread_n(df: DataFrame, floor: int = 2) -> int:
+    """Scale-adaptive spread width: ceil(input-size / 256 KB), clamped
+    to [floor, defaultParallelism].
+
+    The repo's spread exchanges (round-robin or hash repartition ahead
+    of a heavy map chain) previously used a bare ``defaultParallelism``.
+    That constant is right at scale — at 100 TB any table estimate
+    clamps to the core count, so cluster behaviour is unchanged — but
+    wrong for byte-tiny inputs: an explicit ``repartition(n)`` is
+    user-specified partitioning that AQE may NOT coalesce, so every
+    downstream stage inherits n tasks, and on local[32] a 32-task wave
+    costs ~0.3-0.4 s of single-threaded scheduler/launch overhead even
+    when the work per task is microseconds (measured: trivial 2-stage
+    exchange 32->32 = 0.44 s vs 8->8 = 0.13 s). Deriving n from the
+    Catalyst size estimate (file bytes for scans, pruned-column bytes
+    for projections) gives tiny inputs a proportionally small wave
+    while real corpora still use every core — guide §2: derive
+    partitioning from input size, not a constant tuned for one
+    deployment mode.
+
+    Frames whose estimate is unavailable or meaningless (localCheckpoint
+    LogicalRDDs report Long.MaxValue) clamp to defaultParallelism — the
+    conservative pre-existing behaviour.
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable -> previous fixed behaviour
+        return cores
+    if size <= 0:
+        return cores
+    return max(floor, min(cores, -(-size // SPREAD_TARGET_BYTES)))
+
+
+def spread(df: DataFrame, *cols) -> DataFrame:
+    """Size-adaptive repartition: round-robin without ``cols``, hash on
+    ``cols`` with them. See :func:`spread_n` for the width rule."""
+    n = spread_n(df)
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def spread_by(*cols):
+    """Curried :func:`spread` for fluent chains:
+    ``df.transform(spread_by("doc_id"))``."""
+    return lambda df: spread(df, *cols)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from magictables_spark.plans.registry import _t, q
+from magictables_spark.plans.catalog import spread
 
 CHUNK = 50  # tokens per chunk
 STRIDE = 40  # tokens advanced per chunk (CHUNK-STRIDE = overlap)
@@ -256,7 +257,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus twice serially
     docs = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("doc_id", shingles("text", n=8).alias("sh"))
     )
     bench = (
@@ -357,7 +358,7 @@ def token_id_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan; the vocab agg and the encode join both consume it)
     tok = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select(
             "doc_id",
             F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
@@ -448,7 +449,7 @@ def feature_hash_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture scan; the committed text-pack spread pattern)
     tok = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     )
     hashed = tok.select(

@@ -44,6 +44,7 @@ from pyspark.sql.window import Window
 
 from magictables_spark.plans.joins_advanced import _dec_dbl_duck, _dec_dbl_spark
 from magictables_spark.plans.registry import _t, q
+from magictables_spark.plans.catalog import spread
 from magictables_spark.plans.similarity import QUANT_DUCK, QUANT_SPARK
 
 VAL_I = "CAST(ROUND(value * 100) AS BIGINT)"  # exact cents
@@ -631,7 +632,7 @@ def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans once (ReusedExchange) instead of twice
     cand = norms.select(
         F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm"
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).transform(spread)
     scored = cand.join(
         F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
     ).select(
@@ -872,7 +873,7 @@ def avg_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ndcg_at_k shape — ReusedExchange in the after plan)
     cand = norms.select(
         F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm"
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).transform(spread)
     joined = cand.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
@@ -1855,7 +1856,7 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-split fixture scan would evaluate them on one core
     e = (
         _t(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .selectExpr("label", "vec_id % 2 AS half", f"{QUANT_SPARK} AS q")
     )
     sums = e.groupBy("label").agg(
@@ -2369,7 +2370,7 @@ def mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (single-split fixture scan; the ndcg_at_k/sim_cosine_topk spread)
     cand = norms.select(
         F.col("vec_id").alias("neighbor_id"), "q", "label", "nrm"
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).transform(spread)
     scored = cand.join(
         F.broadcast(probes), F.col("neighbor_id") != F.col("query_id")
     ).select(

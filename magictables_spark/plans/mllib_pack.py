@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magictables_spark.plans.registry import _t, q
+from magictables_spark.plans.catalog import spread
 
 
 def _doc_shingle_vectors(spark: SparkSession, sf_dir: str, max_id: int = 200):
@@ -133,7 +134,7 @@ def tfidf_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 22.2 s of the 23.4 s wall at sf1 — dedup_minhash precedent)
     docs = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("doc_id", F.split(F.col("text"), " ").alias("tokens"))
     )
     tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12).transform(docs)

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from magictables_spark.plans.catalog import spread, spread_by
 from magictables_spark.plans.registry import _t, q
 from magictables_spark.plans.similarity import _h60_duck, _h60_spark
 
@@ -87,7 +88,7 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at scale the same exchange evens out skewed file layouts)
     d = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select(
             "doc_id",
             F.split(F.col("text"), " ").alias("toks"),
@@ -846,7 +847,7 @@ def pretrain_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.size("toks") >= 2)
         # spread before the 2-gram explode (single-split fixture
         # corpus; dedup_minhash precedent)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select(
             "doc_id",
             "source",
@@ -897,7 +898,7 @@ def pretrain_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side AND spreads the explode
     qd = (
         d.select("doc_id", "toks")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(spread_by("doc_id"))
         .join(keep.select("doc_id"), "doc_id")
         .select(
             "doc_id",
@@ -1221,7 +1222,7 @@ def substring_dupe_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("n_tokens") >= _WIN)
         # spread before the anchor + window-md5 explode (single-split
         # fixture corpus; dedup_minhash precedent)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("doc_id", "n_tokens", F.explode(F.expr(pair_expr)).alias("p"))
         .select("doc_id", "n_tokens", F.col("p.s").alias("s"), F.col("p.whash").alias("whash"))
     )
@@ -1428,11 +1429,11 @@ _DSIR_B = 256  # hashed-feature buckets (the "hashed n-gram" dimension)
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = _DSIR_B
     docs = (
-        _t(spark, sf_dir, "documents")
         # spread before the bigram explode + md5 hashing (single-split
         # fixture corpus; dedup_minhash precedent) — the checkpointed
-        # b frame below inherits the parallel layout
-        .repartition(spark.sparkContext.defaultParallelism)
+        # b frame below inherits the parallel layout; width is
+        # size-adaptive (catalog.spread_n)
+        spread(_t(spark, sf_dir, "documents"))
         .select("doc_id", "lang", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= 2)
     )
@@ -1621,7 +1622,7 @@ def doc_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the spread doubles as the join-key exchange at 100 TB.
     tok = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .transform(spread_by("doc_id"))
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     )
     c = tok.groupBy("doc_id", "token").agg(F.count("*").alias("ct"))
@@ -1726,9 +1727,7 @@ def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the raw scan once before the two explode consumers (token
     # unigrams, bigram pairs): the single-split fixture scan would run
     # both explode + partial-agg chains on one core each
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     tok = toks.select("doc_id", F.explode("t").alias("token"))
     c1 = tok.groupBy("token").agg(F.count("*").alias("c")).localCheckpoint(
@@ -1854,7 +1853,7 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedent; the distinct's exchange only comes AFTER the explode)
     sh = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("doc_id", F.explode(_shfn("text", n=3)).alias("s"))
         .distinct()
         .select("doc_id", F.expr(_h60_spark("s")).alias("h"))

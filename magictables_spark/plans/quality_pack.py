@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magictables_spark.plans.registry import PRICE_I, REV_I, _t, q
+from magictables_spark.plans.catalog import spread, spread_by
 
 
 @q(
@@ -336,7 +337,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", (F.col("l_partkey") % 400).alias("p"))
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .transform(spread_by("l_orderkey"))
     )
     a = li.select("l_orderkey", F.col("p").alias("u"))
     b = li.select("l_orderkey", F.col("p").alias("v"))
@@ -631,7 +632,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchanged subtree instead of shingling the corpus serially each
     docs = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("doc_id", "lang", "n_chars", shingles("text", n=8).alias("sh"))
     )
     bench = (

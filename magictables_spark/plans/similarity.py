@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from magictables_spark.plans.catalog import spread, spread_n
 from magictables_spark.plans.registry import _t, q
 
 # quantized int64 vector (both engines): exact, order-independent math
@@ -92,9 +93,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread before the 5-probe broadcast fan-out (single-split fixture
     # scan; see _lsh_index_core's norms spread)
-    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    cand = spread(norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm"))
     scored = (
         cand.join(F.broadcast(queries_df), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
@@ -443,7 +442,7 @@ def _lsh_index_core(
     # stage geometry as dedup_minhash: a small corpus arrives as one
     # parquet split and would otherwise compute every bucket on a
     # single core; at scale the same exchange evens out skewed layouts
-    norms = quant.repartition(spark.sparkContext.defaultParallelism)
+    norms = quant.transform(spread)
     n_bits = _lsh_bits_for(n_vec, TARGET_BUCKET)
     # The whole (table, bucket) computation is assembled as ONE SQL
     # string and parsed JVM-side: building it with F.lit/F.array would
@@ -1174,12 +1173,13 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    so Spark's ReusedExchange materializes the expensive
     #    shingle+hash computation exactly once instead of three times.
     #    All downstream math is over fixed-width longs, never strings.
-    P = spark.sparkContext.defaultParallelism
     # round-robin spread (NOT by doc_id): keeps this exchange distinct
     # from the hash exchange below so Catalyst can't collapse them —
     # otherwise the shingle+hash projection would float above the only
-    # exchange and be recomputed by every consumer
-    raw = (
+    # exchange and be recomputed by every consumer. Width is
+    # size-adaptive (catalog.spread_n): core count on real corpora,
+    # a few tasks on byte-tiny inputs.
+    pre = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
         # cheap pre-filter: >= n tokens <=> >= 1 shingle. Filtering on
@@ -1187,8 +1187,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as a DataFilter with the whole shingle+hash pipeline inlined —
         # running it serially on the scan side before the repartition
         .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .repartition(P)
     )
+    P = spread_n(pre)
+    raw = pre.repartition(P)
     docs = (
         raw.select("doc_id", shingles.alias("sh"))
         # hash each distinct shingle once: the minhash passes and the
@@ -1278,7 +1279,7 @@ def _minhash_tables(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     # otherwise run the whole signature map chain on a single core
     raw = (
         df.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("doc_id", _sh("text", n=3).alias("sh"))
     )
     hs = raw.select(
@@ -1615,7 +1616,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread before the sqrt(n)-centroid distance fan-out (single-split
     # fixture scan; see _lsh_index_core's norms spread)
     dists = (
-        norms.repartition(spark.sparkContext.defaultParallelism)
+        norms.transform(spread)
         .crossJoin(F.broadcast(cents))
         .withColumn("d2", l2)
     )
@@ -1677,7 +1678,7 @@ def _ivf_assign(norms: DataFrame, cents: DataFrame) -> DataFrame:
     round-robin spread parallelizes the distance fan-out when the input
     arrives as one split (see _lsh_index_core's norms spread)."""
     dists = (
-        norms.repartition(norms.sparkSession.sparkContext.defaultParallelism)
+        norms.transform(spread)
         .crossJoin(F.broadcast(cents))
         .withColumn("d2", _ivf_l2())
     )
@@ -2037,7 +2038,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sqrt(n) unrolled dot products are the whole cost of this query
     cand = norms.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label"), "q", "nrm"
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ).transform(spread)
     scored = (
         cand.join(F.broadcast(probes), F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
@@ -2351,7 +2352,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate job — the checkpoint lets all 5 rounds read the
     # quantized vectors from executor storage instead of re-scanning
     # and re-quantizing the table per round
-    e = e.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(eager=True)
+    e = e.transform(spread).localCheckpoint(eager=True)
 
     def dist_to(c: list[float]) -> str:
         # one parsed SQL fragment per centroid: k * dim * rounds F.lit
@@ -2458,7 +2459,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     dists = (
-        e.repartition(spark.sparkContext.defaultParallelism)
+        e.transform(spread)
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", d2.alias("d2"))
     )
@@ -2520,7 +2521,7 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the fixture's single scan split
     e = (
         _t(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
     )
     n = e.withColumn("nrm", F.sqrt(_dot("q", "q").cast("double"))).filter(F.col("nrm") > 0)
@@ -2609,7 +2610,7 @@ def ann_int8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted HOF fold — identical int64 results, ~3x per-row
     e = (
         _t(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
     )
     n = e.withColumn("nrm2", _dot_unrolled("q", "q")).withColumn(
@@ -2689,8 +2690,10 @@ def _pq_subs(e: DataFrame) -> DataFrame:
     Lloyd training and the full-corpus encode) runs as ONE map task.
     Repartitioning the n vector rows is cheaper than repartitioning the
     16n exploded rows; at 100 TB the same exchange evens out skewed
-    file layouts (same rationale as _lsh_index_core's norms spread)."""
-    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    file layouts (same rationale as _lsh_index_core's norms spread).
+    The width is size-adaptive (catalog.spread_n): clamps to the core
+    count on real corpora, stays a few tasks on byte-tiny inputs."""
+    e = spread(e)
     return (
         e.select(
             "vec_id",
@@ -4003,7 +4006,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrolled L2 evaluations run on a single core (same rationale as
     # _lsh_index_core's norms spread; at scale it evens skewed layouts)
     dists = (
-        e.repartition(spark.sparkContext.defaultParallelism)
+        e.transform(spread)
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "q", "cid", d2.alias("d2"))
     )
@@ -4115,7 +4118,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     members = (
-        e.repartition(spark.sparkContext.defaultParallelism)
+        e.transform(spread)
         .crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", d2.alias("d2"))
         .groupBy("vec_id")
@@ -4141,7 +4144,7 @@ def _simhash_sig_frame(df: DataFrame) -> DataFrame:
     corpus is one parquet split, so the md5-per-token + 60-bit vote
     would otherwise run on a single core (dedup_minhash precedent)."""
     return (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        df.transform(spread)
         .select(
             "doc_id",
             F.expr(
@@ -4919,7 +4922,7 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # placement) — the pool's per-row dots otherwise run on one core
     norms = (
         _t(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("vec_id", F.expr(QUANT_SPARK).alias("q"))
         .withColumn("nrm", _dot("q", "q"))
     )
@@ -5063,9 +5066,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread before the probe broadcast fan-out (single-split fixture
     # scan; see _lsh_index_core's norms spread) — the exact-side n x
     # probes dot products dominate this query's CPU
-    cand = norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    cand = spread(norms.select(F.col("vec_id").alias("neighbor_id"), "q", "nrm"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )

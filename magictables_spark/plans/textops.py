@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from magictables_spark.plans.registry import REGISTRY, _t, q
+from magictables_spark.plans.catalog import spread
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 _STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
@@ -692,7 +693,7 @@ def ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     # / 27.8 s of the 28.3 s wall at sf1 — dedup_minhash precedent)
     return (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
@@ -784,7 +785,7 @@ def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layouts)
     d = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("doc_id", "lang", F.lower(F.substring("text", 1, 200)).alias("t"))
     )
     tg = d.filter(F.length("t") >= 3).select(
@@ -858,7 +859,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (single-split fixture scan; the committed text-pack pattern)
     t = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     )
     tf = t.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
@@ -1828,7 +1829,7 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture scan; both the bigram and unigram aggs consume it)
     tok = (
         _t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread)
         .select(F.split("text", " ").alias("ws"))
     )
     bg = tok.select(
