@@ -69,6 +69,17 @@ SPREAD_TARGET_BYTES = int(
 )
 
 
+def spread_n_bytes(spark, size_bytes: int, floor: int = 2) -> int:
+    """Spread width for a KNOWN input size: ceil(bytes / target),
+    clamped to [floor, defaultParallelism]. For frames whose Catalyst
+    estimate is join-inflated (multiplicative) or unavailable but whose
+    true size the caller can bound (row count x row width)."""
+    cores = spark.sparkContext.defaultParallelism
+    if size_bytes <= 0:
+        return cores
+    return max(floor, min(cores, -(-size_bytes // SPREAD_TARGET_BYTES)))
+
+
 def spread_n(df: DataFrame, floor: int = 2) -> int:
     """Scale-adaptive spread width: ceil(input-size / 256 KB), clamped
     to [floor, defaultParallelism].

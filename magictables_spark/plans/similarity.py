@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from magictables_spark.plans.catalog import spread, spread_n
+from magictables_spark.plans.catalog import spread, spread_n, spread_n_bytes
 from magictables_spark.plans.registry import _t, q
 
 # quantized int64 vector (both engines): exact, order-independent math
@@ -2680,7 +2680,7 @@ _PQ_CAND = 100  # ADC candidate FLOOR; effective width = max(100, n // 10)
 #                 Rescore cost stays bounded (5 probes x C cosines).
 
 
-def _pq_subs(e: DataFrame) -> DataFrame:
+def _pq_subs(e: DataFrame, width: int | None = None) -> DataFrame:
     """(vec_id, m, x): every vector exploded into its M subvectors.
 
     The input is spread round-robin BEFORE the explode: the embeddings
@@ -2692,8 +2692,12 @@ def _pq_subs(e: DataFrame) -> DataFrame:
     16n exploded rows; at 100 TB the same exchange evens out skewed
     file layouts (same rationale as _lsh_index_core's norms spread).
     The width is size-adaptive (catalog.spread_n): clamps to the core
-    count on real corpora, stays a few tasks on byte-tiny inputs."""
-    e = spread(e)
+    count on real corpora, stays a few tasks on byte-tiny inputs.
+    ``width`` overrides the estimate for inputs whose Catalyst stats
+    are join-inflated (e.g. the checkpointed IVFPQ residual frame —
+    its pre-checkpoint plan is a join, so the multiplicative estimate
+    clamps to the core count and toy corpora pay full-width waves)."""
+    e = e.repartition(width) if width is not None else spread(e)
     return (
         e.select(
             "vec_id",
@@ -2706,39 +2710,144 @@ def _pq_subs(e: DataFrame) -> DataFrame:
     )
 
 
-def _pq_d2():
-    # built lazily: F.expr needs an active session
-    return F.expr(
-        " + ".join(
-            f"(x[{j}] - cw[{j}]) * (x[{j}] - cw[{j}])" for j in range(_PQ_SUB)
+def _pq_cb_literal(cb_rows) -> str:
+    """One SQL literal for a collected codebook: array indexed by
+    m+1 (element_at) of K codeword arrays indexed by sid, each a
+    _PQ_SUB-lane bigint array. The codebook is 256 tiny rows by
+    construction, so embedding it as a literal turns the per-subvector
+    nearest-codeword search from a broadcast join + min(struct)
+    aggregation — which plans as TWO SortAggregates over the K-times
+    row blowup (struct min is not hash-aggregable; measured as the
+    dominant CPU of both training and encode) — into a map-side
+    argmin projection, the exact pattern kmeans_lloyd already uses
+    for its literal centroids."""
+    grid: dict[tuple[int, int], list] = {
+        (r["m"], r["sid"]): r["cw"] for r in cb_rows
+    }
+    ms = []
+    for m in range(_PQ_M):
+        sids = sorted(s for (mm, s) in grid if mm == m)
+        ms.append(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(v)}L" for v in grid[(m, s)]) + ")"
+                for s in sids
+            )
+            + ")"
         )
-    ).cast("bigint")
+    return "array(" + ",".join(ms) + ")"
 
 
-def _pq_codebook(spark: SparkSession, e_train: DataFrame) -> DataFrame:
+def _pq_d2s_expr() -> str:
+    """SQL for the K-lane array of exact int64 squared L2 distances of
+    subvector `x` against the per-m codeword grid column `cbm`."""
+    return "array(" + ",".join(
+        "+".join(
+            f"(x[{k}] - cbm[{j}][{k}]) * (x[{k}] - cbm[{j}][{k}])"
+            for k in range(_PQ_SUB)
+        )
+        for j in range(_PQ_K)
+    ) + ")"
+
+
+def _pq_best_at(subs: DataFrame, cb_lit: str) -> DataFrame:
+    """(vec_id, m, d2, sid, cw): nearest codeword per subvector against
+    a LITERAL codebook — exact int64 squared L2, ties to the lowest
+    sid (array_position returns the FIRST minimal index, and the
+    literal is ordered by sid). Map-only: no join, no aggregate."""
+    return (
+        subs.withColumn("cbm", F.expr(f"element_at({cb_lit}, m + 1)"))
+        .withColumn("d2s", F.expr(_pq_d2s_expr()))
+        .withColumn("sid", F.expr("CAST(array_position(d2s, array_min(d2s)) AS INT)"))
+        .select(
+            "vec_id",
+            "m",
+            F.expr("d2s[sid - 1]").cast("bigint").alias("d2"),
+            "sid",
+            F.expr("cbm[sid - 1]").alias("cw"),
+        )
+    )
+
+
+def _pq_codebook(
+    spark: SparkSession, e_train: DataFrame, width: int | None = None
+) -> DataFrame:
     """(m, sid, cw): md5-elect K seed vectors from the TRAINING slice,
     slice them into per-subspace codewords, refine with _PQ_ITERS Lloyd
     rounds (floor-mean centroids, empty cells keep their codeword).
     The training slice is the quantizer's identity — the append path
-    pins it to the history corpus, exactly like the IVF quantizer."""
-    ws = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    seeds = (
+    pins it to the history corpus, exactly like the IVF quantizer.
+    ``width`` forwards to _pq_subs for inputs with join-inflated
+    Catalyst stats (IVFPQ residuals).
+
+    The codebook frame lives as a 256-row LOCAL RELATION on the driver:
+    the seed election is one bounded collect (K=16 rows), each Lloyd
+    round is ONE Spark job (the distributed assign + floor-mean
+    aggregate, collected at <= M*K = 256 rows — the same bounded
+    roundtrip as kmeans' per-round centroid collect), and the coalesce
+    (empty cells keep their codeword) is a dict update. Consumers then
+    see a LocalRelation codebook: the broadcast builds instantly and
+    no training subtree is re-planned/re-executed per consumer (the
+    previous eager-localCheckpoint version cost a job plus a ~0.17 s
+    Catalyst replan per round at toy scale, and nested
+    broadcast-of-broadcast builds in the consumer's job). All
+    arithmetic that defines codewords (d2 ranking, floor-mean) still
+    runs IN SPARK — the driver only carries the resulting bigints, so
+    the values are bit-identical to the oracle's."""
+    seed_rows = (
         e_train.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(_PQ_K)
-        .select(F.row_number().over(ws).alias("sid"), F.col("q").alias("sq"))
+        .select("q")
+        .collect()
     )
-    ms = spark.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
-    cb = seeds.crossJoin(F.broadcast(ms)).select(
-        "m", "sid", F.expr(f"slice(sq, {_PQ_SUB}*m+1, {_PQ_SUB})").alias("cw")
-    ).localCheckpoint(eager=True)
-    subs_t = _pq_subs(e_train).localCheckpoint(eager=True)  # reused per round
+    # cb maps (m, sid) -> codeword (list of _PQ_SUB Python ints)
+    cbd: dict[tuple[int, int], list[int]] = {}
+    for sid, row in enumerate(seed_rows, start=1):
+        sq = row["q"]
+        for m in range(_PQ_M):
+            cbd[(m, sid)] = list(sq[_PQ_SUB * m : _PQ_SUB * (m + 1)])
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cb_schema = StructType(
+        [
+            StructField("m", IntegerType(), False),
+            StructField("sid", IntegerType(), False),
+            StructField("cw", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def cb_df() -> DataFrame:
+        return spark.createDataFrame(
+            [(m, sid, cw) for (m, sid), cw in sorted(cbd.items())], cb_schema
+        )
+
+    subs_t = _pq_subs(e_train, width).localCheckpoint(eager=True)  # reused per round
     for _ in range(_PQ_ITERS):
+        # nearest codeword per subvector against the LITERAL codebook —
+        # a map-side argmin projection (see _pq_cb_literal: the old
+        # broadcast join + min(struct) planned as two SortAggregates
+        # over the K-times row blowup), then ONE hash-agg exchange of
+        # 256 partial-sum rows per round
+        cb_lit = _pq_cb_literal(
+            [{"m": m, "sid": s, "cw": cw} for (m, s), cw in cbd.items()]
+        )
         assign = (
-            subs_t.join(F.broadcast(cb), "m")
-            .select("vec_id", "m", _pq_d2().alias("d2"), "sid", "x")
-            .groupBy("vec_id", "m")
-            .agg(F.min(F.struct("d2", "sid", "x")).alias("b"))
-            .select("m", F.col("b.sid").alias("sid"), F.col("b.x").alias("x"))
+            subs_t.withColumn("cbm", F.expr(f"element_at({cb_lit}, m + 1)"))
+            .withColumn("d2s", F.expr(_pq_d2s_expr()))
+            .select(
+                "m",
+                F.expr("CAST(array_position(d2s, array_min(d2s)) AS INT)").alias(
+                    "sid"
+                ),
+                "x",
+            )
         )
         means = (
             assign.groupBy("m", "sid")
@@ -2754,32 +2863,26 @@ def _pq_codebook(spark: SparkSession, e_train: DataFrame) -> DataFrame:
                 "m", "sid", F.array(*[f"c{j}" for j in range(_PQ_SUB)]).alias("nw")
             )
         )
-        cb = (
-            cb.join(means, ["m", "sid"], "left")
-            .select("m", "sid", F.coalesce("nw", "cw").alias("cw"))
-            .localCheckpoint(eager=True)  # 256 rows; stops lineage growth
-        )
-    return cb
+        for row in means.collect():  # <= M*K = 256 rows, bounded
+            cbd[(row["m"], row["sid"])] = list(row["nw"])
+    return cb_df()
 
 
 def _pq_encode_at(subs: DataFrame, cb: DataFrame) -> DataFrame:
     """Quantize every subvector to its nearest codeword of a GIVEN
     codebook -> (vec_id, codes, recon, recon_l2). Deterministic and
     per-vector independent, so encode-then-append ≡ rebuild at the
-    same codebook (the append-path proof)."""
-    best = (
-        subs.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", _pq_d2().alias("d2"), "sid", "cw")
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("d2", "sid", "cw")).alias("b"))
-        .select(
-            "vec_id",
-            "m",
-            F.col("b.d2").alias("d2"),
-            F.col("b.sid").alias("sid"),
-            F.col("b.cw").alias("cw"),
-        )
-    )
+    same codebook (the append-path proof).
+
+    The codebook is M*K = 256 rows by CONSTRUCTION (trained in
+    _pq_codebook or read back from a persisted store), so it collects
+    to the driver — the same bounded roundtrip as kmeans' centroids —
+    and the nearest-codeword search runs as a map-side argmin
+    projection against the literal (see _pq_cb_literal: the previous
+    broadcast join + min(struct) planned as two SortAggregates over
+    the K-times row blowup plus an exchange, the dominant CPU of
+    every PQ encode)."""
+    best = _pq_best_at(subs, _pq_cb_literal(cb.collect()))
     return (
         best.groupBy("vec_id")
         .agg(
@@ -3659,8 +3762,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # feeds training AND encode
     )
-    cb = _pq_codebook(spark, resid.select("vec_id", "q"))
-    enc = _pq_encode_at(_pq_subs(resid.select("vec_id", "q")), cb)
+    # resid's pre-checkpoint plan is a join: its Catalyst size estimate
+    # is multiplicative, so derive the spread width from the known row
+    # count instead (vec_id + 64 int64 lanes ~ 640 B/row with overhead)
+    vw = spread_n_bytes(spark, n_vec * 640)
+    cb = _pq_codebook(spark, resid.select("vec_id", "q"), width=vw)
+    enc = _pq_encode_at(_pq_subs(resid.select("vec_id", "q"), vw), cb)
     idx = (
         enc.join(resid.select("vec_id", "cell"), "vec_id")
         .join(F.broadcast(cents), F.col("cell") == F.col("cent_id"))
@@ -3764,10 +3871,11 @@ def _ivfpq_persisted_index(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint(eager=True)
         )
-        cb = _pq_codebook(spark, resid.select("vec_id", "q"))
+        vw = spread_n_bytes(spark, n_vec * 640)  # join-inflated stats
+        cb = _pq_codebook(spark, resid.select("vec_id", "q"), width=vw)
         wh.write_table(cents, ck, source_info={"stride": stride})
         wh.write_table(cb, bk, source_info={"k": _PQ_K, "m": _PQ_M})
-        codes = _pq_encode_at(_pq_subs(resid.select("vec_id", "q")), cb).join(
+        codes = _pq_encode_at(_pq_subs(resid.select("vec_id", "q"), vw), cb).join(
             resid.select("vec_id", "cell"), "vec_id"
         ).select("cell", "vec_id", "codes")
         wh.write_table(
