@@ -326,6 +326,9 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") >= th)
         .select("u", "v")
+        # domain-bounded (<= C(2000,2) int pairs), re-read every peel
+        # round: narrow to 4 merged partitions (quality_pack und lesson)
+        .coalesce(4)
         .localCheckpoint(eager=True)
     )
 
@@ -348,6 +351,7 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v")
+            .coalesce(4)
             .localCheckpoint(eager=True)  # peeled lineage stays flat
         )
     return (
@@ -403,6 +407,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") >= 2)
         .select("u", "v")
+        # domain-bounded, feeds several joins: narrow to 4 merged
+        # partitions (quality_pack und lesson)
+        .coalesce(4)
         .localCheckpoint(eager=True)
     )
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
@@ -763,6 +770,7 @@ def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") >= 2)
         .select("u", "v")
+        .coalesce(4)
         .localCheckpoint(eager=True)  # edges feed 4 downstream joins
     )
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
