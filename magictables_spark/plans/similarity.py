@@ -2829,7 +2829,7 @@ def _pq_codebook(
         )
 
     subs_t = _pq_subs(e_train, width).localCheckpoint(eager=True)  # reused per round
-    for _ in range(_PQ_ITERS):
+    for _ in range(_PQ_ITERS) if cbd else ():
         # nearest codeword per subvector against the LITERAL codebook —
         # a map-side argmin projection (see _pq_cb_literal: the old
         # broadcast join + min(struct) planned as two SortAggregates
@@ -2882,7 +2882,17 @@ def _pq_encode_at(subs: DataFrame, cb: DataFrame) -> DataFrame:
     broadcast join + min(struct) planned as two SortAggregates over
     the K-times row blowup plus an exchange, the dominant CPU of
     every PQ encode)."""
-    best = _pq_best_at(subs, _pq_cb_literal(cb.collect()))
+    rows = cb.collect()
+    if rows:
+        best = _pq_best_at(subs, _pq_cb_literal(rows))
+    else:  # empty training slice -> empty codebook -> empty encode
+        best = subs.select(
+            "vec_id",
+            "m",
+            F.lit(None).cast("bigint").alias("d2"),
+            F.lit(None).cast("int").alias("sid"),
+            F.expr("CAST(NULL AS ARRAY<BIGINT>)").alias("cw"),
+        ).limit(0)
     return (
         best.groupBy("vec_id")
         .agg(
